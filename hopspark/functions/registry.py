@@ -1,0 +1,191 @@
+"""Registration of Impala-only scalar functions missing from Spark.
+
+Kernel parity targets (reference files):
+  * fnv_hash        — be/src/exprs/utility-functions-ir.cc (FNV-1a 64-bit)
+  * rotate/set/get/countset bits — be/src/exprs/bit-byte-functions-ir.cc
+  * jaro/damerau string distances — be/src/exprs/string-functions-ir.cc
+  * istrue/isfalse family — be/src/exprs/conditional-functions.cc
+
+Everything here is either a pure-SQL expression registered via
+`CREATE TEMPORARY FUNCTION`-equivalent (fast path, JVM-side) or an
+Arrow-vectorized pandas UDF (slow path, only where SQL can't express it).
+Row-at-a-time Python UDFs are deliberately absent.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_FNV64_PRIME = 0x100000001B3
+_FNV64_SEED = 0xCBF29CE484222325
+_MASK64 = (1 << 64) - 1
+
+
+def _fnv1a_64(data: bytes) -> int:
+    """FNV-1a 64-bit, signed-int64 result like the reference
+    (be/src/exprs/utility-functions-ir.cc FnvHash)."""
+    h = _FNV64_SEED
+    for b in data:
+        h = ((h ^ b) * _FNV64_PRIME) & _MASK64
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@F.pandas_udf(T.LongType())
+def _fnv_hash_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else _fnv1a_64(str(v).encode("utf-8")))
+
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_range = max(len1, len2) // 2 - 1
+    m1 = [False] * len1
+    m2 = [False] * len2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_range)
+        hi = min(len2, i + match_range + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+
+
+def _jaro_winkler(s1: str, s2: str, scaling: float = 0.1) -> float:
+    j = _jaro(s1, s2)
+    prefix = 0
+    for a, b in zip(s1, s2):
+        if a != b or prefix == 4:
+            break
+        prefix += 1
+    return j + prefix * scaling * (1 - j)
+
+
+@F.pandas_udf(T.DoubleType())
+def _jaro_distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    def f(x: object, y: object) -> float | None:
+        if x is None or y is None:
+            return None
+        return 1.0 - _jaro(str(x), str(y))
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)])
+
+
+@F.pandas_udf(T.DoubleType())
+def _jaro_winkler_similarity_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    def f(x: object, y: object) -> float | None:
+        if x is None or y is None:
+            return None
+        return _jaro_winkler(str(x), str(y))
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)])
+
+
+def _damerau_levenshtein(s1: str, s2: str) -> int:
+    """Optimal-string-alignment distance, matching the reference's
+    damerau_levenshtein (be/src/exprs/string-functions-ir.cc)."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0:
+        return l2
+    if l2 == 0:
+        return l1
+    prev2: list[int] = []
+    prev = list(range(l2 + 1))
+    for i in range(1, l1 + 1):
+        cur = [i] + [0] * l2
+        for j in range(1, l2 + 1):
+            cost = 0 if s1[i - 1] == s2[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if i > 1 and j > 1 and s1[i - 1] == s2[j - 2] and s1[i - 2] == s2[j - 1]:
+                cur[j] = min(cur[j], prev2[j - 2] + cost)
+        prev2, prev = prev, cur
+    return prev[l2]
+
+
+@F.pandas_udf(T.IntegerType())
+def _damerau_levenshtein_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    def f(x: object, y: object) -> int | None:
+        if x is None or y is None:
+            return None
+        return _damerau_levenshtein(str(x), str(y))
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)], dtype="object")
+
+
+# SQL-expression functions: registered as SQL temp functions so both the
+# DataFrame API (F.expr) and engine.sql() can call them by Impala name.
+# Each is a pure Catalyst expression — whole-stage-codegen'd, no Python.
+_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
+    # name: (param list, return type, body expression)
+    "istrue": ("b BOOLEAN", "BOOLEAN", "b IS NOT NULL AND b"),
+    "isfalse": ("b BOOLEAN", "BOOLEAN", "b IS NOT NULL AND NOT b"),
+    "isnottrue": ("b BOOLEAN", "BOOLEAN", "b IS NULL OR NOT b"),
+    "isnotfalse": ("b BOOLEAN", "BOOLEAN", "b IS NULL OR b"),
+    "nonnullvalue": ("x STRING", "BOOLEAN", "x IS NOT NULL"),
+    "nullvalue": ("x STRING", "BOOLEAN", "x IS NULL"),
+    # nvl2 / getbit are native Spark builtins with identical semantics —
+    # registering them would collide (CANNOT_REPLACE_NON_SQL_UDF_WITH_SQL_UDF).
+    "bitand": ("a BIGINT, b BIGINT", "BIGINT", "a & b"),
+    "bitor": ("a BIGINT, b BIGINT", "BIGINT", "a | b"),
+    "bitxor": ("a BIGINT, b BIGINT", "BIGINT", "a ^ b"),
+    "bitnot": ("a BIGINT", "BIGINT", "~a"),
+    "rotateleft": (
+        "x BIGINT, n INT",
+        "BIGINT",
+        "CASE WHEN n % 64 = 0 THEN x ELSE shiftleft(x, n % 64) | shiftrightunsigned(x, 64 - (n % 64)) END",
+    ),
+    "rotateright": (
+        "x BIGINT, n INT",
+        "BIGINT",
+        "CASE WHEN n % 64 = 0 THEN x ELSE shiftrightunsigned(x, n % 64) | shiftleft(x, 64 - (n % 64)) END",
+    ),
+    "setbit": ("x BIGINT, n INT", "BIGINT", "x | shiftleft(CAST(1 AS BIGINT), n)"),
+    "countset": ("x BIGINT", "INT", "bit_count(x)"),
+    "quotient": ("a BIGINT, b BIGINT", "BIGINT", "a div b"),
+    "is_inf": ("x DOUBLE", "BOOLEAN", "x = double('inf') OR x = double('-inf')"),
+    "timestamp_cmp": (
+        "a TIMESTAMP, b TIMESTAMP",
+        "INT",
+        "CASE WHEN a = b THEN 0 WHEN a > b THEN 1 WHEN a < b THEN -1 END",
+    ),
+}
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register the Impala-only function residue on this session (idempotent)."""
+    spark.udf.register("fnv_hash", _fnv_hash_udf)
+    spark.udf.register("jaro_distance", _jaro_distance_udf)
+    spark.udf.register("jaro_winkler_similarity", _jaro_winkler_similarity_udf)
+    spark.udf.register("damerau_levenshtein", _damerau_levenshtein_udf)
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    for name, (params, rtype, body) in _SQL_FUNCTIONS.items():
+        try:
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
+                f"RETURNS {rtype} RETURN {body}"
+            )
+        except AnalysisException:
+            # Name already provided natively by this Spark version with the
+            # same semantics — the builtin wins.
+            pass

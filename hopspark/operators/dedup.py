@@ -1,0 +1,213 @@
+"""Deduplication operators for LLM training-data pipelines (extension
+beyond the reference — BASELINE.json north star).
+
+Scale design (100 TB thinking):
+  * exact dedup — hash-groupBy on a 128-bit content fingerprint: one
+    shuffle of (16-byte key, doc_id) pairs after column pruning, never the
+    text payload. At 1000 executors this is the classic map-side-combine
+    friendly aggregation; AQE handles the (rare) hot fingerprint.
+  * MinHash LSH — per-doc signature computed scan-side with built-in
+    Catalyst expressions (shingle → xxhash64 → array_min), then banding:
+    only (band_id, band_hash, doc_id) rows shuffle. Candidate pairs come
+    from equi-joining compact band keys — the O(n²) pair space is never
+    materialized. Exact Jaccard verification re-joins the shingle sets for
+    candidates only.
+  * Everything is expression-level (whole-stage codegen). No Python UDFs.
+
+The MinHash/Jaccard pipeline is not ANSI-SQL-expressible with engine-
+identical hashes, so its driver check is rows-only; tests/test_dedup.py
+verifies semantics on crafted near-duplicate corpora instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hopspark.catalog import read_table
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5(normalized text): keeper = min doc_id."""
+    docs = read_table(spark, "documents", sf_dir)
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_EXACT_GROUPS_SQL = r"""
+SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY fingerprint
+ORDER BY keeper_doc_id
+"""
+
+
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level dedup: keep the lowest doc_id per fingerprint (window
+    row_number — the distributed analogue of DISTINCT ON)."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, "documents", sf_dir)
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    w = W.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "source", fp.alias("fingerprint"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_EXACT_KEEP_FIRST_SQL = r"""
+SELECT doc_id, source, fingerprint FROM (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                            ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+# --- MinHash + LSH near-dedup ---------------------------------------------
+
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands × 4 rows
+SHINGLE_K = 3
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def shingle_set(col: str = "text", k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles: slice the token array at each offset."""
+    toks = _tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """n_hashes MinHash values: min over shingles of a seeded xxhash64.
+    Seeding by string suffix keeps it a pure Catalyst expression."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j)))
+            )
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def minhash_bands(sig: Column, band_size: int = BAND_SIZE) -> Column:
+    """Band keys: hash each contiguous band of the signature."""
+    n_bands = N_HASHES // band_size
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[sig[b * band_size + r] for r in range(band_size)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def dedup_minhash_candidates(
+    spark: SparkSession, sf_dir: str, jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    shingle Jaccard ≥ threshold."""
+    docs = read_table(spark, "documents", sf_dir)
+    sh = docs.select("doc_id", shingle_set().alias("shingles"))
+    sig = sh.select(
+        "doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(minhash_bands(F.col("sig"))).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard between consecutive doc_ids (a deterministic,
+    SQL-checkable slice of the pairwise-similarity operator: the pairing is
+    doc_id vs doc_id+1, so the oracle can reproduce it)."""
+    docs = read_table(spark, "documents", sf_dir)
+    sh = docs.select("doc_id", shingle_set().alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        a.join(b, "doc_a")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .orderBy("doc_a")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
+         ]) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+ORDER BY doc_a
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_GROUPS_SQL),
+    "dedup_exact_keep_first": (dedup_exact_keep_first, DEDUP_EXACT_KEEP_FIRST_SQL),
+    "dedup_minhash_candidates": (dedup_minhash_candidates, None),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+}

@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (extension beyond the
+reference — BASELINE.json north star).
+
+Scale design (100 TB thinking):
+  * Brute-force top-k: queries are broadcast (tiny side), the corpus scans
+    once; the dot product is a Catalyst fold over `array<double>` — pure
+    JVM, no Python. Per-query top-k via window group-limit, so only k rows
+    per query survive the shuffle.
+  * LSH-bucketed ANN (the scale path): deterministic random-hyperplane
+    signatures computed scan-side; candidates come from an equi-join on the
+    bucket id, shrinking the pair space from O(n·q) to O(n·q/2^bits). The
+    same top-k tail runs over candidates only. Recall vs brute force is
+    asserted in tests/test_similarity.py.
+
+Determinism for the oracle: cosine is computed in float64 with an explicit
+left-to-right fold (both engines evaluate element-wise in array order) and
+the emitted value is rounded to 6 decimals; ranking ties are broken by
+vec_id, so Spark and DuckDB produce identical top-k sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hopspark.catalog import read_table
+
+N_QUERIES = 3  # vec_id < 3 are the query vectors in the demo queries
+TOP_K = 5
+
+
+def _dvec(col: str) -> Column:
+    """float32 array → float64 array (exact widening)."""
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — deterministic IEEE summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbours for the first N_QUERIES vectors."""
+    emb = read_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(_dvec("q_emb"), _dvec("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         ROUND(
+           list_dot_product(q.q_emb, CAST(e.embedding AS DOUBLE[]))
+           / (SQRT(list_dot_product(q.q_emb, q.q_emb))
+              * SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))),
+           6) AS cos_sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT query_id, cand_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label norm statistics — vector math + aggregation mix."""
+    emb = read_table(spark, "embeddings", sf_dir)
+    norm = F.sqrt(_dot(_dvec("embedding"), _dvec("embedding")))
+    return (
+        emb.select("label", F.round(norm, 6).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORMS_SQL = """
+WITH n AS (
+  SELECT label,
+         ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 6) AS norm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(MIN(norm), 6) AS min_norm,
+       ROUND(MAX(norm), 6) AS max_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+# --- LSH-bucketed ANN (scale path; rows-only driver check) ------------------
+
+N_PLANES = 8
+
+
+def _lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane signature: plane weights are a deterministic
+    pseudo-random function of (plane, dim) via xxhash64 — reproducible
+    across runs and cluster sizes with zero data movement."""
+    bits = []
+    for p in range(n_planes):
+        w = F.transform(
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda i: (
+                F.xxhash64(F.lit(p), i).cast("double") / F.lit(9.223372036854776e18)
+            ),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: exact top-k *within* each query's LSH bucket. Unit tests measure
+    recall against knn_bruteforce_cosine; the driver check is rows-only
+    (hash functions are engine-specific, not SQL-reproducible)."""
+    emb = read_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _dvec("embedding").alias("emb")
+    )
+    bucketed = emb.select("vec_id", "emb", _lsh_bucket(F.col("emb")).alias("bucket"))
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(bucketed, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES: dict[str, tuple] = {
+    "sim_knn_bruteforce_cosine": (knn_bruteforce_cosine, KNN_BRUTEFORCE_SQL),
+    "sim_embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
+    "sim_ann_lsh_topk": (ann_lsh_topk, None),
+}

@@ -1,0 +1,84 @@
+"""Dialect-translation unit tests (Impala SQL → Spark SQL)."""
+
+from __future__ import annotations
+
+from hopspark.dialect import translate
+
+
+def test_passthrough_untouched():
+    sql = "SELECT a, b FROM t WHERE x = 1 AND y LIKE 'z%'"
+    assert translate(sql) == sql
+
+
+def test_function_renames():
+    assert translate("SELECT ndv(x) FROM t") == "SELECT approx_count_distinct(x) FROM t"
+    assert translate("SELECT strleft(s, 3) FROM t") == "SELECT left(s, 3) FROM t"
+    assert translate("SELECT lcase(s) FROM t") == "SELECT lower(s) FROM t"
+
+
+def test_isnull_two_arg_becomes_nvl():
+    assert translate("SELECT isnull(a, b) FROM t") == "SELECT nvl(a, b) FROM t"
+    # 1-arg isnull is Spark-native; untouched
+    assert translate("SELECT isnull(a) FROM t") == "SELECT isnull(a) FROM t"
+
+
+def test_appx_median_appends_quantile():
+    assert (
+        translate("SELECT appx_median(x) FROM t")
+        == "SELECT percentile_approx(x, 0.5) FROM t"
+    )
+
+
+def test_zeroifnull_nullifzero():
+    assert translate("SELECT zeroifnull(x) FROM t") == "SELECT coalesce(x, 0) FROM t"
+    assert translate("SELECT nullifzero(x) FROM t") == "SELECT nullif(x, 0) FROM t"
+
+
+def test_dayname_monthname():
+    assert (
+        translate("SELECT dayname(d) FROM t") == "SELECT date_format(d, 'EEEE') FROM t"
+    )
+
+
+def test_iregexp_literal():
+    assert (
+        translate("SELECT * FROM t WHERE s IREGEXP 'ab.*'")
+        == "SELECT * FROM t WHERE s RLIKE '(?i)ab.*'"
+    )
+
+
+def test_null_ordering_defaults_asc_desc():
+    out = translate("SELECT a FROM t ORDER BY a, b DESC")
+    assert "ORDER BY a NULLS LAST, b DESC NULLS FIRST" in out
+
+
+def test_null_ordering_respects_explicit():
+    sql = "SELECT a FROM t ORDER BY a NULLS FIRST"
+    assert translate(sql) == sql
+
+
+def test_null_ordering_with_limit():
+    out = translate("SELECT a FROM t ORDER BY a LIMIT 5")
+    assert "ORDER BY a NULLS LAST LIMIT 5" in out
+
+
+def test_null_ordering_in_window():
+    out = translate("SELECT rank() OVER (PARTITION BY p ORDER BY x DESC) FROM t")
+    assert "ORDER BY x DESC NULLS FIRST)" in out
+
+
+def test_string_literals_protected():
+    sql = "SELECT 'ndv(x) ORDER BY a' FROM t"
+    assert translate(sql) == sql
+
+
+def test_broadcast_hint():
+    out = translate("SELECT * FROM a JOIN [broadcast] b ON a.k = b.k")
+    assert "[broadcast]" not in out
+    assert "/*+ BROADCAST */" in out
+
+
+def test_function_rename_inside_expression():
+    out = translate("SELECT 1 + ndv(x) * 2 FROM t GROUP BY g ORDER BY g DESC")
+    assert "approx_count_distinct(x)" in out
+    assert "g DESC NULLS FIRST" in out

@@ -1,0 +1,87 @@
+"""Unit tests for the Impala function-library residue
+(hopspark/functions/registry.py) — the expr-test.cc analogue."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _one(spark, expr: str):
+    return spark.sql(f"SELECT {expr} AS v").head().v
+
+
+def test_fnv_hash_known_vector(spark):
+    # FNV-1a 64: fnv1a("") = 0xcbf29ce484222325 (offset basis, public constant)
+    assert _one(spark, "fnv_hash('')") == -3750763034362895579
+    # value computed by the pure-python reference implementation
+    from hopspark.functions.registry import _fnv1a_64
+
+    assert _one(spark, "fnv_hash('abc')") == _fnv1a_64(b"abc")
+
+
+def test_istrue_family(spark):
+    assert _one(spark, "istrue(true)") is True
+    assert _one(spark, "istrue(NULL)") is False
+    assert _one(spark, "isnottrue(NULL)") is True
+    assert _one(spark, "isfalse(false)") is True
+    assert _one(spark, "isnotfalse(NULL)") is True
+
+
+def test_bit_functions(spark):
+    assert _one(spark, "bitand(12, 10)") == 8
+    assert _one(spark, "bitor(12, 10)") == 14
+    assert _one(spark, "bitxor(12, 10)") == 6
+    assert _one(spark, "bitnot(0)") == -1
+    assert _one(spark, "countset(7)") == 3
+    assert _one(spark, "setbit(0, 3)") == 8
+    assert _one(spark, "rotateleft(1, 1)") == 2
+    assert _one(spark, "rotateleft(1, 64)") == 1
+    assert _one(spark, "rotateright(2, 1)") == 1
+
+
+def test_quotient(spark):
+    assert _one(spark, "quotient(7, 2)") == 3
+    assert _one(spark, "quotient(-7, 2)") == -3
+
+
+def test_is_inf(spark):
+    assert _one(spark, "is_inf(cast('inf' as double))") is True
+    assert _one(spark, "is_inf(1.5)") is False
+
+
+def test_jaro_winkler(spark):
+    v = _one(spark, "jaro_winkler_similarity('MARTHA', 'MARHTA')")
+    assert v == pytest.approx(0.9611, abs=1e-3)
+    assert _one(spark, "jaro_distance('abc', 'abc')") == 0.0
+
+
+def test_damerau_levenshtein(spark):
+    assert _one(spark, "damerau_levenshtein('ca', 'abc')") == 3  # OSA distance
+    assert _one(spark, "damerau_levenshtein('ab', 'ba')") == 1
+    assert _one(spark, "damerau_levenshtein('kitten', 'sitting')") == 3
+
+
+def test_dialect_functions_run_e2e(spark, sf_dir):
+    """engine.sql() should accept Impala-dialect function names."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    row = eng.sql(
+        "SELECT ndv(l_partkey) AS nd, appx_median(l_quantity) AS med, "
+        "zeroifnull(NULL) AS z, isnull(NULL, 42) AS i "
+        "FROM lineitem"
+    ).head()
+    assert row.nd > 0
+    assert row.med is not None
+    assert row.z == 0
+    assert row.i == 42
+
+
+def test_timestamp_cmp(spark):
+    assert (
+        _one(
+            spark,
+            "timestamp_cmp(timestamp'2020-01-01', timestamp'2020-01-02')",
+        )
+        == -1
+    )

