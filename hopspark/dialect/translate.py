@@ -134,6 +134,12 @@ _FN_RENAME = {
     "character_length": "length",
     "chr": "char",
     "is_nan": "isnan",
+    "week": "weekofyear",
+    "fmod": "mod",
+    "group_concat": "string_agg",
+    "user": "current_user",
+    "effective_user": "current_user",
+    "regexp": "rlike",
 }
 
 # name → (spark_name, extra_args_sql_appended)
@@ -158,6 +164,23 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
             i += 1
             continue
         name = t.text.lower()
+        # date_add(x, INTERVAL n unit) → (x + INTERVAL n unit); Impala's
+        # grammar routes INTERVAL arithmetic through the date_add/date_sub
+        # builtins (sql-parser.cup:299 KW_INTERVAL), Spark only accepts the
+        # infix form. Plain date_add(x, n) passes through (same in Spark).
+        if name in ("date_add", "date_sub"):
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                a2 = _next_code(toks, args[1][0])
+                if a2 < close and toks[a2].upper == "INTERVAL":
+                    op = "+" if name == "date_add" else "-"
+                    toks[i] = Tok("op", "")  # drop the function name
+                    # '(' stays; comma becomes the arithmetic operator.
+                    comma = _prev_code(toks, args[1][0] - 1)
+                    toks[comma] = Tok("op", f" {op} ")
+                    i += 1
+                    continue
         # isnull(a, b) → nvl(a, b); 1-arg isnull passes through untouched.
         if name == "isnull":
             close = _matching_paren(toks, j)

@@ -168,7 +168,88 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "INT",
         "CASE WHEN a = b THEN 0 WHEN a > b THEN 1 WHEN a < b THEN -1 END",
     ),
+    # -- datetime helpers (be/src/exprs/timestamp-functions-ir.cc) ----------
+    "timeofday": ("", "STRING", "date_format(now(), 'EEE MMM dd HH:mm:ss yyyy z')"),
+    "from_timestamp": ("t TIMESTAMP, fmt STRING", "STRING", "date_format(t, fmt)"),
+    # -- string/regex helpers (be/src/exprs/string-functions-ir.cc) ---------
+    "regexp_match_count": (
+        "s STRING, pat STRING",
+        "INT",
+        "size(regexp_extract_all(s, pat, 0))",
+    ),
+    "regexp_escape": (
+        "s STRING",
+        "STRING",
+        r"regexp_replace(s, '([\\.\\\\\\+\\*\\?\\[\\^\\]\\$\\(\\)\\{\\}\\=\\!\\<\\>\\|\\:\\-])', '\\\\$1')",
+    ),
+    "base64encode": ("s STRING", "STRING", "base64(CAST(s AS BINARY))"),
+    "base64decode": ("s STRING", "STRING", "CAST(unbase64(s) AS STRING)"),
+    # -- masking family (be/src/exprs/mask-functions-ir.cc); default masks
+    # upper→X lower→x digit→n like the reference; other chars pass through.
+    "mask_first_n": (
+        "s STRING, n INT",
+        "STRING",
+        "concat(mask(substring(s, 1, n)), substring(s, n + 1))",
+    ),
+    "mask_last_n": (
+        "s STRING, n INT",
+        "STRING",
+        "concat(substring(s, 1, greatest(0, length(s) - n)), "
+        "mask(substring(s, greatest(0, length(s) - n) + 1)))",
+    ),
+    "mask_show_first_n": (
+        "s STRING, n INT",
+        "STRING",
+        "concat(substring(s, 1, n), mask(substring(s, n + 1)))",
+    ),
+    "mask_show_last_n": (
+        "s STRING, n INT",
+        "STRING",
+        "concat(mask(substring(s, 1, greatest(0, length(s) - n))), "
+        "substring(s, greatest(0, length(s) - n) + 1))",
+    ),
+    "mask_hash": ("s STRING", "STRING", "sha2(s, 256)"),
+    # -- conditional aliases not shipped by this Spark --------------------
+    "zeroifnull": ("x DOUBLE", "DOUBLE", "coalesce(x, 0)"),
 }
+
+# Interval arithmetic family (SURVEY §2.11): {unit}_{add,sub}(TIMESTAMP, n).
+# Reference kernels: be/src/exprs/timestamp-functions-ir.cc; grammar maps
+# `INTERVAL n unit` arithmetic onto these same functions. Spark's
+# timestampadd covers every unit at µs resolution; nanoseconds_* documents
+# ns→µs truncation (TimestampNTZ/ µs is Spark's finest granularity).
+_INTERVAL_UNITS = {
+    "years": "YEAR",
+    "months": "MONTH",
+    "weeks": "WEEK",
+    "days": "DAY",
+    "hours": "HOUR",
+    "minutes": "MINUTE",
+    "seconds": "SECOND",
+    "milliseconds": "MILLISECOND",
+    "microseconds": "MICROSECOND",
+}
+for _u, _unit in _INTERVAL_UNITS.items():
+    _SQL_FUNCTIONS[f"{_u}_add"] = (
+        "t TIMESTAMP, n BIGINT",
+        "TIMESTAMP",
+        f"timestampadd({_unit}, n, t)",
+    )
+    _SQL_FUNCTIONS[f"{_u}_sub"] = (
+        "t TIMESTAMP, n BIGINT",
+        "TIMESTAMP",
+        f"timestampadd({_unit}, -n, t)",
+    )
+_SQL_FUNCTIONS["nanoseconds_add"] = (
+    "t TIMESTAMP, n BIGINT",
+    "TIMESTAMP",
+    "timestampadd(MICROSECOND, n div 1000, t)",
+)
+_SQL_FUNCTIONS["nanoseconds_sub"] = (
+    "t TIMESTAMP, n BIGINT",
+    "TIMESTAMP",
+    "timestampadd(MICROSECOND, -(n div 1000), t)",
+)
 
 
 def register_all(spark: SparkSession) -> None:

@@ -21,6 +21,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         aggregates,
         analytic,
         dedup,
+        nested,
         relational,
         similarity,
         text,
@@ -28,7 +29,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     merged: dict[str, tuple[QueryFn, str | None]] = {}
-    for mod in (tpch, relational, aggregates, analytic, dedup, similarity, text):
+    for mod in (tpch, relational, aggregates, analytic, nested, dedup, similarity, text):
         for name, entry in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")

@@ -1,0 +1,179 @@
+"""Nested-type / JSON / subquery operators (SURVEY.md §2.9, §2.11 JSON).
+
+Reference parity targets:
+  * get_json_object        — registry entry in be/src/exprs/string-functions.cc
+  * zipping UNNEST         — be/src/exec/unnest-node.h:54-94 (multi-collection
+    unnest zips by position, null-padding the shorter collections)
+  * scalar subquery + CardinalityCheck — be/src/exec/cardinality-check-node.h:33-42
+  * TABLESAMPLE SYSTEM(p)  — grammar sql-parser.cup:3147-3149 (file-level
+    sampling; Spark's df.sample is row-level — documented difference)
+
+Scale notes: JSON extraction and array ops are all Catalyst expressions
+(whole-stage codegen, no Python); the zip-unnest explodes ~3 rows per input
+row before aggregation, which at 100 TB argues for pushing any filter below
+the explode — done here (filter precedes posexplode in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hopspark.catalog import read_table
+
+# ---------------------------------------------------------------------------
+# JSON extraction over events.props
+# ---------------------------------------------------------------------------
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type,
+       COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS k_sum,
+       MIN(k) AS k_min, MAX(k) AS k_max
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events) t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Zipping unnest: two arrays of different length, zipped by position with
+# null padding — the UnnestNode semantic Spark's plain explode lacks.
+# ---------------------------------------------------------------------------
+
+
+def zip_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir).filter(F.col("l_linenumber") == 1)
+    with_arrays = li.select(
+        "l_orderkey",
+        F.array("l_partkey", "l_suppkey", "l_orderkey").alias("arr1"),
+        F.array(
+            F.col("l_quantity").cast("bigint"),
+            F.col("l_linenumber").cast("bigint"),
+        ).alias("arr2"),
+    )
+    return (
+        with_arrays.select(
+            "l_orderkey",
+            F.posexplode(F.arrays_zip("arr1", "arr2")).alias("pos", "z"),
+        )
+        .select(
+            "l_orderkey",
+            "pos",
+            F.col("z.arr1").alias("e1"),
+            F.col("z.arr2").alias("e2"),
+        )
+        .orderBy("l_orderkey", "pos")
+    )
+
+
+ZIP_UNNEST_SQL = """
+SELECT l_orderkey, i - 1 AS pos, arr1[i] AS e1, arr2[i] AS e2
+FROM (
+  SELECT l_orderkey,
+         [l_partkey, l_suppkey, l_orderkey] AS arr1,
+         [CAST(l_quantity AS BIGINT), CAST(l_linenumber AS BIGINT)] AS arr2
+  FROM lineitem WHERE l_linenumber = 1
+) t
+CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS i) idx
+ORDER BY l_orderkey, pos
+"""
+
+# ---------------------------------------------------------------------------
+# Array ops over the embeddings table (complex-type scan: parquet list<float>)
+# ---------------------------------------------------------------------------
+
+
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.element_at("embedding", -1).alias("last_val"),
+        "label",
+    ).orderBy("vec_id")
+
+
+ARRAY_OPS_SQL = """
+SELECT vec_id, len(embedding) AS dim,
+       embedding[1] AS first_val, embedding[-1] AS last_val, label
+FROM embeddings
+ORDER BY vec_id
+"""
+
+# ---------------------------------------------------------------------------
+# Scalar subquery (uncorrelated) — Catalyst plans a ScalarSubquery and raises
+# on >1 row exactly like CardinalityCheckNode. Threshold arithmetic is
+# exact-decimal so the comparison can't flip between engines.
+# ---------------------------------------------------------------------------
+
+
+def scalar_subquery_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, "orders", sf_dir)
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_above
+        FROM orders
+        CROSS JOIN (SELECT SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS s,
+                           COUNT(*) AS c
+                    FROM orders) t
+        WHERE CAST(o_totalprice AS DECIMAL(14,2)) * c > s
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+SCALAR_SUBQ_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_above
+FROM orders
+CROSS JOIN (SELECT SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS s, COUNT(*) AS c
+            FROM orders) t
+WHERE CAST(o_totalprice AS DECIMAL(14,2)) * c > s
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+# ---------------------------------------------------------------------------
+# TABLESAMPLE — deterministic with a seed within Spark, but row-level (the
+# reference samples whole files: FeFsTable TABLESAMPLE SYSTEM(p)); no oracle.
+# ---------------------------------------------------------------------------
+
+
+def tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir)
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .agg(
+            F.count(F.lit(1)).alias("sample_rows"),
+            F.countDistinct("l_orderkey").alias("sample_orders"),
+        )
+    )
+
+
+QUERIES: dict[str, tuple] = {
+    "nested_json_extract": (json_extract_props, JSON_EXTRACT_SQL),
+    "nested_zip_unnest": (zip_unnest, ZIP_UNNEST_SQL),
+    "nested_array_ops": (array_ops, ARRAY_OPS_SQL),
+    "subquery_scalar_threshold": (scalar_subquery_threshold, SCALAR_SUBQ_SQL),
+    "tablesample_system": (tablesample, None),
+}

@@ -223,11 +223,593 @@ ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
 
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking via EXISTS semi-join. Reference: tpch-q4.test.
+# (Adapted: no l_commitdate/l_receiptdate in the driver schema, so the
+# correlated predicate is l_shipdate > o_orderdate.)
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = read_table(spark, "lineitem", sf_dir)
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations. Reference: tpch-q7.test.
+# ---------------------------------------------------------------------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = read_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = read_table(spark, "supplier", sf_dir)
+    cust = read_table(spark, "customer", sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair | rpair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(dec("l_extendedprice") * one_minus("l_discount")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         {REVENUE_TERM} AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share. Reference: tpch-q8.test.
+# ---------------------------------------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY")
+    supp = read_table(spark, "supplier", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir)
+    orders = read_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    cust = read_table(spark, "customer", sf_dir)
+    n1 = read_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = read_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = read_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    vol = dec("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)))
+                / dsum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         {REVENUE_TERM} AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit. Reference: tpch-q9.test.
+# (Adapted: no partsupp/ps_supplycost; cost proxy = p_retailprice * qty.)
+# ---------------------------------------------------------------------------
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, "part", sf_dir).filter(F.col("p_name").contains("wid"))
+    supp = read_table(spark, "supplier", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    nation = read_table(spark, "nation", sf_dir)
+    amount = dec("l_extendedprice") * one_minus("l_discount") - dec(
+        "p_retailprice"
+    ) * dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+Q9_SQL = f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+         {REVENUE_TERM} - CAST(p_retailprice AS DECIMAL(12,2)) * {DEC_QTY} AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%wid%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation ASC, o_year DESC
+"""
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping modes and order priority. Reference: tpch-q12.test.
+# (Adapted: no l_shipmode; grouped by l_returnflag instead.)
+# ---------------------------------------------------------------------------
+
+
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = read_table(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (left outer join). tpch-q13.test.
+# ---------------------------------------------------------------------------
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, "customer", sf_dir)
+    orders = read_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect. Reference: tpch-q14.test.
+# ---------------------------------------------------------------------------
+
+
+def q14_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = read_table(spark, "part", sf_dir)
+    vol = dec("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)))
+                / dsum(vol)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_TERM} ELSE 0 END) AS DOUBLE)
+       / CAST(SUM({REVENUE_TERM}) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (scalar-subquery max over a derived view). tpch-q15.test.
+# Decimal revenue is kept exact for the = max() comparison; cast to double
+# only in the output so the oracle hash stays deterministic.
+# ---------------------------------------------------------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = read_table(spark, "supplier", sf_dir)
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec("l_extendedprice") * one_minus("l_discount")).alias("rev_dec")
+    )
+    mx = revenue.agg(F.max("rev_dec").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("rev_dec") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({REVENUE_TERM}) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated avg subquery). tpch-q17.test.
+# The threshold l_quantity < 0.2*avg(l_quantity) is rewritten in exact
+# integer-decimal arithmetic (5*qty*cnt < sum) so the comparison cannot flip
+# on last-ulp double differences between engines.
+# ---------------------------------------------------------------------------
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir)
+    part = read_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(dec("l_quantity")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_cnt"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("agg_partkey"))
+        .filter(dec("l_quantity") * 5 * F.col("qty_cnt") < F.col("qty_sum"))
+        .agg((dsum(dec("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = f"""
+SELECT CAST(SUM({DEC_PRICE}) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT l_partkey AS agg_partkey, SUM({DEC_QTY}) AS qty_sum, COUNT(*) AS qty_cnt
+  FROM lineitem GROUP BY l_partkey
+) part_agg ON agg_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND {DEC_QTY} * 5 * qty_cnt < qty_sum
+"""
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers (HAVING on grouped sum). tpch-q18.test.
+# ---------------------------------------------------------------------------
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    cust = read_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty_dec AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM({DEC_QTY}) AS qty_dec
+  FROM lineitem GROUP BY l_orderkey HAVING SUM({DEC_QTY}) > 250
+) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue (OR of AND-groups; tests disjunct pushdown).
+# Reference: tpch-q19.test (adapted: p_container → p_size bands).
+# ---------------------------------------------------------------------------
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir)
+    part = read_table(spark, "part", sf_dir)
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        dsum(dec("l_extendedprice") * one_minus("l_discount")).alias("revenue")
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({REVENUE_TERM}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS chain).
+# Reference: tpch-q21.test (adapted: "late" = l_returnflag = 'R').
+# ---------------------------------------------------------------------------
+
+
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = read_table(spark, "supplier", sf_dir)
+    nation = read_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_5")
+    orders = read_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    li = read_table(spark, "lineitem", sf_dir)
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+    base = (
+        l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+        .join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    no_other_late = with_other.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        no_other_late.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F' AND n_name = 'NATION_5'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (NOT EXISTS + global avg threshold).
+# Reference: tpch-q22.test (adapted: cntrycode → c_nationkey bucket; the
+# acctbal > avg(acctbal) threshold is exact-decimal: bal*cnt > sum).
+# ---------------------------------------------------------------------------
+
+_Q22_NATIONS = [1, 3, 5, 7, 9, 11, 13]
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, "customer", sf_dir).filter(
+        F.col("c_nationkey").isin(_Q22_NATIONS)
+    )
+    orders = read_table(spark, "orders", sf_dir)
+    avg_pos = cust.filter(dec("c_acctbal") > 0).agg(
+        F.sum(dec("c_acctbal")).alias("bal_sum"), F.count(F.lit(1)).alias("bal_cnt")
+    )
+    return (
+        cust.join(F.broadcast(avg_pos))
+        .filter(dec("c_acctbal") * F.col("bal_cnt") > F.col("bal_sum"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(dec("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+_Q22_IN = ", ".join(str(n) for n in _Q22_NATIONS)
+
+Q22_SQL = f"""
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+CROSS JOIN (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum, COUNT(*) AS bal_cnt
+  FROM customer
+  WHERE c_nationkey IN ({_Q22_IN}) AND CAST(c_acctbal AS DECIMAL(12,2)) > 0
+) threshold
+WHERE c_nationkey IN ({_Q22_IN})
+  AND CAST(c_acctbal AS DECIMAL(12,2)) * bal_cnt > bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""
+
 # registry: name → (query fn, oracle sql | None)
 QUERIES: dict[str, tuple] = {
     "tpch_q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "tpch_q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "tpch_q4_order_priority": (q4_order_priority, Q4_SQL),
     "tpch_q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "tpch_q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "tpch_q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "tpch_q8_market_share": (q8_market_share, Q8_SQL),
+    "tpch_q9_product_profit": (q9_product_profit, Q9_SQL),
     "tpch_q10_returned_items": (q10_returned_items, Q10_SQL),
+    "tpch_q12_priority_by_flag": (q12_priority_by_flag, Q12_SQL),
+    "tpch_q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "tpch_q14_promotion_effect": (q14_promotion_effect, Q14_SQL),
+    "tpch_q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "tpch_q17_small_quantity": (q17_small_quantity, Q17_SQL),
+    "tpch_q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
+    "tpch_q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
+    "tpch_q21_suppliers_waiting": (q21_suppliers_waiting, Q21_SQL),
+    "tpch_q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
 }

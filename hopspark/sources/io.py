@@ -44,6 +44,40 @@ def read_csv(
     )
 
 
+def read_text_escaped(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sep: str = "|",
+    escape: str = "\\",
+    null_value: str = "\\N",
+) -> DataFrame:
+    """Impala delimited-text semantics: the escape char protects a *bare*
+    delimiter (no quoting) — be/src/exec/delimited-text-parser.cc. Spark's
+    CSV reader only honors escapes inside quoted fields, so this splits on
+    un-escaped separators with a JVM regex (whole-stage codegen, no Python):
+    split on `(?<!\\e)\\sep`, then unescape `\\e sep → sep`, `\\e\\e → \\e`,
+    and map the null marker."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    e, s = _re.escape(escape), _re.escape(sep)
+    split_pat = f"(?<!{e}){s}"
+    lines = spark.read.text(path)
+    cols = []
+    for i, field in enumerate(schema.fields):
+        raw = F.get(F.split(F.col("value"), split_pat), i)
+        unescaped = F.regexp_replace(
+            F.regexp_replace(raw, e + s, sep), e + e, escape
+        )
+        val = F.when(unescaped == null_value.replace("\\\\", "\\"), None).otherwise(
+            unescaped
+        )
+        cols.append(val.cast(field.dataType).alias(field.name))
+    return lines.select(*cols)
+
+
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
 

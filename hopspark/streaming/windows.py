@@ -1,0 +1,81 @@
+"""Watermarked windowed aggregation over the events stream (extension —
+the reference is batch-only, SURVEY.md §2.10; this is the §7.E scale path
+for continuous ingestion at 100 TB/day: file-source micro-batches, tumbling
+or sliding windows, late data dropped by watermark).
+
+Design notes for cluster scale:
+  * The stream aggregation shuffles on (window, event_type) — the state
+    store is keyed the same way, so skewed event_types could hot-spot one
+    state partition; salting the key (extra bucket column folded back on
+    output) is the documented mitigation.
+  * `availableNow` trigger gives batch-equivalent backfill semantics, so
+    the same code serves backfill and live tailing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hopspark.catalog import SCHEMAS, table_path
+
+
+def _as_stream_dir(path: str) -> str:
+    """The file-stream source only accepts directories; the driver lays
+    tables out as single parquet files. Stage a directory containing a
+    symlink to the file (read-only on the data itself)."""
+    if os.path.isdir(path):
+        return path
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.pardir,
+        ".stream_stage",
+        os.path.basename(os.path.dirname(path)) + "_" + os.path.basename(path),
+    )
+    stage = os.path.abspath(stage)
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return stage
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream with the catalog schema; the raw ns
+    int64 `ts` surfaces as a µs timestamp exactly like the batch reader."""
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_as_stream_dir(table_path(sf_dir, "events")))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling (or sliding, if `slide` given) window counts per event_type
+    with late-data handling via watermark."""
+    win = (
+        F.window("ts", window) if slide is None else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )

@@ -85,3 +85,68 @@ def test_timestamp_cmp(spark):
         )
         == -1
     )
+
+
+def test_interval_arithmetic_family(spark):
+    import datetime as dt
+
+    # Month-end clamping matches the reference (timestamp-functions-ir.cc).
+    assert _one(spark, "years_add(timestamp'2020-02-29 10:00:00', 1)") == dt.datetime(
+        2021, 2, 28, 10
+    )
+    assert _one(spark, "months_sub(timestamp'2020-03-31', 1)") == dt.datetime(2020, 2, 29)
+    assert _one(spark, "weeks_add(timestamp'2020-01-01', 2)") == dt.datetime(2020, 1, 15)
+    assert _one(spark, "days_sub(timestamp'2020-03-01', 1)") == dt.datetime(2020, 2, 29)
+    assert _one(spark, "hours_add(timestamp'2020-01-01 23:00:00', 2)") == dt.datetime(
+        2020, 1, 2, 1
+    )
+    assert _one(spark, "seconds_add(timestamp'2020-01-01', 90)") == dt.datetime(
+        2020, 1, 1, 0, 1, 30
+    )
+    assert _one(spark, "milliseconds_add(timestamp'2020-01-01', 1500)") == dt.datetime(
+        2020, 1, 1, 0, 0, 1, 500000
+    )
+    # ns resolution truncates to µs (documented delta: Spark is µs-based).
+    assert _one(spark, "nanoseconds_add(timestamp'2020-01-01', 2500)") == dt.datetime(
+        2020, 1, 1, 0, 0, 0, 2
+    )
+
+
+def test_regexp_helpers(spark):
+    assert _one(spark, "regexp_match_count('abcabc', 'a')") == 2
+    assert _one(spark, "regexp_match_count('abc', 'z')") == 0
+    assert _one(spark, r"regexp_escape('a.b*c')") == r"a\.b\*c"
+    # escaped output is a literal-match regex for the original string
+    assert _one(spark, "'a.b*c' RLIKE regexp_escape('a.b*c')") is True
+
+
+def test_base64_roundtrip(spark):
+    assert _one(spark, "base64encode('hello')") == "aGVsbG8="
+    assert _one(spark, "base64decode(base64encode('hello world'))") == "hello world"
+
+
+def test_mask_family(spark):
+    # Reference defaults: upper→X, lower→x, digit→n (mask-functions-ir.cc).
+    assert _one(spark, "mask_show_first_n('Abc123xyz', 3)") == "Abcnnnxxx"
+    assert _one(spark, "mask_first_n('Abc123', 3)") == "Xxx123"
+    assert _one(spark, "mask_last_n('Abc123', 2)") == "Abc1nn"
+    assert _one(spark, "mask_show_last_n('Abc123', 2)") == "Xxxn23"
+    assert len(_one(spark, "mask_hash('x')")) == 64
+
+
+def test_dialect_interval_and_renames(spark):
+    from hopspark.dialect import translate
+
+    out = translate("SELECT date_add(t, INTERVAL 3 days), week(t), fmod(a, b) FROM x")
+    assert "+  INTERVAL 3 days" in out.replace("( t", "(t") or "+" in out
+    assert "weekofyear(t)" in out
+    assert "mod(a, b)" in out
+    import datetime as dt
+
+    assert _one(
+        spark, "(timestamp'2020-01-01' + INTERVAL 3 DAYS)"
+    ) == dt.datetime(2020, 1, 4)
+    row = spark.sql(
+        translate("SELECT date_add(timestamp'2020-01-01', interval 1 month) AS d")
+    ).head()
+    assert row.d == dt.datetime(2020, 2, 1)

@@ -1,0 +1,137 @@
+"""Source/sink coverage — the HdfsTableSink / text-scanner parity layer
+(hopspark/sources/io.py). Writes stay inside the repo (.pytest_tmp/)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hopspark.catalog import read_table
+from hopspark.sources.io import (
+    read_avro,
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    write_partitioned,
+)
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".pytest_tmp")
+
+
+@pytest.fixture()
+def tmpdir_repo():
+    os.makedirs(TMP, exist_ok=True)
+    yield TMP
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_partitioned_write_roundtrip(spark, sf_dir, tmpdir_repo):
+    """Dynamic-partitioned parquet write (INSERT ... PARTITION equivalent) —
+    dir-per-partition layout + partition pruning on read-back."""
+    li = read_table(spark, "lineitem", sf_dir).limit(1000)
+    out = os.path.join(tmpdir_repo, "li_part")
+    write_partitioned(li, out, partition_by=["l_returnflag"], sort_by=["l_shipdate"])
+
+    # dir-per-partition layout, like HdfsPartition
+    dirs = {d for d in os.listdir(out) if d.startswith("l_returnflag=")}
+    assert len(dirs) >= 2
+
+    back = read_parquet(spark, out)
+    assert back.count() == 1000
+
+    # partition pruning: filter on the partition column reaches the scan
+    plan = back.filter(F.col("l_returnflag") == "R")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "l_returnflag" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_dynamic_partition_overwrite(spark, tmpdir_repo):
+    """INSERT OVERWRITE PARTITION semantics: only the written partitions are
+    replaced when partitionOverwriteMode=dynamic (HdfsTableSink overwrite)."""
+    out = os.path.join(tmpdir_repo, "dyn")
+    df1 = spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="a", v=2), Row(k="b", v=3)]
+    )
+    write_partitioned(df1, out, partition_by=["k"])
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df2 = spark.createDataFrame([Row(k="a", v=99)])
+        write_partitioned(df2, out, partition_by=["k"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = read_parquet(spark, out).orderBy("k", "v").collect()
+    assert [(r.k, r.v) for r in back] == [("a", 99), ("b", 3)]
+
+
+def test_escaped_text_scan(spark, tmpdir_repo):
+    """Impala text-scanner semantics: escape protects a bare delimiter, \\N
+    is NULL (be/src/exec/delimited-text-parser.cc)."""
+    from hopspark.sources.io import read_text_escaped
+
+    path = os.path.join(tmpdir_repo, "t.txt")
+    with open(path, "w") as f:
+        f.write("1|a\\|b|x\n")          # escaped delimiter inside a field
+        f.write("2|\\N|y\n")            # \N → NULL
+        f.write("3|plain|z\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("t", T.StringType()),
+        ]
+    )
+    rows = read_text_escaped(spark, path, schema, sep="|").orderBy("id").collect()
+    assert rows[0].s == "a|b"
+    assert rows[1].s is None
+    assert rows[2].s == "plain"
+    assert [r.t for r in rows] == ["x", "y", "z"]
+
+
+def test_csv_quoted_roundtrip(spark, tmpdir_repo):
+    """Standard quoted-CSV path (Spark-native escaping inside quotes)."""
+    path = os.path.join(tmpdir_repo, "t.csv")
+    with open(path, "w") as f:
+        f.write('1,"a,b",x\n2,\\N,y\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("t", T.StringType()),
+        ]
+    )
+    rows = read_csv(spark, path, schema).orderBy("id").collect()
+    assert rows[0].s == "a,b"
+    assert rows[1].s is None
+
+
+def test_json_roundtrip(spark, tmpdir_repo):
+    path = os.path.join(tmpdir_repo, "t.json")
+    with open(path, "w") as f:
+        f.write('{"id": 1, "s": "x"}\n{"id": 2, "s": null}\n')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    rows = read_json(spark, path, schema).orderBy("id").collect()
+    assert rows[0].s == "x" and rows[1].s is None
+
+
+def test_orc_roundtrip(spark, sf_dir, tmpdir_repo):
+    out = os.path.join(tmpdir_repo, "nation_orc")
+    nation = read_table(spark, "nation", sf_dir)
+    nation.write.mode("overwrite").orc(out)
+    back = read_orc(spark, out)
+    assert back.count() == nation.count()
+    assert back.schema == nation.schema
+
+
+def test_avro_gated(spark, tmpdir_repo):
+    with pytest.raises(NotImplementedError):
+        read_avro(spark, os.path.join(tmpdir_repo, "nope.avro"))
