@@ -83,8 +83,8 @@ SELECT doc_id, source, fingerprint FROM (
 
 # --- MinHash + LSH near-dedup ---------------------------------------------
 
-N_HASHES = 16
-BAND_SIZE = 4  # 4 bands × 4 rows
+N_HASHES = 32
+BAND_SIZE = 4  # 8 bands × 4 rows: P(candidate | j=0.9) ≈ 0.9999, j=0.5 ≈ 0.40
 SHINGLE_K = 3
 
 
@@ -98,6 +98,21 @@ def shingle_set(col: str = "text", k: int = SHINGLE_K) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def hashed_shingle_set(th: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-gram shingles as 64-bit hashes over a pre-hashed token
+    array `th` (array<long>). Hashing tokens once and combining longs is
+    ~an order of magnitude cheaper than materializing string shingles —
+    the 64-bit space makes collisions negligible (~n²/2⁶⁴), documented.
+    Assumes k=3 (the engine default)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(th) - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(F.get(th, i), F.get(th, i + 1), F.get(th, i + 2)),
+        )
     )
 
 
@@ -127,40 +142,65 @@ def minhash_bands(sig: Column, band_size: int = BAND_SIZE) -> Column:
     )
 
 
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<long>) — tokens hashed once, then k-gram hashes.
+    The token-hash array is materialized in its own projection; passing the
+    expression straight into the shingle builder would inline (and so
+    recompute) it for every element access."""
+    docs = read_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id", F.transform(_tokens(), lambda t: F.xxhash64(t)).alias("th")
+    )
+    return base.select("doc_id", hashed_shingle_set(F.col("th")).alias("sh"))
+
+
 def dedup_minhash_candidates(
     spark: SparkSession, sf_dir: str, jaccard_threshold: float = 0.5
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
-    shingle Jaccard ≥ threshold."""
-    docs = read_table(spark, "documents", sf_dir)
-    sh = docs.select("doc_id", shingle_set().alias("shingles"))
-    sig = sh.select(
-        "doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig")
-    )
+    shingle Jaccard ≥ threshold.
+
+    Scale shape: only compact (band_idx, band_hash, doc_id) rows shuffle;
+    pairs are generated inside each bucket with array combinatorics
+    (no self-join, so the scan+shingle stage runs once, not twice), and the
+    tiny candidate set is broadcast back against the shingle table for the
+    exact-Jaccard verify — the document payload is never shuffled."""
+    sh = _hashed_shingles(spark, sf_dir)
+    sig = sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
     banded = sig.select(
         "doc_id",
         F.posexplode(minhash_bands(F.col("sig"))).alias("band_idx", "band_hash"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # all i<j pairs within a bucket; bucket sizes are bounded by band
+    # selectivity (16-hash/4-band signatures), so the quadratic stays local
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b").distinct()
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    # both joins broadcast the (small) pair side: zero shuffle of shingles
+    enriched = sh_a.join(F.broadcast(pairs), "doc_a")
     return (
-        cands.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
+        sh_b.join(F.broadcast(enriched), "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .orderBy("doc_a", "doc_b")

@@ -56,3 +56,40 @@ def test_q1_aggregate_is_partial_final(spark, sf_dir):
 
     plan = explain_formatted(q1_pricing_summary(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q8_all_joins_broadcast(spark, sf_dir):
+    """7-way join: every dim side fits under the broadcast threshold, so no
+    sort-merge join / no fact-fact shuffle should appear."""
+    from hopspark.operators.tpch import q8_market_share
+
+    plan = explain_formatted(q8_market_share(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q17_semi_join_prunes_agg_input(spark, sf_dir):
+    """The per-part agg input must be brand-pruned via LeftSemi before the
+    shuffle (not aggregate all of lineitem)."""
+    from hopspark.operators.tpch import q17_small_quantity
+
+    plan = explain_formatted(q17_small_quantity(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q21_semi_anti_joins(spark, sf_dir):
+    """EXISTS/NOT EXISTS chain plans as LeftSemi + LeftAnti joins
+    (reference join-op.h LEFT_SEMI_JOIN/LEFT_ANTI_JOIN)."""
+    from hopspark.operators.tpch import q21_suppliers_waiting
+
+    plan = explain_formatted(q21_suppliers_waiting(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_minhash_no_payload_shuffle(spark, sf_dir):
+    """Candidate verification must broadcast the pair set; the shingle
+    arrays (document payload) never hash-shuffle."""
+    from hopspark.operators.dedup import dedup_minhash_candidates
+
+    plan = explain_formatted(dedup_minhash_candidates(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
