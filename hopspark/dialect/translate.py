@@ -140,6 +140,13 @@ _FN_RENAME = {
     "user": "current_user",
     "effective_user": "current_user",
     "regexp": "rlike",
+    # DataSketches HLL family → Spark's native HLL sketches (Spark 3.5+).
+    # The sketch *bytes* differ (DataSketches vs Spark's implementation) but
+    # the agg/estimate/union algebra is the same (reference BuiltinsDb
+    # ds_hll_* registrations at 1095-1116).
+    "ds_hll_sketch": "hll_sketch_agg",
+    "ds_hll_estimate": "hll_sketch_estimate",
+    "ds_hll_union": "hll_union_agg",
 }
 
 # name → (spark_name, extra_args_sql_appended)
@@ -181,6 +188,20 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     toks[comma] = Tok("op", f" {op} ")
                     i += 1
                     continue
+        # aggif(p, x) → max(CASE WHEN p THEN x END) — the reference's
+        # conditional aggregate (BuiltinsDb.java:1188), defined for
+        # predicates selecting one distinct value per group.
+        if name == "aggif":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                toks[i] = Tok("word", "max")
+                comma = _prev_code(toks, args[1][0] - 1)
+                toks.insert(close, Tok("word", " END"))
+                toks[comma] = Tok("word", " THEN ")
+                toks.insert(j + 1, Tok("word", "CASE WHEN "))
+                i += 1
+                continue
         # isnull(a, b) → nvl(a, b); 1-arg isnull passes through untouched.
         if name == "isnull":
             close = _matching_paren(toks, j)

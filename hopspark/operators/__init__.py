@@ -21,6 +21,8 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         aggregates,
         analytic,
         dedup,
+        dialect_sql,
+        multimodal,
         nested,
         relational,
         similarity,
@@ -29,7 +31,18 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     merged: dict[str, tuple[QueryFn, str | None]] = {}
-    for mod in (tpch, relational, aggregates, analytic, nested, dedup, similarity, text):
+    for mod in (
+        tpch,
+        relational,
+        aggregates,
+        analytic,
+        nested,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        dialect_sql,
+    ):
         for name, entry in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")

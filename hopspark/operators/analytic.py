@@ -177,10 +177,56 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with IGNORE NULLS + lag/lead with defaults
+    (reference: BuiltinsDb first_value 1512-1528 IGNORE NULLS variants,
+    lag/lead 1555-1578; grammar sql-parser.cup:3729). Status 'P' orders
+    provide a deterministic NULL pattern."""
+    orders = read_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 100)
+    v = F.when(F.col("o_orderstatus") != "P", dec("o_totalprice", 14, 2))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first(v, ignorenulls=True).over(w).cast("double").alias("first_nonnull"),
+            F.last(v, ignorenulls=True).over(w).cast("double").alias("last_nonnull"),
+            F.lag(dec("o_totalprice", 14, 2), 1, -1.0)
+            .over(w)
+            .cast("double")
+            .alias("prev_price"),
+            F.lead(dec("o_totalprice", 14, 2), 1, -1.0)
+            .over(w)
+            .cast("double")
+            .alias("next_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_VALUE_FNS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(first_value(v IGNORE NULLS) OVER w AS DOUBLE) AS first_nonnull,
+       CAST(last_value(v IGNORE NULLS) OVER w AS DOUBLE)  AS last_nonnull,
+       CAST(lag(p, 1, -1.0) OVER w AS DOUBLE)  AS prev_price,
+       CAST(lead(p, 1, -1.0) OVER w AS DOUBLE) AS next_price
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS p,
+         CASE WHEN o_orderstatus <> 'P'
+              THEN CAST(o_totalprice AS DECIMAL(14,2)) END AS v
+  FROM orders WHERE o_custkey <= 100
+) t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "window_rank_topn": (window_rank_topn, WINDOW_RANK_TOPN_SQL),
     "window_running_sum": (window_running_sum, WINDOW_RUNNING_SUM_SQL),
     "window_sliding_frame": (window_sliding_frame, WINDOW_SLIDING_FRAME_SQL),
     "window_distribution": (window_distribution, WINDOW_DISTRIBUTION_SQL),
     "window_range_frame": (window_range_frame, WINDOW_RANGE_FRAME_SQL),
+    "window_value_fns_ignore_nulls": (window_value_functions, WINDOW_VALUE_FNS_SQL),
 }

@@ -1,0 +1,210 @@
+"""Multimodal-column operators (extension beyond the reference —
+BASELINE.json north star: image/audio/video as opaque binary columns with
+typed metadata).
+
+Data model: a `media` view derived deterministically from the driver's
+`documents` table — payload = utf-8 bytes of the text (a stand-in for real
+image/audio bytes), `kind` cycling over image/audio/video, and a typed
+metadata struct (width/height/sample_rate/duration_ms) computed from stable
+columns. At 100 TB the payload column stays opaque binary in parquet; every
+operator here prunes it unless the transform genuinely consumes bytes.
+
+Decode paths:
+  * real codec decode (PIL/librosa/av) is STUBBED — the libs are not in
+    this image; `decode_image()` raises NotImplementedError with the
+    integration point documented. The Spark-side plumbing (schema, Arrow
+    batching, mapInPandas signature) is real and tested.
+  * `mm_decode_features` runs the deterministic fake decode through
+    mapInPandas (Arrow-batched, the shape a Pandas-UDF codec would use).
+
+Scale notes: mapInPandas streams Arrow batches — payload bytes never
+materialize on the driver; frame sampling explodes payload slices AFTER a
+projection that drops every other column, so the shuffle carries only
+(media_id, frame bytes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hopspark.catalog import read_table
+
+KINDS = ("image", "audio", "video")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media(media_id, kind, payload binary, meta struct)."""
+    docs = read_table(spark, "documents", sf_dir)
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    meta = F.struct(
+        (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.col("n_chars") * 10).cast("bigint").alias("duration_ms"),
+        F.lit("raw").alias("format"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Typed-metadata aggregation (payload column pruned — only octet length used)
+# ---------------------------------------------------------------------------
+
+
+def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("payload")).alias("payload_bytes"),
+            F.min("meta.width").alias("min_width"),
+            F.max("meta.height").alias("max_height"),
+            F.sum("meta.duration_ms").alias("total_duration_ms"),
+        )
+        .orderBy("kind")
+    )
+
+
+MM_METADATA_SQL = """
+SELECT kind, COUNT(*) AS n,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS payload_bytes,
+       MIN(width) AS min_width, MAX(height) AS max_height,
+       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
+FROM (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         encode(text) AS payload,
+         CAST(n_chars % 640 + 16 AS INT) AS width,
+         CAST(n_chars % 480 + 16 AS INT) AS height,
+         CAST(n_chars * 10 AS BIGINT) AS duration_ms
+  FROM documents
+) media
+GROUP BY kind
+ORDER BY kind
+"""
+
+# ---------------------------------------------------------------------------
+# Frame sampling: slice payload into fixed windows, every k-th one
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir).filter(F.col("kind") == "video")
+    # project payload only, then explode frame indices 0, 4, 8, ...
+    n_frames = F.floor(F.octet_length("payload") / FRAME_BYTES).cast("int")
+    frames = media.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(n_frames - 1, F.lit(0)),
+                F.lit(FRAME_STRIDE),
+            )
+        ).alias("frame_idx"),
+        F.col("payload").cast("string").alias("s"),
+    )
+    frame = F.substring(
+        F.col("s"), F.col("frame_idx") * FRAME_BYTES + 1, FRAME_BYTES
+    )
+    return (
+        frames.select(
+            "media_id",
+            "frame_idx",
+            F.md5(frame.cast("binary")).alias("frame_md5"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+MM_FRAME_SAMPLE_SQL = f"""
+SELECT media_id, frame_idx,
+       md5(substring(s, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+FROM (
+  SELECT doc_id AS media_id, text AS s,
+         unnest(range(0, greatest(CAST(floor(length(text) / {FRAME_BYTES}) AS INT), 1), {FRAME_STRIDE})) AS frame_idx
+  FROM documents
+  WHERE CAST(doc_id % 3 AS INT) + 1 = 3
+) t
+ORDER BY media_id, frame_idx
+"""
+
+# ---------------------------------------------------------------------------
+# Arrow-batched decode / feature extraction via mapInPandas
+# ---------------------------------------------------------------------------
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("byte_hist", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Real image decode — requires PIL/opencv, absent from this image.
+    Integration point: replace the body with PIL.Image.open(BytesIO(payload))
+    and feed the ndarray into the feature extractor."""
+    raise NotImplementedError(
+        "codec decode requires an image library (PIL/opencv) on the "
+        "executors; this build ships the deterministic fake path only"
+    )
+
+
+def _fake_decode_features(payload: bytes) -> tuple[int, float, list[int]]:
+    """Deterministic stand-in for a codec: byte stats + 4-bucket histogram."""
+    n = len(payload)
+    if n == 0:
+        return 0, 0.0, [0, 0, 0, 0]
+    hist = [0, 0, 0, 0]
+    total = 0
+    for b in payload:
+        total += b
+        hist[b >> 6] += 1
+    return n, total / n, hist
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over Arrow batches — the mapInPandas shape a real
+    codec UDF uses (batch in, batch out; payload never on the driver)."""
+    media = media_table(spark, sf_dir).select("media_id", "kind", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [f[0] for f in feats],
+                    "mean_byte": [f[1] for f in feats],
+                    "byte_hist": [f[2] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(extract, schema=_FEATURE_SCHEMA).orderBy("media_id")
+
+
+QUERIES: dict[str, tuple] = {
+    "mm_metadata_stats": (mm_metadata_stats, MM_METADATA_SQL),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
+    "mm_decode_features": (mm_decode_features, None),
+}

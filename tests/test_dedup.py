@@ -79,3 +79,29 @@ def test_exact_dedup_on_testdata(spark, sf_dir):
     groups = dedup_exact_groups(spark, sf_dir)
     kept = dedup_exact_keep_first(spark, sf_dir)
     assert groups.count() == kept.count()  # one keeper per fingerprint
+
+
+def test_simhash_detects_high_jaccard_pairs(spark, sf_dir):
+    """SimHash candidates must recover most exact high-Jaccard near-dups
+    (it is a candidate generator: recall matters, perfect precision not)."""
+    from hopspark.operators.dedup import dedup_minhash_candidates, dedup_simhash
+
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_candidates(spark, sf_dir).collect()
+        if r.jaccard >= 0.95
+    }
+    sh = {(r.doc_a, r.doc_b) for r in dedup_simhash(spark, sf_dir).collect()}
+    assert sh, "simhash found no candidate pairs"
+    if mh:
+        recall = len(mh & sh) / len(mh)
+        assert recall >= 0.7, f"simhash recall {recall:.2f} over {len(mh)} pairs"
+
+
+def test_embedding_cosine_scores_bounded(spark, sf_dir):
+    from hopspark.operators.dedup import dedup_embedding_cosine
+
+    rows = dedup_embedding_cosine(spark, sf_dir).collect()
+    assert rows
+    assert all(-1.0001 <= r.cos_sim <= 1.0001 for r in rows)
+    assert all(r.is_near_dup == (r.cos_sim >= 0.9) for r in rows)

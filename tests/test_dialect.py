@@ -82,3 +82,17 @@ def test_function_rename_inside_expression():
     out = translate("SELECT 1 + ndv(x) * 2 FROM t GROUP BY g ORDER BY g DESC")
     assert "approx_count_distinct(x)" in out
     assert "g DESC NULLS FIRST" in out
+
+
+def test_aggif_rewrite():
+    from hopspark.dialect import translate
+
+    out = translate("SELECT aggif(x = 1, y) FROM t")
+    assert "max(CASE WHEN x = 1 THEN  y END)" in out
+
+
+def test_ds_hll_mapping():
+    from hopspark.dialect import translate
+
+    out = translate("SELECT ds_hll_estimate(ds_hll_union(s)) FROM t")
+    assert "hll_sketch_estimate(hll_union_agg(s))" in out
