@@ -231,6 +231,110 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
 
 
 # ---------------------------------------------------------------------------
+# Rewrite 1b: CAST(x AS type FORMAT 'fmt') — ISO-SQL datetime format clause
+# (reference: be/src/exprs/cast-format-expr.cc, datetime ISO-SQL patterns).
+# Spark has no FORMAT clause; map to to_timestamp/to_date/date_format with
+# the ISO tokens converted to Java SimpleDateFormat-style patterns.
+# ---------------------------------------------------------------------------
+
+_ISO_TO_JAVA = [
+    ("YYYY", "yyyy"),
+    ("YYY", "yyy"),
+    ("YY", "yy"),
+    ("DDD", "DDD"),
+    ("DD", "dd"),
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("HH", "hh"),
+    ("MI", "mm"),
+    ("SS", "ss"),
+    ("FF9", "SSSSSSSSS"),
+    ("FF6", "SSSSSS"),
+    ("FF3", "SSS"),
+    ("FF", "SSSSSS"),
+    ("TZH", "XXX"),
+    # MM and MONTH/MON left: MM is already Java month; MONTH→MMMM, MON→MMM
+    ("MONTH", "MMMM"),
+    ("MON", "MMM"),
+]
+
+
+def _iso_format_to_java(fmt: str) -> str:
+    out = []
+    i = 0
+    up = fmt.upper()
+    while i < len(fmt):
+        for iso, java in _ISO_TO_JAVA:
+            if up.startswith(iso, i):
+                out.append(java)
+                i += len(iso)
+                break
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+_DATETIME_TYPES = {"TIMESTAMP", "DATE"}
+_STRING_TYPES = {"STRING", "VARCHAR", "CHAR"}
+
+
+def _rewrite_cast_format(toks: list[Tok]) -> list[Tok]:
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "word" and t.upper == "CAST"):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].text != "(":
+            i += 1
+            continue
+        close = _matching_paren(toks, j)
+        # find top-level AS then FORMAT inside this cast
+        depth = 0
+        as_idx = fmt_idx = -1
+        for k in range(j + 1, close):
+            txt = toks[k].text
+            if txt == "(":
+                depth += 1
+            elif txt == ")":
+                depth -= 1
+            elif depth == 0 and toks[k].kind == "word":
+                if toks[k].upper == "AS" and as_idx < 0:
+                    as_idx = k
+                elif toks[k].upper == "FORMAT" and as_idx >= 0:
+                    fmt_idx = k
+                    break
+        if as_idx < 0 or fmt_idx < 0:
+            i += 1
+            continue
+        s_idx = _next_code(toks, fmt_idx + 1)
+        if s_idx >= close or toks[s_idx].kind != "str":
+            i += 1
+            continue
+        type_idx = _next_code(toks, as_idx + 1)
+        type_name = toks[type_idx].upper
+        java_fmt = _iso_format_to_java(toks[s_idx].text[1:-1])
+        expr = toks[j + 1 : as_idx]
+        if type_name in _DATETIME_TYPES:
+            fn = "to_timestamp" if type_name == "TIMESTAMP" else "to_date"
+        elif type_name in _STRING_TYPES:
+            fn = "date_format"
+        else:
+            i += 1
+            continue
+        repl = (
+            [Tok("word", fn), Tok("op", "(")]
+            + expr
+            + [Tok("op", ","), Tok("str", f" '{java_fmt}'"), Tok("op", ")")]
+        )
+        toks[i : close + 1] = repl
+        i += 1
+    return toks
+
+
+# ---------------------------------------------------------------------------
 # Rewrite 2: IREGEXP → case-insensitive RLIKE
 # ---------------------------------------------------------------------------
 
@@ -369,6 +473,7 @@ def translate(sql: str) -> str:
     """Rewrite an Impala-dialect SQL string into Spark-SQL."""
     sql = _rewrite_hints(sql)
     toks = tokenize(sql)
+    toks = _rewrite_cast_format(toks)
     toks = _rewrite_functions(toks)
     toks = _rewrite_iregexp(toks)
     toks = _rewrite_null_ordering(toks)

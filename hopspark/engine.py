@@ -48,3 +48,40 @@ class Engine:
         return df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
+
+    # -- UDF surface (SURVEY.md §2.12: CREATE FUNCTION / SHOW FUNCTIONS;
+    #    reference grammar sql-parser.cup:693-695,657) --------------------
+
+    def create_function(
+        self,
+        name: str,
+        fn=None,
+        return_type=None,
+        sql_params: str | None = None,
+        sql_returns: str | None = None,
+        sql_body: str | None = None,
+    ) -> None:
+        """CREATE [TEMPORARY] FUNCTION equivalent.
+
+        Two forms, mirroring the reference's native-UDF vs SQL-expression
+        split: a Python callable (registered Arrow-side when possible), or a
+        SQL expression body (pure Catalyst, whole-stage codegen)."""
+        if fn is not None:
+            self.spark.udf.register(name, fn, returnType=return_type)
+            return
+        if sql_body is None:
+            raise ValueError("pass a callable fn or a sql_body")
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sql_params or ''}) "
+            f"RETURNS {sql_returns or 'STRING'} RETURN {sql_body}"
+        )
+
+    def drop_function(self, name: str) -> None:
+        self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+
+    def show_functions(self, pattern: str | None = None) -> list[str]:
+        """SHOW FUNCTIONS [LIKE 'pattern'] — names visible to this session."""
+        q = "SHOW USER FUNCTIONS"
+        if pattern:
+            q += f" LIKE '{pattern}'"
+        return [r[0] for r in self.spark.sql(q).collect()]

@@ -211,6 +211,14 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "mask_hash": ("s STRING", "STRING", "sha2(s, 256)"),
     # -- conditional aliases not shipped by this Spark --------------------
     "zeroifnull": ("x DOUBLE", "DOUBLE", "coalesce(x, 0)"),
+    # -- numeric truncate (Impala truncate/dtrunc; Spark trunc is date-only).
+    # Truncation is toward zero (math-functions-ir.cc TruncDecimal).
+    "truncate": (
+        "x DOUBLE, d INT",
+        "DOUBLE",
+        "CASE WHEN x >= 0 THEN floor(x * pow(10, d)) / pow(10, d) "
+        "ELSE ceil(x * pow(10, d)) / pow(10, d) END",
+    ),
 }
 
 # Interval arithmetic family (SURVEY §2.11): {unit}_{add,sub}(TIMESTAMP, n).

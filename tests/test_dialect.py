@@ -96,3 +96,30 @@ def test_ds_hll_mapping():
 
     out = translate("SELECT ds_hll_estimate(ds_hll_union(s)) FROM t")
     assert "hll_sketch_estimate(hll_union_agg(s))" in out
+
+
+def test_cast_format_clause():
+    from hopspark.dialect import translate
+
+    assert (
+        translate("SELECT CAST('2020-01-02' AS TIMESTAMP FORMAT 'YYYY-MM-DD')")
+        == "SELECT to_timestamp('2020-01-02' , 'yyyy-MM-dd')"
+    )
+    assert "date_format(ts , 'yyyy-MM-dd HH:mm:ss')" in translate(
+        "SELECT CAST(ts AS STRING FORMAT 'YYYY-MM-DD HH24:MI:SS') FROM t"
+    )
+    # plain casts untouched
+    assert translate("SELECT CAST(x AS INT) FROM t") == "SELECT CAST(x AS INT) FROM t"
+
+
+def test_cast_format_e2e(spark):
+    import datetime as dt
+
+    from hopspark.dialect import translate
+
+    row = spark.sql(
+        translate(
+            "SELECT CAST('05/03/2021 14:30' AS TIMESTAMP FORMAT 'DD/MM/YYYY HH24:MI') AS t"
+        )
+    ).head()
+    assert row.t == dt.datetime(2021, 3, 5, 14, 30)

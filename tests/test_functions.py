@@ -150,3 +150,27 @@ def test_dialect_interval_and_renames(spark):
         translate("SELECT date_add(timestamp'2020-01-01', interval 1 month) AS d")
     ).head()
     assert row.d == dt.datetime(2020, 2, 1)
+
+
+def test_create_function_surface(spark, sf_dir):
+    """CREATE FUNCTION / SHOW FUNCTIONS / DROP FUNCTION parity
+    (SURVEY.md §2.12; reference grammar sql-parser.cup:693-695)."""
+    from pyspark.sql import types as T
+
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+
+    # SQL-body form (Catalyst expression, codegen'd)
+    eng.create_function(
+        "add_tax", sql_params="x DOUBLE", sql_returns="DOUBLE", sql_body="x * 1.08"
+    )
+    assert eng.sql("SELECT add_tax(100.0) AS v").head().v == pytest.approx(108.0)
+
+    # Python-callable form (the reference's native-UDF analogue)
+    eng.create_function("py_rev", lambda s: s[::-1], return_type=T.StringType())
+    assert eng.sql("SELECT py_rev('abc') AS v").head().v == "cba"
+
+    names = eng.show_functions()
+    assert "add_tax" in names
+    eng.drop_function("add_tax")

@@ -53,3 +53,33 @@ def test_stream_window_equals_batch(spark, sf_dir, ckpt_dir):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
     assert len(got) > 0
+
+
+def test_session_windows_stream_equals_batch(spark, sf_dir, ckpt_dir):
+    """Gap-timeout sessionization: streaming state-store result must equal
+    the batch session_window over the same files."""
+    from hopspark.streaming.windows import sessionized_counts
+
+    stream = sessionized_counts(stream_events(spark, sf_dir), gap="30 minutes")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(ckpt_dir, "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, session_start, n_events FROM sessions "
+        "ORDER BY user_id, session_start"
+    ).collect()
+
+    batch = (
+        sessionized_counts(read_table(spark, "events", sf_dir), gap="30 minutes")
+        .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+    assert len(got) > 0
