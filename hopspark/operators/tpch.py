@@ -799,8 +799,218 @@ GROUP BY c_nationkey
 ORDER BY cntrycode
 """
 
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (adapted: no partsupp, so the "cost" of
+# supplying a part is modeled from lineitem history: min avg sell price per
+# (part, supplier); correlated-min subquery structure preserved).
+# Reference: tpch-q2.test.
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, "part", sf_dir).filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    supp = read_table(spark, "supplier", sf_dir)
+    nation = read_table(spark, "nation", sf_dir)
+    region = read_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    li = read_table(spark, "lineitem", sf_dir)
+    # supply cost proxy: exact-decimal min extendedprice per (part, supplier)
+    cost = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(dec("l_extendedprice")).alias("ps_cost"))
+    min_cost = cost.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_cost").alias("min_cost")
+    )
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return (
+        cost.join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .join(min_cost, (F.col("ps_partkey") == F.col("mc_partkey")))
+        .filter(F.col("ps_cost") == F.col("min_cost"))
+        .join(eu_supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey"),
+            F.col("ps_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       CAST(ps_cost AS DOUBLE) AS supply_cost
+FROM cost
+JOIN part     ON ps_partkey = p_partkey
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+  AND ps_cost = (SELECT MIN(c2.ps_cost) FROM cost c2
+                 WHERE c2.ps_partkey = cost.ps_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (adapted: "stock value" per nation's
+# suppliers = sum of extendedprice*qty from lineitem; HAVING against a
+# scalar-subquery fraction of the global total, in exact decimals).
+# Reference: tpch-q11.test.
+# ---------------------------------------------------------------------------
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = read_table(spark, "supplier", sf_dir)
+    nation = read_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_7")
+    li = read_table(spark, "lineitem", sf_dir)
+    value = dec("l_extendedprice") * dec("l_quantity")
+    scoped = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    per_part = scoped.groupBy("l_partkey").agg(F.sum(value).alias("val_dec"))
+    total = per_part.agg(
+        F.sum("val_dec").alias("tot_dec"), F.count(F.lit(1)).alias("n_parts")
+    )
+    # threshold: value > total/1000  ⇔  value*1000 > total (exact decimals)
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val_dec") * 1000 > F.col("tot_dec"))
+        .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS val_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+FROM per_part
+WHERE val_dec * 1000 > (SELECT SUM(val_dec) FROM per_part)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (adapted: the part-supplier bridge is
+# lineitem history; counts distinct suppliers per part attribute group,
+# excluding a supplier denylist via NOT IN → null-aware anti join).
+# Reference: tpch-q16.test.
+# ---------------------------------------------------------------------------
+
+
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size").isin(1, 4, 9, 14, 23))
+    )
+    li = read_table(spark, "lineitem", sf_dir)
+    # denylist: suppliers whose name ends in '7' (deterministic stand-in for
+    # the reference's comment-LIKE filter)
+    bad_supp = read_table(spark, "supplier", sf_dir).filter(
+        F.col("s_name").endswith("7")
+    )
+    bridge = (
+        li.select(F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey"))
+        .distinct()
+        .join(
+            bad_supp.select(F.col("s_suppkey").alias("ps_suppkey")),
+            "ps_suppkey",
+            "left_anti",
+        )
+    )
+    return (
+        bridge.join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem) bridge
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 4, 9, 14, 23)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (adapted: suppliers whose shipped quantity
+# of PROMO parts exceeds half their average order size; EXISTS chain into a
+# semi-join, thresholds in exact decimals). Reference: tpch-q20.test.
+# ---------------------------------------------------------------------------
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = read_table(spark, "supplier", sf_dir)
+    nation = read_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
+    part = read_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    li = read_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    promo_qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("promo_qty"))
+        .filter(F.col("promo_qty") > 100)
+    )
+    return (
+        supp.join(promo_qty, supp.s_suppkey == promo_qty.l_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_name", "s_suppkey", F.col("promo_qty").cast("double").alias("promo_qty")
+        )
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, s_suppkey, CAST(promo_qty AS DOUBLE) AS promo_qty
+FROM supplier
+JOIN (
+  SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS promo_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 100
+) pq ON s_suppkey = pq.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+ORDER BY s_name
+"""
+
 # registry: name → (query fn, oracle sql | None)
 QUERIES: dict[str, tuple] = {
+    "tpch_q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "tpch_q11_important_stock": (q11_important_stock, Q11_SQL),
+    "tpch_q16_parts_supplier": (q16_parts_supplier, Q16_SQL),
+    "tpch_q20_promotion_suppliers": (q20_promotion_suppliers, Q20_SQL),
     "tpch_q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "tpch_q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "tpch_q4_order_priority": (q4_order_priority, Q4_SQL),
