@@ -465,16 +465,47 @@ def _rewrite_hints(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Rewrite 5 (opt-in): COUNT(DISTINCT x) → approx ndv — the reference's
+# CountDistinctToNdvRule (fe/.../rewrite/CountDistinctToNdvRule.java),
+# enabled by the APPX_COUNT_DISTINCT query option.
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_count_distinct_to_ndv(toks: list[Tok]) -> list[Tok]:
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "word" and t.upper == "COUNT"):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].text != "(":
+            i += 1
+            continue
+        k = _next_code(toks, j + 1)
+        if k < len(toks) and toks[k].upper == "DISTINCT":
+            toks[i] = Tok("word", "approx_count_distinct")
+            toks[k] = Tok("word", "")
+        i += 1
+    return toks
+
+
+# ---------------------------------------------------------------------------
 # Entry point
 # ---------------------------------------------------------------------------
 
 
-def translate(sql: str) -> str:
-    """Rewrite an Impala-dialect SQL string into Spark-SQL."""
+def translate(sql: str, options: dict[str, bool] | None = None) -> str:
+    """Rewrite an Impala-dialect SQL string into Spark-SQL.
+
+    `options` mirrors the reference's query options (query-options.h);
+    supported: appx_count_distinct (CountDistinctToNdvRule)."""
     sql = _rewrite_hints(sql)
     toks = tokenize(sql)
     toks = _rewrite_cast_format(toks)
     toks = _rewrite_functions(toks)
+    if options and options.get("appx_count_distinct"):
+        toks = _rewrite_count_distinct_to_ndv(toks)
     toks = _rewrite_iregexp(toks)
     toks = _rewrite_null_ordering(toks)
     return untokenize(toks)

@@ -27,9 +27,15 @@ class Engine:
         spark: SparkSession | None = None,
         sf_dir: str = catalog.DEFAULT_SF_DIR,
         register_tables: bool = True,
+        options: dict[str, bool] | None = None,
     ) -> None:
+        """`options` mirrors the reference's query options
+        (be/src/service/query-options.h); supported:
+        appx_count_distinct — rewrite COUNT(DISTINCT x) to the approximate
+        ndv (fe/.../rewrite/CountDistinctToNdvRule.java)."""
         self.spark = spark or get_spark()
         self.sf_dir = sf_dir
+        self.options = dict(options or {})
         register_all(self.spark)
         if register_tables:
             catalog.register(self.spark, sf_dir)
@@ -38,7 +44,11 @@ class Engine:
 
     def sql(self, impala_sql: str) -> DataFrame:
         """Run an Impala-dialect SQL statement; returns a lazy DataFrame."""
-        return self.spark.sql(translate(impala_sql))
+        return self.spark.sql(translate(impala_sql, options=self.options))
+
+    def set_option(self, name: str, value: bool) -> None:
+        """SET <query option> equivalent."""
+        self.options[name] = value
 
     def table(self, name: str) -> DataFrame:
         return catalog.read_table(self.spark, name, self.sf_dir)

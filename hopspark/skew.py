@@ -1,0 +1,58 @@
+"""Skew mitigation utilities (100 TB concern: a hot grouping key turns one
+reducer into the job's critical path).
+
+The reference handles skew with its streaming pre-aggregation (partial agg
+passes rows through when reduction is poor — streaming-aggregation-node.h)
+plus per-node hash tables; Spark's AQE splits skewed *join* partitions but
+grouped aggregation on a hot key still funnels into one task after the
+partial agg. `salted_agg` does the classic two-phase rewrite: group by
+(key, salt) first, then recombine — the salt spreads the hot key over N
+tasks and the second phase aggregates N rows per key instead of all rows.
+
+Composable aggregates only (sum/count/min/max — the algebraic ones);
+avg must be expressed as sum+count by the caller (exactly how the engine's
+deterministic davg works).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PHASE2 = {
+    "sum": F.sum,
+    "count": F.sum,  # counts combine by summing partial counts
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, Column | str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    aggs: {output_alias: (op, column)} with op in sum|count|min|max.
+    count counts non-null values of its column (use a literal for count(*)).
+    """
+    for alias, (op, _col) in aggs.items():
+        if op not in _PHASE2:
+            raise ValueError(f"{alias}: op {op!r} not algebraic; use sum/count/min/max")
+
+    salt = (F.rand(seed=42) * n_salts).cast("int").alias("_salt")
+    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt")
+    partials = []
+    for alias, (op, col) in aggs.items():
+        c = F.col(col) if isinstance(col, str) else col
+        fn = F.count if op == "count" else getattr(F, op)
+        partials.append(fn(c).alias(f"_p_{alias}"))
+    mid = phase1.agg(*partials)
+
+    finals = [
+        _PHASE2[op](F.col(f"_p_{alias}")).alias(alias)
+        for alias, (op, _col) in aggs.items()
+    ]
+    return mid.groupBy(*keys).agg(*finals)

@@ -123,3 +123,25 @@ def test_cast_format_e2e(spark):
         )
     ).head()
     assert row.t == dt.datetime(2021, 3, 5, 14, 30)
+
+
+def test_appx_count_distinct_option():
+    """CountDistinctToNdvRule parity: opt-in COUNT(DISTINCT) → approx
+    (fe/.../rewrite/CountDistinctToNdvRule.java, APPX_COUNT_DISTINCT)."""
+    from hopspark.dialect import translate
+
+    sql = "SELECT COUNT(DISTINCT x), COUNT(y) FROM t"
+    assert "approx_count_distinct" not in translate(sql)
+    out = translate(sql, options={"appx_count_distinct": True})
+    assert "approx_count_distinct" in out
+    assert "COUNT(y)" in out  # plain count untouched
+
+
+def test_appx_count_distinct_e2e(spark, sf_dir):
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir, options={"appx_count_distinct": True})
+    exact = Engine(spark=spark, sf_dir=sf_dir)
+    a = eng.sql("SELECT COUNT(DISTINCT l_partkey) AS nd FROM lineitem").head().nd
+    e = exact.sql("SELECT COUNT(DISTINCT l_partkey) AS nd FROM lineitem").head().nd
+    assert abs(a - e) / e < 0.1  # HLL error bound

@@ -168,3 +168,42 @@ def test_hash_and_misc(spark):
     assert _one(spark, "base64encode('x')") == "eA=="
     assert _one(spark, "typeof(1)") in ("int", "INT")
     assert _one(spark, "current_database()") is not None
+
+
+# --- decimal arithmetic (DECIMAL_V2 discipline) ----------------------------
+
+
+def test_decimal_arithmetic_matches_oracle(spark):
+    """Decimal +,-,*,/,% on fixed literals must match DuckDB to 1e-9 —
+    result *scales* differ per engine rulebook (documented), values agree
+    (reference: be/src/exprs/decimal-operators-ir.cc, DECIMAL_V2)."""
+    import duckdb
+
+    exprs = [
+        "CAST(1.23 AS DECIMAL(10,2)) + CAST(4.567 AS DECIMAL(10,3))",
+        "CAST(1.23 AS DECIMAL(10,2)) - CAST(4.567 AS DECIMAL(10,3))",
+        "CAST(1.23 AS DECIMAL(10,2)) * CAST(4.56 AS DECIMAL(10,2))",
+        "CAST(10 AS DECIMAL(10,2)) / CAST(3 AS DECIMAL(10,2))",
+        "CAST(10 AS DECIMAL(10,2)) % CAST(3 AS DECIMAL(10,2))",
+    ]
+    con = duckdb.connect()
+    for e in exprs:
+        got = spark.sql(f"SELECT {e} AS v").head().v
+        want = con.execute(f"SELECT {e} AS v").fetchone()[0]
+        assert got is not None and want is not None, e
+        assert float(got) == pytest.approx(float(want), abs=1e-9), e
+    # Engine delta (documented): Spark widens the multiplication result type
+    # like the reference's DECIMAL_V2 (result (21,4)); DuckDB raises unless
+    # explicitly widened.
+    big = spark.sql(
+        "SELECT CAST(99999999.99 AS DECIMAL(10,2)) * CAST(99999999.99 AS DECIMAL(10,2)) AS v"
+    ).head().v
+    assert float(big) == pytest.approx(99999999.99**2, rel=1e-12)
+
+
+def test_decimal_38_cap(spark):
+    """MAX_PRECISION is 38 in both engines (ScalarType.java:64-65)."""
+    v = spark.sql(
+        "SELECT CAST(1 AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0)) AS v"
+    ).head().v
+    assert int(v) == 2

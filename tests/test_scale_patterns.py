@@ -1,0 +1,102 @@
+"""Scale-pattern coverage: skew-safe aggregation and bucketed co-located
+joins — the partitioning strategies a 1000-executor deployment relies on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hopspark.catalog import read_table
+from hopspark.plans.inspect import explain_formatted
+from hopspark.skew import salted_agg
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = read_table(spark, "lineitem", sf_dir)
+    got = {
+        r.l_returnflag: r
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {
+                "n": ("count", F.lit(1)),
+                "qty_sum": ("sum", F.col("l_quantity").cast("decimal(12,2)")),
+                "qty_min": ("min", "l_quantity"),
+                "qty_max": ("max", "l_quantity"),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_sum"),
+            F.min("l_quantity").alias("qty_min"),
+            F.max("l_quantity").alias("qty_max"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert (got[k].n, got[k].qty_sum, got[k].qty_min, got[k].qty_max) == (
+            want[k].n,
+            want[k].qty_sum,
+            want[k].qty_min,
+            want[k].qty_max,
+        )
+
+
+def test_salted_agg_two_shuffles(spark, sf_dir):
+    li = read_table(spark, "lineitem", sf_dir)
+    plan = explain_formatted(
+        salted_agg(li, ["l_returnflag"], {"n": ("count", F.lit(1))}, n_salts=8)
+    )
+    # phase1 shuffle on (key, salt), phase2 on key
+    assert plan.count("Exchange") >= 2
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Co-located join: both sides bucketed+sorted on the join key read
+    without an Exchange (the bucketing/pre-partitioning strategy for
+    repeated fact-fact joins at scale)."""
+    li = read_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    orders = read_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS li_bkt")
+    spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    # the in-memory catalog forgets tables between sessions but the
+    # warehouse dirs persist; clear them so saveAsTable can't collide
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("li_bkt", "ord_bkt"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("li_bkt")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("ord_bkt")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force the shuffle-join path: at real scale neither fact side
+    # broadcasts, which is exactly when bucketing pays off
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("li_bkt")
+        b = spark.table("ord_bkt")
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        plan = explain_formatted(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and it computes the right row count
+        assert joined.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
