@@ -170,8 +170,41 @@ def tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Events hourly rollup — exercises the ns→µs TIMESTAMP mapping (Impala
+# TIMESTAMP is ns-resolution, Spark µs; SURVEY §1.3): hour-truncation makes
+# both engines agree, value sums in exact decimals.
+# ---------------------------------------------------------------------------
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("value_sum"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "nested_json_extract": (json_extract_props, JSON_EXTRACT_SQL),
+    "events_hourly_rollup": (events_hourly_rollup, EVENTS_HOURLY_SQL),
     "nested_zip_unnest": (zip_unnest, ZIP_UNNEST_SQL),
     "nested_array_ops": (array_ops, ARRAY_OPS_SQL),
     "subquery_scalar_threshold": (scalar_subquery_threshold, SCALAR_SUBQ_SQL),

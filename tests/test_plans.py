@@ -93,3 +93,18 @@ def test_minhash_no_payload_shuffle(spark, sf_dir):
 
     plan = explain_formatted(dedup_minhash_candidates(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_scalar_subquery_cardinality_error(spark, sf_dir):
+    """A scalar subquery returning >1 row must raise — CardinalityCheckNode
+    parity (be/src/exec/cardinality-check-node.h:33-42)."""
+    import pytest
+
+    from hopspark.catalog import register
+
+    register(spark, sf_dir)
+    with pytest.raises(Exception, match="(?i)more than one row"):
+        spark.sql(
+            "SELECT o_orderkey FROM orders "
+            "WHERE o_totalprice > (SELECT o_totalprice FROM orders LIMIT 2)"
+        ).collect()
