@@ -465,6 +465,58 @@ def _rewrite_hints(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Rewrite 4b: zipping UNNEST — `FROM t, UNNEST(t.a1, t.a2)` with items
+# referenced as `a1.item` / `a1.pos` (reference grammar sql-parser.cup:315
+# KW_UNNEST; zip semantics be/src/exec/unnest-node.h:54-94: arrays align by
+# position, shorter ones null-pad). Spark form: LATERAL VIEW posexplode_outer
+# (arrays_zip(...)) with item references rewritten to the zip struct fields.
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_unnest(toks: list[Tok]) -> list[Tok]:
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "word" and t.upper == "UNNEST"):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        prev = _prev_code(toks, i - 1)
+        if j >= len(toks) or toks[j].text != "(" or prev < 0 or toks[prev].text != ",":
+            i += 1
+            continue
+        close = _matching_paren(toks, j)
+        args = _split_args(toks, j, close)
+        arg_sql = [untokenize(toks[a:b]).strip() for a, b in args]
+        leafs = [a.split(".")[-1] for a in arg_sql]
+        lateral = (
+            " LATERAL VIEW posexplode_outer(arrays_zip("
+            + ", ".join(arg_sql)
+            + ")) _unnest AS pos, _z "
+        )
+        toks[prev : close + 1] = [Tok("word", lateral)]
+        # rewrite `leaf.item` → `_z.leaf` and `leaf.pos` → `pos` everywhere
+        k = 0
+        while k < len(toks) - 2:
+            a = toks[k]
+            if a.kind == "word" and a.text in leafs:
+                d = _next_code(toks, k + 1)
+                if d < len(toks) and toks[d].text == ".":
+                    m = _next_code(toks, d + 1)
+                    if m < len(toks) and toks[m].kind == "word":
+                        if toks[m].text.lower() == "item":
+                            toks[k] = Tok("word", "_z")
+                            toks[m] = Tok("word", a.text)
+                        elif toks[m].text.lower() == "pos":
+                            toks[k] = Tok("word", "pos")
+                            toks[d] = Tok("op", "")
+                            toks[m] = Tok("word", "")
+            k += 1
+        i += 1
+    return toks
+
+
+# ---------------------------------------------------------------------------
 # Rewrite 5 (opt-in): COUNT(DISTINCT x) → approx ndv — the reference's
 # CountDistinctToNdvRule (fe/.../rewrite/CountDistinctToNdvRule.java),
 # enabled by the APPX_COUNT_DISTINCT query option.
@@ -503,6 +555,7 @@ def translate(sql: str, options: dict[str, bool] | None = None) -> str:
     sql = _rewrite_hints(sql)
     toks = tokenize(sql)
     toks = _rewrite_cast_format(toks)
+    toks = _rewrite_unnest(toks)
     toks = _rewrite_functions(toks)
     if options and options.get("appx_count_distinct"):
         toks = _rewrite_count_distinct_to_ndv(toks)

@@ -347,8 +347,51 @@ def empty_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMPTY_SET_SQL = "SELECT l_orderkey, l_partkey FROM lineitem WHERE FALSE"
 
 
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER (TJoinOp RIGHT_OUTER_JOIN, join-op.h:27-56): all
+    nations, with supplier counts where present."""
+    supp = read_table(spark, "supplier", sf_dir)
+    nation = read_table(spark, "nation", sf_dir)
+    return (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey, "right_outer")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("n_supp"))
+        .orderBy("n_nationkey")
+    )
+
+
+JOIN_RIGHT_OUTER_SQL = """
+SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_supp
+FROM supplier RIGHT OUTER JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_nationkey, n_name
+ORDER BY n_nationkey
+"""
+
+
+def join_right_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT SEMI (reference join-op.h RIGHT_SEMI_JOIN): nations that have
+    at least one supplier — build side emits."""
+    supp = read_table(spark, "supplier", sf_dir)
+    nation = read_table(spark, "nation", sf_dir)
+    return (
+        nation.join(supp, nation.n_nationkey == supp.s_nationkey, "left_semi")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+JOIN_RIGHT_SEMI_SQL = """
+SELECT n_nationkey, n_name
+FROM nation n
+WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+ORDER BY n_nationkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "join_left_outer": (join_left_outer, JOIN_LEFT_OUTER_SQL),
+    "join_right_outer": (join_right_outer, JOIN_RIGHT_OUTER_SQL),
+    "join_right_semi": (join_right_semi, JOIN_RIGHT_SEMI_SQL),
     "join_full_outer": (join_full_outer, JOIN_FULL_OUTER_SQL),
     "join_left_semi_exists": (join_left_semi, JOIN_LEFT_SEMI_SQL),
     "join_left_anti_not_exists": (join_left_anti, JOIN_LEFT_ANTI_SQL),

@@ -145,3 +145,20 @@ def test_appx_count_distinct_e2e(spark, sf_dir):
     a = eng.sql("SELECT COUNT(DISTINCT l_partkey) AS nd FROM lineitem").head().nd
     e = exact.sql("SELECT COUNT(DISTINCT l_partkey) AS nd FROM lineitem").head().nd
     assert abs(a - e) / e < 0.1  # HLL error bound
+
+
+def test_zipping_unnest_syntax(spark):
+    """FROM t, UNNEST(a1, a2) with item/pos refs — zip semantics with null
+    padding (sql-parser.cup:315; unnest-node.h:54-94)."""
+    from hopspark.dialect import translate
+
+    spark.sql("SELECT array(1,2,3) AS arr1, array('a','b') AS arr2").createOrReplaceTempView(
+        "unnest_t"
+    )
+    rows = spark.sql(
+        translate(
+            "SELECT arr1.item AS i1, arr2.item AS i2, arr1.pos AS p "
+            "FROM unnest_t, UNNEST(arr1, arr2)"
+        )
+    ).collect()
+    assert [(r.i1, r.i2, r.p) for r in rows] == [(1, "a", 0), (2, "b", 1), (3, None, 2)]

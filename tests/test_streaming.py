@@ -83,3 +83,61 @@ def test_session_windows_stream_equals_batch(spark, sf_dir, ckpt_dir):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
     assert len(got) > 0
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir, ckpt_dir):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    with the input split into two files (one per trigger), the final
+    emitted totals must equal the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import types as T
+
+    from hopspark.streaming.stateful import running_user_totals
+
+    # stage the events as TWO parquet files so availableNow runs 2 batches
+    # (ts dropped: the operator is time-agnostic and the staged file would
+    # otherwise re-encode the converted timestamp)
+    ev = read_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    src = os.path.join(ckpt_dir, "two_files")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    stream = running_user_totals(raw)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(ckpt_dir, "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emission per user is the final cumulative state
+    final = {
+        r.user_id: r
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM running_totals "
+            "GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: r
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(final) == set(want)
+    for uid in want:
+        assert final[uid].n_events == want[uid].n
+    # statefulness proof: at least one user updated twice (two emissions)
+    multi = spark.sql(
+        "SELECT user_id, COUNT(*) AS c FROM running_totals GROUP BY user_id HAVING COUNT(*) > 1"
+    ).count()
+    assert multi > 0, "no user saw more than one micro-batch - state untested"
