@@ -95,3 +95,17 @@ class Engine:
         if pattern:
             q += f" LIKE '{pattern}'"
         return [r[0] for r in self.spark.sql(q).collect()]
+
+    # -- metadata surface (SHOW TABLES / DESCRIBE — grammar
+    #    sql-parser.cup:637-731 SHOW/DESCRIBE productions) ----------------
+
+    def show_tables(self) -> list[str]:
+        return [r.tableName for r in self.spark.sql("SHOW TABLES").collect()]
+
+    def describe(self, table: str) -> list[tuple[str, str]]:
+        """DESCRIBE <table> → [(col_name, data_type)]."""
+        return [
+            (r.col_name, r.data_type)
+            for r in self.spark.sql(f"DESCRIBE TABLE {table}").collect()
+            if r.col_name and not r.col_name.startswith("#")
+        ]

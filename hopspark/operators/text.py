@@ -140,9 +140,74 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+# BPE-ish pretokenizer: letter runs / digit runs / punctuation runs, each
+# with optional leading space (the GPT-2 pattern family minus lookahead,
+# which RE2-based engines — and so the oracle — don't support).
+_BPE_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting: BPE-ish pretoken pieces, plus the
+    chars/4 LLM-budget heuristic, per document and per source."""
+    docs = read_table(spark, "documents", sf_dir)
+    pieces = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+    return (
+        docs.select(
+            "source",
+            pieces.alias("pieces"),
+            F.ceil(F.length("text") / 4).alias("chars4"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("pieces").cast("bigint").alias("bpe_pieces"),
+            F.sum("chars4").cast("bigint").alias("chars_div4_est"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_BPE_SQL = rf"""
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS bpe_pieces,
+       CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS chars_div4_est,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling (polynomial) hash over the token stream — order-sensitive
+    content fingerprint (reordered tokens hash differently, unlike the
+    bag-of-words md5). Modular arithmetic keeps every intermediate below
+    2⁶³ so both engines agree exactly."""
+    docs = read_table(spark, "documents", sf_dir)
+    tokval = lambda t: (F.ascii(t) * 256 + F.length(t)) % 1000000007  # noqa: E731
+    rolled = F.aggregate(
+        _tokens(),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 1000003 + tokval(t)) % 1000000007,
+    )
+    return docs.select("doc_id", rolled.alias("rolling_hash")).orderBy("doc_id")
+
+
+TEXT_ROLLING_HASH_SQL = r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split_regex(trim(text), '\s+'),
+                          t -> CAST((ascii(t) * 256 + length(t)) % 1000000007 AS BIGINT))),
+         (acc, v) -> (acc * 1000003 + v) % 1000000007
+       ) AS rolling_hash
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),
     "text_langid_heuristic": (text_langid_heuristic, TEXT_LANGID_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "text_bpe_token_count": (text_bpe_token_count, TEXT_BPE_SQL),
+    "text_rolling_hash": (text_rolling_hash, TEXT_ROLLING_HASH_SQL),
 }

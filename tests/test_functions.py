@@ -174,3 +174,16 @@ def test_create_function_surface(spark, sf_dir):
     names = eng.show_functions()
     assert "add_tax" in names
     eng.drop_function("add_tax")
+
+
+def test_metadata_surface(spark, sf_dir):
+    """SHOW TABLES / DESCRIBE parity (grammar sql-parser.cup SHOW/DESCRIBE)."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    tables = eng.show_tables()
+    for t in ("lineitem", "orders", "documents", "embeddings"):
+        assert t in tables
+    cols = dict(eng.describe("lineitem"))
+    assert cols["l_orderkey"] == "bigint"
+    assert cols["l_shipdate"] == "timestamp"
