@@ -1,0 +1,35 @@
+"""CLI shell (python -m hopspark) — the impala-shell analogue."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def _run(*args: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "hopspark", "--sf-dir", "/root/testdata/sf0.001", *args],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd="/root/repo",
+    )
+
+
+def test_cli_single_query_tsv():
+    r = _run("--format", "tsv", "-q", "SELECT count(*) AS n FROM region")
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert lines[-2] == "n"
+    assert lines[-1] == "5"
+
+
+def test_cli_dialect_passthrough():
+    r = _run(
+        "--format",
+        "tsv",
+        "-q",
+        "SELECT nvl(NULL, 7) AS a, years_add(TIMESTAMP '2020-01-01 00:00:00', 1) AS y",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "7\t2021-01-01" in r.stdout
