@@ -135,3 +135,46 @@ def test_orc_roundtrip(spark, sf_dir, tmpdir_repo):
 def test_avro_gated(spark, tmpdir_repo):
     with pytest.raises(NotImplementedError):
         read_avro(spark, os.path.join(tmpdir_repo, "nope.avro"))
+
+
+def test_ctas_insert_truncate_sql(spark, sf_dir):
+    """DML entry-point parity (SURVEY §3 entry point B; grammar
+    sql-parser.cup:637-731): CTAS, INSERT INTO ... SELECT, INSERT
+    OVERWRITE, TRUNCATE — all through the SQL surface."""
+    import shutil
+
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS dml_t")
+    shutil.rmtree(f"{warehouse}/dml_t", ignore_errors=True)
+
+    try:
+        # CTAS
+        eng.sql(
+            "CREATE TABLE dml_t AS SELECT r_regionkey AS k, r_name AS v FROM region"
+        )
+        assert eng.sql("SELECT count(*) AS n FROM dml_t").head().n == 5
+
+        # INSERT INTO ... SELECT (appends)
+        eng.sql("INSERT INTO dml_t SELECT r_regionkey + 100, r_name FROM region")
+        assert eng.sql("SELECT count(*) AS n FROM dml_t").head().n == 10
+
+        # INSERT INTO ... VALUES
+        eng.sql("INSERT INTO dml_t VALUES (999, 'NOWHERE')")
+        assert (
+            eng.sql("SELECT v FROM dml_t WHERE k = 999").head().v == "NOWHERE"
+        )
+
+        # INSERT OVERWRITE replaces contents
+        eng.sql("INSERT OVERWRITE dml_t SELECT 1, 'only'")
+        rows = eng.sql("SELECT k, v FROM dml_t").collect()
+        assert [(r.k, r.v) for r in rows] == [(1, "only")]
+
+        # TRUNCATE
+        eng.sql("TRUNCATE TABLE dml_t")
+        assert eng.sql("SELECT count(*) AS n FROM dml_t").head().n == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dml_t")
+        shutil.rmtree(f"{warehouse}/dml_t", ignore_errors=True)
