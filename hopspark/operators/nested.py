@@ -202,9 +202,78 @@ ORDER BY hour, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Nested TPC-H shape (reference workload testdata/workloads/tpch_nested/):
+# customer with an embedded array<struct> of orders, then aggregates
+# computed THROUGH the nested column. Only order-insensitive reductions
+# (count/max/exact-decimal sum) so collect_list's nondeterministic order
+# cannot affect results.
+# ---------------------------------------------------------------------------
+
+
+def nested_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, "customer", sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    nested = (
+        orders.select(
+            "o_custkey",
+            F.struct(
+                "o_orderkey",
+                F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+                "o_orderstatus",
+            ).alias("o"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.collect_list("o").alias("orders"))
+    )
+    joined = cust.join(nested, cust.c_custkey == nested.o_custkey, "left_outer")
+    n_orders = F.coalesce(F.size("orders"), F.lit(0))
+    max_price = F.array_max(F.transform("orders", lambda o: o.price))
+    open_cnt = F.size(
+        F.filter("orders", lambda o: o.o_orderstatus == "O")
+    )
+    # acc at the 38-precision cap: decimal(38,2)+decimal(14,2) stays
+    # decimal(38,2), satisfying F.aggregate's fixed accumulator type
+    total = F.aggregate(
+        F.coalesce(F.col("orders"), F.array()),
+        F.lit(0).cast("decimal(38,2)"),
+        lambda acc, o: acc + o.price,
+    )
+    return (
+        joined.select(
+            "c_custkey",
+            n_orders.alias("n_orders"),
+            max_price.cast("double").alias("max_price"),
+            F.when(open_cnt >= 0, open_cnt).otherwise(0).alias("n_open"),
+            total.cast("double").alias("total_spent"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("c_custkey")
+    )
+
+
+NESTED_CUSTOMER_ORDERS_SQL = """
+WITH nested AS (
+  SELECT o_custkey,
+         list(struct_pack(o_orderkey := o_orderkey,
+                          price := CAST(o_totalprice AS DECIMAL(14,2)),
+                          o_orderstatus := o_orderstatus)) AS orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey,
+       len(orders) AS n_orders,
+       CAST(list_max(list_transform(orders, o -> o.price)) AS DOUBLE) AS max_price,
+       len(list_filter(orders, o -> o.o_orderstatus = 'O')) AS n_open,
+       CAST(list_sum(list_transform(orders, o -> o.price)) AS DOUBLE) AS total_spent
+FROM customer JOIN nested ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "nested_json_extract": (json_extract_props, JSON_EXTRACT_SQL),
     "events_hourly_rollup": (events_hourly_rollup, EVENTS_HOURLY_SQL),
+    "nested_customer_orders": (nested_customer_orders, NESTED_CUSTOMER_ORDERS_SQL),
     "nested_zip_unnest": (zip_unnest, ZIP_UNNEST_SQL),
     "nested_array_ops": (array_ops, ARRAY_OPS_SQL),
     "subquery_scalar_threshold": (scalar_subquery_threshold, SCALAR_SUBQ_SQL),
