@@ -291,7 +291,34 @@ def agg_appx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based, linear interpolation) — the exact
+    counterpart of appx_median; both engines implement the same
+    percentile_cont definition so values are bit-identical."""
+    li = read_table(spark, "lineitem", sf_dir)
+    pct = F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pct.getItem(0).alias("p25"),
+            pct.getItem(1).alias("p50"),
+            pct.getItem(2).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "agg_percentiles": (agg_percentiles, AGG_PERCENTILES_SQL),
     "agg_rollup": (agg_rollup, AGG_ROLLUP_SQL),
     "agg_cube": (agg_cube, AGG_CUBE_SQL),
     "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),

@@ -182,8 +182,74 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-style ANN (coarse quantization; rows-only driver check) ------------
+
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic coarse centroids: the first N_CENTROIDS corpus vectors
+    (a fixed, reproducible seeding — a production build would run k-means;
+    the *search* structure is identical either way)."""
+    emb = read_table(spark, "embeddings", sf_dir)
+    return emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), _dvec("embedding").alias("c_emb")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: corpus assigned to nearest centroid (inverted lists);
+    each query probes its N_PROBE nearest cells and ranks exactly within
+    them. At scale the assignment is one broadcast-join pass over the
+    corpus and each query touches ~N_PROBE/N_CENTROIDS of the data."""
+    emb = read_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _dvec("embedding").alias("emb")
+    )
+    cents = _centroids(spark, sf_dir)
+
+    def nearest_cells(df: DataFrame, vec_col: str, out: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            *df.columns,
+            "centroid_id",
+            cosine(F.col(vec_col), F.col("c_emb")).alias("c_sim"),
+        )
+        w = W.partitionBy(*[c for c in df.columns if c != vec_col][:1] or [vec_col]).orderBy(
+            F.desc("c_sim"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("c_rank", F.row_number().over(w))
+            .filter(F.col("c_rank") <= keep)
+            .select(*df.columns, F.col("centroid_id").alias(out))
+        )
+
+    assigned = nearest_cells(emb, "emb", "cell", keep=1)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    probed = nearest_cells(queries, "q_emb", "cell", keep=N_PROBE)
+    scored = (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "sim_knn_bruteforce_cosine": (knn_bruteforce_cosine, KNN_BRUTEFORCE_SQL),
     "sim_embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "sim_ann_lsh_topk": (ann_lsh_topk, None),
+    "sim_ann_ivf_topk": (ann_ivf_topk, None),
 }
