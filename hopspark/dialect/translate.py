@@ -202,6 +202,37 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 toks.insert(j + 1, Tok("word", "CASE WHEN "))
                 i += 1
                 continue
+        # histogram(x) → sorted comma-joined values — Impala's histogram
+        # aggregate emits the sample values as a comma-separated string
+        # (BuiltinsDb.java:1040; aggregate-functions-ir.cc Histogram).
+        if name == "histogram":
+            close = _matching_paren(toks, j)
+            toks[i] = Tok("word", "array_join")
+            toks.insert(close, Tok("op", " AS STRING))), ', '"))
+            toks.insert(j + 1, Tok("word", "sort_array(collect_list(CAST("))
+            i += 1
+            continue
+        # ds_kll_quantile(ds_kll_sketch(x), q) → percentile(x, q): the KLL
+        # sketch→quantile composition collapses to the exact percentile
+        # (BuiltinsDb ds_kll_sketch:1420, datasketches-functions-ir.cc).
+        if name == "ds_kll_quantile":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                inner_i = _next_code(toks, args[0][0])
+                if (
+                    inner_i < len(toks)
+                    and toks[inner_i].text.lower() == "ds_kll_sketch"
+                ):
+                    inner_open = _next_code(toks, inner_i + 1)
+                    if inner_open < close and toks[inner_open].text == "(":
+                        inner_close = _matching_paren(toks, inner_open)
+                        toks[i] = Tok("word", "percentile")
+                        toks[inner_i] = Tok("word", "")
+                        toks[inner_open] = Tok("op", "")
+                        toks[inner_close] = Tok("op", "")
+                        i += 1
+                        continue
         # isnull(a, b) → nvl(a, b); 1-arg isnull passes through untouched.
         if name == "isnull":
             close = _matching_paren(toks, j)

@@ -162,3 +162,20 @@ def test_zipping_unnest_syntax(spark):
         )
     ).collect()
     assert [(r.i1, r.i2, r.p) for r in rows] == [(1, "a", 0), (2, "b", 1), (3, None, 2)]
+
+
+def test_histogram_and_kll_rewrites(spark, sf_dir):
+    from hopspark.dialect import translate
+    from hopspark.engine import Engine
+
+    out = translate("SELECT histogram(x) FROM t")
+    assert out == "SELECT array_join(sort_array(collect_list(CAST(x AS STRING))), ', ') FROM t"
+    assert translate("SELECT ds_kll_quantile(ds_kll_sketch(q), 0.5) FROM t") == (
+        "SELECT percentile(q, 0.5) FROM t"
+    )
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    assert eng.sql("SELECT histogram(r_regionkey) AS h FROM region").head().h == "0, 1, 2, 3, 4"
+    m = eng.sql(
+        "SELECT ds_kll_quantile(ds_kll_sketch(l_quantity), 0.5) AS m FROM lineitem"
+    ).head().m
+    assert 1 <= m <= 50
