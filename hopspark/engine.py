@@ -11,6 +11,8 @@ the function library registration, and the table catalog binding.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from hopspark import catalog
@@ -42,8 +44,19 @@ class Engine:
 
     # -- query surface ------------------------------------------------------
 
+    _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(\S+)\s*;?\s*$", re.I)
+
     def sql(self, impala_sql: str) -> DataFrame:
-        """Run an Impala-dialect SQL statement; returns a lazy DataFrame."""
+        """Run an Impala-dialect SQL statement; returns a lazy DataFrame.
+
+        `SET <option>=<value>` statements update engine query options
+        (query-options.h parity) and return an empty result; everything
+        else is translated and handed to Catalyst."""
+        m = self._SET_RE.match(impala_sql)
+        if m:
+            name, raw = m.group(1).lower(), m.group(2).strip().strip("'\"")
+            self.set_option(name, raw.lower() in ("1", "true", "yes", "on"))
+            return self.spark.sql("SELECT 1 AS ok WHERE false")
         return self.spark.sql(translate(impala_sql, options=self.options))
 
     def set_option(self, name: str, value: bool) -> None:

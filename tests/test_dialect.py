@@ -179,3 +179,16 @@ def test_histogram_and_kll_rewrites(spark, sf_dir):
         "SELECT ds_kll_quantile(ds_kll_sketch(l_quantity), 0.5) AS m FROM lineitem"
     ).head().m
     assert 1 <= m <= 50
+
+
+def test_set_statement_surface(spark, sf_dir):
+    """SET <option>=<value> through engine.sql (impala-shell SET parity)."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    assert eng.sql("SET appx_count_distinct=true").count() == 0
+    assert eng.options["appx_count_distinct"] is True
+    out = eng.sql("SELECT COUNT(DISTINCT r_regionkey) AS nd FROM region")
+    assert out.head().nd >= 4  # approx, small relation => near-exact
+    eng.sql("SET appx_count_distinct=off")
+    assert eng.options["appx_count_distinct"] is False

@@ -108,3 +108,29 @@ def test_scalar_subquery_cardinality_error(spark, sf_dir):
             "SELECT o_orderkey FROM orders "
             "WHERE o_totalprice > (SELECT o_totalprice FROM orders LIMIT 2)"
         ).collect()
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime-filter parity (RuntimeFilterGenerator.java:105-119): with a
+    selective dim side and no broadcast, Catalyst injects a bloom-filter
+    semi-join reduction on the probe side."""
+    from hopspark.catalog import read_table
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = read_table(spark, "lineitem", sf_dir)
+        part = read_table(spark, "part", sf_dir).filter("p_brand = 'Brand#23'")
+        plan = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
