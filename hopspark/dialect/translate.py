@@ -147,6 +147,10 @@ _FN_RENAME = {
     "ds_hll_sketch": "hll_sketch_agg",
     "ds_hll_estimate": "hll_sketch_estimate",
     "ds_hll_union": "hll_union_agg",
+    # probabilistic-counting ancestors (BuiltinsDb distinctpc/distinctpcsa
+    # :1200,1210) — all map to the modern HLL approximation
+    "distinctpc": "approx_count_distinct",
+    "distinctpcsa": "approx_count_distinct",
 }
 
 # name → (spark_name, extra_args_sql_appended)
@@ -255,8 +259,25 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
             close = _matching_paren(toks, j)
             toks[i] = Tok("word", "date_format")
             toks.insert(close, Tok("op", ", 'MMMM'"))
+        elif name == "sampled_ndv":
+            # sampled_ndv(x, sample_rate) — the sampling knob has no Spark
+            # analogue; the HLL estimate subsumes it. Drop the second arg.
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                toks[i] = Tok("word", "approx_count_distinct")
+                comma = _prev_code(toks, args[1][0] - 1)
+                del toks[comma:close]
+            i += 1
+            continue
         elif name in _FN_RENAME:
             toks[i] = Tok("word", _FN_RENAME[name])
+        elif name.endswith("_utf8") and len(name) > 5:
+            # Impala's *_utf8 variants opt into UTF-8 character semantics
+            # (UTF8_MODE, impala_functions.py); Spark string functions are
+            # UTF-8-native, so the base function IS the utf8 variant.
+            base = name[:-5]
+            toks[i] = Tok("word", _FN_RENAME.get(base, base))
         i += 1
     return toks
 

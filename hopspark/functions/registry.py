@@ -211,6 +211,11 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "mask_hash": ("s STRING", "STRING", "sha2(s, 256)"),
     # -- conditional aliases not shipped by this Spark --------------------
     "zeroifnull": ("x DOUBLE", "DOUBLE", "coalesce(x, 0)"),
+    "int_months_between": (
+        "a TIMESTAMP, b TIMESTAMP",
+        "INT",
+        "CAST(months_between(a, b) AS INT)",
+    ),
     # -- numeric truncate (Impala truncate/dtrunc; Spark trunc is date-only).
     # Truncation is toward zero (math-functions-ir.cc TruncDecimal).
     "truncate": (

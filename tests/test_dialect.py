@@ -192,3 +192,21 @@ def test_set_statement_surface(spark, sf_dir):
     assert out.head().nd >= 4  # approx, small relation => near-exact
     eng.sql("SET appx_count_distinct=off")
     assert eng.options["appx_count_distinct"] is False
+
+
+def test_utf8_variants_and_approx_family(spark, sf_dir):
+    """*_utf8 variants map to the (UTF-8-native) base functions;
+    distinctpc/distinctpcsa/sampled_ndv all collapse to the HLL estimate."""
+    from hopspark.dialect import translate
+    from hopspark.engine import Engine
+
+    out = translate("SELECT length_utf8(s), sampled_ndv(x, 0.1), distinctpc(y) FROM t")
+    assert out == (
+        "SELECT length(s), approx_count_distinct(x), approx_count_distinct(y) FROM t"
+    )
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    r = eng.sql(
+        "SELECT length_utf8('héllo') AS l, "
+        "int_months_between(TIMESTAMP '2020-03-15 00:00:00', TIMESTAMP '2020-01-01 00:00:00') AS imb"
+    ).head()
+    assert r.l == 5 and r.imb == 2
