@@ -151,6 +151,18 @@ _FN_RENAME = {
     # :1200,1210) — all map to the modern HLL approximation
     "distinctpc": "approx_count_distinct",
     "distinctpcsa": "approx_count_distinct",
+    # sample(x): "some value from the group" (BuiltinsDb:1020) — any_value
+    # matches the contract minus the pseudo-random pick (documented).
+    "sample": "any_value",
+    # theta/cpc sketch families: count-distinct algebra maps onto Spark's
+    # HLL sketches; theta's intersect/difference estimates have no Spark
+    # analogue and remain a documented gap.
+    "ds_theta_sketch": "hll_sketch_agg",
+    "ds_theta_estimate": "hll_sketch_estimate",
+    "ds_theta_union": "hll_union_agg",
+    "ds_cpc_sketch": "hll_sketch_agg",
+    "ds_cpc_estimate": "hll_sketch_estimate",
+    "ds_cpc_union": "hll_union_agg",
 }
 
 # name → (spark_name, extra_args_sql_appended)

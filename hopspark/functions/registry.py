@@ -101,6 +101,26 @@ def _jaro_winkler_similarity_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([f(x, y) for x, y in zip(a, b)])
 
 
+@F.pandas_udf(T.DoubleType())
+def _jaro_similarity_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    def f(x: object, y: object) -> float | None:
+        if x is None or y is None:
+            return None
+        return _jaro(str(x), str(y))
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)])
+
+
+@F.pandas_udf(T.DoubleType())
+def _jaro_winkler_distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    def f(x: object, y: object) -> float | None:
+        if x is None or y is None:
+            return None
+        return 1.0 - _jaro_winkler(str(x), str(y))
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)])
+
+
 def _damerau_levenshtein(s1: str, s2: str) -> int:
     """Optimal-string-alignment distance, matching the reference's
     damerau_levenshtein (be/src/exprs/string-functions-ir.cc)."""
@@ -269,7 +289,9 @@ def register_all(spark: SparkSession) -> None:
     """Register the Impala-only function residue on this session (idempotent)."""
     spark.udf.register("fnv_hash", _fnv_hash_udf)
     spark.udf.register("jaro_distance", _jaro_distance_udf)
+    spark.udf.register("jaro_similarity", _jaro_similarity_udf)
     spark.udf.register("jaro_winkler_similarity", _jaro_winkler_similarity_udf)
+    spark.udf.register("jaro_winkler_distance", _jaro_winkler_distance_udf)
     spark.udf.register("damerau_levenshtein", _damerau_levenshtein_udf)
     from pyspark.errors.exceptions.captured import AnalysisException
 

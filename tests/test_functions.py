@@ -187,3 +187,11 @@ def test_metadata_surface(spark, sf_dir):
     cols = dict(eng.describe("lineitem"))
     assert cols["l_orderkey"] == "bigint"
     assert cols["l_shipdate"] == "timestamp"
+
+
+def test_jaro_family_complete(spark):
+    """All four jaro variants registered (string-functions-ir.cc)."""
+    assert _one(spark, "jaro_similarity('abc', 'abc')") == 1.0
+    jw_sim = _one(spark, "jaro_winkler_similarity('MARTHA', 'MARHTA')")
+    jw_dist = _one(spark, "jaro_winkler_distance('MARTHA', 'MARHTA')")
+    assert jw_sim + jw_dist == pytest.approx(1.0)
