@@ -249,6 +249,22 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                         toks[inner_close] = Tok("op", "")
                         i += 1
                         continue
+        # regexp_like(s, pat, 'flags') → rlike(s, concat('(?flags)', pat)).
+        # Impala flags (string-functions-ir.cc): i=case-insensitive,
+        # m=multi-line, n=newline-matches-dot (Java's s).
+        if name == "regexp_like":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            flag_i = _next_code(toks, args[2][0]) if len(args) == 3 else -1
+            if len(args) == 3 and flag_i < close and toks[flag_i].kind == "str":
+                flags = toks[flag_i].text[1:-1].lower().replace("n", "s")
+                comma2 = _prev_code(toks, args[2][0] - 1)
+                del toks[comma2:close]
+                toks.insert(comma2, Tok("op", ")"))
+                toks.insert(args[1][0], Tok("word", f" concat('(?{flags})', "))
+                toks[i] = Tok("word", "rlike")
+                i += 1
+                continue
         # isnull(a, b) → nvl(a, b); 1-arg isnull passes through untouched.
         if name == "isnull":
             close = _matching_paren(toks, j)

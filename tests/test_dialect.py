@@ -210,3 +210,17 @@ def test_utf8_variants_and_approx_family(spark, sf_dir):
         "int_months_between(TIMESTAMP '2020-03-15 00:00:00', TIMESTAMP '2020-01-01 00:00:00') AS imb"
     ).head()
     assert r.l == 5 and r.imb == 2
+
+
+def test_regexp_like_flags(spark, sf_dir):
+    """3-arg regexp_like with literal flags (i/m/n) folds the flags into
+    the pattern; 2-arg form is Spark-native and untouched."""
+    from hopspark.dialect import translate
+    from hopspark.engine import Engine
+
+    assert translate("SELECT regexp_like(s, 'x') FROM t") == "SELECT regexp_like(s, 'x') FROM t"
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    r = eng.sql(
+        "SELECT regexp_like('ABC', 'abc', 'i') AS a, regexp_like('ABC', 'abc') AS b"
+    ).head()
+    assert r.a is True and r.b is False
