@@ -178,3 +178,14 @@ def test_ctas_insert_truncate_sql(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS dml_t")
         shutil.rmtree(f"{warehouse}/dml_t", ignore_errors=True)
+
+
+def test_orc_filter_pushdown(spark, sf_dir, tmpdir_repo):
+    """ORC scan parity (hdfs-orc-scanner.h): predicate pushdown reaches the
+    ORC reader like the parquet path."""
+    out = os.path.join(tmpdir_repo, "li_orc")
+    read_table(spark, "lineitem", sf_dir).write.mode("overwrite").orc(out)
+    df = read_orc(spark, out).filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_returnflag" in plan.split("PushedFilters")[1][:200]
+    assert df.count() > 0
