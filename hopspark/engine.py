@@ -109,6 +109,42 @@ class Engine:
             q += f" LIKE '{pattern}'"
         return [r[0] for r in self.spark.sql(q).collect()]
 
+    def profile(self, impala_sql: str) -> dict[str, dict[str, str]]:
+        """Execute the statement and return per-operator runtime metrics —
+        the RUNTIME_PROFILE analogue (reference: per-node counters in the
+        query profile, be/src/util/runtime-profile.h). Keys are physical
+        operator names with plan ids; values are Spark SQL metric name →
+        formatted value."""
+        df = self.sql(impala_sql)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan()
+        out: dict[str, dict[str, str]] = {}
+
+        def walk(node) -> None:
+            name = f"{node.nodeName()} (id={node.id()})"
+            metrics = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                metrics[str(kv._1())] = str(kv._2().value())
+            if metrics:
+                out[name] = metrics
+            # AQE wrappers don't expose their subtree via children():
+            # AdaptiveSparkPlanExec -> executedPlan(), QueryStageExec -> plan()
+            for unwrap in ("executedPlan", "plan"):
+                if hasattr(node, unwrap):
+                    try:
+                        walk(getattr(node, unwrap)())
+                        return
+                    except Exception:
+                        pass
+            cit = node.children().iterator()
+            while cit.hasNext():
+                walk(cit.next())
+
+        walk(plan)
+        return out
+
     # -- metadata surface (SHOW TABLES / DESCRIBE — grammar
     #    sql-parser.cup:637-731 SHOW/DESCRIBE productions) ----------------
 

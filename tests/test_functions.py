@@ -195,3 +195,16 @@ def test_jaro_family_complete(spark):
     jw_sim = _one(spark, "jaro_winkler_similarity('MARTHA', 'MARHTA')")
     jw_dist = _one(spark, "jaro_winkler_distance('MARTHA', 'MARHTA')")
     assert jw_sim + jw_dist == pytest.approx(1.0)
+
+
+def test_runtime_profile(spark, sf_dir):
+    """profile() returns per-operator metrics through AQE wrappers — the
+    RUNTIME_PROFILE analogue (be/src/util/runtime-profile.h)."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    prof = eng.profile("SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag")
+    names = " ".join(prof)
+    assert "HashAggregate" in names and "Scan" in names and "Exchange" in names
+    scan = next(v for k, v in prof.items() if k.startswith("Scan"))
+    assert int(scan.get("numFiles", "0")) >= 1
