@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf-dir", default=None, help="table directory (default: $SPARK_GRAFT_SF_DIR)")
     p.add_argument("--format", choices=("table", "tsv"), default="table")
     p.add_argument("--max-rows", type=int, default=100)
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of executing",
+    )
     args = p.parse_args(argv)
 
     from hopspark import catalog
@@ -41,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
     def run(stmt: str) -> None:
         stmt = stmt.strip().rstrip(";").strip()
         if not stmt:
+            return
+        if args.explain:
+            print(eng.explain(stmt))
             return
         _print_df(eng.sql(stmt), args.format, args.max_rows)
 

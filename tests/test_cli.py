@@ -33,3 +33,9 @@ def test_cli_dialect_passthrough():
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert "7\t2021-01-01" in r.stdout
+
+
+def test_cli_explain_flag():
+    r = _run("--explain", "-q", "SELECT count(*) FROM lineitem")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "Physical Plan" in r.stdout and "Scan parquet" in r.stdout
