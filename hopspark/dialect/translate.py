@@ -154,9 +154,10 @@ _FN_RENAME = {
     # sample(x): "some value from the group" (BuiltinsDb:1020) — any_value
     # matches the contract minus the pseudo-random pick (documented).
     "sample": "any_value",
-    # theta/cpc sketch families: count-distinct algebra maps onto Spark's
-    # HLL sketches; theta's intersect/difference estimates have no Spark
-    # analogue and remain a documented gap.
+    # theta/cpc sketch families: in SQL, count-distinct algebra maps onto
+    # Spark's HLL sketches; the full theta algebra incl. intersect/exclude
+    # (ds_theta_intersect / ds_theta_exclude) is implemented natively as KMV
+    # sketches in hopspark.operators.sketches (DataFrame API).
     "ds_theta_sketch": "hll_sketch_agg",
     "ds_theta_estimate": "hll_sketch_estimate",
     "ds_theta_union": "hll_union_agg",

@@ -26,6 +26,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         nested,
         relational,
         similarity,
+        sketches,
         text,
         tpch,
     )
@@ -39,6 +40,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         nested,
         dedup,
         similarity,
+        sketches,
         text,
         multimodal,
         dialect_sql,
