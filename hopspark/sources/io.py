@@ -10,8 +10,15 @@ Reference parity:
   * HdfsTableSink dynamic partition insert + sort-by clustering —
     be/src/exec/hdfs-table-sink.h:90 (Spark: partitionBy + sortWithinPartitions)
 
-Avro/SequenceFile need jars absent from this image; they raise with a clear
-message (import-gated, per the build constraints).
+  * SequenceFile scanner — be/src/exec/hdfs-sequence-scanner.cc:1-570: the
+    record value is a delimited-text row, parsed by the same
+    delimited-text-parser as the plain text scan; we mirror that by sharing
+    the escaped-split logic between the text and sequencefile readers.
+
+Avro needs the spark-avro DataSource jar (absent from this image) and
+raises with a clear message; RCFile (hdfs-rcfile-scanner.cc) would need a
+Hive-enabled session to decode BytesRefArrayWritable values and stays a
+documented gap.
 """
 
 from __future__ import annotations
@@ -44,6 +51,43 @@ def read_csv(
     )
 
 
+def _parse_delimited_lines(
+    lines: DataFrame,
+    schema: T.StructType,
+    sep: str,
+    escape: str,
+    null_value: str,
+) -> DataFrame:
+    """Impala delimited-text semantics over a `value: string` column: the
+    escape char protects a *bare* delimiter (no quoting) —
+    be/src/exec/delimited-text-parser.cc. Spark's CSV reader only honors
+    escapes inside quoted fields, so this splits on un-escaped separators
+    with a JVM regex (whole-stage codegen, no Python): split on
+    `(?<!\\e)\\sep`, then unescape `\\e sep → sep`, `\\e\\e → \\e`, and map
+    the null marker."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    def _repl(lit: str) -> str:
+        # Java Matcher replacement strings treat \ and $ specially
+        return lit.replace("\\", "\\\\").replace("$", "\\$")
+
+    e, s = _re.escape(escape), _re.escape(sep)
+    split_pat = f"(?<!{e}){s}"
+    cols = []
+    for i, field in enumerate(schema.fields):
+        raw = F.get(F.split(F.col("value"), split_pat), i)
+        unescaped = F.regexp_replace(
+            F.regexp_replace(raw, e + s, _repl(sep)), e + e, _repl(escape)
+        )
+        val = F.when(unescaped == null_value.replace("\\\\", "\\"), None).otherwise(
+            unescaped
+        )
+        cols.append(val.cast(field.dataType).alias(field.name))
+    return lines.select(*cols)
+
+
 def read_text_escaped(
     spark: SparkSession,
     path: str,
@@ -52,30 +96,51 @@ def read_text_escaped(
     escape: str = "\\",
     null_value: str = "\\N",
 ) -> DataFrame:
-    """Impala delimited-text semantics: the escape char protects a *bare*
-    delimiter (no quoting) — be/src/exec/delimited-text-parser.cc. Spark's
-    CSV reader only honors escapes inside quoted fields, so this splits on
-    un-escaped separators with a JVM regex (whole-stage codegen, no Python):
-    split on `(?<!\\e)\\sep`, then unescape `\\e sep → sep`, `\\e\\e → \\e`,
-    and map the null marker."""
-    import re as _re
+    """Impala delimited-text scan (see _parse_delimited_lines)."""
+    return _parse_delimited_lines(spark.read.text(path), schema, sep, escape, null_value)
 
+
+def read_sequencefile(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    sep: str = "|",
+    escape: str = "\\",
+    null_value: str = "\\N",
+) -> DataFrame:
+    """SequenceFile scan (be/src/exec/hdfs-sequence-scanner.cc:1-570): the
+    container holds (key, value) records whose value is one delimited text
+    row; Impala ignores the key and feeds values to the delimited-text
+    parser. Without a schema, returns raw (key, value) strings."""
+    pairs = spark.sparkContext.sequenceFile(path)
+    kv = spark.createDataFrame(pairs, T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]))
+    if schema is None:
+        return kv
+    return _parse_delimited_lines(kv.select("value"), schema, sep, escape, null_value)
+
+
+def write_sequencefile(df: DataFrame, path: str, sep: str = "|", escape: str = "\\",
+                       null_value: str = "\\N") -> None:
+    """Write rows as a SequenceFile of (row-number-less) delimited text
+    values — the layout Impala's sequence scanner reads. Bare separators
+    and escapes inside fields are escape-protected; NULL → the null marker."""
     from pyspark.sql import functions as F
 
-    e, s = _re.escape(escape), _re.escape(sep)
-    split_pat = f"(?<!{e}){s}"
-    lines = spark.read.text(path)
-    cols = []
-    for i, field in enumerate(schema.fields):
-        raw = F.get(F.split(F.col("value"), split_pat), i)
-        unescaped = F.regexp_replace(
-            F.regexp_replace(raw, e + s, sep), e + e, escape
+    parts = []
+    for field in df.schema.fields:
+        c = F.col(field.name).cast("string")
+        # literal (non-regex) replaces: escape the escape char first, then
+        # protect bare separators
+        protected = F.replace(
+            F.replace(c, F.lit(escape), F.lit(escape + escape)),
+            F.lit(sep), F.lit(escape + sep),
         )
-        val = F.when(unescaped == null_value.replace("\\\\", "\\"), None).otherwise(
-            unescaped
-        )
-        cols.append(val.cast(field.dataType).alias(field.name))
-    return lines.select(*cols)
+        parts.append(F.coalesce(protected, F.lit(null_value.replace("\\\\", "\\"))))
+    lines = df.select(F.concat_ws(sep, *parts).alias("value"))
+    lines.rdd.map(lambda r: ("", r["value"])).saveAsSequenceFile(path)
 
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

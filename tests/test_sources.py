@@ -189,3 +189,36 @@ def test_orc_filter_pushdown(spark, sf_dir, tmpdir_repo):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "l_returnflag" in plan.split("PushedFilters")[1][:200]
     assert df.count() > 0
+
+
+def test_sequencefile_roundtrip(spark, tmpdir_repo):
+    """SequenceFile scan/sink (be/src/exec/hdfs-sequence-scanner.cc): the
+    value of each record is one delimited-text row; escaping and \\N nulls
+    follow the text-scanner semantics."""
+    from hopspark.sources.io import read_sequencefile, write_sequencefile
+
+    path = os.path.join(tmpdir_repo, "seq")
+    df = spark.createDataFrame(
+        [
+            Row(id=1, s="a|b", t="x"),      # bare separator inside a field
+            Row(id=2, s=None, t="back\\slash"),
+            Row(id=3, s="plain", t="z"),
+        ]
+    )
+    write_sequencefile(df, path)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("t", T.StringType()),
+        ]
+    )
+    back = read_sequencefile(spark, path, schema).orderBy("id").collect()
+    assert [r.id for r in back] == [1, 2, 3]
+    assert back[0].s == "a|b"
+    assert back[1].s is None
+    assert back[1].t == "back\\slash"
+    # schema-less form surfaces raw (key, value) pairs
+    raw = read_sequencefile(spark, path)
+    assert set(raw.columns) == {"key", "value"}
+    assert raw.count() == 3
