@@ -1,0 +1,452 @@
+"""Pure-Python Avro object-container-file codec + Spark scan/sink.
+
+Reference parity: Impala's Avro scanner (be/src/exec/hdfs-avro-scanner.h:86,
+.cc 1149) decodes Avro container files with *schema resolution*: the table
+(reader) schema is matched to each file's embedded (writer) schema by field
+NAME, writer-only fields are skipped, reader-only fields take their default,
+and numeric promotions (int->long->float->double) are applied. This module
+implements the same semantics from the public Avro 1.11 spec — no avro jar
+or pip package exists in this image, so the binary codec is written here.
+
+Spark integration:
+  * scan  — `binaryFile` datasource (one task per file, same parallelism
+    unit as Impala's per-file scan ranges for unsplittable codecs) feeding
+    an Arrow-batched `mapInPandas` decoder. At 100 TB the file count, not
+    file size, drives parallelism — the writer below emits one file per
+    partition so a well-partitioned write stays well-parallelized on read.
+  * sink  — one container file per Spark partition via mapPartitions;
+    deflate (raw zlib) block compression, 1000-row blocks.
+
+Supported types: boolean, int, long, float, double, string, bytes, and the
+date / timestamp-micros / local-timestamp-micros / decimal logical types —
+the closure of the driver tables' schemas. Nullable columns are
+`["null", T]` unions, matching what Hive/Impala write.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import struct
+import zlib
+from datetime import date, datetime, timedelta
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+_EPOCH_DATE = date(1970, 1, 1)
+_EPOCH_TS = datetime(1970, 1, 1)
+_BLOCK_ROWS = 1000
+
+# ---------------------------------------------------------------- primitives
+
+
+def _write_long(buf: io.BytesIO, n: int) -> None:
+    z = (n << 1) ^ (n >> 63)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def _read_long(buf) -> int:
+    shift, z = 0, 0
+    while True:
+        (b,) = buf.read(1)
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1)
+
+
+def _write_bytes(buf: io.BytesIO, b: bytes) -> None:
+    _write_long(buf, len(b))
+    buf.write(b)
+
+
+def _read_bytes(buf) -> bytes:
+    return buf.read(_read_long(buf))
+
+
+# ---------------------------------------------------------- schema mapping
+
+
+def spark_to_avro_schema(schema: T.StructType, name: str = "row") -> dict:
+    fields = []
+    for f in schema.fields:
+        at = _spark_type_to_avro(f.dataType)
+        fields.append({"name": f.name, "type": ["null", at] if f.nullable else at})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _spark_type_to_avro(dt: T.DataType):
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.TimestampNTZType):
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if isinstance(dt, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    raise NotImplementedError(f"avro mapping for {dt}")
+
+
+def avro_to_spark_schema(avro: dict) -> T.StructType:
+    fields = []
+    for f in avro["fields"]:
+        at, nullable = _unwrap_union(f["type"])
+        fields.append(T.StructField(f["name"], _avro_type_to_spark(at), nullable))
+    return T.StructType(fields)
+
+
+def _unwrap_union(at):
+    """Return (non-null branch, nullable) for `T` or `["null", T]` unions."""
+    if isinstance(at, list):
+        branches = [b for b in at if b != "null"]
+        if len(branches) != 1:
+            raise NotImplementedError(f"general unions unsupported: {at}")
+        return branches[0], "null" in at
+    return at, False
+
+
+def _avro_type_to_spark(at) -> T.DataType:
+    if isinstance(at, dict):
+        lt = at.get("logicalType")
+        if lt == "date":
+            return T.DateType()
+        if lt == "timestamp-micros":
+            return T.TimestampType()
+        if lt == "local-timestamp-micros":
+            return T.TimestampNTZType()
+        if lt == "decimal":
+            return T.DecimalType(at["precision"], at["scale"])
+        at = at["type"]
+    return {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "bytes": T.BinaryType(),
+    }[at]
+
+
+# ------------------------------------------------------------------ encode
+
+
+def _encode_value(buf: io.BytesIO, at, v) -> None:
+    if isinstance(at, list):  # union: write branch index then value
+        if v is None:
+            _write_long(buf, at.index("null"))
+            return
+        branch, _ = _unwrap_union(at)
+        _write_long(buf, 1 - at.index("null") if "null" in at else 0)
+        _encode_value(buf, branch, v)
+        return
+    if isinstance(at, dict):
+        lt = at.get("logicalType")
+        if lt == "date":
+            _write_long(buf, (v - _EPOCH_DATE).days)
+            return
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            d = v.replace(tzinfo=None) - _EPOCH_TS
+            _write_long(buf, (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds)
+            return
+        if lt == "decimal":
+            unscaled = int(v.scaleb(at["scale"]).to_integral_value())
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            _write_bytes(buf, unscaled.to_bytes(nbytes, "big", signed=True))
+            return
+        at = at["type"]
+    if at in ("int", "long"):
+        _write_long(buf, int(v))
+    elif at == "boolean":
+        buf.write(b"\x01" if v else b"\x00")
+    elif at == "float":
+        buf.write(struct.pack("<f", v))
+    elif at == "double":
+        buf.write(struct.pack("<d", v))
+    elif at == "string":
+        _write_bytes(buf, v.encode("utf-8"))
+    elif at == "bytes":
+        _write_bytes(buf, bytes(v))
+    else:
+        raise NotImplementedError(f"encode {at}")
+
+
+def write_container(path: str, avro_schema: dict, rows, codec: str = "deflate") -> int:
+    """Write one Avro object-container file; returns row count."""
+    types = [f["type"] for f in avro_schema["fields"]]
+    sync = hashlib.md5(path.encode()).digest()
+    n = 0
+    with open(path, "wb") as out:
+        out.write(MAGIC)
+        head = io.BytesIO()
+        _write_long(head, 2)
+        _write_bytes(head, b"avro.schema")
+        _write_bytes(head, json.dumps(avro_schema).encode())
+        _write_bytes(head, b"avro.codec")
+        _write_bytes(head, codec.encode())
+        _write_long(head, 0)
+        out.write(head.getvalue())
+        out.write(sync)
+
+        block: list = []
+
+        def flush() -> None:
+            if not block:
+                return
+            body = io.BytesIO()
+            for row in block:
+                for at, v in zip(types, row):
+                    _encode_value(body, at, v)
+            data = body.getvalue()
+            if codec == "deflate":
+                c = zlib.compressobj(9, zlib.DEFLATED, -15)
+                data = c.compress(data) + c.flush()
+            elif codec != "null":
+                raise NotImplementedError(f"codec {codec}")
+            _write_long_to(out, len(block))
+            _write_long_to(out, len(data))
+            out.write(data)
+            out.write(sync)
+            block.clear()
+
+        for row in rows:
+            block.append(row)
+            n += 1
+            if len(block) >= _BLOCK_ROWS:
+                flush()
+        flush()
+    return n
+
+
+def _write_long_to(out, n: int) -> None:
+    b = io.BytesIO()
+    _write_long(b, n)
+    out.write(b.getvalue())
+
+
+# ------------------------------------------------------------------ decode
+
+
+def _decode_value(buf, at):
+    if isinstance(at, list):
+        return _decode_value(buf, at[_read_long(buf)])
+    if at == "null" or at is None:
+        return None
+    if isinstance(at, dict):
+        lt = at.get("logicalType")
+        if lt == "date":
+            return _EPOCH_DATE + timedelta(days=_read_long(buf))
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            return _EPOCH_TS + timedelta(microseconds=_read_long(buf))
+        if lt == "decimal":
+            raw = _read_bytes(buf)
+            return Decimal(int.from_bytes(raw, "big", signed=True)).scaleb(-at["scale"])
+        at = at["type"]
+    if at in ("int", "long"):
+        return _read_long(buf)
+    if at == "boolean":
+        return buf.read(1) == b"\x01"
+    if at == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if at == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if at == "string":
+        return _read_bytes(buf).decode("utf-8")
+    if at == "bytes":
+        return _read_bytes(buf)
+    raise NotImplementedError(f"decode {at}")
+
+
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def _promote(v, writer_prim: str, reader_at):
+    """Avro-spec schema-resolution promotions (the subset Impala's scanner
+    applies — hdfs-avro-scanner.cc VerifyTypesMatch)."""
+    if v is None:
+        return None
+    reader_prim = reader_at["type"] if isinstance(reader_at, dict) else reader_at
+    if writer_prim == reader_prim:
+        return v
+    if reader_prim not in _PROMOTIONS.get(writer_prim, ()):
+        raise TypeError(f"cannot resolve writer {writer_prim} as reader {reader_prim}")
+    if reader_prim in ("float", "double"):
+        return float(v)
+    if writer_prim == "string" and reader_prim == "bytes":
+        return v.encode("utf-8")
+    if writer_prim == "bytes" and reader_prim == "string":
+        return v.decode("utf-8")
+    return v
+
+
+def read_container_header(path: str) -> dict:
+    """Driver-side peek at a file's embedded writer schema."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not an Avro container file")
+        meta = _read_meta_map(f)
+    return json.loads(meta[b"avro.schema"])
+
+
+def _read_meta_map(f) -> dict:
+    meta = {}
+    while True:
+        count = _read_long(f)
+        if count == 0:
+            break
+        if count < 0:  # negative count: block byte-size follows
+            _read_long(f)
+            count = -count
+        for _ in range(count):
+            key = _read_bytes(f)
+            meta[key] = _read_bytes(f)
+    return meta
+
+
+def decode_container(blob: bytes, reader_schema: dict | None = None):
+    """Decode one container file's rows with name-based schema resolution
+    against `reader_schema` (defaults to the writer schema). Yields tuples
+    in reader-field order."""
+    f = io.BytesIO(blob)
+    if f.read(4) != MAGIC:
+        raise ValueError("not an Avro container file")
+    meta = _read_meta_map(f)
+    writer = json.loads(meta[b"avro.schema"])
+    codec = meta.get(b"avro.codec", b"null").decode()
+    sync = f.read(16)
+    reader = reader_schema or writer
+
+    writer_fields = [(wf["name"], wf["type"]) for wf in writer["fields"]]
+    reader_idx = {rf["name"]: i for i, rf in enumerate(reader["fields"])}
+    reader_types = [rf["type"] for rf in reader["fields"]]
+    defaults = [rf.get("default") for rf in reader["fields"]]
+
+    def prim_of(at) -> str:
+        at, _ = _unwrap_union(at)
+        return at["type"] if isinstance(at, dict) else at
+
+    while True:
+        head = f.read(1)
+        if not head:
+            return
+        f.seek(-1, 1)
+        count = _read_long(f)
+        size = _read_long(f)
+        data = f.read(size)
+        if codec == "deflate":
+            data = zlib.decompress(data, wbits=-15)
+        elif codec != "null":
+            raise NotImplementedError(f"codec {codec}")
+        if f.read(16) != sync:
+            raise ValueError("sync marker mismatch — corrupt block")
+        body = io.BytesIO(data)
+        for _ in range(count):
+            row = list(defaults)
+            for name, wt in writer_fields:
+                v = _decode_value(body, wt)  # writer-only fields: decode+skip
+                i = reader_idx.get(name)
+                if i is not None:
+                    rt, _ = _unwrap_union(reader_types[i])
+                    row[i] = _promote(v, prim_of(wt), rt)
+            yield tuple(row)
+
+
+# ------------------------------------------------------------- spark glue
+
+
+def read_avro_native(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Avro scan without the spark-avro jar. `schema` is the reader (table)
+    schema; files whose writer schema differs are resolved by field name
+    with int/long/float/double promotions, exactly like the reference
+    scanner. One Spark task per file (binaryFile source)."""
+    if schema is not None:
+        reader_avro = spark_to_avro_schema(schema)
+        out_schema = schema
+    else:
+        first = sorted(
+            p for p in _list_avro_files(path)
+        )
+        if not first:
+            raise FileNotFoundError(f"no .avro files under {path}")
+        reader_avro = read_container_header(first[0])
+        out_schema = avro_to_spark_schema(reader_avro)
+
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                rows = list(decode_container(bytes(blob), reader_avro))
+                yield pd.DataFrame(rows, columns=names)
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
+    return files.select("content").mapInPandas(decode, schema=out_schema)
+
+
+def _list_avro_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return [
+        os.path.join(path, n) for n in os.listdir(path) if n.endswith(".avro")
+    ]
+
+
+def write_avro_native(df: DataFrame, path: str, codec: str = "deflate") -> int:
+    """Avro sink: one container file per Spark partition (local/shared fs;
+    an HDFS/S3 deployment would swap `open` for the fs client). Returns
+    total rows written."""
+    avro_schema = spark_to_avro_schema(df.schema)
+    os.makedirs(path, exist_ok=True)
+    ncols = len(df.schema.fields)
+
+    def write_part(idx, it):
+        rows = (tuple(r[i] for i in range(ncols)) for r in it)
+        fname = os.path.join(path, f"part-{idx:05d}.avro")
+        n = write_container(fname, avro_schema, rows, codec=codec)
+        if n == 0:
+            os.remove(fname)
+        yield n
+
+    return df.rdd.mapPartitionsWithIndex(write_part).sum()

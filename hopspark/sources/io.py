@@ -15,10 +15,12 @@ Reference parity:
     delimited-text-parser as the plain text scan; we mirror that by sharing
     the escaped-split logic between the text and sequencefile readers.
 
-Avro needs the spark-avro DataSource jar (absent from this image) and
-raises with a clear message; RCFile (hdfs-rcfile-scanner.cc) would need a
-Hive-enabled session to decode BytesRefArrayWritable values and stays a
-documented gap.
+  * Avro scanner — be/src/exec/hdfs-avro-scanner.h:86: spark-avro jar when
+    present, else the pure-Python container codec in avro_codec.py with the
+    reference's name-based schema resolution + numeric promotions.
+
+RCFile (hdfs-rcfile-scanner.cc) would need a Hive-enabled session to decode
+BytesRefArrayWritable values and stays a documented gap.
 """
 
 from __future__ import annotations
@@ -154,14 +156,23 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None)
     return reader.orc(path)
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro needs the spark-avro jar, not present in this image."""
+def read_avro(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Avro scan (be/src/exec/hdfs-avro-scanner.h:86): prefer the spark-avro
+    DataSource when its jar is on the classpath; otherwise fall back to the
+    pure-Python container codec in avro_codec.py (binaryFile + mapInPandas,
+    name-based schema resolution with numeric promotions — the same
+    resolution rules the reference scanner implements)."""
     try:
-        return spark.read.format("avro").load(path)
-    except Exception as exc:  # pragma: no cover - jar-dependent
-        raise NotImplementedError(
-            "avro source requires the spark-avro package on the classpath"
-        ) from exc
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.format("avro").load(path)
+    except Exception:
+        from hopspark.sources.avro_codec import read_avro_native
+
+        return read_avro_native(spark, path, schema)
 
 
 def write_partitioned(
