@@ -19,8 +19,9 @@ Reference parity:
     present, else the pure-Python container codec in avro_codec.py with the
     reference's name-based schema resolution + numeric promotions.
 
-RCFile (hdfs-rcfile-scanner.cc) would need a Hive-enabled session to decode
-BytesRefArrayWritable values and stays a documented gap.
+  * RCFile scanner — be/src/exec/hdfs-rcfile-scanner.cc:1-641: pure-Python
+    container codec in rcfile.py (column-major row groups, vint-RLE key
+    buffers, text-serde cells, lazy column skip on pruned reads).
 """
 
 from __future__ import annotations

@@ -191,6 +191,33 @@ def test_avro_schema_resolution(spark, tmpdir_repo):
     assert full[2].price is None
 
 
+def test_rcfile_roundtrip_and_prune(spark, sf_dir, tmpdir_repo):
+    """RCFile scan/sink (hdfs-rcfile-scanner.cc): column-major row groups
+    with text-serde cells; a pruned read skips unselected columns' bytes."""
+    from hopspark.sources.rcfile import read_rcfile, write_rcfile
+
+    out = os.path.join(tmpdir_repo, "orders_rc")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = read_table(spark, "orders", sf_dir)
+    assert write_rcfile(orders, out) == orders.count()
+    back = read_rcfile(spark, out, orders.schema)
+    assert [f.dataType for f in back.schema.fields] == [
+        f.dataType for f in orders.schema.fields
+    ]
+    a = sorted(map(tuple, back.collect()))
+    b = sorted(map(tuple, orders.collect()))
+    assert a == b
+    # storage-level projection: only 2 of the columns are ever parsed
+    pruned = read_rcfile(
+        spark, out, orders.schema, select=["o_orderkey", "o_totalprice"]
+    )
+    assert pruned.columns == ["o_orderkey", "o_totalprice"]
+    assert (
+        pruned.agg(F.sum("o_totalprice").alias("s")).collect()[0].s
+        == orders.agg(F.sum("o_totalprice").alias("s")).collect()[0].s
+    )
+
+
 def test_ctas_insert_truncate_sql(spark, sf_dir):
     """DML entry-point parity (SURVEY §3 entry point B; grammar
     sql-parser.cup:637-731): CTAS, INSERT INTO ... SELECT, INSERT
