@@ -175,6 +175,22 @@ _FN_APPEND_ARG = {
 # name → (spark_name, args_prepended)
 _FN_SPECIAL: dict[str, tuple[str, str]] = {}
 
+# {unit}_{add,sub} / plain date_add/date_sub → CalendarInterval arithmetic.
+# `x ± make_interval(...)` preserves the argument's type (DATE stays DATE,
+# TIMESTAMP stays TIMESTAMP — unlike Spark's date_add, which truncates a
+# timestamp to DATE), matching the reference's per-type overloads
+# (impala_functions.py years_add/…; timestamp-functions-ir.cc). Value is
+# the make_interval argument position: (years, months, weeks, days, …).
+# Sub-day units are TIMESTAMP-only in Impala and stay SQL-registered
+# functions (hopspark/functions/registry.py).
+_DATE_UNIT_FNS = {
+    "years_add": (0, "+"), "years_sub": (0, "-"),
+    "months_add": (1, "+"), "months_sub": (1, "-"),
+    "weeks_add": (2, "+"), "weeks_sub": (2, "-"),
+    "days_add": (3, "+"), "days_sub": (3, "-"),
+    "date_add": (3, "+"), "date_sub": (3, "-"),
+}
+
 
 def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
     i = 0
@@ -205,6 +221,51 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     toks[comma] = Tok("op", f" {op} ")
                     i += 1
                     continue
+        # type-preserving date arithmetic (see _DATE_UNIT_FNS); the
+        # date_add INTERVAL form above takes precedence when it matches.
+        if name in _DATE_UNIT_FNS:
+            pos, op = _DATE_UNIT_FNS[name]
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                comma = _prev_code(toks, args[1][0] - 1)
+                toks[i] = Tok("op", "")  # drop name, '(' stays
+                toks[comma] = Tok("op", f" {op} make_interval({'0, ' * pos}")
+                toks.insert(close, Tok("op", ", 0" * (6 - pos) + ")"))
+                i += 1
+                continue
+        # extract(ts, 'unit') — Impala's two-arg form takes the SOURCE
+        # first (timestamp-functions-ir.cc; grammar sql-parser.cup also
+        # accepts extract(unit FROM ts), which Spark shares). Spark's
+        # two-arg extract wants the field first; swap, and cast to BIGINT
+        # (Impala extract/date_part return BIGINT, Spark INT). The swapped
+        # form has a string literal first, so it never re-matches.
+        if name in ("extract", "date_part"):
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                first_i = _next_code(toks, args[0][0])
+                a1 = untokenize(toks[args[0][0]:args[0][1]]).strip()
+                a2 = untokenize(toks[args[1][0]:args[1][1]]).strip()
+                if name == "extract" and toks[first_i].kind != "str":
+                    field, src = a2, a1
+                elif name == "date_part" and toks[first_i].kind == "str":
+                    field, src = a1, a2
+                else:
+                    i += 1
+                    continue
+                repl = tokenize(f"CAST(extract({field}, {src}) AS BIGINT)")
+                toks[i:close + 1] = repl
+                i += 1
+                continue
+        # unhex returns STRING in Impala (string-functions-ir.cc), BINARY
+        # in Spark — wrap in a cast.
+        if name == "unhex":
+            close = _matching_paren(toks, j)
+            toks.insert(close + 1, Tok("op", " AS STRING)"))
+            toks[i] = Tok("word", "CAST(unhex")
+            i = j + 1
+            continue
         # aggif(p, x) → max(CASE WHEN p THEN x END) — the reference's
         # conditional aggregate (BuiltinsDb.java:1188), defined for
         # predicates selecting one distinct value per group.

@@ -90,7 +90,11 @@ def parse_test_file(path: str) -> list[GoldenCase]:
                 if line.strip():
                     cur.results.append(line)
             elif section == "TYPES":
-                cur.types.extend(t.strip().upper() for t in line.split(",") if t.strip())
+                # paren-aware split so DECIMAL(6,2) stays one type name
+                cur.types.extend(
+                    t.replace(" ", "").upper()
+                    for t in re.findall(r"[A-Za-z_]+(?:\([^)]*\))?", line)
+                )
             elif section == "CATCH":
                 cur.catch += line
     if cur is not None and cur.query.strip():
