@@ -12,8 +12,10 @@ the same cast-from-string semantics as the delimited-text scanner.
 
 No Hive jars exist in this image, so the container codec (header, sync
 markers, vint RLE key buffers) is implemented here from the public format
-(Apache Hive RCFile / the ICDE'11 RCFile paper); the uncompressed variant
-only. Spark glue mirrors avro_codec.py: `binaryFile` + `mapInPandas` for the
+(Apache Hive RCFile / the ICDE'11 RCFile paper). Compression follows
+Hadoop's DefaultCodec (zlib): the key buffer as a whole and each column's
+value bytes individually, so pruned reads seek past unwanted columns'
+compressed bytes without inflating them. Spark glue mirrors avro_codec.py: `binaryFile` + `mapInPandas` for the
 scan (one task per file), `mapPartitionsWithIndex` for the sink (one file per
 partition), so write-side partitioning carries over to read-side parallelism.
 """
@@ -24,6 +26,7 @@ import hashlib
 import io
 import os
 import struct
+import zlib
 from datetime import date, datetime
 from decimal import Decimal
 
@@ -82,6 +85,12 @@ def _rle_lengths(lengths: list[int]) -> bytes:
     return buf.getvalue()
 
 
+def _write_vlong_to(out, n: int) -> None:
+    b = io.BytesIO()
+    _write_vlong(b, n)
+    out.write(b.getvalue())
+
+
 def _decode_rle_lengths(raw: bytes, nrows: int) -> list[int]:
     buf = io.BytesIO(raw)
     out: list[int] = []
@@ -97,14 +106,25 @@ def _decode_rle_lengths(raw: bytes, nrows: int) -> list[int]:
 # ------------------------------------------------------------------ write
 
 
-def write_container(path: str, columns_of_rows, ncols: int) -> int:
+_ZLIB_CODEC = b"org.apache.hadoop.io.compress.DefaultCodec"  # zlib
+
+
+def write_container(path: str, columns_of_rows, ncols: int,
+                    codec: str = "deflate") -> int:
     """Write one RCFile from an iterable of rows of text-serialized cells
-    (each row a list of `bytes`, b"\\N" for NULL). Returns row count."""
+    (each row a list of `bytes`, b"\\N" for NULL). Returns row count.
+    `codec="deflate"` compresses with zlib (Hadoop's DefaultCodec): the key
+    buffer as a whole, each column's value bytes individually — so a pruned
+    read still skips unwanted columns without inflating them."""
+    compressed = codec == "deflate"
     sync = hashlib.md5(path.encode()).digest()
     total = 0
     with open(path, "wb") as out:
         out.write(MAGIC)
-        out.write(b"\x00")  # not compressed
+        out.write(b"\x01" if compressed else b"\x00")
+        if compressed:
+            _write_vlong_to(out, len(_ZLIB_CODEC))
+            out.write(_ZLIB_CODEC)
         meta = io.BytesIO()
         meta.write(struct.pack(">i", 1))
         for txt in (_COLUMN_COUNT_KEY, str(ncols).encode()):
@@ -123,18 +143,20 @@ def write_container(path: str, columns_of_rows, ncols: int) -> int:
             _write_vlong(key, len(group))
             value = io.BytesIO()
             for col in cols:
-                col_bytes = b"".join(col)
+                raw = b"".join(col)
+                stored = zlib.compress(raw) if compressed else raw
                 len_buf = _rle_lengths([len(c) for c in col])
-                _write_vlong(key, len(col_bytes))
-                _write_vlong(key, len(col_bytes))  # uncompressed == stored
+                _write_vlong(key, len(stored))
+                _write_vlong(key, len(raw))
                 _write_vlong(key, len(len_buf))
                 key.write(len_buf)
-                value.write(col_bytes)
+                value.write(stored)
             kb, vb = key.getvalue(), value.getvalue()
+            ckb = zlib.compress(kb) if compressed else kb
             out.write(struct.pack(">i", -1))
             out.write(sync)
-            out.write(struct.pack(">iii", len(kb) + len(vb), len(kb), len(kb)))
-            out.write(kb)
+            out.write(struct.pack(">iii", len(ckb) + len(vb), len(kb), len(ckb)))
+            out.write(ckb)
             out.write(vb)
             group.clear()
 
@@ -157,8 +179,11 @@ def decode_container(blob: bytes, select: list[int] | None = None):
     f = io.BytesIO(blob)
     if f.read(4) != MAGIC:
         raise ValueError("not an RCFile (RCF\\x01 magic missing)")
-    if f.read(1) != b"\x00":
-        raise NotImplementedError("compressed RCFile unsupported")
+    compressed = f.read(1) == b"\x01"
+    if compressed:
+        codec_name = f.read(_read_vlong(f))
+        if not codec_name.endswith(b"DefaultCodec"):
+            raise NotImplementedError(f"RCFile codec {codec_name!r} unsupported")
     (nmeta,) = struct.unpack(">i", f.read(4))
     meta = {}
     for _ in range(nmeta):
@@ -180,14 +205,15 @@ def decode_container(blob: bytes, select: list[int] | None = None):
             if len(head) < 4:
                 return
             (rec_len,) = struct.unpack(">i", head)
-        key_len, _ckey_len = struct.unpack(">ii", f.read(8))
-        key = io.BytesIO(f.read(key_len))
+        key_len, ckey_len = struct.unpack(">ii", f.read(8))
+        kb = f.read(ckey_len if compressed else key_len)
+        key = io.BytesIO(zlib.decompress(kb) if compressed else kb)
         nrows = _read_vlong(key)
-        col_lens: list[int] = []
+        col_lens: list[int] = []  # stored (possibly compressed) byte counts
         row_lens: list[list[int] | None] = []
         for c in range(ncols):
             col_bytes_len = _read_vlong(key)
-            _read_vlong(key)  # uncompressed length (== stored, no codec)
+            _read_vlong(key)  # uncompressed length
             len_buf = key.read(_read_vlong(key))
             col_lens.append(col_bytes_len)
             row_lens.append(
@@ -197,6 +223,8 @@ def decode_container(blob: bytes, select: list[int] | None = None):
         for c in range(ncols):
             if c in wanted:
                 data = f.read(col_lens[c])
+                if compressed:
+                    data = zlib.decompress(data)
                 cells, off = [], 0
                 for ln in row_lens[c]:  # type: ignore[union-attr]
                     cell = data[off:off + ln]
@@ -228,15 +256,16 @@ def _serialize_cell(v) -> bytes:
     return str(v).encode()
 
 
-def write_rcfile(df: DataFrame, path: str) -> int:
-    """RCFile sink: one container per Spark partition, text-serde cells."""
+def write_rcfile(df: DataFrame, path: str, codec: str = "deflate") -> int:
+    """RCFile sink: one container per Spark partition, text-serde cells,
+    zlib-compressed by default (pass codec="none" for plain)."""
     os.makedirs(path, exist_ok=True)
     ncols = len(df.schema.fields)
 
     def write_part(idx, it):
         rows = ([_serialize_cell(r[i]) for i in range(ncols)] for r in it)
         fname = os.path.join(path, f"part-{idx:05d}.rc")
-        n = write_container(fname, rows, ncols)
+        n = write_container(fname, rows, ncols, codec=codec)
         if n == 0:
             os.remove(fname)
         yield n

@@ -191,15 +191,17 @@ def test_avro_schema_resolution(spark, tmpdir_repo):
     assert full[2].price is None
 
 
-def test_rcfile_roundtrip_and_prune(spark, sf_dir, tmpdir_repo):
+@pytest.mark.parametrize("codec", ["deflate", "none"])
+def test_rcfile_roundtrip_and_prune(spark, sf_dir, tmpdir_repo, codec):
     """RCFile scan/sink (hdfs-rcfile-scanner.cc): column-major row groups
-    with text-serde cells; a pruned read skips unselected columns' bytes."""
+    with text-serde cells; a pruned read skips unselected columns' bytes
+    (compressed ones without inflating them — per-column zlib)."""
     from hopspark.sources.rcfile import read_rcfile, write_rcfile
 
-    out = os.path.join(tmpdir_repo, "orders_rc")
+    out = os.path.join(tmpdir_repo, f"orders_rc_{codec}")
     shutil.rmtree(out, ignore_errors=True)
     orders = read_table(spark, "orders", sf_dir)
-    assert write_rcfile(orders, out) == orders.count()
+    assert write_rcfile(orders, out, codec=codec) == orders.count()
     back = read_rcfile(spark, out, orders.schema)
     assert [f.dataType for f in back.schema.fields] == [
         f.dataType for f in orders.schema.fields
