@@ -136,7 +136,6 @@ _FN_RENAME = {
     "is_nan": "isnan",
     "week": "weekofyear",
     "fmod": "mod",
-    "group_concat": "string_agg",
     "user": "current_user",
     "effective_user": "current_user",
     "regexp": "rlike",
@@ -170,6 +169,13 @@ _FN_RENAME = {
 _FN_APPEND_ARG = {
     "appx_median": ("percentile_approx", "0.5"),
     "nullifzero": ("nullif", "0"),
+}
+
+# name → (spark_name, default_appended_only_when_one_arg): Impala
+# group_concat(x) joins with ', ' (aggregate-functions-ir.cc StringConcat
+# default separator); Spark string_agg defaults to ''.
+_FN_DEFAULT_ARG = {
+    "group_concat": ("string_agg", "', '"),
 }
 
 # name → (spark_name, args_prepended)
@@ -341,6 +347,12 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
             close = _matching_paren(toks, j)
             toks[i] = Tok("word", new)
             toks.insert(close, Tok("op", f", {extra}"))
+        elif name in _FN_DEFAULT_ARG:
+            new, default = _FN_DEFAULT_ARG[name]
+            close = _matching_paren(toks, j)
+            toks[i] = Tok("word", new)
+            if len(_split_args(toks, j, close)) == 1:
+                toks.insert(close, Tok("op", f", {default}"))
         elif name == "dayname":
             close = _matching_paren(toks, j)
             toks[i] = Tok("word", "date_format")
@@ -395,9 +407,13 @@ _ISO_TO_JAVA = [
     ("FF3", "SSS"),
     ("FF", "SSSSSS"),
     ("TZH", "XXX"),
-    # MM and MONTH/MON left: MM is already Java month; MONTH→MMMM, MON→MMM
+    # MONTH→MMMM, MON→MMM; MM maps to itself so a lowercase 'mm' (FORMAT
+    # patterns are case-insensitive in the reference, cast-format-expr.cc)
+    # normalizes to the Java month token instead of leaking through as
+    # Java minutes.
     ("MONTH", "MMMM"),
     ("MON", "MMM"),
+    ("MM", "MM"),
 ]
 
 
@@ -588,22 +604,32 @@ def _rewrite_null_ordering(toks: list[Tok]) -> list[Tok]:
 # Rewrite 4: Impala plan hints → Spark hints
 # ---------------------------------------------------------------------------
 
-_HINT_RE = re.compile(r"\[\s*(broadcast|shuffle|noshuffle|straight_join)\s*\]", re.I)
+_HINT_WORDS = {"broadcast", "shuffle", "noshuffle", "straight_join"}
 
 
-def _rewrite_hints(sql: str) -> str:
+def _rewrite_hints(toks: list[Tok]) -> list[Tok]:
     # Impala's bracket hints attach to the join/insert site; Spark expresses
     # the same intent with /*+ ... */ after SELECT. We translate the common
-    # `JOIN [broadcast] t` form into `JOIN /*+ BROADCAST(t) */ t`-less
-    # comment form: simplest faithful mapping is stripping the bracket hint
-    # and relying on AQE, except BROADCAST which we keep as a hint comment.
-    def repl(m: re.Match[str]) -> str:
-        h = m.group(1).lower()
-        if h == "broadcast":
-            return "/*+ BROADCAST */"
-        return ""  # shuffle/noshuffle/straight_join: AQE + CBO decide
-
-    return _HINT_RE.sub(repl, sql)
+    # `JOIN [broadcast] t` form into a comment hint; shuffle/noshuffle/
+    # straight_join are dropped (AQE + CBO decide). Token-level so bracket-
+    # hint-looking text inside string literals or comments stays verbatim.
+    i = 0
+    while i < len(toks):
+        if toks[i].text != "[" or toks[i].kind != "op":
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].kind != "word" or toks[j].text.lower() not in _HINT_WORDS:
+            i += 1
+            continue
+        k = _next_code(toks, j + 1)
+        if k >= len(toks) or toks[k].text != "]":
+            i += 1
+            continue
+        repl = [Tok("comment", "/*+ BROADCAST */")] if toks[j].text.lower() == "broadcast" else []
+        toks[i : k + 1] = repl
+        i += 1
+    return toks
 
 
 # ---------------------------------------------------------------------------
@@ -694,8 +720,8 @@ def translate(sql: str, options: dict[str, bool] | None = None) -> str:
 
     `options` mirrors the reference's query options (query-options.h);
     supported: appx_count_distinct (CountDistinctToNdvRule)."""
-    sql = _rewrite_hints(sql)
     toks = tokenize(sql)
+    toks = _rewrite_hints(toks)
     toks = _rewrite_cast_format(toks)
     toks = _rewrite_unnest(toks)
     toks = _rewrite_functions(toks)

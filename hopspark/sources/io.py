@@ -63,32 +63,36 @@ def _parse_delimited_lines(
 ) -> DataFrame:
     """Impala delimited-text semantics over a `value: string` column: the
     escape char protects a *bare* delimiter (no quoting) —
-    be/src/exec/delimited-text-parser.cc. Spark's CSV reader only honors
-    escapes inside quoted fields, so this splits on un-escaped separators
-    with a JVM regex (whole-stage codegen, no Python): split on
-    `(?<!\\e)\\sep`, then unescape `\\e sep → sep`, `\\e\\e → \\e`, and map
-    the null marker."""
+    be/src/exec/delimited-text-parser.cc, which tracks escape *state* while
+    scanning. A lookbehind split can't express that state (a field ending in
+    an escaped escape, 'end\\\\' → 'end\\\\\\\\|', would glue two fields), so we
+    reproduce it with left-to-right literal replaces (JVM, codegen'd, no
+    Python): rewrite 'ee'→SENT_ESC and 'e sep'→SENT_SEP (sequential scan =
+    exact escape-state tracking), split on now-bare separators, compare the
+    RAW token against the null marker (a literal '\\N' string arrives as
+    SENT_ESC+'N' and so survives), then restore sentinels."""
     import re as _re
 
     from pyspark.sql import functions as F
 
-    def _repl(lit: str) -> str:
-        # Java Matcher replacement strings treat \ and $ specially
-        return lit.replace("\\", "\\\\").replace("$", "\\$")
-
-    e, s = _re.escape(escape), _re.escape(sep)
-    split_pat = f"(?<!{e}){s}"
+    # In-band sentinels: unlikely in text data; collision would require raw
+    # \x00/\x01 bytes in a delimited-text field.
+    s_esc, s_sep = "\x00", "\x01"
+    protected = F.replace(
+        F.replace(F.col("value"), F.lit(escape + escape), F.lit(s_esc)),
+        F.lit(escape + sep), F.lit(s_sep),
+    )
+    split = lines.select(F.split(protected, _re.escape(sep)).alias("_fields"))
+    marker = null_value.replace("\\\\", "\\")
     cols = []
     for i, field in enumerate(schema.fields):
-        raw = F.get(F.split(F.col("value"), split_pat), i)
-        unescaped = F.regexp_replace(
-            F.regexp_replace(raw, e + s, _repl(sep)), e + e, _repl(escape)
+        raw = F.get(F.col("_fields"), i)
+        unescaped = F.replace(
+            F.replace(raw, F.lit(s_sep), F.lit(sep)), F.lit(s_esc), F.lit(escape)
         )
-        val = F.when(unescaped == null_value.replace("\\\\", "\\"), None).otherwise(
-            unescaped
-        )
+        val = F.when(raw == marker, None).otherwise(unescaped)
         cols.append(val.cast(field.dataType).alias(field.name))
-    return lines.select(*cols)
+    return split.select(*cols)
 
 
 def read_text_escaped(

@@ -36,6 +36,11 @@ from pyspark.sql import types as T
 
 MAGIC = b"RCF\x01"
 _NULL = b"\\N"
+# Cells whose literal content could be mistaken for the NULL marker
+# (backslashes + 'N', whole cell) gain one extra leading backslash on write
+# and lose it after the null check on read — only marker-shaped cells are
+# touched, everything else round-trips byte-identical.
+_MARKERISH = b"N"
 _GROUP_ROWS = 1000
 _COLUMN_COUNT_KEY = b"hive.io.rcfile.column.number"
 
@@ -229,7 +234,13 @@ def decode_container(blob: bytes, select: list[int] | None = None):
                 for ln in row_lens[c]:  # type: ignore[union-attr]
                     cell = data[off:off + ln]
                     off += ln
-                    cells.append(None if cell == _NULL else cell)
+                    if cell == _NULL:
+                        cells.append(None)
+                    else:
+                        # unescape marker-shaped literals (see _MARKERISH)
+                        if _is_markerish(cell):
+                            cell = cell[1:]
+                        cells.append(cell)
                 cols[c] = cells
             else:
                 f.seek(col_lens[c], 1)  # lazy skip: never parsed
@@ -240,20 +251,32 @@ def decode_container(blob: bytes, select: list[int] | None = None):
 # ------------------------------------------------------------- spark glue
 
 
+def _is_markerish(cell: bytes) -> bool:
+    """True for cells of one-or-more backslashes followed by 'N' (the shape
+    that collides with, or escapes, the in-band NULL marker)."""
+    if len(cell) < 2 or cell[-1:] != _MARKERISH:
+        return False
+    body = cell[:-1]
+    return body == b"\\" * len(body)
+
+
 def _serialize_cell(v) -> bytes:
     if v is None:
         return _NULL
     if isinstance(v, bool):
-        return b"true" if v else b"false"
-    if isinstance(v, bytes):
-        return v
-    if isinstance(v, datetime):
-        return v.isoformat(sep=" ").encode()
-    if isinstance(v, (date, Decimal)):
-        return str(v).encode()
-    if isinstance(v, float):
-        return repr(v).encode()
-    return str(v).encode()
+        b = b"true" if v else b"false"
+    elif isinstance(v, bytes):
+        b = v
+    elif isinstance(v, datetime):
+        b = v.isoformat(sep=" ").encode()
+    elif isinstance(v, (date, Decimal)):
+        b = str(v).encode()
+    elif isinstance(v, float):
+        b = repr(v).encode()
+    else:
+        b = str(v).encode()
+    # a literal '\N' (or '\\N', ...) cell must not read back as NULL
+    return b"\\" + b if _is_markerish(b) else b
 
 
 def write_rcfile(df: DataFrame, path: str, codec: str = "deflate") -> int:

@@ -78,6 +78,42 @@ def test_broadcast_hint():
     assert "/*+ BROADCAST */" in out
 
 
+def test_hint_in_string_literal_untouched():
+    """Bracket-hint-looking text inside literals/comments must survive: the
+    hint rewrite runs token-level, not on the raw SQL."""
+    sql = "SELECT * FROM t WHERE tag = '[broadcast]'"
+    assert translate(sql) == sql
+    sql2 = "SELECT /* [shuffle] note */ a FROM t"
+    assert translate(sql2) == sql2
+
+
+def test_shuffle_hint_dropped():
+    out = translate("SELECT * FROM a JOIN [shuffle] b ON a.k = b.k")
+    assert "[shuffle]" not in out and "SHUFFLE" not in out
+
+
+def test_group_concat_default_separator():
+    """Impala group_concat(x) joins with ', ' (StringConcat default);
+    2-arg form keeps the explicit separator."""
+    assert (
+        translate("SELECT group_concat(s) FROM t")
+        == "SELECT string_agg(s, ', ') FROM t"
+    )
+    assert (
+        translate("SELECT group_concat(s, '|') FROM t")
+        == "SELECT string_agg(s, '|') FROM t"
+    )
+
+
+def test_cast_format_case_insensitive():
+    """FORMAT patterns are case-insensitive in the reference
+    (cast-format-expr.cc); lowercase 'mm' is the month, not minutes."""
+    assert (
+        translate("SELECT CAST('2020-01-02' AS DATE FORMAT 'yyyy-mm-dd')")
+        == "SELECT to_date('2020-01-02' , 'yyyy-MM-dd')"
+    )
+
+
 def test_function_rename_inside_expression():
     out = translate("SELECT 1 + ndv(x) * 2 FROM t GROUP BY g ORDER BY g DESC")
     assert "approx_count_distinct(x)" in out

@@ -95,6 +95,52 @@ def test_escaped_text_scan(spark, tmpdir_repo):
     assert [r.t for r in rows] == ["x", "y", "z"]
 
 
+def test_escaped_text_escape_state(spark, tmpdir_repo):
+    """Escape-STATE cases a lookbehind split gets wrong: a field whose value
+    ends in the escape char ('end\\' stored as 'end\\\\|'), and a literal
+    '\\N' string (stored escaped as '\\\\N') that must NOT read as NULL —
+    the raw token is compared to the marker before unescaping, mirroring
+    be/src/exec/delimited-text-parser.cc."""
+    from hopspark.sources.io import read_text_escaped
+
+    path = os.path.join(tmpdir_repo, "esc.txt")
+    with open(path, "w") as f:
+        f.write("1|end\\\\|x\n")       # field value 'end\' then next field x
+        f.write("2|\\\\N|y\n")          # literal string '\N', not NULL
+        f.write("3|a\\\\\\|b|z\n")      # 'a\' + escaped '|' + 'b' → 'a\|b'
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("t", T.StringType()),
+        ]
+    )
+    rows = read_text_escaped(spark, path, schema, sep="|").orderBy("id").collect()
+    assert rows[0].s == "end\\" and rows[0].t == "x"
+    assert rows[1].s == "\\N" and rows[1].t == "y"
+    assert rows[2].s == "a\\|b" and rows[2].t == "z"
+
+
+def test_sequencefile_escape_roundtrip(spark, tmpdir_repo):
+    """Writer+reader agree on escape state: trailing-backslash and literal
+    '\\N' values survive a sequencefile round trip."""
+    from hopspark.sources.io import read_sequencefile, write_sequencefile
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "end\\"), (2, "\\N"), (3, None), (4, "a|b"), (5, "\\")], schema
+    )
+    path = os.path.join(tmpdir_repo, "esc_seq")
+    write_sequencefile(df, path)
+    got = {r.id: r.s for r in read_sequencefile(spark, path, schema).collect()}
+    assert got == {1: "end\\", 2: "\\N", 3: None, 4: "a|b", 5: "\\"}
+
+
 def test_csv_quoted_roundtrip(spark, tmpdir_repo):
     """Standard quoted-CSV path (Spark-native escaping inside quotes)."""
     path = os.path.join(tmpdir_repo, "t.csv")
@@ -218,6 +264,28 @@ def test_rcfile_roundtrip_and_prune(spark, sf_dir, tmpdir_repo, codec):
         pruned.agg(F.sum("o_totalprice").alias("s")).collect()[0].s
         == orders.agg(F.sum("o_totalprice").alias("s")).collect()[0].s
     )
+
+
+def test_rcfile_null_marker_literal(spark, tmpdir_repo):
+    """A string cell that is literally '\\N' (or '\\\\N') must not collapse
+    to NULL: the writer escapes marker-shaped cells, the reader unescapes
+    after the null check (Hive text-serde escapes the sequence)."""
+    from hopspark.sources.rcfile import read_rcfile, write_rcfile
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "\\N"), (2, None), (3, "\\\\N"), (4, "plain"), (5, "N")], schema
+    )
+    out = os.path.join(tmpdir_repo, "rc_nullmark")
+    shutil.rmtree(out, ignore_errors=True)
+    write_rcfile(df, out)
+    got = {r.id: r.s for r in read_rcfile(spark, out, schema).collect()}
+    assert got == {1: "\\N", 2: None, 3: "\\\\N", 4: "plain", 5: "N"}
 
 
 def test_ctas_insert_truncate_sql(spark, sf_dir):
