@@ -142,68 +142,205 @@ def minhash_bands(sig: Column, band_size: int = BAND_SIZE) -> Column:
     )
 
 
-def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hashed_shingles_of(docs: DataFrame) -> DataFrame:
     """(doc_id, sh: array<long>) — tokens hashed once, then k-gram hashes.
     The token-hash array is materialized in its own projection; passing the
     expression straight into the shingle builder would inline (and so
     recompute) it for every element access."""
-    docs = read_table(spark, "documents", sf_dir)
     base = docs.select(
         "doc_id", F.transform(_tokens(), lambda t: F.xxhash64(t)).alias("th")
     )
     return base.select("doc_id", hashed_shingle_set(F.col("th")).alias("sh"))
 
 
-def dedup_minhash_candidates(
-    spark: SparkSession, sf_dir: str, jaccard_threshold: float = 0.5
-) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding, verified with exact
-    shingle Jaccard ≥ threshold.
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hashed_shingles_of(read_table(spark, "documents", sf_dir))
 
-    Scale shape: only compact (band_idx, band_hash, doc_id) rows shuffle;
-    pairs are generated inside each bucket with array combinatorics
-    (no self-join, so the scan+shingle stage runs once, not twice), and the
-    tiny candidate set is broadcast back against the shingle table for the
-    exact-Jaccard verify — the document payload is never shuffled."""
-    sh = _hashed_shingles(spark, sf_dir)
-    sig = sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(minhash_bands(F.col("sig"))).alias("band_idx", "band_hash"),
+
+# Max representatives kept per LSH band bucket. After exact-duplicate
+# collapse a bucket this hot means >cap genuinely-distinct docs collide on a
+# whole band (templated boilerplate); the cap bounds both the aggregation
+# state and the local pair quadratic. Survivors usually still pair through
+# their other bands; use minhash_bucket_stats() to audit what a corpus drops.
+LSH_BUCKET_CAP = 256
+
+
+def _exact_groups(keyed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(reps, members) for exact-duplicate collapse. `keyed` = (doc_id, fp).
+    reps = one representative (min doc_id) per fingerprint; members maps
+    every doc to its representative. Compact columns only — two narrow
+    shuffles at 100 TB, payload untouched."""
+    reps = keyed.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    members = keyed.join(reps, "fp").select("doc_id", "rep")
+    return reps, members
+
+
+def _capped_buckets(banded: DataFrame, member_col: str, cap: int) -> DataFrame:
+    """Group banded rows into per-(band_idx, band_hash) member arrays with
+    bounded state: a row_number window caps membership BEFORE collect_list,
+    so a degenerate bucket never materializes more than `cap` members in any
+    aggregation buffer. The groupBy reuses the window's hash partitioning
+    (same keys), so the cap costs a sort, not an extra exchange."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("band_idx", "band_hash").orderBy(member_col)
+    return (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(member_col)).alias("members"))
+        .filter(F.size("members") > 1)
     )
-    buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    # all i<j pairs within a bucket; bucket sizes are bounded by band
-    # selectivity (16-hash/4-band signatures), so the quadratic stays local
-    pairs = buckets.select(
+
+
+def _bucket_pairs(buckets: DataFrame, pair_struct) -> DataFrame:
+    """All i<j pairs inside each (capped) bucket via array combinatorics —
+    the quadratic stays bucket-local and ≤ cap²/2."""
+    return buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
-                    "ids",
+                    "members",
                     lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda y: pair_struct(x, y),
                     ),
                 )
             )
         ).alias("p")
-    ).select("p.doc_a", "p.doc_b").distinct()
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    )
+
+
+def _expand_exact_dups(
+    rep_pairs: DataFrame, members: DataFrame, value_col: str, within_value
+) -> DataFrame:
+    """Expand representative-level verified pairs to all document pairs.
+    Exact duplicates share signatures with their representative, so
+    (x, y) is a candidate iff (rep(x), rep(y)) is, with the same score;
+    within-group pairs score `within_value` (jaccard 1.0 / hamming 0).
+    Joins are plain shuffles on compact ids — the quadratic of a huge
+    duplicate group lands distributed across tasks, never in one array."""
+    ma = members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("m_a"))
+    mb = members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            F.col(value_col),
+        )
+    )
+    g1 = members.select("rep", F.col("doc_id").alias("doc_a"))
+    g2 = members.select("rep", F.col("doc_id").alias("doc_b"))
+    within = (
+        g1.join(g2, "rep")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", within_value.alias(value_col))
+    )
+    return cross.unionByName(within)
+
+
+def _minhash_rep_pairs(
+    rep_sh: DataFrame, jaccard_threshold: float, bucket_cap: int
+) -> DataFrame:
+    """Banding + exact-Jaccard verify over exact-dup representatives."""
+    sig = rep_sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(minhash_bands(F.col("sig"))).alias("band_idx", "band_hash"),
+    )
+    buckets = _capped_buckets(banded, "doc_id", bucket_cap)
+    pairs = (
+        _bucket_pairs(
+            buckets, lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sh_a = rep_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = rep_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    # both joins broadcast the (small) pair side: zero shuffle of shingles
-    enriched = sh_a.join(F.broadcast(pairs), "doc_a")
+    # plain equi-joins on compact doc ids: the candidate set is NOT force-
+    # broadcast (its size is data-dependent — a duplicate-heavy corpus can
+    # make it huge); AQE may still broadcast a side it measures as small.
     return (
-        sh_b.join(F.broadcast(enriched), "doc_b")
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_pipeline(
+    sh: DataFrame, jaccard_threshold: float, bucket_cap: int
+) -> DataFrame:
+    """Full near-dup pipeline over a (doc_id, sh: array<long>) frame:
+    exact-dup collapse → banding over representatives → shuffle-join verify
+    → expansion back to all doc pairs (output identical to banding the full
+    corpus, minus >cap bucket tails)."""
+    fp = sh.select("doc_id", F.xxhash64("sh").alias("fp"))
+    reps, members = _exact_groups(fp)
+    rep_sh = sh.join(reps.select(F.col("rep").alias("doc_id")), "doc_id")
+    rep_pairs = _minhash_rep_pairs(rep_sh, jaccard_threshold, bucket_cap)
+    return _expand_exact_dups(rep_pairs, members, "jaccard", F.lit(1.0))
+
+
+def dedup_minhash_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    jaccard_threshold: float = 0.5,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    shingle Jaccard ≥ threshold.
+
+    Scale shape (100 TB): exact duplicates collapse to one representative
+    BEFORE banding (identical shingle sets ⇒ identical signatures), so a
+    million-copy boilerplate group costs one signature, not 5·10¹¹ bucket
+    pairs; representative band buckets are capped at `bucket_cap` with
+    bounded aggregation state; the exact-Jaccard verify is a shuffle
+    equi-join on compact doc ids (no data-dependent broadcast); verified
+    representative pairs expand back through the duplicate groups with
+    distributed joins. Only (band_idx, band_hash, doc_id) rows and
+    candidate shingle rows shuffle — the text payload never moves."""
+    sh = _hashed_shingles(spark, sf_dir)
+    return _minhash_pipeline(sh, jaccard_threshold, bucket_cap).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def minhash_bucket_stats(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Audit helper: per-band bucket-size histogram plus how many buckets
+    exceed `bucket_cap` (their tails are dropped by the capped pipeline) —
+    the monitoring hook for the documented recall trade-off."""
+    sh = _hashed_shingles(spark, sf_dir)
+    fp = sh.select("doc_id", F.xxhash64("sh").alias("fp"))
+    reps, _ = _exact_groups(fp)
+    rep_sh = sh.join(reps.select(F.col("rep").alias("doc_id")), "doc_id")
+    sig = rep_sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(minhash_bands(F.col("sig"))).alias("band_idx", "band_hash"),
+    )
+    sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.sum((F.col("bucket_size") > bucket_cap).cast("long")).alias(
+            "n_capped_buckets"
+        ),
+        F.sum(
+            F.when(
+                F.col("bucket_size") > bucket_cap,
+                F.col("bucket_size") - bucket_cap,
+            ).otherwise(0)
+        ).alias("members_dropped"),
     )
 
 
@@ -256,15 +393,21 @@ SIMHASH_BANDS = 4  # 4 × 16-bit bands; pair candidates share ≥1 band
 MAX_HAMMING = 4
 
 
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 64-bit SimHash over token hashes. Explode+groupBy
-    keeps the bit-vote sums as flat codegen-friendly aggregates; partial
-    (map-side) aggregation collapses each doc before the shuffle, so the
-    exchange carries ~one row per document."""
+def _token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, th: array<long>) — per-doc token-hash array (shared by the
+    simhash fingerprint and signature stages)."""
     docs = read_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id", F.explode(F.transform(_tokens(), lambda t: F.xxhash64(t))).alias("h")
+    return docs.select(
+        "doc_id", F.transform(_tokens(), lambda t: F.xxhash64(t)).alias("th")
     )
+
+
+def _simhash_from_tokens(th: DataFrame) -> DataFrame:
+    """(doc_id, simhash) over a (doc_id, th: array<long>) frame: 64-bit
+    SimHash. Explode+groupBy keeps the bit-vote sums as flat codegen-
+    friendly aggregates; partial (map-side) aggregation collapses each doc
+    before the shuffle, so the exchange carries ~one row per document."""
+    toks = th.select("doc_id", F.explode("th").alias("h"))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -282,18 +425,24 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", sim.alias("simhash"))
 
 
-def dedup_simhash(
-    spark: SparkSession, sf_dir: str, max_hamming: int = MAX_HAMMING
-) -> DataFrame:
-    """Near-duplicate pairs by SimHash: band-bucket candidates (any equal
-    16-bit quarter), verified by Hamming distance ≤ max_hamming.
-    Same scale shape as MinHash: compact band keys shuffle, bucket-local
-    pair generation, no payload movement."""
-    sigs = simhash_signatures(spark, sf_dir)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) for every document (see _simhash_from_tokens)."""
+    return _simhash_from_tokens(_token_hashes(spark, sf_dir))
+
+
+def _simhash_pipeline(th: DataFrame, max_hamming: int, bucket_cap: int) -> DataFrame:
+    """Near-dup pipeline over (doc_id, th): exact-dup collapse (identical
+    token sequences ⇒ identical simhash) → band buckets over
+    representatives, capped like the MinHash path → Hamming verify inside
+    the bucket combinatorics → expansion back to all doc pairs (within an
+    exact-dup group, hamming = 0)."""
+    fp = th.select("doc_id", F.xxhash64("th").alias("fp"))
+    reps, members = _exact_groups(fp)
+    rep_th = th.join(reps.select(F.col("rep").alias("doc_id")), "doc_id")
+    sigs = _simhash_from_tokens(rep_th)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     banded = sigs.select(
-        "doc_id",
-        "simhash",
+        F.struct("doc_id", "simhash").alias("m"),
         F.posexplode(
             F.array(
                 *[
@@ -303,41 +452,38 @@ def dedup_simhash(
                     for b in range(SIMHASH_BANDS)
                 ]
             )
-        ).alias("band_idx", "band_key"),
+        ).alias("band_idx", "band_hash"),
     )
-    buckets = (
-        banded.groupBy("band_idx", "band_key")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "simhash"))
-            ).alias("members")
-        )
-        .filter(F.size("members") > 1)
-    )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "members",
-                        lambda x, i: F.transform(
-                            F.slice(F.col("members"), i + 2, F.size("members")),
-                            lambda y: F.struct(
-                                x.doc_id.alias("doc_a"),
-                                y.doc_id.alias("doc_b"),
-                                F.bit_count(
-                                    x.simhash.bitwiseXOR(y.simhash)
-                                ).alias("hamming"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
+    buckets = _capped_buckets(banded, "m", bucket_cap)
+    rep_pairs = (
+        _bucket_pairs(
+            buckets,
+            lambda x, y: F.struct(
+                x.doc_id.alias("doc_a"),
+                y.doc_id.alias("doc_b"),
+                F.bit_count(x.simhash.bitwiseXOR(y.simhash)).alias("hamming"),
+            ),
         )
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs.filter(F.col("hamming") <= max_hamming).orderBy("doc_a", "doc_b")
+    return _expand_exact_dups(rep_pairs, members, "hamming", F.lit(0))
+
+
+def dedup_simhash(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = MAX_HAMMING,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: band-bucket candidates (any equal
+    16-bit quarter), verified by Hamming distance ≤ max_hamming.
+    Same scale shape as MinHash: exact-dup collapse before banding, capped
+    buckets with bounded aggregation state, compact keys shuffle, no
+    payload movement, distributed expansion of duplicate groups."""
+    th = _token_hashes(spark, sf_dir)
+    return _simhash_pipeline(th, max_hamming, bucket_cap).orderBy("doc_a", "doc_b")
 
 
 # --- embedding-cosine near-dup ---------------------------------------------
