@@ -23,15 +23,18 @@ Estimators (standard KMV):
   intersect/A\\B      = restrict both to h < min(thetaA, thetaB), then exact
                        set algebra on the samples, scaled by 1/theta.
 
-Scale notes (100 TB): the grouped aggregation path uses `collect_set` —
-partial (map-side) aggregation is automatic, but the set is only truncated
-to k at the end, so per-group state is O(distinct) until final merge.  For
-global (ungrouped) sketches use `theta_sketch_global`, which compiles to
-distinct → TakeOrderedAndProject: each partition retains only its k smallest
-hashes and the driver merges ≤ k·partitions values — bounded memory at any
-input size.  Grouped sketches over ultra-high-cardinality groups should
-pre-aggregate per (group, partition) first; at the driver's test scales the
-direct path is exact and oracle-checkable (k=16384 > 15k max distinct keys).
+Scale notes (100 TB): the expression form `theta_sketch_agg` holds
+O(distinct) state per group until the final truncate — fine for single-group
+or low-cardinality aggregations, wrong for hot groups.  The scale paths:
+  * global (ungrouped): `theta_sketch_global` — distinct →
+    TakeOrderedAndProject: each partition retains only its k smallest hashes
+    and the driver merges ≤ k·partitions values.
+  * grouped: `theta_sketch_grouped_agg` — two-phase KMV merge. Stage 1
+    sketches per (group, input-partition), so no aggregation buffer ever
+    holds more than one partition's distinct values, and only ≤k-element
+    partial sketches cross the wire; stage 2 merges partials with a
+    sort-based k-smallest (window row_number ≤ k), which spills to disk
+    instead of materializing one giant in-memory set for hot groups.
 """
 
 from __future__ import annotations
@@ -61,6 +64,46 @@ def theta_sketch_global(df: DataFrame, c: Column, k: int = DEFAULT_K) -> DataFra
     Returns a 1-row DataFrame with column `sk`."""
     hashes = df.select(_kmv_hash(c).alias("h")).distinct().orderBy("h").limit(k)
     return hashes.agg(F.array_sort(F.collect_list("h")).alias("sk"))
+
+
+def _theta_partials(
+    df: DataFrame, group_cols: list[str], c: Column, k: int = DEFAULT_K
+) -> DataFrame:
+    """Stage 1 of the grouped scale path: one ≤k-element partial sketch per
+    (group, input partition). The groupBy key includes spark_partition_id,
+    so each aggregation buffer sees only one partition's values — state is
+    bounded by the input split size, never by a group's global cardinality —
+    and the exchange carries compact capped arrays."""
+    return (
+        df.select(*group_cols, _kmv_hash(c).alias("h"))
+        .withColumn("_p", F.spark_partition_id())
+        .groupBy(*group_cols, "_p")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("psk"))
+    )
+
+
+def theta_sketch_grouped_agg(
+    df: DataFrame, group_cols: list[str], c: Column, k: int = DEFAULT_K
+) -> DataFrame:
+    """Grouped KMV theta sketch with bounded per-group state (the grouped
+    ds_theta_sketch scale path): per-(group, partition) partials, then a
+    sort-based merge — explode the partials, de-duplicate hashes, keep each
+    group's k smallest via row_number (sort-backed, spills), and collect the
+    ≤k survivors. The final groupBy reuses the window's partitioning, so the
+    merge costs one exchange. Returns (group_cols..., sk)."""
+    from pyspark.sql import Window as W
+
+    partials = _theta_partials(df, group_cols, c, k)
+    cand = partials.select(*group_cols, F.explode("psk").alias("h")).dropDuplicates(
+        [*group_cols, "h"]
+    )
+    w = W.partitionBy(*group_cols).orderBy("h")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("h")).alias("sk"))
+    )
 
 
 def theta_value(sk: Column, k: int = DEFAULT_K) -> Column:
@@ -146,11 +189,11 @@ SELECT CAST((SELECT count(*) FROM a) AS BIGINT)                       AS a_est,
 
 def sketch_theta_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped theta sketches: per order priority, estimated distinct
-    customers — the grouped-aggregation path of ds_theta_sketch."""
+    customers — the grouped-aggregation path of ds_theta_sketch, running
+    the bounded two-phase merge (theta_sketch_grouped_agg)."""
     orders = read_table(spark, "orders", sf_dir)
     return (
-        orders.groupBy("o_orderpriority")
-        .agg(theta_sketch_agg(F.col("o_custkey")).alias("sk"))
+        theta_sketch_grouped_agg(orders, ["o_orderpriority"], F.col("o_custkey"))
         .select(
             "o_orderpriority",
             theta_estimate(F.col("sk")).cast("bigint").alias("ndv_est"),
