@@ -118,7 +118,8 @@ _FN_RENAME = {
     "ndv": "approx_count_distinct",
     "strleft": "left",
     "strright": "right",
-    "murmur_hash": "xxhash64",  # 64-bit hash stand-in; documented delta
+    # murmur_hash is registered faithfully in functions/registry.py
+    # (MurmurHash2_64, hash-util.h) — no rename needed.
     "dceil": "ceil",
     "dfloor": "floor",
     "dround": "round",

@@ -38,6 +38,46 @@ def _fnv_hash_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda v: None if v is None else _fnv1a_64(str(v).encode("utf-8")))
 
 
+_MURMUR_PRIME = 0xC6A4A7935BD1E995
+_MURMUR_R = 47
+
+
+def _murmur2_64(data: bytes, seed: int = 0) -> int:
+    """MurmurHash2 64-bit (MurmurHash64A), exactly the reference kernel
+    (be/src/util/hash-util.h:122-158 MurmurHash2_64, MURMUR_DEFAULT_SEED=0):
+    8-byte little-endian blocks mixed with the 0xc6a4a7935bd1e995 prime and
+    r=47 shifts, byte-cascade tail, triple finalization. Signed-int64 result
+    like BigIntVal."""
+    n = len(data)
+    h = (seed ^ ((n * _MURMUR_PRIME) & _MASK64)) & _MASK64
+    nblocks = n >> 3
+    for i in range(nblocks):
+        k = int.from_bytes(data[i * 8 : i * 8 + 8], "little")
+        k = (k * _MURMUR_PRIME) & _MASK64
+        k ^= k >> _MURMUR_R
+        k = (k * _MURMUR_PRIME) & _MASK64
+        h ^= k
+        h = (h * _MURMUR_PRIME) & _MASK64
+    tail = data[nblocks * 8 :]
+    if tail:
+        h ^= int.from_bytes(tail, "little")
+        h = (h * _MURMUR_PRIME) & _MASK64
+    h ^= h >> _MURMUR_R
+    h = (h * _MURMUR_PRIME) & _MASK64
+    h ^= h >> _MURMUR_R
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@F.pandas_udf(T.LongType())
+def _murmur_hash_udf(s: pd.Series) -> pd.Series:
+    """murmur_hash — STRING overload faithful to the reference
+    (utility-functions-ir.cc MurmurHashString: murmur2_64 over the UTF-8
+    bytes, seed 0). Non-string inputs hash their string rendering (the
+    reference's numeric overloads hash raw fixed-width bytes instead —
+    documented delta, same convention as fnv_hash here)."""
+    return s.map(lambda v: None if v is None else _murmur2_64(str(v).encode("utf-8")))
+
+
 def _jaro(s1: str, s2: str) -> float:
     if s1 == s2:
         return 1.0
@@ -288,6 +328,7 @@ _SQL_FUNCTIONS["nanoseconds_sub"] = (
 def register_all(spark: SparkSession) -> None:
     """Register the Impala-only function residue on this session (idempotent)."""
     spark.udf.register("fnv_hash", _fnv_hash_udf)
+    spark.udf.register("murmur_hash", _murmur_hash_udf)
     spark.udf.register("jaro_distance", _jaro_distance_udf)
     spark.udf.register("jaro_similarity", _jaro_similarity_udf)
     spark.udf.register("jaro_winkler_similarity", _jaro_winkler_similarity_udf)

@@ -19,6 +19,20 @@ def test_fnv_hash_known_vector(spark):
     assert _one(spark, "fnv_hash('abc')") == _fnv1a_64(b"abc")
 
 
+def test_murmur_hash_known_vectors(spark):
+    """MurmurHash2_64 (hash-util.h:122-158), seed 0. Structural invariant:
+    seed 0 + empty input → 0 (h stays 0 through every mix step). Longer
+    inputs exercise the block loop (>=8 bytes) and the byte-cascade tail."""
+    assert _one(spark, "murmur_hash('')") == 0
+    from hopspark.functions.registry import _murmur2_64
+
+    for s in ["a", "abc", "12345678", "123456789", "hello world"]:
+        assert _one(spark, f"murmur_hash('{s}')") == _murmur2_64(s.encode())
+    # distinct from both fnv and xxhash64 (the old stand-in): pin one value
+    assert _one(spark, "murmur_hash('hello world')") == -3190198453633110066
+    assert _one(spark, "murmur_hash(NULL)") is None
+
+
 def test_istrue_family(spark):
     assert _one(spark, "istrue(true)") is True
     assert _one(spark, "istrue(NULL)") is False
