@@ -325,10 +325,62 @@ _SQL_FUNCTIONS["nanoseconds_sub"] = (
 )
 
 
+@F.pandas_udf(T.BooleanType())
+def _sleep_udf(ms: pd.Series) -> pd.Series:
+    """sleep(ms) → TRUE after sleeping (UtilityFunctions::Sleep,
+    impala_functions.py:691). Test/throttle utility — never a hot path."""
+    import time
+
+    def f(v: object) -> bool | None:
+        if v is None:
+            return None
+        time.sleep(int(v) / 1000.0)
+        return True
+
+    return ms.map(f)
+
+
+def _register_utility_misc(spark: SparkSession) -> None:
+    """Utility-misc family (impala_functions.py:682-694): version, pid,
+    coordinator, current_session, sleep. typeof / current_database /
+    current_user / uuid are Spark-native with identical contracts.
+    version/pid/coordinator/current_session describe the COORDINATOR
+    (Spark: the driver), so they are resolved driver-side at registration
+    and registered as constant SQL bodies — no executor call needed."""
+    import os
+    import socket
+
+    import pyspark
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    host = socket.gethostname()
+    consts = {
+        # version() is a Spark builtin (engine version string) — identical
+        # contract, the builtin wins via the except below.
+        "version": f"'hopspark 0.2 (pyspark {pyspark.__version__})'",
+        "pid": str(os.getpid()),
+        "coordinator": f"'{host}'",
+        "current_session": f"'{host}:{os.getpid()}'",
+    }
+    rtypes = {"version": "STRING", "pid": "INT", "coordinator": "STRING",
+              "current_session": "STRING"}
+    for name, body in consts.items():
+        try:
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}() "
+                f"RETURNS {rtypes[name]} RETURN {body}"
+            )
+        except AnalysisException:
+            pass  # native builtin with the same contract wins
+    spark.udf.register("sleep", _sleep_udf)
+
+
 def register_all(spark: SparkSession) -> None:
     """Register the Impala-only function residue on this session (idempotent)."""
     spark.udf.register("fnv_hash", _fnv_hash_udf)
     spark.udf.register("murmur_hash", _murmur_hash_udf)
+    _register_utility_misc(spark)
     spark.udf.register("jaro_distance", _jaro_distance_udf)
     spark.udf.register("jaro_similarity", _jaro_similarity_udf)
     spark.udf.register("jaro_winkler_similarity", _jaro_winkler_similarity_udf)

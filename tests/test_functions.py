@@ -33,6 +33,23 @@ def test_murmur_hash_known_vectors(spark):
     assert _one(spark, "murmur_hash(NULL)") is None
 
 
+def test_utility_misc(spark):
+    """version/pid/coordinator/current_session/sleep + Spark-native typeof,
+    current_database, uuid (impala_functions.py:682-694)."""
+    import time
+
+    assert _one(spark, "version()")  # engine version string (Spark builtin)
+    assert _one(spark, "pid()") > 0
+    assert _one(spark, "coordinator()")
+    assert ":" in _one(spark, "current_session()")
+    assert _one(spark, "typeof(1 + 1)") == "int"
+    assert _one(spark, "current_database()") == "default"
+    assert len(_one(spark, "uuid()")) == 36
+    t0 = time.time()
+    assert _one(spark, "sleep(120)") is True
+    assert time.time() - t0 >= 0.1
+
+
 def test_istrue_family(spark):
     assert _one(spark, "istrue(true)") is True
     assert _one(spark, "istrue(NULL)") is False
