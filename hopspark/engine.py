@@ -99,6 +99,46 @@ class Engine:
             f"RETURNS {sql_returns or 'STRING'} RETURN {sql_body}"
         )
 
+    def create_aggregate_function(
+        self,
+        name: str,
+        fn=None,
+        return_type: str = "double",
+        *,
+        init=None,
+        update=None,
+        merge=None,
+        finalize=None,
+    ) -> None:
+        """CREATE AGGREGATE FUNCTION equivalent (grammar
+        sql-parser.cup:693-695; UDA contract be/src/udf/udf.h:379-391).
+
+        Two forms:
+          * `fn`: pandas Series(s) → scalar, Arrow-batched (grouped-agg
+            pandas UDF) — the idiomatic vectorized form. Usable from
+            engine.sql() in GROUP BY aggregations and OVER() windows.
+          * `init`/`update`/`finalize`: the reference's UDA callback
+            contract, folded over each group's values. Spark's grouped-agg
+            UDFs receive the whole group per call, so a `merge` step never
+            runs; it is accepted for signature parity with the reference
+            DDL and ignored (documented delta)."""
+        if fn is None:
+            if update is None:
+                raise ValueError("pass a vectorized fn or an update callback")
+
+            import pandas as pd
+
+            def fn(v: pd.Series):  # noqa: ANN202 — dynamic return type
+                acc = init() if init is not None else None
+                for x in v:
+                    acc = update(acc, x)
+                return finalize(acc) if finalize is not None else acc
+
+        from pyspark.sql import functions as F
+
+        udaf = F.pandas_udf(fn, return_type, F.PandasUDFType.GROUPED_AGG)
+        self.spark.udf.register(name, udaf)
+
     def drop_function(self, name: str) -> None:
         self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
 

@@ -207,6 +207,65 @@ def test_create_function_surface(spark, sf_dir):
     eng.drop_function("add_tax")
 
 
+def test_create_aggregate_function_surface(spark, sf_dir):
+    """CREATE AGGREGATE FUNCTION parity (sql-parser.cup:693-695; UDA
+    contract udf.h:379-391): a custom UDA registered through the engine is
+    callable from engine.sql() in GROUP BY and OVER()."""
+    import pandas as pd
+
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+
+    # vectorized form: geometric mean
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.astype(float)).mean()))
+
+    eng.create_aggregate_function("geomean", geomean, "double")
+    got = {
+        r.p: r.g
+        for r in eng.sql(
+            "SELECT o_orderpriority AS p, geomean(o_totalprice) AS g "
+            "FROM orders GROUP BY o_orderpriority"
+        ).collect()
+    }
+    want = {
+        r.p: r.g
+        for r in eng.sql(
+            "SELECT o_orderpriority AS p, exp(avg(ln(o_totalprice))) AS g "
+            "FROM orders GROUP BY o_orderpriority"
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+    # UDA-contract form: init/update/finalize fold
+    eng.create_aggregate_function(
+        "sum_sq",
+        return_type="double",
+        init=lambda: 0.0,
+        update=lambda acc, x: acc + float(x) * float(x),
+        finalize=lambda acc: acc,
+    )
+    v = eng.sql(
+        "SELECT sum_sq(n_nationkey) AS v FROM nation"
+    ).head().v
+    truth = eng.sql(
+        "SELECT CAST(sum(n_nationkey * n_nationkey) AS DOUBLE) AS v FROM nation"
+    ).head().v
+    assert v == pytest.approx(truth)
+
+    # window usage (grouped-agg UDFs are valid OVER() aggregates)
+    rows = eng.sql(
+        "SELECT n_regionkey, geomean(n_nationkey + 1) "
+        "OVER (PARTITION BY n_regionkey) AS g FROM nation"
+    ).collect()
+    assert all(r.g is not None for r in rows)
+
+
 def test_metadata_surface(spark, sf_dir):
     """SHOW TABLES / DESCRIBE parity (grammar sql-parser.cup SHOW/DESCRIBE)."""
     from hopspark.engine import Engine
