@@ -139,7 +139,19 @@ _FN_RENAME = {
     "fmod": "mod",
     "user": "current_user",
     "effective_user": "current_user",
+    "logged_in_user": "current_user",
+    "current_sid": "current_session",
     "regexp": "rlike",
+    # distance-function short aliases (impala_functions.py jaro/le families)
+    "jaro_dst": "jaro_distance",
+    "jaro_sim": "jaro_similarity",
+    "jw_dst": "jaro_winkler_distance",
+    "jw_sim": "jaro_winkler_similarity",
+    "le_dst": "levenshtein",
+    "dle_dst": "damerau_levenshtein",
+    # dlog1 = natural log (math-functions-ir.cc); bytes() = byte length
+    "dlog1": "ln",
+    "bytes": "octet_length",
     # DataSketches HLL family → Spark's native HLL sketches (Spark 3.5+).
     # The sketch *bytes* differ (DataSketches vs Spark's implementation) but
     # the agg/estimate/union algebra is the same (reference BuiltinsDb
@@ -164,6 +176,13 @@ _FN_RENAME = {
     "ds_cpc_sketch": "hll_sketch_agg",
     "ds_cpc_estimate": "hll_sketch_estimate",
     "ds_cpc_union": "hll_union_agg",
+    # scalar two-sketch unions (ds_*_union_f) → Spark's scalar hll_union;
+    # *_stringify → hex rendering of the sketch bytes
+    "ds_hll_union_f": "hll_union",
+    "ds_cpc_union_f": "hll_union",
+    "ds_theta_union_f": "hll_union",
+    "ds_hll_stringify": "hex",
+    "ds_cpc_stringify": "hex",
 }
 
 # name → (spark_name, extra_args_sql_appended)
@@ -192,11 +211,24 @@ _FN_SPECIAL: dict[str, tuple[str, str]] = {}
 # functions (hopspark/functions/registry.py).
 _DATE_UNIT_FNS = {
     "years_add": (0, "+"), "years_sub": (0, "-"),
-    "months_add": (1, "+"), "months_sub": (1, "-"),
     "weeks_add": (2, "+"), "weeks_sub": (2, "-"),
     "days_add": (3, "+"), "days_sub": (3, "-"),
     "date_add": (3, "+"), "date_sub": (3, "-"),
+    "adddate": (3, "+"), "subdate": (3, "-"),
+    # *_interval month forms: keep_max_day=false (AddInterval<Months>,
+    # timestamp-functions-ir.cc:649-653) — day clamped into the target
+    # month, which is exactly make_interval arithmetic.
+    "months_add_interval": (1, "+"), "months_sub_interval": (1, "-"),
 }
+
+# months_add/months_sub/add_months carry the reference's keep_max_day=true
+# contract (AddMonths, timestamp-functions-ir.cc:619-647): when the input is
+# the LAST day of its month, the result snaps to the last day of the target
+# month (Feb 28 + 1 month = Mar 31), else the day is min-clamped. Spark's
+# add_months/make_interval only clamp, so these rewrite to a CASE that adds
+# the snap-to-last-day correction; `x + interval` keeps DATE→DATE,
+# TIMESTAMP→TIMESTAMP (Spark's add_months would truncate a timestamp).
+_MONTHS_KEEP_LAST_DAY = {"months_add": "", "add_months": "", "months_sub": "-"}
 
 
 def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
@@ -228,6 +260,25 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     toks[comma] = Tok("op", f" {op} ")
                     i += 1
                     continue
+        # month arithmetic with the keep-last-day contract (see
+        # _MONTHS_KEEP_LAST_DAY)
+        if name in _MONTHS_KEEP_LAST_DAY:
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                x = untokenize(toks[args[0][0]:args[0][1]]).strip()
+                n = untokenize(toks[args[1][0]:args[1][1]]).strip()
+                sign = _MONTHS_KEEP_LAST_DAY[name]
+                rd = f"(({x}) + make_interval(0, {sign}({n})))"
+                repl = (
+                    f"(CASE WHEN day({x}) = day(last_day({x})) "
+                    f"THEN {rd} + make_interval(0, 0, 0, "
+                    f"datediff(last_day({rd}), CAST({rd} AS DATE))) "
+                    f"ELSE {rd} END)"
+                )
+                toks[i:close + 1] = tokenize(repl)
+                i += 1
+                continue
         # type-preserving date arithmetic (see _DATE_UNIT_FNS); the
         # date_add INTERVAL form above takes precedence when it matches.
         if name in _DATE_UNIT_FNS:
@@ -334,6 +385,28 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 toks[i] = Tok("word", "rlike")
                 i += 1
                 continue
+        # instr 3/4-arg → the registered instr4 kernel (2-arg stays native;
+        # string-functions-ir.cc Instr:788-846)
+        if name == "instr":
+            close = _matching_paren(toks, j)
+            nargs = len(_split_args(toks, j, close))
+            if nargs in (3, 4):
+                toks[i] = Tok("word", "instr4")
+                if nargs == 3:
+                    toks.insert(close, Tok("op", ", 1"))
+                i += 1
+                continue
+        # IS [NOT] DISTINCT FROM exposed as functions (BuiltinsDb
+        # distinctfrom/notdistinct) → the <=> null-safe-equals operator.
+        if name in ("distinctfrom", "notdistinct"):
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                comma = _prev_code(toks, args[1][0] - 1)
+                toks[comma] = Tok("op", " <=> ")
+                toks[i] = Tok("word", "not" if name == "distinctfrom" else "")
+                i += 1
+                continue
         # isnull(a, b) → nvl(a, b); 1-arg isnull passes through untouched.
         if name == "isnull":
             close = _matching_paren(toks, j)
@@ -380,6 +453,15 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
             # (UTF8_MODE, impala_functions.py); Spark string functions are
             # UTF-8-native, so the base function IS the utf8 variant.
             base = name[:-5]
+            toks[i] = Tok("word", _FN_RENAME.get(base, base))
+        elif name.startswith("utf8_") and len(name) > 5:
+            # prefix form (utf8_length/utf8_reverse/utf8_substr[ing])
+            base = name[5:]
+            toks[i] = Tok("word", _FN_RENAME.get(base, base))
+        elif name.endswith("_ascii") and len(name) > 6:
+            # *_ascii fast-path variants — identical results on ASCII input,
+            # and Spark's UTF-8 natives are a strict superset.
+            base = name[:-6]
             toks[i] = Tok("word", _FN_RENAME.get(base, base))
         i += 1
     return toks

@@ -284,6 +284,49 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN x >= 0 THEN floor(x * pow(10, d)) / pow(10, d) "
         "ELSE ceil(x * pow(10, d)) / pow(10, d) END",
     ),
+    # -- type-limit constants (math-functions-ir.cc MathFunctions::MaxInt etc.)
+    "max_tinyint": ("", "TINYINT", "CAST(127 AS TINYINT)"),
+    "min_tinyint": ("", "TINYINT", "CAST(-128 AS TINYINT)"),
+    "max_smallint": ("", "SMALLINT", "CAST(32767 AS SMALLINT)"),
+    "min_smallint": ("", "SMALLINT", "CAST(-32768 AS SMALLINT)"),
+    "max_int": ("", "INT", "CAST(2147483647 AS INT)"),
+    "min_int": ("", "INT", "CAST(-2147483648 AS INT)"),
+    "max_bigint": ("", "BIGINT", "CAST(9223372036854775807 AS BIGINT)"),
+    "min_bigint": ("", "BIGINT", "CAST(-9223372036854775808 AS BIGINT)"),
+    # -- more datetime helpers (timestamp-functions-ir.cc) ------------------
+    "date_cmp": (
+        "a DATE, b DATE",
+        "INT",
+        "CASE WHEN a = b THEN 0 WHEN a > b THEN 1 WHEN a < b THEN -1 END",
+    ),
+    "millisecond": ("t TIMESTAMP", "INT", "CAST(date_format(t, 'SSS') AS INT)"),
+    "utc_timestamp": ("", "TIMESTAMP", "to_utc_timestamp(now(), current_timezone())"),
+    "unix_micros_to_utc_timestamp": ("n BIGINT", "TIMESTAMP", "timestamp_micros(n)"),
+    "utc_to_unix_micros": ("t TIMESTAMP", "BIGINT", "unix_micros(t)"),
+    # -- instr 3/4-arg kernel (string-functions-ir.cc Instr:788-846). The
+    # dialect rewrites instr(s, sub, pos[, occ]) here; 2-arg instr stays the
+    # Spark builtin. All match positions (overlapping, like the reference's
+    # +1 / -1 stepping) are enumerated scan-side, then the pos/occ window is
+    # selected: pos>0 → occ-th match at-or-after pos; pos<0 → occ-th match
+    # counting backward from the clamped right anchor (len+pos, needle fit).
+    "instr4": (
+        "s STRING, sub STRING, pos BIGINT, occ BIGINT",
+        "INT",
+        "CASE "
+        "WHEN s IS NULL OR sub IS NULL OR pos IS NULL OR occ IS NULL THEN CAST(NULL AS INT) "
+        "WHEN occ <= 0 THEN CAST(raise_error(concat('Invalid occurrence parameter to instr function: ', CAST(occ AS STRING))) AS INT) "
+        "WHEN pos = 0 OR length(s) = 0 OR length(s) < length(sub) THEN 0 "
+        "WHEN pos > 0 THEN coalesce(element_at("
+        "  filter(filter(sequence(1, length(s) - length(sub) + 1),"
+        "                i -> substring(s, i, length(sub)) = sub),"
+        "         p -> p >= pos), CAST(occ AS INT)), 0) "
+        "ELSE coalesce(element_at("
+        "  filter(filter(sequence(1, length(s) - length(sub) + 1),"
+        "                i -> substring(s, i, length(sub)) = sub),"
+        "         p -> p <= least(length(s) + pos, length(s) - length(sub)) + 1),"
+        "  -CAST(occ AS INT)), 0) "
+        "END",
+    ),
 }
 
 # Interval arithmetic family (SURVEY §2.11): {unit}_{add,sub}(TIMESTAMP, n).

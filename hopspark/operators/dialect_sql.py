@@ -58,11 +58,16 @@ def dialect_interval_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# months_sub carries the reference's keep-last-day contract (AddMonths
+# keep_max_day=true, timestamp-functions-ir.cc:619-647): last day in →
+# last day of the target month out. The oracle spells the CASE explicitly.
 DIALECT_INTERVAL_SQL = """
 SELECT o_orderkey,
        o_orderdate + INTERVAL 1 YEAR   AS plus_year,
        o_orderdate + INTERVAL 3 DAY    AS plus_days,
-       o_orderdate - INTERVAL 2 MONTH  AS minus_months
+       CASE WHEN o_orderdate = CAST(last_day(o_orderdate) AS TIMESTAMP)
+            THEN CAST(last_day(o_orderdate - INTERVAL 2 MONTH) AS TIMESTAMP)
+            ELSE o_orderdate - INTERVAL 2 MONTH END AS minus_months
 FROM orders
 WHERE o_orderkey <= 100
 ORDER BY o_orderkey

@@ -144,7 +144,11 @@ def test_datetime_functions(spark):
     )
     assert _one(spark, "last_day(timestamp'2020-02-10')") == dt.date(2020, 2, 29)
     assert _one(spark, "months_between(timestamp'2020-03-01', timestamp'2020-01-01')") == 2.0
-    assert _one(spark, "add_months(timestamp'2020-01-31', 1)") == dt.date(2020, 2, 29)
+    # type-preserving + keep-last-day month contract (AddMonths,
+    # timestamp-functions-ir.cc:619-647)
+    assert _one(spark, "add_months(timestamp'2020-01-31', 1)") == dt.datetime(2020, 2, 29)
+    assert _one(spark, "months_add(date'2023-02-28', 1)") == dt.date(2023, 3, 31)
+    assert _one(spark, "months_add_interval(date'2023-02-28', 1)") == dt.date(2023, 3, 28)
     assert (
         _one(spark, "unix_timestamp(timestamp'1970-01-01 00:01:00')") == 60
     )

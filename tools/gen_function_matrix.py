@@ -1,0 +1,405 @@
+"""Audited scalar-function matrix vs the reference registry.
+
+The reference's function registry (common/function-registry/impala_functions.py)
+declares every scalar builtin name. This tool carries a curated
+classification for each name and — for every supported one — a PROBE
+expression that is executed through the Impala-dialect SQL surface
+(Engine.sql), so the matrix is evidence, not a claim. Output: FUNCTIONS.md.
+
+Statuses:
+  native      — Spark builtin, same name and semantics
+  renamed     — dialect rename (hopspark/dialect/translate.py _FN_RENAME)
+  rewritten   — structural dialect rewrite (argument/shape changes)
+  registered  — hopspark/functions/registry.py (SQL temp fn or Arrow UDF)
+  unsupported — documented gap (note says why)
+  out-of-scope— reference-test-only / connector-specific names
+
+Run:  python tools/gen_function_matrix.py          (writes FUNCTIONS.md)
+Test: tests/test_function_matrix.py runs every probe.
+"""
+
+from __future__ import annotations
+
+# name: (status, probe_sql_or_None, note)
+# fmt: off
+MATRIX: dict[str, tuple[str, str | None, str]] = {
+    # ---------------- math ----------------
+    "abs": ("native", "abs(-3)", ""),
+    "acos": ("native", "acos(1.0)", ""),
+    "asin": ("native", "asin(0.0)", ""),
+    "atan": ("native", "atan(0.0)", ""),
+    "atan2": ("native", "atan2(1.0, 1.0)", ""),
+    "bin": ("native", "bin(5)", ""),
+    "ceil": ("native", "ceil(1.2)", ""),
+    "ceiling": ("native", "ceiling(1.2)", ""),
+    "conv": ("native", "conv('ff', 16, 10)", ""),
+    "cos": ("native", "cos(0.0)", ""),
+    "cosh": ("native", "cosh(0.0)", ""),
+    "cot": ("native", "cot(1.0)", ""),
+    "degrees": ("native", "degrees(pi())", ""),
+    "e": ("native", "e()", ""),
+    "exp": ("native", "exp(1.0)", ""),
+    "factorial": ("native", "factorial(5)", ""),
+    "floor": ("native", "floor(1.8)", ""),
+    "greatest": ("native", "greatest(1, 2, 3)", ""),
+    "hex": ("native", "hex(255)", ""),
+    "least": ("native", "least(1, 2, 3)", ""),
+    "ln": ("native", "ln(e())", ""),
+    "log": ("native", "log(2, 8)", "base-first, same as reference"),
+    "log10": ("native", "log10(100)", ""),
+    "log2": ("native", "log2(8)", ""),
+    "mod": ("native", "mod(7, 3)", ""),
+    "negative": ("native", "negative(5)", ""),
+    "pi": ("native", "pi()", ""),
+    "pmod": ("native", "pmod(-3, 5)", ""),
+    "positive": ("native", "positive(-5)", ""),
+    "pow": ("native", "pow(2, 10)", ""),
+    "power": ("native", "power(2, 10)", ""),
+    "radians": ("native", "radians(180)", ""),
+    "rand": ("native", "rand()", "non-deterministic"),
+    "random": ("native", "random()", "non-deterministic"),
+    "round": ("native", "round(2.5)", ""),
+    "sign": ("native", "sign(-2.5)", ""),
+    "sin": ("native", "sin(0.0)", ""),
+    "sinh": ("native", "sinh(0.0)", ""),
+    "sqrt": ("native", "sqrt(4.0)", ""),
+    "tan": ("native", "tan(0.0)", ""),
+    "tanh": ("native", "tanh(0.0)", ""),
+    "width_bucket": ("native", "width_bucket(5.35, 0, 10, 5)", ""),
+    "unhex": ("rewritten", "unhex('4142')", "wrapped in CAST(... AS STRING) — reference returns STRING"),
+    "dceil": ("renamed", "dceil(1.2)", "→ ceil"),
+    "dfloor": ("renamed", "dfloor(1.8)", "→ floor"),
+    "dround": ("renamed", "dround(2.5)", "→ round"),
+    "dtrunc": ("renamed", "dtrunc(DATE'2020-06-15', 'MM')", "→ trunc (date form)"),
+    "dexp": ("renamed", "dexp(1.0)", "→ exp"),
+    "dlog1": ("renamed", "dlog1(e())", "→ ln"),
+    "dlog10": ("renamed", "dlog10(100)", "→ log10"),
+    "dsqrt": ("renamed", "dsqrt(4.0)", "→ sqrt"),
+    "dpow": ("renamed", "dpow(2, 10)", "→ pow"),
+    "fpow": ("renamed", "fpow(2, 10)", "→ pow"),
+    "fmod": ("renamed", "fmod(7.5, 2.0)", "→ mod"),
+    "quotient": ("registered", "quotient(11, 3)", "integer division"),
+    "truncate": ("registered", "truncate(3.456, 2)", "numeric truncate toward zero"),
+    "is_inf": ("registered", "is_inf(1.0 / 0.0)", "NOTE x/0→NULL non-ANSI; literal inf works"),
+    "is_nan": ("renamed", "is_nan(0.0)", "→ isnan"),
+    "trunc": ("native", "trunc(DATE'2020-06-15', 'MM')", "date form; numeric = truncate()"),
+    "max_tinyint": ("registered", "max_tinyint()", "type-limit constant"),
+    "min_tinyint": ("registered", "min_tinyint()", "type-limit constant"),
+    "max_smallint": ("registered", "max_smallint()", "type-limit constant"),
+    "min_smallint": ("registered", "min_smallint()", "type-limit constant"),
+    "max_int": ("registered", "max_int()", "type-limit constant"),
+    "min_int": ("registered", "min_int()", "type-limit constant"),
+    "max_bigint": ("registered", "max_bigint()", "type-limit constant"),
+    "min_bigint": ("registered", "min_bigint()", "type-limit constant"),
+    "precision": ("unsupported", None, "decimal type introspection; use typeof() and parse"),
+    "scale": ("unsupported", None, "decimal type introspection; use typeof() and parse"),
+    # ---------------- string ----------------
+    "ascii": ("native", "ascii('A')", ""),
+    "btrim": ("native", "btrim('  x  ')", ""),
+    "bytes": ("renamed", "bytes('héllo')", "→ octet_length"),
+    "char_length": ("renamed", "char_length('abc')", "→ length"),
+    "character_length": ("renamed", "character_length('abc')", "→ length"),
+    "chr": ("renamed", "chr(65)", "→ char"),
+    "concat": ("native", "concat('a', 'b')", ""),
+    "concat_ws": ("native", "concat_ws('-', 'a', 'b')", ""),
+    "find_in_set": ("native", "find_in_set('b', 'a,b,c')", ""),
+    "initcap": ("native", "initcap('hello world')", ""),
+    "instr": ("rewritten", "instr('foobarbar', 'bar', -3, 2)", "2-arg native; 3/4-arg → instr4 kernel (pos/occ, negative pos)"),
+    "left": ("native", "left('impala', 3)", ""),
+    "length": ("native", "length('héllo')", "UTF-8 chars"),
+    "levenshtein": ("native", "levenshtein('abc', 'abd')", ""),
+    "locate": ("native", "locate('b', 'abcb', 3)", "2- and 3-arg"),
+    "lower": ("native", "lower('ABC')", ""),
+    "lcase": ("renamed", "lcase('ABC')", "→ lower"),
+    "lpad": ("native", "lpad('7', 3, '0')", ""),
+    "ltrim": ("native", "ltrim('  x')", ""),
+    "parse_url": ("native", "parse_url('http://a.com/p?q=1', 'HOST')", ""),
+    "repeat": ("native", "repeat('ab', 3)", ""),
+    "replace": ("native", "replace('aaa', 'a', 'b')", ""),
+    "reverse": ("native", "reverse('abc')", ""),
+    "right": ("native", "right('impala', 3)", ""),
+    "rpad": ("native", "rpad('7', 3, '0')", ""),
+    "rtrim": ("native", "rtrim('x  ')", ""),
+    "space": ("native", "length(space(3))", ""),
+    "split_part": ("native", "split_part('a|b|c', '|', -1)", "negative index counts from end"),
+    "strleft": ("renamed", "strleft('impala', 3)", "→ left"),
+    "strright": ("renamed", "strright('impala', 3)", "→ right"),
+    "substr": ("native", "substr('hello', 2, 3)", ""),
+    "substring": ("native", "substring('hello', 2, 3)", ""),
+    "translate": ("native", "translate('abcba', 'ab', 'xy')", ""),
+    "trim": ("native", "trim('  x  ')", ""),
+    "upper": ("native", "upper('abc')", ""),
+    "ucase": ("renamed", "ucase('abc')", "→ upper"),
+    "regexp_extract": ("native", "regexp_extract('ab12', '([0-9]+)', 1)", ""),
+    "regexp_like": ("rewritten", "regexp_like('ABC', 'abc', 'i')", "flags folded into (?i) prefix"),
+    "regexp_replace": ("native", "regexp_replace('a1b2', '[0-9]', '')", ""),
+    "regexp_escape": ("registered", "regexp_escape('a.b')", ""),
+    "regexp_match_count": ("registered", "regexp_match_count('a1b2c3', '[0-9]')", ""),
+    "base64encode": ("registered", "base64encode('ab')", ""),
+    "base64decode": ("registered", "base64decode(base64encode('ab'))", ""),
+    "jaro_distance": ("registered", "jaro_distance('martha', 'marhta')", "Arrow UDF"),
+    "jaro_similarity": ("registered", "jaro_similarity('martha', 'marhta')", "Arrow UDF"),
+    "jaro_winkler_distance": ("registered", "jaro_winkler_distance('martha', 'marhta')", "Arrow UDF"),
+    "jaro_winkler_similarity": ("registered", "jaro_winkler_similarity('martha', 'marhta')", "Arrow UDF"),
+    "damerau_levenshtein": ("registered", "damerau_levenshtein('ab', 'ba')", "Arrow UDF (OSA)"),
+    "jaro_dst": ("renamed", "jaro_dst('martha', 'marhta')", "→ jaro_distance"),
+    "jaro_sim": ("renamed", "jaro_sim('martha', 'marhta')", "→ jaro_similarity"),
+    "jw_dst": ("renamed", "jw_dst('martha', 'marhta')", "→ jaro_winkler_distance"),
+    "jw_sim": ("renamed", "jw_sim('martha', 'marhta')", "→ jaro_winkler_similarity"),
+    "le_dst": ("renamed", "le_dst('abc', 'abd')", "→ levenshtein"),
+    "dle_dst": ("renamed", "dle_dst('ab', 'ba')", "→ damerau_levenshtein"),
+    # *_ascii / *_utf8 / utf8_* variants: Spark natives are UTF-8-native,
+    # so base name == utf8 variant; ascii variants are a strict subset.
+    "initcap_ascii": ("renamed", "initcap_ascii('ab cd')", "→ initcap"),
+    "initcap_utf8": ("renamed", "initcap_utf8('ab cd')", "→ initcap"),
+    "lcase_ascii": ("renamed", "lcase_ascii('AB')", "→ lower"),
+    "lcase_utf8": ("renamed", "lcase_utf8('AB')", "→ lower"),
+    "lower_ascii": ("renamed", "lower_ascii('AB')", "→ lower"),
+    "lower_utf8": ("renamed", "lower_utf8('AB')", "→ lower"),
+    "ucase_ascii": ("renamed", "ucase_ascii('ab')", "→ upper"),
+    "ucase_utf8": ("renamed", "ucase_utf8('ab')", "→ upper"),
+    "upper_ascii": ("renamed", "upper_ascii('ab')", "→ upper"),
+    "upper_utf8": ("renamed", "upper_utf8('ab')", "→ upper"),
+    "utf8_length": ("renamed", "utf8_length('héllo')", "→ length"),
+    "utf8_reverse": ("renamed", "utf8_reverse('abc')", "→ reverse"),
+    "utf8_substr": ("renamed", "utf8_substr('hello', 2, 3)", "→ substr"),
+    "utf8_substring": ("renamed", "utf8_substring('hello', 2, 3)", "→ substring"),
+    # ---------------- datetime ----------------
+    "add_months": ("rewritten", "add_months(TIMESTAMP'2023-02-28 05:00:00', 1)", "keep-last-day + type-preserving"),
+    "adddate": ("rewritten", "adddate(DATE'2020-02-28', 2)", "→ + make_interval(days)"),
+    "subdate": ("rewritten", "subdate(DATE'2020-03-01', 1)", "→ - make_interval(days)"),
+    "current_date": ("native", "current_date()", ""),
+    "current_timestamp": ("native", "current_timestamp()", ""),
+    "date_add": ("rewritten", "date_add(DATE'2020-01-01', 5)", "plain + INTERVAL forms"),
+    "date_sub": ("rewritten", "date_sub(DATE'2020-01-10', 5)", "plain + INTERVAL forms"),
+    "date_cmp": ("registered", "date_cmp(DATE'2020-01-02', DATE'2020-01-01')", ""),
+    "date_part": ("rewritten", "date_part('year', DATE'2020-06-15')", "field-first swap + BIGINT cast"),
+    "date_trunc": ("native", "date_trunc('MONTH', TIMESTAMP'2020-02-10 11:22:33')", ""),
+    "datediff": ("native", "datediff(DATE'2020-01-10', DATE'2020-01-01')", ""),
+    "day": ("native", "day(DATE'2020-06-15')", ""),
+    "dayname": ("rewritten", "dayname(DATE'2020-06-15')", "→ date_format EEEE"),
+    "dayofmonth": ("native", "dayofmonth(DATE'2020-06-15')", ""),
+    "dayofweek": ("native", "dayofweek(DATE'2020-06-15')", ""),
+    "dayofyear": ("native", "dayofyear(DATE'2020-02-01')", ""),
+    "days_add": ("rewritten", "days_add(DATE'2020-02-28', 2)", "→ + make_interval"),
+    "days_sub": ("rewritten", "days_sub(DATE'2020-03-01', 1)", "→ - make_interval"),
+    "extract": ("rewritten", "extract(DATE'2020-06-15', 'year')", "source-first swap + BIGINT cast"),
+    "from_timestamp": ("registered", "from_timestamp(TIMESTAMP'2020-01-02 03:04:05', 'yyyy-MM-dd')", ""),
+    "from_unixtime": ("native", "from_unixtime(0)", ""),
+    "from_utc_timestamp": ("native", "from_utc_timestamp(TIMESTAMP'2020-06-01 12:00:00', 'America/New_York')", "DST-aware"),
+    "hour": ("native", "hour(TIMESTAMP'2020-01-01 05:06:07')", ""),
+    "hours_add": ("registered", "hours_add(TIMESTAMP'2020-01-01 23:00:00', 2)", ""),
+    "hours_sub": ("registered", "hours_sub(TIMESTAMP'2020-01-02 01:00:00', 2)", ""),
+    "int_months_between": ("registered", "int_months_between(TIMESTAMP'2020-03-31', TIMESTAMP'2020-01-01')", ""),
+    "last_day": ("native", "last_day(DATE'2020-02-10')", ""),
+    "microseconds_add": ("registered", "microseconds_add(TIMESTAMP'2020-01-01 00:00:00', 5)", ""),
+    "microseconds_sub": ("registered", "microseconds_sub(TIMESTAMP'2020-01-01 00:00:00', 5)", ""),
+    "millisecond": ("registered", "millisecond(TIMESTAMP'2020-01-01 01:02:03.456')", ""),
+    "milliseconds_add": ("registered", "milliseconds_add(TIMESTAMP'2020-01-01 00:00:00', 5)", ""),
+    "milliseconds_sub": ("registered", "milliseconds_sub(TIMESTAMP'2020-01-01 00:00:00', 5)", ""),
+    "minute": ("native", "minute(TIMESTAMP'2020-01-01 05:06:07')", ""),
+    "minutes_add": ("registered", "minutes_add(TIMESTAMP'2020-01-01 00:59:00', 2)", ""),
+    "minutes_sub": ("registered", "minutes_sub(TIMESTAMP'2020-01-01 01:01:00', 2)", ""),
+    "month": ("native", "month(DATE'2020-06-15')", ""),
+    "monthname": ("rewritten", "monthname(DATE'2020-06-15')", "→ date_format MMMM"),
+    "months_add": ("rewritten", "months_add(DATE'2023-02-28', 1)", "keep-last-day contract"),
+    "months_sub": ("rewritten", "months_sub(DATE'2023-03-31', 1)", "keep-last-day contract"),
+    "months_add_interval": ("rewritten", "months_add_interval(DATE'2023-02-28', 1)", "clamp-only interval form"),
+    "months_sub_interval": ("rewritten", "months_sub_interval(DATE'2023-03-31', 1)", "clamp-only interval form"),
+    "months_between": ("native", "months_between(DATE'2020-03-31', DATE'2020-02-28')", ""),
+    "nanoseconds_add": ("registered", "nanoseconds_add(TIMESTAMP'2020-01-01 00:00:00', 5000)", "ns→µs truncation documented"),
+    "nanoseconds_sub": ("registered", "nanoseconds_sub(TIMESTAMP'2020-01-01 00:00:00', 5000)", "ns→µs truncation documented"),
+    "next_day": ("native", "next_day(DATE'2020-01-01', 'MON')", ""),
+    "now": ("native", "now()", ""),
+    "quarter": ("native", "quarter(DATE'2020-05-01')", ""),
+    "second": ("native", "second(TIMESTAMP'2020-01-01 05:06:07')", ""),
+    "seconds_add": ("registered", "seconds_add(TIMESTAMP'2020-01-01 00:00:59', 2)", ""),
+    "seconds_sub": ("registered", "seconds_sub(TIMESTAMP'2020-01-01 00:01:01', 2)", ""),
+    "timeofday": ("registered", "timeofday()", ""),
+    "timestamp_cmp": ("registered", "timestamp_cmp(TIMESTAMP'2020-01-02', TIMESTAMP'2020-01-01')", ""),
+    "to_date": ("native", "to_date(TIMESTAMP'2020-06-15 10:00:00')", ""),
+    "to_timestamp": ("native", "to_timestamp('05/03/2021', 'dd/MM/yyyy')", ""),
+    "to_utc_timestamp": ("native", "to_utc_timestamp(TIMESTAMP'2020-06-01 12:00:00', 'America/New_York')", "DST-aware"),
+    "unix_micros_to_utc_timestamp": ("registered", "unix_micros_to_utc_timestamp(0)", ""),
+    "unix_timestamp": ("native", "unix_timestamp('2020-01-02', 'yyyy-MM-dd')", "string/format variants"),
+    "utc_timestamp": ("registered", "utc_timestamp()", ""),
+    "utc_to_unix_micros": ("registered", "utc_to_unix_micros(TIMESTAMP'1970-01-01 00:00:01')", ""),
+    "week": ("renamed", "week(DATE'2020-01-01')", "→ weekofyear"),
+    "weekofyear": ("native", "weekofyear(DATE'2020-01-01')", ""),
+    "weeks_add": ("rewritten", "weeks_add(DATE'2020-01-01', 2)", "→ + make_interval"),
+    "weeks_sub": ("rewritten", "weeks_sub(DATE'2020-01-15', 2)", "→ - make_interval"),
+    "year": ("native", "year(DATE'2020-06-15')", ""),
+    "years_add": ("rewritten", "years_add(DATE'2020-02-29', 1)", "→ + make_interval"),
+    "years_sub": ("rewritten", "years_sub(DATE'2021-02-28', 1)", "→ - make_interval"),
+    # ---------------- conditional ----------------
+    "coalesce": ("native", "coalesce(NULL, 7)", ""),
+    "if": ("native", "if(3 > 2, 'y', 'n')", ""),
+    "ifnull": ("native", "ifnull(NULL, 'x')", ""),
+    "isnull": ("rewritten", "isnull(NULL, 'x')", "2-arg → nvl; 1-arg native"),
+    "istrue": ("registered", "istrue(NULL)", ""),
+    "isfalse": ("registered", "isfalse(false)", ""),
+    "isnottrue": ("registered", "isnottrue(NULL)", ""),
+    "isnotfalse": ("registered", "isnotfalse(NULL)", ""),
+    "nonnullvalue": ("registered", "nonnullvalue('x')", ""),
+    "nullvalue": ("registered", "nullvalue(NULL)", ""),
+    "nvl": ("native", "nvl(NULL, 7)", ""),
+    "nullifzero": ("rewritten", "nullifzero(0)", "→ nullif(x, 0)"),
+    "zeroifnull": ("rewritten", "zeroifnull(NULL)", "→ coalesce(x, 0)"),
+    "distinctfrom": ("rewritten", "distinctfrom(1, NULL)", "→ NOT (a <=> b)"),
+    "notdistinct": ("rewritten", "notdistinct(NULL, NULL)", "→ a <=> b"),
+    # ---------------- hash / crypto ----------------
+    "fnv_hash": ("registered", "fnv_hash('abc')", "faithful FNV-1a 64 (Arrow UDF)"),
+    "murmur_hash": ("registered", "murmur_hash('abc')", "faithful MurmurHash2_64 (Arrow UDF)"),
+    "md5": ("native", "md5('abc')", ""),
+    "sha1": ("native", "sha1('abc')", ""),
+    "sha2": ("native", "sha2('abc', 256)", ""),
+    "uuid": ("native", "uuid()", "non-deterministic"),
+    # ---------------- bits / bytes ----------------
+    "bitand": ("registered", "bitand(6, 3)", ""),
+    "bitor": ("registered", "bitor(6, 3)", ""),
+    "bitxor": ("registered", "bitxor(6, 3)", ""),
+    "bitnot": ("registered", "bitnot(6)", ""),
+    "countset": ("registered", "countset(7)", ""),
+    "getbit": ("native", "getbit(5, 0)", ""),
+    "rotateleft": ("registered", "rotateleft(8, 62)", ""),
+    "rotateright": ("registered", "rotateright(8, 62)", ""),
+    "setbit": ("registered", "setbit(8, 0)", ""),
+    "shiftleft": ("native", "shiftleft(1, 3)", ""),
+    "shiftright": ("native", "shiftright(-8, 1)", ""),
+    # ---------------- masking ----------------
+    "mask": ("native", "mask('AbCd-123')", "same per-char-class defaults"),
+    "mask_first_n": ("registered", "mask_first_n('abcd', 2)", ""),
+    "mask_last_n": ("registered", "mask_last_n('abcd', 2)", ""),
+    "mask_show_first_n": ("registered", "mask_show_first_n('abcd1234', 4)", ""),
+    "mask_show_last_n": ("registered", "mask_show_last_n('abcd1234', 4)", ""),
+    "mask_hash": ("registered", "mask_hash('abc')", "sha2-256 rendering"),
+    # ---------------- json ----------------
+    "get_json_object": ("native", "get_json_object('{\"a\": 1}', '$.a')", ""),
+    # ---------------- misc / session ----------------
+    "coordinator": ("registered", "coordinator()", "driver host"),
+    "current_catalog": ("native", "current_catalog()", ""),
+    "current_database": ("native", "current_database()", ""),
+    "current_session": ("registered", "current_session()", ""),
+    "current_sid": ("renamed", "current_sid()", "→ current_session"),
+    "current_user": ("native", "current_user()", ""),
+    "effective_user": ("renamed", "effective_user()", "→ current_user"),
+    "logged_in_user": ("renamed", "logged_in_user()", "→ current_user"),
+    "session_user": ("native", "session_user()", ""),
+    "user": ("renamed", "user()", "→ current_user"),
+    "pid": ("registered", "pid()", "driver pid"),
+    "sleep": ("registered", "sleep(1)", "Arrow UDF"),
+    "typeof": ("native", "typeof(1)", ""),
+    "version": ("native", "version()", "engine version string"),
+    # ---------------- datasketches ----------------
+    # sketch-agg names (ds_*_sketch/union) are aggregate-position functions;
+    # probes aggregate over a constant inline table.
+    "ds_hll_estimate": ("renamed", "ds_hll_estimate(ds_hll_sketch(x)) FROM (SELECT 1 AS x)", "→ hll_sketch_estimate (sketch bytes differ; algebra preserved)"),
+    "ds_hll_union_f": ("renamed", "ds_hll_estimate(ds_hll_union_f(ds_hll_sketch(x), ds_hll_sketch(x))) FROM (SELECT 1 AS x)", "→ hll_union scalar"),
+    "ds_hll_stringify": ("renamed", "ds_hll_stringify(ds_hll_sketch(x)) FROM (SELECT 1 AS x)", "→ hex of sketch bytes"),
+    "ds_cpc_estimate": ("renamed", "ds_cpc_estimate(ds_cpc_sketch(x)) FROM (SELECT 1 AS x)", "→ hll_sketch_estimate"),
+    "ds_cpc_union_f": ("renamed", "ds_cpc_estimate(ds_cpc_union_f(ds_cpc_sketch(x), ds_cpc_sketch(x))) FROM (SELECT 1 AS x)", "→ hll_union scalar"),
+    "ds_cpc_stringify": ("renamed", "ds_cpc_stringify(ds_cpc_sketch(x)) FROM (SELECT 1 AS x)", "→ hex of sketch bytes"),
+    "ds_theta_estimate": ("renamed", "ds_theta_estimate(ds_theta_sketch(x)) FROM (SELECT 1 AS x)", "→ hll estimate in SQL; exact KMV algebra in DataFrame API (operators/sketches.py)"),
+    "ds_theta_union_f": ("renamed", "ds_theta_estimate(ds_theta_union_f(ds_theta_sketch(x), ds_theta_sketch(x))) FROM (SELECT 1 AS x)", "→ hll_union scalar"),
+    "ds_theta_intersect_f": ("unsupported", None, "HLL can't intersect; use theta_intersect_estimate (KMV, operators/sketches.py)"),
+    "ds_theta_exclude": ("unsupported", None, "use theta_except_estimate (KMV, operators/sketches.py)"),
+    "ds_kll_quantile": ("rewritten", "ds_kll_quantile(ds_kll_sketch(x), 0.5) FROM (SELECT 1 AS x)", "composition → percentile"),
+    "ds_kll_n": ("unsupported", None, "KLL internals; count(x) is the equivalent"),
+    "ds_kll_rank": ("unsupported", None, "KLL internals; avg(x <= v) is the equivalent"),
+    "ds_kll_cdf_as_string": ("unsupported", None, "DataSketches string rendering of library internals"),
+    "ds_kll_pmf_as_string": ("unsupported", None, "DataSketches string rendering of library internals"),
+    "ds_kll_quantiles_as_string": ("unsupported", None, "DataSketches string rendering of library internals"),
+    "ds_kll_stringify": ("unsupported", None, "DataSketches string rendering of library internals"),
+    "ds_hll_estimate_bounds_as_string": ("unsupported", None, "DataSketches string rendering of library internals"),
+    # ---------------- out-of-scope ----------------
+    "iceberg_bucket_transform": ("out-of-scope", None, "Iceberg partition transform; no Iceberg connector in scope"),
+    "iceberg_truncate_transform": ("out-of-scope", None, "Iceberg partition transform; no Iceberg connector in scope"),
+    "madlib_encode_vector": ("out-of-scope", None, "MADlib interop test helper"),
+    "madlib_decode_vector": ("out-of-scope", None, "MADlib interop test helper"),
+    "madlib_print_vector": ("out-of-scope", None, "MADlib interop test helper"),
+    "madlib_vector": ("out-of-scope", None, "MADlib interop test helper"),
+    "madlib_vector_get": ("out-of-scope", None, "MADlib interop test helper"),
+    "udf_abs": ("out-of-scope", None, "reference test-only sample UDF"),
+    "udf_lower": ("out-of-scope", None, "reference test-only sample UDF"),
+    "udf_pi": ("out-of-scope", None, "reference test-only sample UDF"),
+}
+# fmt: on
+
+# names the reference registry declares via ds_*_sketch/ds_kll_sketch that
+# appear only inside compositions above
+_AGG_POSITION = {"ds_hll_sketch", "ds_cpc_sketch", "ds_theta_sketch", "ds_kll_sketch"}
+
+
+def reference_names() -> set[str]:
+    """Extract declared scalar names from the reference registry file."""
+    import re
+
+    path = (
+        "/root/reference/apache-impala-4.1.0/common/function-registry/"
+        "impala_functions.py"
+    )
+    names: set[str] = set()
+    with open(path) as f:
+        src = f.read()
+    for m in re.finditer(r"\[\[([^\]]+)\]", src):
+        for piece in m.group(1).split(","):
+            piece = piece.strip().strip("'\"")
+            if piece and re.fullmatch(r"[a-z0-9_]+", piece):
+                names.add(piece)
+    return names
+
+
+def run_probes(eng) -> dict[str, str]:
+    """Execute every probe; returns {name: error} for failures."""
+    errors: dict[str, str] = {}
+    for name, (status, probe, _) in MATRIX.items():
+        if probe is None:
+            continue
+        sql = f"SELECT {probe} AS v" if " FROM " not in probe else f"SELECT {probe}"
+        try:
+            eng.sql(sql).collect()
+        except Exception as ex:  # noqa: BLE001 — report, don't raise
+            errors[name] = f"{status}: {str(ex).splitlines()[0][:120]}"
+    return errors
+
+
+def write_markdown(path: str = "FUNCTIONS.md") -> None:
+    from collections import Counter
+
+    counts = Counter(status for status, _, _ in MATRIX.values())
+    supported = sum(
+        counts[s] for s in ("native", "renamed", "rewritten", "registered")
+    )
+    ref = reference_names()
+    missing = sorted(ref - set(MATRIX) - _AGG_POSITION)
+    lines = [
+        "# Scalar-function matrix vs the reference registry",
+        "",
+        "Generated by `tools/gen_function_matrix.py`; every supported row's",
+        "probe expression is executed through the Impala-dialect SQL surface",
+        "by `tests/test_function_matrix.py`.",
+        "",
+        f"**{supported} of {len(MATRIX)} classified names supported** "
+        f"(native {counts['native']}, renamed {counts['renamed']}, "
+        f"rewritten {counts['rewritten']}, registered {counts['registered']}; "
+        f"unsupported {counts['unsupported']}, "
+        f"out-of-scope {counts['out-of-scope']}).",
+        "",
+        "| function | status | probe / note |",
+        "|---|---|---|",
+    ]
+    for name in sorted(MATRIX):
+        status, probe, note = MATRIX[name]
+        detail = " — ".join(x for x in (f"`{probe}`" if probe else "", note) if x)
+        lines.append(f"| {name} | {status} | {detail} |")
+    if missing:
+        lines += ["", "Unclassified reference names: " + ", ".join(missing)]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {path}: {len(MATRIX)} rows, {supported} supported")
+    if missing:
+        print("UNCLASSIFIED:", missing)
+
+
+if __name__ == "__main__":
+    write_markdown()
