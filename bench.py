@@ -24,7 +24,9 @@ from hopspark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the TPC-H spine + heaviest extension operators.
+# Headline set: the TPC-H spine + heaviest extension operators. r2 adds the
+# analytic/nested/sketch/tpcds families so regression tracking covers every
+# operator group (superset of the r1 key set).
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -35,10 +37,17 @@ HEADLINE = [
     "agg_multi_distinct",
     "window_rank_topn",
     "window_running_sum",
+    "window_sliding_frame",
     "dedup_exact_groups",
     "dedup_minhash_candidates",
+    "dedup_simhash",
     "text_token_stats",
     "sim_knn_bruteforce_cosine",
+    "nested_customer_orders",
+    "sketch_theta_grouped",
+    "tpcds_q3_brand_year_topn",
+    "tpcds_q36_margin_rollup_rank",
+    "tpcds_q51_cumulative_channels",
 ]
 
 

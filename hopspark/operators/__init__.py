@@ -29,6 +29,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         sketches,
         text,
         tpch,
+        tpcds_patterns,
     )
 
     merged: dict[str, tuple[QueryFn, str | None]] = {}
@@ -44,6 +45,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         text,
         multimodal,
         dialect_sql,
+        tpcds_patterns,
     ):
         for name, entry in mod.QUERIES.items():
             if name in merged:
