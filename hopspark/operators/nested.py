@@ -211,6 +211,43 @@ ORDER BY hour, event_type
 # ---------------------------------------------------------------------------
 
 
+def nested_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer table enriched with complex-typed columns — the on-disk
+    complex-type table analogue (reference `complextypestbl`,
+    functional_schema_template.sql:787-794): `orders` array<struct> sorted
+    by key (deterministic), `status_counts` map<string,bigint>. Written to
+    and read back from real parquet in tests/test_sources.py, with the
+    nested aggregations re-run over the file."""
+    cust = read_table(spark, "customer", sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    nested = (
+        orders.select(
+            "o_custkey",
+            F.struct(
+                "o_orderkey",
+                F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+                "o_orderstatus",
+            ).alias("o"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o")).alias("orders"))
+    )
+    status_counts = F.map_from_entries(
+        F.transform(
+            F.array_distinct(F.transform("orders", lambda o: o.o_orderstatus)),
+            lambda s: F.struct(
+                s.alias("status"),
+                F.size(
+                    F.filter("orders", lambda o: o.o_orderstatus == s)
+                ).cast("long").alias("cnt"),
+            ),
+        )
+    )
+    return cust.join(nested, cust.c_custkey == nested.o_custkey).select(
+        "c_custkey", "c_name", "orders", status_counts.alias("status_counts")
+    )
+
+
 def nested_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, "customer", sf_dir)
     orders = read_table(spark, "orders", sf_dir)

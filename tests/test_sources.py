@@ -331,6 +331,102 @@ def test_ctas_insert_truncate_sql(spark, sf_dir):
         shutil.rmtree(f"{warehouse}/dml_t", ignore_errors=True)
 
 
+def test_nested_parquet_roundtrip(spark, sf_dir, tmpdir_repo):
+    """On-disk complex types (reference complextypestbl analogue,
+    functional_schema_template.sql:787-794): write array<struct> + map
+    columns to real parquet, read back through an EXPLICIT nested schema,
+    and re-run the nested aggregations over the file — proving the nested
+    readers (parquet list/map decoding), not just in-memory synthesis."""
+    from hopspark.operators.nested import nested_orders_table
+    from hopspark.sources.io import read_parquet
+
+    out = os.path.join(tmpdir_repo, "nested_orders")
+    shutil.rmtree(out, ignore_errors=True)
+    src = nested_orders_table(spark, sf_dir)
+    src.write.mode("overwrite").parquet(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField(
+                "orders",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("o_orderkey", T.LongType()),
+                            T.StructField("price", T.DecimalType(14, 2)),
+                            T.StructField("o_orderstatus", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField(
+                "status_counts", T.MapType(T.StringType(), T.LongType())
+            ),
+        ]
+    )
+    back = read_parquet(spark, out, schema=schema)
+    assert back.schema == schema
+    # data round-trip (orders arrays are key-sorted, maps compared as dicts)
+    a = sorted(
+        (r.c_custkey, tuple(map(tuple, r.orders)), tuple(sorted(r.status_counts.items())))
+        for r in back.collect()
+    )
+    b = sorted(
+        (r.c_custkey, tuple(map(tuple, r.orders)), tuple(sorted(r.status_counts.items())))
+        for r in src.collect()
+    )
+    assert a == b
+
+    # the nested query, re-pointed at the FILE: same aggregates as
+    # nested_customer_orders computed from the flat tables
+    from hopspark.operators.nested import nested_customer_orders
+
+    on_disk = back.select(
+        "c_custkey",
+        F.size("orders").alias("n_orders"),
+        F.array_max(F.transform("orders", lambda o: o.price))
+        .cast("double")
+        .alias("max_price"),
+        F.size(F.filter("orders", lambda o: o.o_orderstatus == "O")).alias("n_open"),
+        F.aggregate(
+            "orders",
+            F.lit(0).cast("decimal(38,2)"),
+            lambda acc, o: acc + o.price,
+        )
+        .cast("double")
+        .alias("total_spent"),
+    ).orderBy("c_custkey")
+    expected = nested_customer_orders(spark, sf_dir)
+    assert [tuple(r) for r in on_disk.collect()] == [
+        tuple(r) for r in expected.collect()
+    ]
+    # map semantics over the file: per-status totals agree with flat counts
+    open_from_map = (
+        back.select(F.element_at("status_counts", "O").alias("n"))
+        .agg(F.sum(F.coalesce("n", F.lit(0))).alias("s"))
+        .first()["s"]
+    )
+    open_flat = (
+        read_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "O")
+        .count()
+    )
+    assert open_from_map == open_flat
+
+    # nested-schema pruning reaches the scan: direct field extraction
+    # (GetArrayStructFields — `orders.price`) lets SchemaPruning drop the
+    # other struct fields from the parquet ReadSchema. NOTE a transform()
+    # lambda (o -> o.price) defeats pruning and reads the whole struct —
+    # use direct extraction when projecting nested columns at scale.
+    pruned = back.select(F.array_max(F.col("orders.price")).alias("mx"))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "price" in read_schema
+    assert "o_orderstatus" not in read_schema, read_schema
+
+
 def test_orc_filter_pushdown(spark, sf_dir, tmpdir_repo):
     """ORC scan parity (hdfs-orc-scanner.h): predicate pushdown reaches the
     ORC reader like the parquet path."""
