@@ -82,6 +82,10 @@ def get_spark(
         # --- python/arrow path ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Python DataSource V2 filter pushdown (sources/dsv2.py) — the
+        # external-data-source predicate pushdown of the reference
+        # (data-source-scan-node.cc accept/reject of pushed conjuncts)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- scan sizing: target healthy task sizes at large SF ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")

@@ -427,6 +427,60 @@ def test_nested_parquet_roundtrip(spark, sf_dir, tmpdir_repo):
     assert "o_orderstatus" not in read_schema, read_schema
 
 
+def test_dsv2_rcfile_datasource(spark, sf_dir, tmpdir_repo):
+    """External data source via the DataSource V2 extension point
+    (data-source-scan-node.cc analogue; PySpark Python Data Source API):
+    the RCFile codec registered as a real format with write, read, column
+    pruning reaching the codec's lazy column skip, and EqualTo filter
+    pushdown evaluated in the reader."""
+    from hopspark.sources import dsv2
+
+    dsv2.register(spark)
+    orders = read_table(spark, "orders", sf_dir)
+    ddl = (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+    )
+    path = os.path.join(tmpdir_repo, "dsv2_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    orders.write.format("hopspark_rcfile").option("schema", ddl).mode(
+        "overwrite"
+    ).save(path)
+    back = spark.read.format("hopspark_rcfile").option("schema", ddl).load(path)
+
+    # full round trip, typed
+    a = sorted(map(tuple, back.collect()))
+    b = sorted(map(tuple, orders.collect()))
+    assert a == b
+
+    # column pruning: reader receives only the projected columns, whose
+    # indexes drive decode_container's byte-skip of the others
+    pruned_sum = (
+        back.select("o_orderkey", "o_totalprice")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .first()["s"]
+    )
+    assert pruned_sum == orders.agg(F.sum("o_totalprice").alias("s")).first()["s"]
+    names = [f.name for f in orders.schema.fields]
+    reader = dsv2.RCFileReader(
+        {"path": path},
+        T.StructType([T.StructField("o_totalprice", T.DoubleType())]),
+        names,
+    )
+    assert reader.select == [names.index("o_totalprice")]
+
+    # EqualTo pushdown: reader-evaluated, residual filters left to Spark
+    filt = back.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 0)
+    )
+    assert (
+        filt.count()
+        == orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 0)
+        ).count()
+    )
+
+
 def test_orc_filter_pushdown(spark, sf_dir, tmpdir_repo):
     """ORC scan parity (hdfs-orc-scanner.h): predicate pushdown reaches the
     ORC reader like the parquet path."""
