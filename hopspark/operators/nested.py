@@ -160,6 +160,10 @@ ORDER BY o_orderstatus
 
 
 def tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level (BERNOULLI) sampling; the file-level SYSTEM form —
+    whole files chosen to a byte target, FeFsTable.getFilesSample — is
+    hopspark.sources.io.tablesample_system (needs multi-file input, so it
+    is exercised in test_sources over a repartitioned write)."""
     li = read_table(spark, "lineitem", sf_dir)
     return (
         li.sample(fraction=0.1, seed=42)

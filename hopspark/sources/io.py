@@ -26,6 +26,8 @@ Reference parity:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -178,6 +180,56 @@ def read_avro(
         from hopspark.sources.avro_codec import read_avro_native
 
         return read_avro_native(spark, path, schema)
+
+
+def tablesample_system(
+    spark: SparkSession,
+    path: str,
+    percent: float,
+    seed: int = 0,
+    schema: T.StructType | None = None,
+    fmt: str = "parquet",
+    min_sample_bytes: int = 0,
+) -> DataFrame:
+    """File-level `TABLESAMPLE SYSTEM(percent) REPEATABLE(seed)` — mirrors
+    the reference's file sampling (FeFsTable.getFilesSample:484-545):
+    consistent file ordering for repeatable runs, then seeded random
+    selection WITHOUT replacement until the cumulative file size reaches
+    `max(round(total_bytes * percent/100), min_sample_bytes)`. Sampling
+    whole files skips I/O proportionally (the point of SYSTEM vs BERNOULLI);
+    the row-level form stays `df.sample()`. The PRNG is Python's, so the
+    chosen subset differs from the reference's Java Random for the same
+    seed — the contract (deterministic per seed, byte-target, whole files)
+    is the same."""
+    import random
+
+    if not 0 <= percent <= 100:
+        raise ValueError("percent must be in [0, 100]")
+    files = sorted(
+        e.path
+        for e in os.scandir(path)
+        if e.is_file() and not e.name.startswith(("_", "."))
+    )
+    if not files:
+        raise ValueError(f"no data files under {path}")
+    sizes = {f: os.path.getsize(f) for f in files}
+    total = sum(sizes.values())
+    target = max(round(total * percent / 100.0), min_sample_bytes)
+    rnd = random.Random(seed)
+    remaining = list(files)
+    chosen: list[str] = []
+    selected = 0
+    while remaining and selected < target:
+        f = remaining.pop(rnd.randrange(len(remaining)))
+        chosen.append(f)
+        selected += sizes[f]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if not chosen:
+        empty_schema = schema or reader.format(fmt).load(files[0]).schema
+        return spark.createDataFrame([], empty_schema)
+    return reader.format(fmt).load(chosen)
 
 
 def write_partitioned(

@@ -427,6 +427,44 @@ def test_nested_parquet_roundtrip(spark, sf_dir, tmpdir_repo):
     assert "o_orderstatus" not in read_schema, read_schema
 
 
+def test_tablesample_system_files(spark, sf_dir, tmpdir_repo):
+    """File-level TABLESAMPLE SYSTEM (FeFsTable.getFilesSample analogue):
+    whole files are selected to a byte target, repeatable per seed."""
+    from hopspark.sources.io import tablesample_system
+
+    out = os.path.join(tmpdir_repo, "orders_multifile")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = read_table(spark, "orders", sf_dir)
+    orders.repartition(8).write.mode("overwrite").parquet(out)
+    total = orders.count()
+
+    s50 = tablesample_system(spark, out, 50, seed=7)
+    n50 = s50.count()
+    assert 0 < n50 < total  # a strict subset of whole files
+    # repeatable: same seed → same rows; different seed → usually different
+    assert tablesample_system(spark, out, 50, seed=7).count() == n50
+    assert sorted(map(tuple, s50.collect())) == sorted(
+        map(tuple, tablesample_system(spark, out, 50, seed=7).collect())
+    )
+    # whole-file granularity: sampled count is a sum of per-file counts
+    import glob
+
+    per_file = {
+        f: spark.read.parquet(f).count()
+        for f in glob.glob(os.path.join(out, "part-*.parquet"))
+    }
+    assert n50 in {
+        sum(c)
+        for c in __import__("itertools").chain.from_iterable(
+            __import__("itertools").combinations(per_file.values(), k)
+            for k in range(1, len(per_file) + 1)
+        )
+    }
+    # 100% returns everything; 0% returns nothing
+    assert tablesample_system(spark, out, 100, seed=1).count() == total
+    assert tablesample_system(spark, out, 0, seed=1).count() == 0
+
+
 def test_dsv2_rcfile_datasource(spark, sf_dir, tmpdir_repo):
     """External data source via the DataSource V2 extension point
     (data-source-scan-node.cc analogue; PySpark Python Data Source API):
