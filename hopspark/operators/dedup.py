@@ -165,14 +165,24 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_BUCKET_CAP = 256
 
 
-def _exact_groups(keyed: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(reps, members) for exact-duplicate collapse. `keyed` = (doc_id, fp).
-    reps = one representative (min doc_id) per fingerprint; members maps
-    every doc to its representative. Compact columns only — two narrow
-    shuffles at 100 TB, payload untouched."""
-    reps = keyed.groupBy("fp").agg(F.min("doc_id").alias("rep"))
-    members = keyed.join(reps, "fp").select("doc_id", "rep")
-    return reps, members
+def _exact_groups(base: DataFrame, payload: str) -> tuple[DataFrame, DataFrame]:
+    """(reps, members) for exact-duplicate collapse. `base` = (doc_id, fp,
+    payload). reps = one representative (min doc_id) per fingerprint WITH
+    its payload carried through the same groupBy via min_by — so every
+    downstream consumer of the representatives (signatures, both verify
+    sides) references ONE canonically-identical aggregation subtree and
+    Spark's exchange reuse makes the scan+shuffle happen once, instead of
+    re-expanding the document scan per consumer. members maps every doc to
+    its representative (one compact-key join)."""
+    reps = base.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.min_by(payload, "doc_id").alias(payload)
+    )
+    members = (
+        base.select("doc_id", "fp")
+        .join(reps.select("fp", F.col("doc_id").alias("rep")), "fp")
+        .select("doc_id", "rep")
+    )
+    return reps.select("doc_id", payload), members
 
 
 def _capped_buckets(banded: DataFrame, member_col: str, cap: int) -> DataFrame:
@@ -279,10 +289,12 @@ def _minhash_pipeline(
     """Full near-dup pipeline over a (doc_id, sh: array<long>) frame:
     exact-dup collapse → banding over representatives → shuffle-join verify
     → expansion back to all doc pairs (output identical to banding the full
-    corpus, minus >cap bucket tails)."""
-    fp = sh.select("doc_id", F.xxhash64("sh").alias("fp"))
-    reps, members = _exact_groups(fp)
-    rep_sh = sh.join(reps.select(F.col("rep").alias("doc_id")), "doc_id")
+    corpus, minus >cap bucket tails). The fingerprint rides the shingle
+    projection, and representatives carry their shingles through the
+    collapse groupBy — the document scan materializes twice (reps +
+    members), not once per downstream consumer."""
+    base = sh.withColumn("fp", F.xxhash64("sh"))
+    rep_sh, members = _exact_groups(base, "sh")
     rep_pairs = _minhash_rep_pairs(rep_sh, jaccard_threshold, bucket_cap)
     return _expand_exact_dups(rep_pairs, members, "jaccard", F.lit(1.0))
 
@@ -318,9 +330,7 @@ def minhash_bucket_stats(
     exceed `bucket_cap` (their tails are dropped by the capped pipeline) —
     the monitoring hook for the documented recall trade-off."""
     sh = _hashed_shingles(spark, sf_dir)
-    fp = sh.select("doc_id", F.xxhash64("sh").alias("fp"))
-    reps, _ = _exact_groups(fp)
-    rep_sh = sh.join(reps.select(F.col("rep").alias("doc_id")), "doc_id")
+    rep_sh, _ = _exact_groups(sh.withColumn("fp", F.xxhash64("sh")), "sh")
     sig = rep_sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
     banded = sig.select(
         "doc_id",
@@ -436,9 +446,7 @@ def _simhash_pipeline(th: DataFrame, max_hamming: int, bucket_cap: int) -> DataF
     representatives, capped like the MinHash path → Hamming verify inside
     the bucket combinatorics → expansion back to all doc pairs (within an
     exact-dup group, hamming = 0)."""
-    fp = th.select("doc_id", F.xxhash64("th").alias("fp"))
-    reps, members = _exact_groups(fp)
-    rep_th = th.join(reps.select(F.col("rep").alias("doc_id")), "doc_id")
+    rep_th, members = _exact_groups(th.withColumn("fp", F.xxhash64("th")), "th")
     sigs = _simhash_from_tokens(rep_th)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     banded = sigs.select(
