@@ -83,12 +83,33 @@ def _read_bytes(buf) -> bytes:
 def spark_to_avro_schema(schema: T.StructType, name: str = "row") -> dict:
     fields = []
     for f in schema.fields:
-        at = _spark_type_to_avro(f.dataType)
+        at = _spark_type_to_avro(f.dataType, f"{name}_{f.name}")
         fields.append({"name": f.name, "type": ["null", at] if f.nullable else at})
     return {"type": "record", "name": name, "fields": fields}
 
 
-def _spark_type_to_avro(dt: T.DataType):
+def _spark_type_to_avro(dt: T.DataType, name: str = "r"):
+    # complex types (avro spec: records named by field path → unique)
+    if isinstance(dt, T.StructType):
+        return spark_to_avro_schema(dt, name)
+    if isinstance(dt, T.ArrayType):
+        items = _spark_type_to_avro(dt.elementType, f"{name}_item")
+        return {
+            "type": "array",
+            "items": ["null", items] if dt.containsNull else items,
+        }
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise NotImplementedError("avro maps require string keys")
+        values = _spark_type_to_avro(dt.valueType, f"{name}_value")
+        return {
+            "type": "map",
+            "values": ["null", values] if dt.valueContainsNull else values,
+        }
+    return _spark_prim_to_avro(dt)
+
+
+def _spark_prim_to_avro(dt: T.DataType):
     if isinstance(dt, T.BooleanType):
         return "boolean"
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
@@ -139,6 +160,14 @@ def _unwrap_union(at):
 
 def _avro_type_to_spark(at) -> T.DataType:
     if isinstance(at, dict):
+        if at.get("type") == "record":
+            return avro_to_spark_schema(at)
+        if at.get("type") == "array":
+            it, nullable = _unwrap_union(at["items"])
+            return T.ArrayType(_avro_type_to_spark(it), nullable)
+        if at.get("type") == "map":
+            vt, nullable = _unwrap_union(at["values"])
+            return T.MapType(T.StringType(), _avro_type_to_spark(vt), nullable)
         lt = at.get("logicalType")
         if lt == "date":
             return T.DateType()
@@ -173,6 +202,27 @@ def _encode_value(buf: io.BytesIO, at, v) -> None:
         _encode_value(buf, branch, v)
         return
     if isinstance(at, dict):
+        if at.get("type") == "record":
+            for i, f in enumerate(at["fields"]):
+                fv = v.get(f["name"]) if isinstance(v, dict) else v[i]
+                _encode_value(buf, f["type"], fv)
+            return
+        if at.get("type") == "array":
+            if v:
+                _write_long(buf, len(v))
+                for item in v:
+                    _encode_value(buf, at["items"], item)
+            _write_long(buf, 0)
+            return
+        if at.get("type") == "map":
+            items = sorted(v.items()) if isinstance(v, dict) else list(v)
+            if items:
+                _write_long(buf, len(items))
+                for k, mv in items:
+                    _write_bytes(buf, k.encode("utf-8"))
+                    _encode_value(buf, at["values"], mv)
+            _write_long(buf, 0)
+            return
         lt = at.get("logicalType")
         if lt == "date":
             _write_long(buf, (v - _EPOCH_DATE).days)
@@ -265,6 +315,30 @@ def _decode_value(buf, at):
     if at == "null" or at is None:
         return None
     if isinstance(at, dict):
+        if at.get("type") == "record":
+            return {f["name"]: _decode_value(buf, f["type"]) for f in at["fields"]}
+        if at.get("type") == "array":
+            out = []
+            while True:
+                count = _read_long(buf)
+                if count == 0:
+                    return out
+                if count < 0:  # negative count: byte size follows
+                    _read_long(buf)
+                    count = -count
+                out.extend(_decode_value(buf, at["items"]) for _ in range(count))
+        if at.get("type") == "map":
+            m = {}
+            while True:
+                count = _read_long(buf)
+                if count == 0:
+                    return m
+                if count < 0:
+                    _read_long(buf)
+                    count = -count
+                for _ in range(count):
+                    k = _read_bytes(buf).decode("utf-8")
+                    m[k] = _decode_value(buf, at["values"])
         lt = at.get("logicalType")
         if lt == "date":
             return _EPOCH_DATE + timedelta(days=_read_long(buf))

@@ -266,6 +266,52 @@ def test_rcfile_roundtrip_and_prune(spark, sf_dir, tmpdir_repo, codec):
     )
 
 
+def test_avro_nested_complex_types(tmpdir_repo):
+    """Avro complex types in the pure-Python codec: record/array/map encode,
+    decode, block boundaries, null branches — the schema shapes Iceberg
+    manifests need (sources/iceberg.py) and Avro's own nested-record spec."""
+    from hopspark.sources.avro_codec import (
+        avro_to_spark_schema,
+        decode_container,
+        spark_to_avro_schema,
+        write_container,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("a", T.IntegerType()),
+                        T.StructField("b", T.StringType()),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField("counts", T.MapType(T.StringType(), T.LongType()), True),
+        ]
+    )
+    avro = spark_to_avro_schema(schema, "row")
+    rows = [
+        (1, ["x", "y"], {"a": 5, "b": "hi"}, {"k1": 10, "k2": 20}),
+        (2, [], None, {}),
+        (3, None, {"a": None, "b": "z"}, None),
+    ]
+    path = os.path.join(tmpdir_repo, "nested.avro")
+    assert write_container(path, avro, rows) == 3
+    with open(path, "rb") as f:
+        back = list(decode_container(f.read()))
+    assert back == [
+        (1, ["x", "y"], {"a": 5, "b": "hi"}, {"k1": 10, "k2": 20}),
+        (2, [], None, {}),
+        (3, None, {"a": None, "b": "z"}, None),
+    ]
+    assert avro_to_spark_schema(avro) == schema
+
+
 def test_rcfile_null_marker_literal(spark, tmpdir_repo):
     """A string cell that is literally '\\N' (or '\\\\N') must not collapse
     to NULL: the writer escapes marker-shaped cells, the reader unescapes
