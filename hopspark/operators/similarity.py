@@ -186,16 +186,57 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CENTROIDS = 8
 N_PROBE = 2
+KMEANS_ITERS = 2
 
 
-def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic coarse centroids: the first N_CENTROIDS corpus vectors
-    (a fixed, reproducible seeding — a production build would run k-means;
-    the *search* structure is identical either way)."""
-    emb = read_table(spark, "embeddings", sf_dir)
-    return emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), _dvec("embedding").alias("c_emb")
+def _centroids(
+    spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Coarse centroids: deterministic first-N seeding refined by `iters`
+    distributed Lloyd iterations — assign every vector to its nearest
+    centroid (one broadcast pass over the corpus), then recompute each
+    cell's element-wise mean via posexplode + per-(cell, dimension)
+    averages (partial aggregation map-side; no vector list ever collected).
+    Empty cells fall back to their seed so the cell count stays fixed.
+    Float means vary at ulp scale with partition order, but cell COUNTS and
+    the search structure are stable (rows-only check; recall unit-tested)."""
+    emb = read_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _dvec("embedding").alias("emb")
     )
+    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
+    )
+    cents = seeds
+    for _ in range(iters):
+        scored = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "emb",
+            "centroid_id",
+            cosine(F.col("emb"), F.col("c_emb")).alias("c_sim"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+        assigned = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("centroid_id", "emb")
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("c_emb")
+            )
+        )
+        lost = seeds.join(
+            means.select("centroid_id"), "centroid_id", "left_anti"
+        )
+        cents = means.unionByName(lost)
+    return cents
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
