@@ -474,22 +474,45 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
 # the ISO tokens converted to Java SimpleDateFormat-style patterns.
 # ---------------------------------------------------------------------------
 
+# Token inventory mirrors the reference's ISO-SQL tokenizer
+# (be/src/runtime/datetime-iso-sql-format-tokenizer.cc:40-89). Longest
+# tokens must precede their prefixes (the converter is first-match).
+# Unmapped-by-design: D / ID (day-of-week numbering differs between the
+# reference and Java's week fields — a silent off-by-one is worse than a
+# passthrough error), FM/FX (padding/strictness modifiers; dropped).
+# Also unmapped: IYYY/IYY/IY/IW/WW/W (week-based fields — Spark's CORRECTED
+# datetime formatter prohibits Java's Y/w/W patterns outright).
 _ISO_TO_JAVA = [
     ("YYYY", "yyyy"),
     ("YYY", "yyy"),
     ("YY", "yy"),
     ("DDD", "DDD"),
     ("DD", "dd"),
+    ("DAY", "EEEE"),
+    ("DY", "EEE"),
     ("HH24", "HH"),
     ("HH12", "hh"),
     ("HH", "hh"),
     ("MI", "mm"),
     ("SS", "ss"),
     ("FF9", "SSSSSSSSS"),
+    ("FF8", "SSSSSSSS"),
+    ("FF7", "SSSSSSS"),
     ("FF6", "SSSSSS"),
+    ("FF5", "SSSSS"),
+    ("FF4", "SSSS"),
     ("FF3", "SSS"),
+    ("FF2", "SS"),
+    ("FF1", "S"),
     ("FF", "SSSSSS"),
-    ("TZH", "XXX"),
+    ("A.M.", "a"),
+    ("P.M.", "a"),
+    ("AM", "a"),
+    ("PM", "a"),
+    ("TZH:TZM", "XXX"),  # paired offset → ISO ±HH:mm
+    ("TZH", "x"),        # lone hour offset → ISO ±HH
+    ("T", "'T'"),        # ISO 8601 time designator (literal)
+    ("Z", "'Z'"),        # ISO 8601 zulu designator (literal)
     # MONTH→MMMM, MON→MMM; MM maps to itself so a lowercase 'mm' (FORMAT
     # patterns are case-insensitive in the reference, cast-format-expr.cc)
     # normalizes to the Java month token instead of leaking through as
@@ -497,6 +520,9 @@ _ISO_TO_JAVA = [
     ("MONTH", "MMMM"),
     ("MON", "MMM"),
     ("MM", "MM"),
+    ("Q", "Q"),
+    ("FM", ""),
+    ("FX", ""),
 ]
 
 
@@ -565,10 +591,12 @@ def _rewrite_cast_format(toks: list[Tok]) -> list[Tok]:
         else:
             i += 1
             continue
+        # double-quoted SQL literal: the Java pattern may itself contain
+        # single-quoted literal sections ('T', 'Z')
         repl = (
             [Tok("word", fn), Tok("op", "(")]
             + expr
-            + [Tok("op", ","), Tok("str", f" '{java_fmt}'"), Tok("op", ")")]
+            + [Tok("op", ","), Tok("str", f' "{java_fmt}"'), Tok("op", ")")]
         )
         toks[i : close + 1] = repl
         i += 1

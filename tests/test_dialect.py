@@ -110,7 +110,7 @@ def test_cast_format_case_insensitive():
     (cast-format-expr.cc); lowercase 'mm' is the month, not minutes."""
     assert (
         translate("SELECT CAST('2020-01-02' AS DATE FORMAT 'yyyy-mm-dd')")
-        == "SELECT to_date('2020-01-02' , 'yyyy-MM-dd')"
+        == 'SELECT to_date(\'2020-01-02\' , "yyyy-MM-dd")'
     )
 
 
@@ -139,10 +139,15 @@ def test_cast_format_clause():
 
     assert (
         translate("SELECT CAST('2020-01-02' AS TIMESTAMP FORMAT 'YYYY-MM-DD')")
-        == "SELECT to_timestamp('2020-01-02' , 'yyyy-MM-dd')"
+        == 'SELECT to_timestamp(\'2020-01-02\' , "yyyy-MM-dd")'
     )
-    assert "date_format(ts , 'yyyy-MM-dd HH:mm:ss')" in translate(
+    assert 'date_format(ts , "yyyy-MM-dd HH:mm:ss")' in translate(
         "SELECT CAST(ts AS STRING FORMAT 'YYYY-MM-DD HH24:MI:SS') FROM t"
+    )
+    # ISO designators become quoted Java literals inside a double-quoted
+    # SQL string (a single-quoted literal would break on the inner quotes)
+    assert "\"yyyy-MM-dd'T'HH:mm:ss'Z'\"" in translate(
+        "SELECT CAST(s AS TIMESTAMP FORMAT 'YYYY-MM-DDTHH24:MI:SSZ') FROM t"
     )
     # plain casts untouched
     assert translate("SELECT CAST(x AS INT) FROM t") == "SELECT CAST(x AS INT) FROM t"
