@@ -222,7 +222,69 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-timeout sessionization over the events stream table — the
+    lag + cumulative-sum session-id pattern (the batch twin of the
+    streaming session_window in hopspark/streaming/windows.py). Timestamps
+    are second-truncated in BOTH engines so the ns-vs-µs storage difference
+    can't flip a gap comparison; a 30-minute silence starts a new session."""
+    ev = read_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", F.date_trunc("second", "ts").alias("ts")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    wcum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn("session_no", F.sum("new_sess").over(wcum))
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+WINDOW_SESSIONIZE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(epoch(ts) AS BIGINT)
+                      - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "window_sessionize": (window_sessionize, WINDOW_SESSIONIZE_SQL),
     "window_rank_topn": (window_rank_topn, WINDOW_RANK_TOPN_SQL),
     "window_running_sum": (window_running_sum, WINDOW_RUNNING_SUM_SQL),
     "window_sliding_frame": (window_sliding_frame, WINDOW_SLIDING_FRAME_SQL),

@@ -80,6 +80,56 @@ def sessionized_counts(
     )
 
 
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — the continuous-ingestion member of the dedup
+    family (operators/dedup.py is the batch path): drop repeated event_ids
+    arriving within the watermark horizon. State is one compact key per
+    distinct id, expired by the watermark, so state size is bounded by the
+    id arrival rate × horizon, not the stream's history."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_stream_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream join: correlate each `left_type` event
+    with the same user's `right_type` events that happened up to `within`
+    BEFORE it (view→click attribution shape). Both sides are watermarked
+    and the join condition is time-bounded, so each side's state store
+    holds only the `within + watermark` horizon — the mandatory shape for
+    an unbounded stream-stream equi-join."""
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}")),
+    ).select("l_user", "l_id", "l_ts", "r_id", "r_ts")
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -55,6 +55,71 @@ def test_stream_window_equals_batch(spark, sf_dir, ckpt_dir):
     assert len(got) > 0
 
 
+def test_stream_dedup_within_watermark(spark, sf_dir, ckpt_dir):
+    """dropDuplicatesWithinWatermark: a stream unioned with itself (every
+    event twice) dedups back to exactly the distinct event_ids."""
+    from hopspark.streaming.windows import stream_dedup
+
+    stream = stream_events(spark, sf_dir)
+    doubled = stream.unionByName(stream)
+    deduped = stream_dedup(doubled)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(ckpt_dir, "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream").head()
+    truth = read_table(spark, "events", sf_dir).select("event_id").distinct().count()
+    assert got.n == got.d == truth
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, ckpt_dir):
+    """Time-bounded watermarked stream-stream join must equal the batch
+    join over the same files."""
+    from hopspark.streaming.windows import stream_stream_join
+
+    ev_types = [
+        r.event_type
+        for r in read_table(spark, "events", sf_dir)
+        .groupBy("event_type").count().orderBy(F.desc("count")).limit(2).collect()
+    ]
+    lt, rt = ev_types[0], ev_types[1]
+    stream = stream_events(spark, sf_dir)
+    joined = stream_stream_join(stream, left_type=lt, right_type=rt)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(ckpt_dir, "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT l_id, r_id FROM ss_join").collect()
+
+    ev = read_table(spark, "events", sf_dir)
+    left = ev.filter(F.col("event_type") == lt).select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    right = ev.filter(F.col("event_type") == rt).select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    batch = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 30 minutes")),
+    ).select("l_id", "r_id").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) > 0
+
+
 def test_session_windows_stream_equals_batch(spark, sf_dir, ckpt_dir):
     """Gap-timeout sessionization: streaming state-store result must equal
     the batch session_window over the same files."""
