@@ -24,6 +24,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         dialect_sql,
         multimodal,
         nested,
+        pipeline,
         relational,
         similarity,
         sketches,
@@ -46,6 +47,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         multimodal,
         dialect_sql,
         tpcds_patterns,
+        pipeline,
     ):
         for name, entry in mod.QUERIES.items():
             if name in merged:
