@@ -27,6 +27,35 @@ _PHASE2 = {
 }
 
 
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (possibly hot-keyed) fact side with a
+    random bucket and REPLICATE the other side once per bucket, then join on
+    (keys..., salt). A hot join key's rows spread over `n_salts` tasks
+    instead of funneling into one. This is the manual form of what AQE's
+    skew-join split does at runtime — useful when the skew is known up
+    front, when AQE's per-partition size heuristics miss it (many medium-hot
+    keys), or on non-AQE paths. The replicated side pays `n_salts`× its
+    size in shuffle, so use it for dimension-sized right sides.
+
+    Supported `how`: inner / left (semantics preserved because every fact
+    row carries exactly one salt and every dim row exists for every salt)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salted = facts.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted.join(replicated, [*on, "_salt"], how).drop("_salt")
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

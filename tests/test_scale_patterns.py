@@ -56,6 +56,22 @@ def test_salted_agg_two_shuffles(spark, sf_dir):
     assert plan.count("Exchange") >= 2
 
 
+def test_salted_join_matches_plain(spark, sf_dir):
+    """salted_join must produce exactly the plain join's rows (inner and
+    left), with the fact side spread over salt buckets."""
+    from hopspark.skew import salted_join
+
+    li = read_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = read_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    dim = part.withColumnRenamed("p_partkey", "l_partkey")
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, li.join(dim, ["l_partkey"], how).collect()))
+        salted = sorted(map(tuple, salted_join(li, dim, ["l_partkey"], how).collect()))
+        assert salted == plain, how
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     """Co-located join: both sides bucketed+sorted on the join key read
     without an Exchange (the bucketing/pre-partitioning strategy for
