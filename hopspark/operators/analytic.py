@@ -283,8 +283,67 @@ ORDER BY user_id, session_no
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over the events stream table: users whose
+    first view is followed by a click, then a purchase (each stage's clock
+    starts at the previous stage's first completion). Stage counts are the
+    classic product-analytics output; each stage is a filtered min-ts
+    aggregate joined forward — three narrow shuffles on user_id, payload
+    never moves. Second-truncated timestamps keep the ns-vs-µs storage
+    difference out of the ordering comparisons."""
+    ev = read_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.date_trunc("second", "ts").alias("ts")
+    )
+
+    def stage(prev: DataFrame, etype: str) -> DataFrame:
+        src = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            src = src.join(prev, "user_id").filter(F.col("ts") >= F.col("t"))
+        return src.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    views = stage(None, "view")
+    clicks = stage(views.select("user_id", "t"), "click")
+    purchases = stage(clicks.select("user_id", "t"), "purchase")
+    rows = [
+        ("view", 1, views),
+        ("click", 2, clicks),
+        ("purchase", 3, purchases),
+    ]
+    out = None
+    for name, no, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), F.lit(no).alias("stage_no"), "n_users"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("stage_no")
+
+
+EVENTS_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts
+  FROM events
+),
+v AS (SELECT user_id, MIN(ts) AS t FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT ev.user_id, MIN(ev.ts) AS t
+      FROM ev JOIN v ON ev.user_id = v.user_id AND ev.ts >= v.t
+      WHERE ev.event_type = 'click' GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, MIN(ev.ts) AS t
+      FROM ev JOIN c ON ev.user_id = c.user_id AND ev.ts >= c.t
+      WHERE ev.event_type = 'purchase' GROUP BY ev.user_id)
+SELECT 'view' AS stage, 1 AS stage_no, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT 'click', 2, COUNT(*) FROM c
+UNION ALL
+SELECT 'purchase', 3, COUNT(*) FROM p
+ORDER BY stage_no
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "window_sessionize": (window_sessionize, WINDOW_SESSIONIZE_SQL),
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "window_rank_topn": (window_rank_topn, WINDOW_RANK_TOPN_SQL),
     "window_running_sum": (window_running_sum, WINDOW_RUNNING_SUM_SQL),
     "window_sliding_frame": (window_sliding_frame, WINDOW_SLIDING_FRAME_SQL),
