@@ -29,9 +29,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _prepared(fn: Callable[[SparkSession, str], DataFrame]):
+    """Bind a query to the engine's dialect semantics regardless of how the
+    caller built its SparkSession: Impala-style non-ANSI arithmetic (Impala
+    wraps/nulls instead of erroring; reference be/src/exprs/operators-ir.cc)
+    and the engine's scalar-function registry. Both are idempotent runtime
+    confs, safe to apply per call."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        register_all(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: fn for name, (fn, _sql) in all_queries().items()}
+    return {name: _prepared(fn) for name, (fn, _sql) in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

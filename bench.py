@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_candidates",
     "dedup_simhash",
+    "dedup_cc_clusters",
     "text_token_stats",
     "sim_knn_bruteforce_cosine",
     "nested_customer_orders",

@@ -22,12 +22,14 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         analytic,
         dedup,
         dialect_sql,
+        graph,
         multimodal,
         nested,
         pipeline,
         relational,
         similarity,
         sketches,
+        temporal,
         text,
         tpch,
         tpcds_patterns,
@@ -41,6 +43,8 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         analytic,
         nested,
         dedup,
+        graph,
+        temporal,
         similarity,
         sketches,
         text,

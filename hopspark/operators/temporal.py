@@ -1,0 +1,158 @@
+"""Temporal join operators over the events table: as-of join and
+bounded-range join.
+
+The reference engine has no dedicated temporal-join operator (joins are
+hash/nested-loop only — be/src/exec/partitioned-hash-join-node.h,
+nested-loop-join-node.h), so Impala users express these as correlated
+subqueries or inequality joins that degrade to nested loops.  Spark also
+lacks a native as-of join; these implement both patterns Spark-first, with
+plans that stay shuffle-bounded at 100 TB:
+
+* **As-of join** (`asof_join_attribution`): "for each purchase, the most
+  recent click by the same user at-or-before the purchase" — the classic
+  attribution query, and the canonical as-of shape (kdb's `aj`, pandas
+  `merge_asof`).  Instead of a per-pair inequality join (O(n·m) within a
+  user) we union the two tagged event streams and take a running
+  `last(click, ignorenulls)` over a (user, time) window — a *merge* as-of
+  join: one shuffle on user_id, one per-user sort, zero join fanout.
+  Ties at equal timestamps resolve to the highest click event_id, pinned
+  by the window ordering (ts, tag, event_id).
+
+* **Range join** (`range_join_error_context`): "clicks by the same user in
+  the 10 minutes before each error".  A naive user-only equi-join fans out
+  to every (error, click) pair per user before filtering; instead both
+  sides are binned to 10-minute epoch buckets and errors probe only their
+  own and the preceding bucket (ε-join binning) — join fanout is bounded
+  by per-bucket density, not per-user history length, which is what
+  survives a 100× scale-up on a years-long event log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from hopspark.catalog import read_table
+
+RANGE_WINDOW_US = 600_000_000  # 10 minutes in microseconds
+
+
+def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-based as-of join: latest click at-or-before each purchase,
+    per user; purchases with no prior click keep NULL click columns."""
+    ev = read_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id"),
+        F.lit(0).alias("tag"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id"), F.lit(1).alias("tag")
+    )
+    # Clicks sort ahead of purchases at the same timestamp (tag 0 < 1), so
+    # an equal-ts click is visible to the purchase — ts_click <= ts_purchase
+    # semantics.  Among equal-ts clicks the last by event_id wins.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("tag") == 0, F.struct("ts", "event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("lc", last_click)
+        .filter(F.col("tag") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("lc.event_id").alias("click_id"),
+            F.col("lc.ts").alias("click_ts"),
+            (F.unix_micros("ts") - F.unix_micros("lc.ts")).alias("lag_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ASOF_JOIN_ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.click_id,
+       c.click_ts,
+       epoch_us(p.ts) - epoch_us(c.click_ts) AS lag_us
+FROM events p
+LEFT JOIN LATERAL (
+    SELECT e.event_id AS click_id, e.ts AS click_ts
+    FROM events e
+    WHERE e.event_type = 'click'
+      AND e.user_id = p.user_id
+      AND e.ts <= p.ts
+    ORDER BY e.ts DESC, e.event_id DESC
+    LIMIT 1
+) c ON TRUE
+WHERE p.event_type = 'purchase'
+ORDER BY purchase_id
+"""
+
+
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ε-range join: per error event, how many clicks the same
+    user made in the strict 10 minutes before it ([ts-10m, ts))."""
+    ev = read_table(spark, "events", sf_dir)
+    bucket = (F.unix_micros("ts") / F.lit(RANGE_WINDOW_US)).cast("long")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        bucket.alias("bkt"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        # An in-range click is at most one 10-minute bucket behind.
+        F.explode(F.array(bucket - 1, bucket)).alias("bkt"),
+    )
+    lo = F.unix_micros("error_ts") - F.lit(RANGE_WINDOW_US)
+    in_range = (F.unix_micros("click_ts") >= lo) & (
+        F.unix_micros("click_ts") < F.unix_micros("error_ts")
+    )
+    return (
+        errors.join(clicks, ["user_id", "bkt"], "left")
+        .groupBy("error_id", "user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("click_ts").isNotNull() & in_range, 1).otherwise(0)
+            ).alias("n_clicks_10m")
+        )
+        .orderBy("error_id")
+    )
+
+
+RANGE_JOIN_ERROR_CONTEXT_SQL = """
+SELECT e.event_id AS error_id,
+       e.user_id,
+       COUNT(c.event_id) AS n_clicks_10m
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= e.ts - INTERVAL 10 MINUTE
+ AND c.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+ORDER BY error_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "temporal_asof_attribution": (asof_join_attribution, ASOF_JOIN_ATTRIBUTION_SQL),
+    "temporal_range_join_context": (
+        range_join_error_context,
+        RANGE_JOIN_ERROR_CONTEXT_SQL,
+    ),
+}
