@@ -20,6 +20,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from hopspark.operators import (
         aggregates,
         analytic,
+        curation,
         dedup,
         dialect_sql,
         graph,
@@ -48,6 +49,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         similarity,
         sketches,
         text,
+        curation,
         multimodal,
         dialect_sql,
         tpcds_patterns,
