@@ -43,16 +43,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hopspark.catalog import read_table
-from hopspark.operators.dedup import shingle_set
+from hopspark.operators.dedup import _hashed_shingles_of
 
 SIM_THRESHOLD = 0.8
 POSTING_CAP = 1000  # defence-in-depth cap on a prefix shingle's posting list
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh: array<string>, sz) — distinct word 3-gram shingles."""
+    """(doc_id, sh: array<long>, sz) — distinct word 3-gram shingles as
+    64-bit hashes (same representation as the MinHash path: set algebra on
+    longs is ~10× cheaper than on concatenated strings, and the 2⁻⁶⁴
+    collision rate cannot move a Jaccard across the 0.8 threshold)."""
     docs = read_table(spark, "documents", sf_dir)
-    sh = docs.select("doc_id", shingle_set().alias("sh"))
+    sh = _hashed_shingles_of(docs)
     return sh.withColumn("sz", F.size("sh"))
 
 
@@ -65,6 +68,11 @@ def similarity_join_edges(
     jaccard >= threshold — identical to the brute-force all-pairs result,
     at inverted-prefix-index cost.
     """
+    # The shingle frame feeds three subtrees (df counts, prefix build, and
+    # both verify sides); checkpoint it so the document scan + shingle
+    # construction runs once instead of once per consumer.
+    sh = sh.localCheckpoint(eager=False)
+
     # Global document frequency per shingle: the ordering key that makes
     # prefixes rare.  One explode + groupBy over (hash-sized) tokens.
     tok = sh.select("doc_id", "sz", F.explode("sh").alias("g"))
@@ -79,9 +87,12 @@ def similarity_join_edges(
     # per-doc (window over doc_id) — state is one doc's shingle list.
     from pyspark.sql import Window as W
 
+    # df_counts is O(distinct shingles) — data-dependent, so never pinned
+    # broadcast; the shuffle equi-join on the hash key is the scale-safe
+    # shape (AQE may still broadcast it when measured small).
     w = W.partitionBy("doc_id").orderBy("df", "g")
     prefix = (
-        tok.join(F.broadcast(df_counts.filter(F.col("df") <= POSTING_CAP)), "g")
+        tok.join(df_counts.filter(F.col("df") <= POSTING_CAP), "g")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= prefix_len)
         .select("g", "doc_id", "sz")
