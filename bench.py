@@ -49,6 +49,11 @@ HEADLINE = [
     "tpcds_q3_brand_year_topn",
     "tpcds_q36_margin_rollup_rank",
     "tpcds_q51_cumulative_channels",
+    "temporal_asof_attribution",
+    "text_pii_redact",
+    "text_contamination",
+    "pack_sequences",
+    "events_gapfill_downsample",
 ]
 
 

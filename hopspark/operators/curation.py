@@ -98,11 +98,32 @@ CONTAM_NGRAM = 8
 BENCHMARK_SOURCE = "src0"  # stands in for a held-out eval set
 
 
-def _ngrams(col: str, n: int):
-    toks = F.split(F.trim(F.col(col)), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+def _ngram_hashes(th, n: int):
+    """Distinct n-gram keys as 64-bit hashes over a pre-materialized
+    token-hash array column `th` (array<long>) — xxhash64 over n token
+    hashes, no string concatenation in the row path (the 2⁻⁶⁴ collision
+    rate is negligible against overlap counting). `th` must be its own
+    projection; inlining the expression would recompute it per element
+    access (see dedup._hashed_shingles_of)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(th) - n, F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        F.transform(
+            idx, lambda i: F.xxhash64(*[F.get(th, i + j) for j in range(n)])
+        )
+    )
+
+
+def _doc_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, source, g) — exploded distinct hashed n-grams per doc."""
+    th = docs.select(
+        "doc_id",
+        "source",
+        F.transform(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: F.xxhash64(t)
+        ).alias("th"),
+    )
+    return th.select(
+        "doc_id", "source", F.explode(_ngram_hashes(F.col("th"), n)).alias("g")
     )
 
 
@@ -117,36 +138,31 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles its text, and the per-doc groupBy carries only
     (doc_id, two ints)."""
     docs = read_table(spark, "documents", sf_dir)
+    grams = _doc_ngrams(docs, CONTAM_NGRAM)
     bench = (
-        docs.filter(F.col("source") == BENCHMARK_SOURCE)
-        .select(F.explode(_ngrams("text", CONTAM_NGRAM)).alias("g"))
-        .distinct()
+        grams.filter(F.col("source") == BENCHMARK_SOURCE).select("g").distinct()
     )
-    train = docs.filter(F.col("source") != BENCHMARK_SOURCE).select(
-        "doc_id", "source", F.explode(_ngrams("text", CONTAM_NGRAM)).alias("g")
+    train = grams.filter(F.col("source") != BENCHMARK_SOURCE)
+    # One pass over the exploded corpus: left-join the (broadcast) benchmark
+    # set with a hit marker, then a single groupBy counts total and
+    # contaminated grams together — the corpus n-grams explode exactly once.
+    marked = train.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "g", "left"
     )
-    hits = (
-        train.join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_contaminated"),
     )
-    totals = train.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
-    return (
-        totals.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            "n_grams",
-            F.coalesce("n_hits", F.lit(0)).alias("n_contaminated"),
-            (
-                F.coalesce("n_hits", F.lit(0)).cast("double")
-                / F.col("n_grams").cast("double")
-            ).alias("contamination_ratio"),
-        )
-        .orderBy("doc_id")
-    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "n_contaminated",
+        (
+            F.col("n_contaminated").cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("contamination_ratio"),
+    ).orderBy("doc_id")
 
 
 TEXT_CONTAMINATION_SQL = rf"""
@@ -232,7 +248,10 @@ ORDER BY doc_id, chunk_idx
 # --- greedy sequence packing ------------------------------------------------
 
 PACK_CAPACITY = 256  # tokens per training sequence
-SHARD_WIDTH = 128  # docs per packing shard (bounds group state)
+# Docs per packing shard: bounds applyInPandas group state (a shard's docs
+# must fit one Arrow batch) while keeping groups coarse enough that
+# per-group Python dispatch overhead stays negligible.
+SHARD_WIDTH = 1024
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
