@@ -149,10 +149,64 @@ ORDER BY error_id
 """
 
 
+
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the week of
+    their first event; each later active week counts toward
+    (cohort_week, week_offset).  The standard growth-analytics rollup.
+
+    Scale shape: one groupBy(user) for cohort assignment (compact
+    (user, week) rows), activity deduplicated to (user, week) before the
+    join — both sides shuffle on user_id once and the retention matrix
+    itself is tiny (weeks x offsets)."""
+    ev = read_table(spark, "events", sf_dir)
+    week = F.date_trunc("week", "ts")
+    cohorts = (
+        ev.select("user_id", week.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EVENTS_COHORT_RETENTION_SQL = """
+WITH w AS (
+  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events
+),
+cohorts AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, wk AS active_week FROM w)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.active_week) / 7 AS INT)
+         AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohorts c ON c.user_id = a.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "temporal_asof_attribution": (asof_join_attribution, ASOF_JOIN_ATTRIBUTION_SQL),
     "temporal_range_join_context": (
         range_join_error_context,
         RANGE_JOIN_ERROR_CONTEXT_SQL,
+    ),
+    "events_cohort_retention": (
+        events_cohort_retention,
+        EVENTS_COHORT_RETENTION_SQL,
     ),
 }

@@ -253,3 +253,28 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """CREATE TABLE ... CLUSTERED BY (...) INTO n BUCKETS equivalent
+    (reference grammar sql-parser.cup CLUSTERED/SORT BY; Kudu hash
+    partitioning is the reference's closest physical analogue).
+
+    Bucketing is the co-located-join primitive at 100 TB: two tables
+    bucketed on their join key into the same bucket count join with NO
+    exchange on either side — the shuffle happened once at write time and
+    is amortized over every subsequent join/aggregation on that key
+    (verified by tests/test_plans.py::test_bucketed_join_has_no_exchange).
+    Registers through the session catalog (saveAsTable) because bucket
+    metadata lives in the catalog, not in the parquet files."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -149,3 +149,84 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
         assert "bloom" in plan.lower(), plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_contamination_benchmark_side_broadcast(spark, sf_dir):
+    """The benchmark n-gram set is small by construction, so it must be the
+    (pinned) broadcast side; the training corpus side must never be
+    broadcast or shuffled for the probe."""
+    from hopspark.operators.curation import text_contamination
+
+    plan = explain_formatted(text_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_similarity_join_no_pinned_broadcast(spark, sf_dir):
+    """Prefix-filter similarity join: the document-frequency table and the
+    candidate set are both data-dependent — no static broadcast hints
+    anywhere in the pipeline (AQE runtime decisions are fine)."""
+    from hopspark.operators.graph import dedup_cc_clusters
+
+    analyzed = dedup_cc_clusters(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_gapfill_aggregates_before_axis_join(spark, sf_dir):
+    """Gap-fill must aggregate the event stream first and join the dense
+    hour axis against compact (type, bucket) partials — the generated axis
+    explodes from a per-type min/max aggregate, not from raw events."""
+    from hopspark.operators.curation import events_gapfill_downsample
+
+    plan = explain_formatted(events_gapfill_downsample(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "Generate" in plan  # sequence+explode of the hour axis
+
+
+def test_pack_sequences_only_compact_columns_cross(spark, sf_dir):
+    """Sequence packing must project (source, shard, doc_id, n_tokens)
+    before the applyInPandas shuffle — the text payload never moves."""
+    from hopspark.operators.curation import pack_sequences
+
+    plan = explain_formatted(pack_sequences(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan, plan
+    # text must not appear in any exchange/sort below the pandas node
+    import re
+
+    exchange_sections = [
+        s for s in plan.split("\n") if "Exchange" in s or "Sort" in s
+    ]
+    assert not any("text#" in s for s in exchange_sections), exchange_sections
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing: orders and lineitem bucketed on the
+    join key into the same bucket count must sort-merge join with zero
+    Exchange operators — the write-time shuffle is amortized across every
+    later join on the key (the brief's 'co-locate joins via bucketing')."""
+    from hopspark.sources.io import write_bucketed
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = read_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_totalprice"
+        )
+        li = read_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_quantity"
+        )
+        write_bucketed(orders, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = explain_formatted(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # sanity: result matches the unbucketed join
+        plain = orders.join(li, orders.o_orderkey == li.l_orderkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
