@@ -45,18 +45,33 @@ class Engine:
     # -- query surface ------------------------------------------------------
 
     _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(\S+)\s*;?\s*$", re.I)
+    _COMPUTE_STATS_RE = re.compile(
+        r"^\s*COMPUTE\s+STATS\s+(\w+)\s*;?\s*$", re.I
+    )
+    _SHOW_STATS_RE = re.compile(
+        r"^\s*SHOW\s+(TABLE|COLUMN)\s+STATS\s+(\w+)\s*;?\s*$", re.I
+    )
 
     def sql(self, impala_sql: str) -> DataFrame:
         """Run an Impala-dialect SQL statement; returns a lazy DataFrame.
 
         `SET <option>=<value>` statements update engine query options
-        (query-options.h parity) and return an empty result; everything
-        else is translated and handed to Catalyst."""
+        (query-options.h parity); `COMPUTE STATS` / `SHOW TABLE|COLUMN
+        STATS` run the stats surface; everything else is translated and
+        handed to Catalyst."""
         m = self._SET_RE.match(impala_sql)
         if m:
             name, raw = m.group(1).lower(), m.group(2).strip().strip("'\"")
             self.set_option(name, raw.lower() in ("1", "true", "yes", "on"))
             return self.spark.sql("SELECT 1 AS ok WHERE false")
+        m = self._COMPUTE_STATS_RE.match(impala_sql)
+        if m:
+            return self.compute_stats(m.group(1))
+        m = self._SHOW_STATS_RE.match(impala_sql)
+        if m:
+            if m.group(1).upper() == "TABLE":
+                return self.show_table_stats(m.group(2))
+            return self.show_column_stats(m.group(2))
         return self.spark.sql(translate(impala_sql, options=self.options))
 
     def set_option(self, name: str, value: bool) -> None:
@@ -184,6 +199,86 @@ class Engine:
 
         walk(plan)
         return out
+
+    # -- stats surface (COMPUTE STATS / SHOW TABLE|COLUMN STATS —
+    #    fe/.../analysis/ComputeStatsStmt.java builds exactly these child
+    #    queries: COUNT(*) + per-column NDV/nulls/size aggregates) ---------
+
+    def compute_stats(self, table: str) -> DataFrame:
+        """COMPUTE STATS <table>: run the reference's child-query plan —
+        one scan computing COUNT(*) plus per-column ndv / null count /
+        max & avg widths — and cache the results for SHOW ... STATS.
+
+        One pass over the table produces every statistic (the reference
+        issues the same fused aggregation); at 100 TB this is a single
+        scan + one tiny all-partials reduce, and the resulting NDVs are
+        the HLL estimates the planner would use for join ordering."""
+        from pyspark.sql import functions as F
+
+        df = self.table(table)
+        aggs: list = [F.count(F.lit(1)).alias("__rows")]
+        for f in df.schema.fields:
+            c = f.name
+            aggs.append(F.approx_count_distinct(c).alias(f"__ndv__{c}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}")
+            )
+            if f.dataType.simpleString() in ("string", "binary"):
+                size = F.length(c)
+                aggs.append(F.max(size).alias(f"__maxsz__{c}"))
+                aggs.append(F.round(F.avg(size), 4).alias(f"__avgsz__{c}"))
+        row = df.agg(*aggs).collect()[0]
+        fixed = {
+            "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8, "float": 4,
+            "double": 8, "date": 4, "boolean": 1, "timestamp": 16,
+            "timestamp_ntz": 16,
+        }
+        cols = []
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            mx = row[f"__maxsz__{f.name}"] if f"__maxsz__{f.name}" in row.asDict() else fixed.get(t, -1)
+            av = row[f"__avgsz__{f.name}"] if f"__avgsz__{f.name}" in row.asDict() else float(fixed.get(t, -1))
+            cols.append(
+                (
+                    f.name,
+                    t,
+                    int(row[f"__ndv__{f.name}"]),
+                    int(row[f"__nulls__{f.name}"]),
+                    int(mx if mx is not None else -1),
+                    float(av if av is not None else -1.0),
+                )
+            )
+        self._stats = getattr(self, "_stats", {})
+        self._stats[table.lower()] = {"rows": int(row["__rows"]), "cols": cols}
+        return self.spark.createDataFrame(
+            [(f"Updated 1 partition(s) and {len(cols)} column(s).",)],
+            "summary string",
+        )
+
+    def show_table_stats(self, table: str) -> DataFrame:
+        """SHOW TABLE STATS <table> — #Rows per the cached COMPUTE STATS
+        (-1 when stats were never computed, the reference's convention)."""
+        st = getattr(self, "_stats", {}).get(table.lower())
+        rows = st["rows"] if st else -1
+        return self.spark.createDataFrame([(rows,)], "`#Rows` long")
+
+    def show_column_stats(self, table: str) -> DataFrame:
+        """SHOW COLUMN STATS <table> — column, type, #distinct values,
+        #nulls, max size, avg size (reference output shape)."""
+        st = getattr(self, "_stats", {}).get(table.lower())
+        if st is None:
+            df = self.table(table)
+            data = [
+                (f.name, f.dataType.simpleString(), -1, -1, -1, -1.0)
+                for f in df.schema.fields
+            ]
+        else:
+            data = st["cols"]
+        return self.spark.createDataFrame(
+            data,
+            "column string, type string, `#Distinct Values` long, "
+            "`#Nulls` long, `Max Size` long, `Avg Size` double",
+        )
 
     # -- metadata surface (SHOW TABLES / DESCRIBE — grammar
     #    sql-parser.cup:637-731 SHOW/DESCRIBE productions) ----------------

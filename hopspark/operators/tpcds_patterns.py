@@ -235,12 +235,19 @@ def tpcds_q36_margin_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = li.join(supp, li.l_suppkey == supp.s_suppkey).join(
         F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
     )
+    # Pre-aggregate to the finest grouping before the ROLLUP: decimal sums
+    # re-aggregate exactly, so the Expand (x3 grouping sets) runs over the
+    # ~|nations x flags| partial rows instead of the full fact table — the
+    # "push aggregation partial" rule at the grouping-sets level.
+    fine = base.groupBy("n_name", "l_returnflag").agg(
+        F.sum(dec("l_extendedprice") * one_minus("l_discount")).alias("_rev"),
+        F.sum(dec("l_extendedprice")).alias("_price"),
+    )
     rolled = (
-        base.rollup("n_name", "l_returnflag")
+        fine.rollup("n_name", "l_returnflag")
         .agg(
             (
-                F.sum(dec("l_extendedprice") * one_minus("l_discount")).cast("double")
-                / F.sum(dec("l_extendedprice")).cast("double")
+                F.sum("_rev").cast("double") / F.sum("_price").cast("double")
             ).alias("margin"),
             F.grouping_id().alias("lochierarchy"),
         )

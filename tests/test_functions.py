@@ -298,3 +298,26 @@ def test_runtime_profile(spark, sf_dir):
     assert "HashAggregate" in names and "Scan" in names and "Exchange" in names
     scan = next(v for k, v in prof.items() if k.startswith("Scan"))
     assert int(scan.get("numFiles", "0")) >= 1
+
+
+def test_compute_stats_surface(spark, sf_dir):
+    """COMPUTE STATS / SHOW TABLE STATS / SHOW COLUMN STATS — the
+    reference's stats workflow (ComputeStatsStmt.java child queries:
+    COUNT(*) + per-column NDV/nulls/width aggregates, one fused scan)."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir, register_tables=False)
+    # before stats: -1 convention
+    assert eng.sql("SHOW TABLE STATS region").collect()[0][0] == -1
+    eng.sql("COMPUTE STATS region").collect()
+    assert eng.sql("SHOW TABLE STATS region").collect()[0][0] == 5
+    cols = {r["column"]: r for r in eng.sql("SHOW COLUMN STATS region").collect()}
+    assert set(cols) == {"r_regionkey", "r_name"}
+    assert cols["r_regionkey"]["#Nulls"] == 0
+    assert cols["r_regionkey"]["Max Size"] == 4  # int fixed width
+    assert cols["r_name"]["Max Size"] >= 4  # string measured width
+    # ndv is an HLL estimate; exact at this cardinality
+    assert cols["r_regionkey"]["#Distinct Values"] == 5
+    # uncomputed table: -1 rows, -1 per column
+    col2 = eng.sql("SHOW COLUMN STATS nation").collect()
+    assert all(r["#Distinct Values"] == -1 for r in col2)
