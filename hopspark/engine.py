@@ -51,6 +51,10 @@ class Engine:
     _SHOW_STATS_RE = re.compile(
         r"^\s*SHOW\s+(TABLE|COLUMN)\s+STATS\s+(\w+)\s*;?\s*$", re.I
     )
+    _REFRESH_RE = re.compile(
+        r"^\s*(?:REFRESH\s+(\w+)|INVALIDATE\s+METADATA(?:\s+(\w+))?)\s*;?\s*$",
+        re.I,
+    )
 
     def sql(self, impala_sql: str) -> DataFrame:
         """Run an Impala-dialect SQL statement; returns a lazy DataFrame.
@@ -72,6 +76,10 @@ class Engine:
             if m.group(1).upper() == "TABLE":
                 return self.show_table_stats(m.group(2))
             return self.show_column_stats(m.group(2))
+        m = self._REFRESH_RE.match(impala_sql)
+        if m:
+            self.refresh(m.group(1) or m.group(2))
+            return self.spark.sql("SELECT 1 AS ok WHERE false")
         return self.spark.sql(translate(impala_sql, options=self.options))
 
     def set_option(self, name: str, value: bool) -> None:
@@ -285,6 +293,18 @@ class Engine:
 
     def show_tables(self) -> list[str]:
         return [r.tableName for r in self.spark.sql("SHOW TABLES").collect()]
+
+    def refresh(self, table: str | None = None) -> None:
+        """REFRESH <table> / INVALIDATE METADATA [<table>] — drop cached
+        file listings and data so the next scan sees new files (the
+        reference's catalog-cache invalidation; on Spark the FileIndex and
+        block caches are the state being invalidated). A full INVALIDATE
+        METADATA also re-registers the engine's table views."""
+        if table:
+            self.spark.catalog.refreshTable(table)
+        else:
+            self.spark.catalog.clearCache()
+            catalog.register(self.spark, self.sf_dir)
 
     def describe(self, table: str) -> list[tuple[str, str]]:
         """DESCRIBE <table> → [(col_name, data_type)]."""

@@ -321,3 +321,15 @@ def test_compute_stats_surface(spark, sf_dir):
     # uncomputed table: -1 rows, -1 per column
     col2 = eng.sql("SHOW COLUMN STATS nation").collect()
     assert all(r["#Distinct Values"] == -1 for r in col2)
+
+
+def test_refresh_invalidate_surface(spark, sf_dir):
+    """REFRESH <table> / INVALIDATE METADATA parse and execute; a refreshed
+    table stays queryable (cache-invalidation no-op semantics on views)."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    assert eng.sql("REFRESH nation").collect() == []
+    assert eng.sql("INVALIDATE METADATA").collect() == []
+    assert eng.sql("INVALIDATE METADATA nation").collect() == []
+    assert eng.sql("SELECT count(*) AS n FROM nation").collect()[0]["n"] == 25
