@@ -712,6 +712,59 @@ def _rewrite_null_ordering(toks: list[Tok]) -> list[Tok]:
 
 
 # ---------------------------------------------------------------------------
+# Rewrite 3b: byte string semantics (UTF8_MODE off — the reference default)
+# ---------------------------------------------------------------------------
+
+# With utf8_mode=false (Impala's default — query-options.h UTF8_MODE;
+# impala_functions.py UTF8-mode variants), string positions and lengths are
+# BYTE-oriented: length('héllo') = 6. Spark strings are natively
+# char-oriented, so byte mode is emulated: length family → octet_length,
+# substr/substring → a binary slice decoded back to UTF-8 (exact on
+# character boundaries; a mid-character cut yields replacement chars where
+# the reference emits the raw invalid bytes — documented delta). instr/
+# locate/lpad/rpad keep char positions (documented delta; their byte forms
+# are exact only on ASCII, where byte == char anyway). The *_utf8 /
+# utf8_* variants are rewritten to the char-native base functions later in
+# _rewrite_functions, i.e. they opt back into character semantics.
+
+_BYTE_LEN_FNS = {"length", "char_length", "character_length"}
+
+
+def _rewrite_byte_semantics(toks: list[Tok]) -> list[Tok]:
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind != "word":
+            i += 1
+            continue
+        name = t.text.lower()
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].text != "(":
+            i += 1
+            continue
+        if name in _BYTE_LEN_FNS:
+            close = _matching_paren(toks, j)
+            if len(_split_args(toks, j, close)) == 1:
+                toks[i] = Tok("word", "octet_length")
+        elif name in ("substr", "substring"):
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) in (2, 3):
+                # substr(s, p[, l]) →
+                #   cast(substring(encode(s, 'utf-8'), p[, l]) AS STRING)
+                # The binary→string cast reinterprets the sliced bytes
+                # without validation — matching the reference, which emits
+                # the raw bytes even when a cut lands mid-character.
+                comma1 = _prev_code(toks, args[1][0] - 1)
+                toks.insert(close, Tok("op", ") AS STRING"))
+                toks.insert(comma1, Tok("op", ", 'utf-8')"))
+                toks.insert(j + 1, Tok("word", "substring(encode("))
+                toks[i] = Tok("word", "cast")
+        i += 1
+    return toks
+
+
+# ---------------------------------------------------------------------------
 # Rewrite 4: Impala plan hints → Spark hints
 # ---------------------------------------------------------------------------
 
@@ -830,11 +883,15 @@ def translate(sql: str, options: dict[str, bool] | None = None) -> str:
     """Rewrite an Impala-dialect SQL string into Spark-SQL.
 
     `options` mirrors the reference's query options (query-options.h);
-    supported: appx_count_distinct (CountDistinctToNdvRule)."""
+    supported: appx_count_distinct (CountDistinctToNdvRule), utf8_mode
+    (UTF8_MODE — default false, i.e. byte-oriented string semantics like
+    the reference)."""
     toks = tokenize(sql)
     toks = _rewrite_hints(toks)
     toks = _rewrite_cast_format(toks)
     toks = _rewrite_unnest(toks)
+    if not (options and options.get("utf8_mode")):
+        toks = _rewrite_byte_semantics(toks)
     toks = _rewrite_functions(toks)
     if options and options.get("appx_count_distinct"):
         toks = _rewrite_count_distinct_to_ndv(toks)

@@ -265,3 +265,24 @@ def test_regexp_like_flags(spark, sf_dir):
         "SELECT regexp_like('ABC', 'abc', 'i') AS a, regexp_like('ABC', 'abc') AS b"
     ).head()
     assert r.a is True and r.b is False
+
+
+def test_utf8_mode_byte_semantics_default(spark, sf_dir):
+    """UTF8_MODE defaults off (reference query-options.h): length counts
+    bytes and substr slices bytes; the *_utf8 variants opt back into
+    character semantics; SET utf8_mode toggles the session."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir, register_tables=False)
+    row = eng.sql(
+        "SELECT length('héllo') a, utf8_length('héllo') b, "
+        "substr('héllo', 1, 3) c, utf8_substr('héllo', 1, 3) d"
+    ).collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (6, 5, "hé", "hél")
+    eng.sql("SET utf8_mode=true")
+    row = eng.sql("SELECT length('héllo') a, substr('héllo', 1, 3) b").collect()[0]
+    assert (row["a"], row["b"]) == (5, "hél")
+    eng.sql("SET utf8_mode=false")
+    assert eng.sql("SELECT length('héllo') a").collect()[0]["a"] == 6
+    # ASCII is unaffected either way
+    assert eng.sql("SELECT substr('hello', 2, 3) a").collect()[0]["a"] == "ell"

@@ -67,7 +67,7 @@ def test_math_edge_cases(spark):
 @pytest.mark.parametrize(
     "expr,expected",
     [
-        ("length('héllo')", 5),
+        ("length('héllo')", 6),  # byte semantics: utf8_mode off default
         ("lower('ABC')", "abc"),
         ("initcap('hello world')", "Hello World"),
         ("repeat('ab', 3)", "ababab"),
