@@ -746,6 +746,27 @@ def _rewrite_byte_semantics(toks: list[Tok]) -> list[Tok]:
             close = _matching_paren(toks, j)
             if len(_split_args(toks, j, close)) == 1:
                 toks[i] = Tok("word", "octet_length")
+        elif name in ("instr", "locate"):
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                # Byte position of the first match: find the char position
+                # natively, then measure the byte length of the prefix.
+                # instr(s, sub)  → byteinstr(s, sub)
+                # locate(sub, s) → byteinstr(s, sub)   (arg order swap)
+                # byteinstr(s, sub) ≡ IF(instr(s, sub) = 0, 0,
+                #    octet_length(left(s, instr(s, sub) - 1)) + 1)
+                # registered as a SQL macro in functions/registry.py so the
+                # rewrite stays a plain rename (+ arg swap for locate).
+                if name == "locate":
+                    a0s, a0e = args[0]
+                    a1s, a1e = args[1]
+                    sub_toks = toks[a0s:a0e]
+                    s_toks = toks[a1s:a1e]
+                    toks[a0s:a1e] = (
+                        s_toks + [Tok("op", ", ")] + sub_toks
+                    )
+                toks[i] = Tok("word", "byteinstr")
         elif name in ("substr", "substring"):
             close = _matching_paren(toks, j)
             args = _split_args(toks, j, close)

@@ -309,6 +309,15 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # +1 / -1 stepping) are enumerated scan-side, then the pos/occ window is
     # selected: pos>0 → occ-th match at-or-after pos; pos<0 → occ-th match
     # counting backward from the clamped right anchor (len+pos, needle fit).
+    # -- byte-position instr (UTF8_MODE off — the reference default): find
+    # the char position natively, then measure the prefix's byte length.
+    # The dialect rewrites 2-arg instr/locate here when utf8_mode is off.
+    "byteinstr": (
+        "s STRING, sub STRING",
+        "INT",
+        "CASE WHEN instr(s, sub) = 0 THEN 0 "
+        "ELSE octet_length(left(s, instr(s, sub) - 1)) + 1 END",
+    ),
     "instr4": (
         "s STRING, sub STRING, pos BIGINT, occ BIGINT",
         "INT",
