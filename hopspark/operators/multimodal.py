@@ -203,8 +203,46 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(extract, schema=_FEATURE_SCHEMA).orderBy("media_id")
 
 
+# ---------------------------------------------------------------------------
+# Exact binary dedup: content-address the payload, keep first per digest
+# ---------------------------------------------------------------------------
+
+
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by payload digest — the image-dedup first pass of
+    every multimodal pipeline (identical bytes ⇒ one representative).
+
+    Scale shape: only (16-byte digest, media_id, kind) shuffles; the
+    payload is consumed scan-side by the hash and never moves. Per-digest
+    keeper = min media_id, with per-kind copy counts."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.select(
+            "kind", F.md5("payload").alias("digest"), "media_id"
+        )
+        .groupBy("kind", "digest")
+        .agg(
+            F.min("media_id").alias("keeper_media_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("kind", "keeper_media_id")
+    )
+
+
+MM_PAYLOAD_DEDUP_SQL = """
+SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       md5(text) AS digest,
+       MIN(doc_id) AS keeper_media_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1, 2
+ORDER BY kind, keeper_media_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "mm_metadata_stats": (mm_metadata_stats, MM_METADATA_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
     "mm_decode_features": (mm_decode_features, None),
+    "mm_payload_dedup": (mm_payload_dedup, MM_PAYLOAD_DEDUP_SQL),
 }

@@ -530,6 +530,151 @@ ORDER BY p_brand
 """
 
 
+
+# ---------------------------------------------------------------------------
+# q95 shape — orders satisfying two correlated EXISTS on the same fact table
+# (tpcds-q95.test: ws_wh multi-warehouse EXISTS + catalog-returns EXISTS)
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q95_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders shipped from more than one supplier that also have at least
+    one returned line: two semi-join reductions against self-aggregations
+    of the same fact table, then a tiny rollup."""
+    li = read_table(spark, "lineitem", sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    returned = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    )
+    return (
+        orders.join(multi_supp, orders.o_orderkey == multi_supp.l_orderkey, "leftsemi")
+        .join(returned, orders.o_orderkey == returned.l_orderkey, "leftsemi")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+TPCDS_Q95_SQL = """
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders o
+WHERE EXISTS (
+        SELECT 1 FROM lineitem GROUP BY l_orderkey
+        HAVING l_orderkey = o.o_orderkey AND COUNT(DISTINCT l_suppkey) > 1)
+  AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+"""
+
+
+# ---------------------------------------------------------------------------
+# q49 shape — per-channel worst-return ranking, channels unioned
+# (tpcds-q49.test: web/catalog/store return ratios, rank <= k per channel)
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q49_return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per channel (synthetic: l_suppkey % 3 — the driver schema has no
+    shipmode), rank parts by return ratio
+    (returned qty / shipped qty) and keep the worst 5 per channel, union
+    semantics across channels with the channel tag kept."""
+    li = read_table(spark, "lineitem", sf_dir).withColumn(
+        "channel", (F.col("l_suppkey") % 3).cast("int")
+    )
+    ratios = (
+        li.groupBy("channel", "l_partkey")
+        .agg(
+            dsum(
+                F.when(F.col("l_returnflag") == "R", dec("l_quantity")).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).alias("ret_qty"),
+            dsum(dec("l_quantity")).alias("qty"),
+        )
+        .withColumn(
+            "return_ratio",
+            F.round(F.col("ret_qty").cast("double") / F.col("qty").cast("double"), 6),
+        )
+    )
+    w = Window.partitionBy("channel").orderBy(
+        F.desc("return_ratio"), "l_partkey"
+    )
+    return (
+        ratios.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("channel", "l_partkey", "return_ratio", "rnk")
+        .orderBy("channel", "rnk", "l_partkey")
+    )
+
+
+TPCDS_Q49_SQL = """
+WITH ratios AS (
+  SELECT CAST(l_suppkey % 3 AS INT) AS channel, l_partkey,
+         ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_quantity AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE),
+               6) AS return_ratio
+  FROM lineitem
+  GROUP BY channel, l_partkey
+)
+SELECT channel, l_partkey, return_ratio, rnk FROM (
+  SELECT channel, l_partkey, return_ratio,
+         RANK() OVER (PARTITION BY channel
+                      ORDER BY return_ratio DESC, l_partkey) AS rnk
+  FROM ratios
+) WHERE rnk <= 5
+ORDER BY channel, rnk, l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 shape — quantity stats (mean/stdev/cov) per part across order groups
+# (tpcds-q17.test: store/catalog quantity statistics with stddev/mean)
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q17_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per line status: mean, sample stdev, and coefficient of variation of
+    line quantities, keeping only groups where cov > 0.5 — the
+    stats-moments-with-HAVING shape."""
+    li = read_table(spark, "lineitem", sf_dir)
+    agg = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("l_quantity").cast("double")), 6).alias("qty_mean"),
+        F.round(F.stddev_samp(F.col("l_quantity").cast("double")), 6).alias("qty_stdev"),
+    )
+    return (
+        agg.withColumn(
+            "qty_cov", F.round(F.col("qty_stdev") / F.col("qty_mean"), 6)
+        )
+        .filter(F.col("qty_cov") > 0.5)
+        .orderBy("l_linestatus")
+    )
+
+
+TPCDS_Q17_SQL = """
+SELECT l_linestatus, COUNT(*) AS n,
+       ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS qty_mean,
+       ROUND(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)), 6) AS qty_stdev,
+       ROUND(ROUND(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)), 6)
+             / ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6), 6) AS qty_cov
+FROM lineitem
+GROUP BY l_linestatus
+HAVING ROUND(ROUND(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)), 6)
+             / ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6), 6) > 0.5
+ORDER BY l_linestatus
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "tpcds_q3_brand_year_topn": (tpcds_q3_brand_year_topn, TPCDS_Q3_SQL),
     "tpcds_q7_avg_measures": (tpcds_q7_avg_measures, TPCDS_Q7_SQL),
@@ -542,4 +687,7 @@ QUERIES: dict[str, tuple] = {
     "tpcds_q59_weekday_pivot_yoy": (tpcds_q59_weekday_pivot_yoy, TPCDS_Q59_SQL),
     "tpcds_q88_band_counts": (tpcds_q88_band_counts, TPCDS_Q88_SQL),
     "tpcds_q65_below_avg_brands": (tpcds_q65_below_avg_brands, TPCDS_Q65_SQL),
+    "tpcds_q95_multi_exists": (tpcds_q95_multi_exists, TPCDS_Q95_SQL),
+    "tpcds_q49_return_ratio_rank": (tpcds_q49_return_ratio_rank, TPCDS_Q49_SQL),
+    "tpcds_q17_quantity_stats": (tpcds_q17_quantity_stats, TPCDS_Q17_SQL),
 }
