@@ -206,3 +206,53 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, ckpt_dir):
         "SELECT user_id, COUNT(*) AS c FROM running_totals GROUP BY user_id HAVING COUNT(*) > 1"
     ).count()
     assert multi > 0, "no user saw more than one micro-batch - state untested"
+
+
+def test_streaming_distinct_users_sketch(spark, sf_dir, ckpt_dir):
+    """Online KMV distinct-count: the final per-type estimate must equal
+    the exact batch COUNT(DISTINCT user_id) while every distinct count is
+    below the sketch capacity (exact regime), with state capped at
+    SKETCH_K longs per key across micro-batches."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from hopspark.streaming.stateful import streaming_distinct_users
+
+    ev = read_table(spark, "events", sf_dir).select("event_type", "user_id")
+    src = os.path.join(ckpt_dir, "ndv_files")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_distinct_users(raw)
+        .writeStream.format("memory")
+        .queryName("stream_ndv")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(ckpt_dir, "ckpt_ndv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.event_type: r.ndv
+        for r in spark.sql(
+            "SELECT event_type, max(ndv_est) AS ndv FROM stream_ndv GROUP BY event_type"
+        ).collect()
+    }
+    want = {
+        r.event_type: r.nd
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, exact in want.items():
+        # exact regime at test scale (distinct users per type < SKETCH_K)
+        assert got[k] == float(exact), (k, got[k], exact)
