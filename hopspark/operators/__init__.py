@@ -27,6 +27,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         multimodal,
         nested,
         pipeline,
+        quality,
         relational,
         similarity,
         sketches,
@@ -54,6 +55,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         dialect_sql,
         tpcds_patterns,
         pipeline,
+        quality,
     ):
         for name, entry in mod.QUERIES.items():
             if name in merged:

@@ -1,0 +1,217 @@
+"""Data-quality audit operators (extension beyond the reference — the
+validation pass every large-scale training-data ingest runs before a
+corpus is admitted).
+
+Scale design (100 TB thinking):
+  * column profile — ONE aggregation pass over the table; the multi-
+    DISTINCT is the standard Expand-based plan (partial per-partition
+    distinct collapse before the shuffle), and only (column-value, tag)
+    pairs shuffle, never whole rows.
+  * referential orphans — left-anti joins on compact keys; the dimension
+    side (orders keys / customer keys) broadcasts under AQE when small,
+    otherwise shuffles key-only projections.
+  * value bounds — pure conditional counts folded into one scan;
+    whole-stage codegen, no shuffle beyond the final 1-row reduce.
+  * duplicate rate — reuses the exact-dedup fingerprint (16-byte md5);
+    only (source, fingerprint) shuffles.
+
+Conditional counts use count(CASE WHEN ...) rather than SUM of casts so
+the Spark (BIGINT) and DuckDB (which returns HUGEINT for SUM of ints)
+result types agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hopspark.catalog import read_table
+
+# --- column null/distinct profile ------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of `orders`: row count, nulls, null fraction,
+    exact distinct count — the schema-drift / completeness audit.
+
+    One aggregation computes every metric (single scan); the wide 1-row
+    result is then unpivoted driver-side with `stack`, so table size never
+    meets the unpivot."""
+    orders = read_table(spark, "orders", sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    row = orders.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
+    return (
+        row.select(
+            "n",
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+                "AS (column_name, n_not_null, n_distinct)"
+            ),
+        )
+        .select(
+            "column_name",
+            F.col("n").alias("n_rows"),
+            (F.col("n") - F.col("n_not_null")).alias("n_null"),
+            F.round(
+                (F.col("n") - F.col("n_not_null")).cast("double") / F.col("n"), 6
+            ).alias("null_frac"),
+            "n_distinct",
+        )
+        .orderBy("column_name")
+    )
+
+
+def _profile_branch(c: str) -> str:
+    return f"""
+SELECT '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       ROUND(CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*), 6) AS null_frac,
+       COUNT(DISTINCT {c}) AS n_distinct
+FROM orders"""
+
+
+DQ_NULL_PROFILE_SQL = (
+    "\nUNION ALL".join(_profile_branch(c) for c in _PROFILE_COLS)
+    + "\nORDER BY column_name"
+)
+
+# --- referential integrity -------------------------------------------------
+
+
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-row audit: lineitems whose order is missing and orders whose
+    customer is missing, as left-anti joins on key-only projections."""
+    li = read_table(spark, "lineitem", sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    customer = read_table(spark, "customer", sf_dir)
+    a = (
+        li.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .select(F.lit("lineitem_without_order").alias("check_name"), "n_orphans")
+    )
+    b = (
+        orders.select("o_custkey")
+        .join(
+            customer.select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .select(F.lit("order_without_customer").alias("check_name"), "n_orphans")
+    )
+    return a.unionByName(b).orderBy("check_name")
+
+
+DQ_REFERENTIAL_ORPHANS_SQL = """
+SELECT 'lineitem_without_order' AS check_name, COUNT(*) AS n_orphans
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'order_without_customer' AS check_name, COUNT(*) AS n_orphans
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+ORDER BY check_name
+"""
+
+# --- value-range constraint checks -----------------------------------------
+
+
+def dq_value_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-violation counts over lineitem in one scan: non-positive
+    quantities, discounts outside [0, 1], negative tax, ship dates outside
+    the schema's era. count(CASE) keeps types BIGINT in both engines."""
+    li = read_table(spark, "lineitem", sf_dir)
+    lo = F.lit("1992-01-01").cast("timestamp")
+    hi = F.lit("1999-01-01").cast("timestamp")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("qty_nonpositive"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("discount_out_of_range"),
+        F.count(F.when(F.col("l_tax") < 0, 1)).alias("tax_negative"),
+        F.count(
+            F.when((F.col("l_shipdate") < lo) | (F.col("l_shipdate") >= hi), 1)
+        ).alias("shipdate_out_of_era"),
+    )
+
+
+DQ_VALUE_BOUNDS_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS qty_nonpositive,
+       COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+         AS discount_out_of_range,
+       COUNT(CASE WHEN l_tax < 0 THEN 1 END) AS tax_negative,
+       COUNT(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                    OR l_shipdate >= TIMESTAMP '1999-01-01' THEN 1 END)
+         AS shipdate_out_of_era
+FROM lineitem
+"""
+
+# --- duplicate-rate audit --------------------------------------------------
+
+
+def dq_duplicate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate rate of the documents corpus using the exact-
+    dedup fingerprint (md5 of whitespace-normalized lowercased text); only
+    (source, 16-byte fingerprint) shuffles."""
+    docs = read_table(spark, "documents", sf_dir)
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+DQ_DUPLICATE_RATE_SQL = r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_unique,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+                  AS DOUBLE) / COUNT(*), 6) AS dup_frac
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dq_null_profile": (dq_null_profile, DQ_NULL_PROFILE_SQL),
+    "dq_referential_orphans": (dq_referential_orphans, DQ_REFERENTIAL_ORPHANS_SQL),
+    "dq_value_bounds": (dq_value_bounds, DQ_VALUE_BOUNDS_SQL),
+    "dq_duplicate_rate": (dq_duplicate_rate, DQ_DUPLICATE_RATE_SQL),
+}
