@@ -317,8 +317,107 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# --- pivot / unpivot --------------------------------------------------------
+
+
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide reshape: order counts and exact revenue by priority × status
+    via the native pivot operator (the reference dialect emulates this with
+    CASE-WHEN aggregation — fe/.../analysis/CaseExpr.java; Spark plans one
+    partial+final hash agg, identical shuffle shape to a plain groupBy).
+    Explicit pivot values keep the plan static (no driver-side distinct
+    pre-pass), which is the 100 TB discipline."""
+    orders = read_table(spark, "orders", sf_dir)
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("o_totalprice")).alias("total"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+        *[
+            F.coalesce(F.col(f"{s}_total"), F.lit(0.0)).alias(
+                f"total_{s.lower()}"
+            )
+            for s in ("F", "O", "P")
+        ],
+    ).orderBy("o_orderpriority")
+
+
+AGG_PIVOT_STATUS_SQL = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+       COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                     AS DOUBLE), 0.0) AS total_f,
+       COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                     AS DOUBLE), 0.0) AS total_o,
+       COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                     AS DOUBLE), 0.0) AS total_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long reshape: stack the three lineitem money measures with the
+    native unpivot operator, then aggregate per (returnflag, measure).
+    Unpivot is a scan-side Expand (no pre-shuffle); only the 3× compact
+    (flag, measure, decimal) rows reach the aggregation exchange."""
+    li = read_table(spark, "lineitem", sf_dir)
+    long = li.select(
+        "l_returnflag",
+        dec("l_quantity").alias("l_quantity"),
+        dec("l_extendedprice").alias("l_extendedprice"),
+        dec("l_discount").alias("l_discount"),
+    ).unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(dsum(F.col("val")).alias("total"), F.count("val").alias("n"))
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+AGG_UNPIVOT_MEASURES_SQL = """
+SELECT l_returnflag, 'l_quantity' AS measure,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       COUNT(l_quantity) AS n
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'l_extendedprice' AS measure,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       COUNT(l_extendedprice) AS n
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'l_discount' AS measure,
+       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       COUNT(l_discount) AS n
+FROM lineitem GROUP BY l_returnflag
+ORDER BY l_returnflag, measure
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "agg_percentiles": (agg_percentiles, AGG_PERCENTILES_SQL),
+    "agg_pivot_status": (agg_pivot_status, AGG_PIVOT_STATUS_SQL),
+    "agg_unpivot_measures": (agg_unpivot_measures, AGG_UNPIVOT_MEASURES_SQL),
     "agg_rollup": (agg_rollup, AGG_ROLLUP_SQL),
     "agg_cube": (agg_cube, AGG_CUBE_SQL),
     "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),
