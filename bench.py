@@ -54,6 +54,10 @@ HEADLINE = [
     "text_contamination",
     "pack_sequences",
     "events_gapfill_downsample",
+    "dq_null_profile",
+    "agg_pivot_status",
+    "mm_payload_dedup",
+    "tpcds_q95_multi_exists",
 ]
 
 

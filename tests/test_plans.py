@@ -230,3 +230,36 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_pivot_plans_single_aggregation(spark, sf_dir):
+    """Explicit pivot values keep the pivot a plain partial+final hash agg
+    pair over one scan — no extra exchange, no driver-side distinct pass."""
+    from hopspark.operators.aggregates import agg_pivot_status
+
+    df = agg_pivot_status(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "pivotfirst" in plan, plan
+    cols = scan_read_schema(df)
+    assert set(cols) == {"o_orderpriority", "o_orderstatus", "o_totalprice"}, cols
+
+
+def test_dq_profile_single_scan(spark, sf_dir):
+    """The column profile computes every per-column metric in one pass:
+    one parquet scan feeding the multi-distinct Expand."""
+    from hopspark.operators.quality import dq_null_profile
+
+    plan = explain_formatted(dq_null_profile(spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_dq_orphans_key_only_projection(spark, sf_dir):
+    """Referential audit reads only the join keys from both sides —
+    the anti-join never lifts payload columns off the scan."""
+    from hopspark.operators.quality import dq_referential_orphans
+
+    df = dq_referential_orphans(spark, sf_dir)
+    cols = scan_read_schema(df)
+    assert set(cols) <= {"l_orderkey", "o_orderkey", "o_custkey", "c_custkey"}, cols
