@@ -284,7 +284,113 @@ SELECT component, COUNT(*) AS n_docs FROM (
 )
 
 
+# --- PageRank (iterative joins, fixed-point arithmetic) ---------------------
+
+PR_SCALE = 1_000_000_000_000  # rank mass in 1e-12 units (BIGINT fixed point)
+PR_ITERS = 3
+
+
+def graph_pagerank_bipartite(
+    spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
+) -> DataFrame:
+    """PageRank over the undirected customer↔supplier purchase graph
+    (edges = distinct (o_custkey, l_suppkey) via orders⋈lineitem), top 20
+    nodes after `iters` power iterations with damping 0.85.
+
+    Iterative-algorithm discipline at scale: each iteration is one
+    shuffle-join (edges ⋈ ranks) + one aggregation — no driver-side graph,
+    no collect; lineage is cut per iteration with localCheckpoint so the
+    plan stays O(1) deep regardless of iteration count. The edge+degree
+    frame is checkpointed once and reused by every iteration.
+
+    Determinism: rank mass is BIGINT fixed point (1e-12 units) and every
+    division is integer `div`, so partial-aggregation order cannot perturb
+    a single bit — the DuckDB oracle (same unrolled iterations with `//`)
+    is hash-exact. Undirected edges mean every node has out-degree ≥ 1
+    (no dangling-mass term)."""
+    orders = read_table(spark, "orders", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir)
+    eo = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = eo.union(eo.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # edge ⋈ degree is iteration-invariant: materialize once, reuse 3×.
+    src = edges.join(deg, "u").localCheckpoint(eager=False)
+    ncnt = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(ncnt).select(
+        "u", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            src.join(ranks, "u")
+            .select(
+                F.col("v").alias("u"),
+                F.expr("(85 * r) div (100 * deg)").alias("c"),
+            )
+            .groupBy("u")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = contrib.crossJoin(ncnt).select(
+            "u",
+            F.expr(f"CAST({15 * PR_SCALE} AS BIGINT) div (100 * n) + c").alias("r"),
+        ).localCheckpoint(eager=False)
+    return (
+        ranks.select(
+            F.when(F.col("u") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("u div 2").alias("entity_key"),
+            F.col("r").alias("rank_fp"),
+        )
+        .orderBy(F.desc("rank_fp"), "node_type", "entity_key")
+        .limit(20)
+    )
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f""",
+{cur} AS (
+  SELECT e.v AS u,
+         {15 * PR_SCALE} // (100 * n.n)
+           + SUM((85 * {prev}.r) // (100 * e.deg)) AS r
+  FROM edges e JOIN {prev} ON {prev}.u = e.u, n
+  GROUP BY e.v, n.n
+)"""
+
+
+GRAPH_PAGERANK_SQL = (
+    """
+WITH eo AS (
+  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e0 AS (SELECT u, v FROM eo UNION ALL SELECT v, u FROM eo),
+deg AS (SELECT u, COUNT(*) AS deg FROM e0 GROUP BY u),
+edges AS (SELECT e0.u, e0.v, deg.deg FROM e0 JOIN deg ON deg.u = e0.u),
+n AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT u, """
+    + str(PR_SCALE)
+    + """ // n.n AS r FROM deg, n)"""
+    + "".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))
+    + f"""
+SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       u // 2 AS entity_key,
+       r AS rank_fp
+FROM r{PR_ITERS}
+ORDER BY rank_fp DESC, node_type, entity_key
+LIMIT 20
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_cc_clusters": (dedup_cc_clusters, DEDUP_CC_CLUSTERS_SQL),
     "dedup_cc_cluster_sizes": (dedup_cc_cluster_sizes, DEDUP_CC_CLUSTER_SIZES_SQL),
+    "graph_pagerank_bipartite": (graph_pagerank_bipartite, GRAPH_PAGERANK_SQL),
 }
