@@ -399,7 +399,66 @@ ORDER BY a.event_type, a.bucket
 """
 
 
+# --- deterministic train/val/test split ------------------------------------
+
+_HEX = "0123456789abcdef"
+# 256 content-hash buckets: <230 train (~90%), <243 val (~5%), rest test.
+SPLIT_TRAIN_LT = 230
+SPLIT_VAL_LT = 243
+
+
+def _split_bucket_spark() -> "F.Column":
+    fp = F.md5(F.col("text"))
+    d1 = F.instr(F.lit(_HEX), F.substring(fp, 31, 1)) - 1
+    d2 = F.instr(F.lit(_HEX), F.substring(fp, 32, 1)) - 1
+    return d1 * 16 + d2
+
+
+def text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash (last two hex
+    digits of md5(text) → 256 buckets, ~90/5/5). Content-addressed
+    bucketing keeps the split stable across reruns, re-shards, and corpus
+    growth — the property random() splits lack — and exact duplicates land
+    in the same split, so train/test contamination can't enter through the
+    splitter. Scan-side expression, one aggregation of compact partials."""
+    docs = read_table(spark, "documents", sf_dir)
+    bucket = _split_bucket_spark()
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+TEXT_TRAIN_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT (strpos('{_HEX}', substr(md5(text), 31, 1)) - 1) * 16
+         + strpos('{_HEX}', substr(md5(text), 32, 1)) - 1 AS bucket,
+         n_chars
+  FROM documents
+)
+SELECT CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b
+GROUP BY 1
+ORDER BY split
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "text_train_split": (text_train_split, TEXT_TRAIN_SPLIT_SQL),
     "text_pii_redact": (text_pii_redact, TEXT_PII_REDACT_SQL),
     "text_contamination": (text_contamination, TEXT_CONTAMINATION_SQL),
     "text_chunk_overlap": (text_chunk_overlap, TEXT_CHUNK_OVERLAP_SQL),

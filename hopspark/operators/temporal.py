@@ -199,8 +199,72 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --- hourly volume anomalies (z-score over per-type hourly counts) ----------
+
+
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event volume is > 2 sample standard deviations above the
+    event type's hourly mean — the monitoring query every streaming ingest
+    runs in batch form.
+
+    Determinism across engines: the variance numerator c·Σn² − (Σn)² is
+    computed in exact BIGINT arithmetic and converted to DOUBLE with ONE
+    division, so the z-score is the same IEEE value in Spark and DuckDB.
+    Scale shape: one (type, hour) partial-combine aggregation, then a
+    per-type window over the (tiny) hourly series — no second scan."""
+    from pyspark.sql import Window as W
+
+    events = read_table(spark, "events", sf_dir)
+    hours = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type")
+    hours = (
+        hours.withColumn("s", F.sum("n").over(w))
+        .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(w))
+        .withColumn("c", F.count(F.lit(1)).over(w))
+    )
+    mean = F.col("s").cast("double") / F.col("c")
+    var = (F.col("c") * F.col("s2") - F.col("s") * F.col("s")).cast("double") / (
+        F.col("c") * (F.col("c") - 1)
+    )
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        hours.filter(F.col("c") > 1)
+        .withColumn("z", F.round(z, 6))
+        .filter(F.col("z") > 2.0)
+        .select("event_type", "hour", "n", "z")
+        .orderBy("event_type", "hour")
+    )
+
+
+EVENTS_HOURLY_ANOMALIES_SQL = """
+WITH hours AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, hour, n,
+         SUM(n) OVER (PARTITION BY event_type) AS s,
+         SUM(n * n) OVER (PARTITION BY event_type) AS s2,
+         COUNT(*) OVER (PARTITION BY event_type) AS c
+  FROM hours
+)
+SELECT event_type, hour, n,
+       ROUND((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / c)
+             / SQRT(CAST(c * s2 - s * s AS DOUBLE) / (c * (c - 1))), 6) AS z
+FROM stats
+WHERE c > 1
+  AND ROUND((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / c)
+            / SQRT(CAST(c * s2 - s * s AS DOUBLE) / (c * (c - 1))), 6) > 2.0
+ORDER BY event_type, hour
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "temporal_asof_attribution": (asof_join_attribution, ASOF_JOIN_ATTRIBUTION_SQL),
+    "events_hourly_anomalies": (events_hourly_anomalies, EVENTS_HOURLY_ANOMALIES_SQL),
     "temporal_range_join_context": (
         range_join_error_context,
         RANGE_JOIN_ERROR_CONTEXT_SQL,
