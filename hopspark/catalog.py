@@ -92,11 +92,14 @@ SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            # Stored as parquet TIMESTAMP(NANOS) which Spark cannot decode as
-            # a timestamp (PARQUET_TYPE_ILLEGAL); read raw int64 nanos and
-            # surface µs-truncated `ts` (the Impala-TIMESTAMP ns→µs mapping
-            # documented in SURVEY.md §1.3).
-            T.StructField("ts", T.LongType()),
+            # `ts` has shipped in two physical encodings: parquet
+            # TIMESTAMP(NANOS) (which Spark cannot decode as a timestamp —
+            # PARQUET_TYPE_ILLEGAL — so we read raw int64 nanos and truncate
+            # to µs, the Impala-TIMESTAMP ns→µs mapping in SURVEY.md §1.3)
+            # and plain TIMESTAMP(MICROS).  read_table() sniffs the footer
+            # once per path and adapts; the logical surface is always a
+            # µs TimestampType column.
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -128,6 +131,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_EVENTS_TS_IS_INT64: dict = {}
+
+
+def _events_ts_is_int64(path: str) -> bool:
+    """True when events.ts is physically int64 nanos (legacy encoding).
+
+    One driver-side footer sniff per path — O(KB) metadata read, cached, so
+    it costs nothing at cluster scale (executors never run this).
+    """
+    if path not in _EVENTS_TS_IS_INT64:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pt
+
+        probe = path
+        if os.path.isdir(path):
+            parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+            if parts:
+                probe = os.path.join(path, parts[0])
+        try:
+            field = pq.read_schema(probe).field("ts")
+            _EVENTS_TS_IS_INT64[path] = pt.is_integer(field.type)
+        except Exception:
+            _EVENTS_TS_IS_INT64[path] = False
+    return _EVENTS_TS_IS_INT64[path]
+
+
 def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one engine table with its declared schema.
 
@@ -137,12 +166,20 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
-    if name == "events":
+    path = table_path(sf_dir, name)
+    schema = SCHEMAS[name]
+    if name == "events" and _events_ts_is_int64(path):
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in schema.fields
+            ]
+        )
+        df = spark.read.schema(schema).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(schema).parquet(path)
 
 
 def register(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
