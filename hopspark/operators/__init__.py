@@ -24,6 +24,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         dedup,
         dialect_sql,
         graph,
+        mixture,
         multimodal,
         nested,
         pipeline,
@@ -56,6 +57,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         tpcds_patterns,
         pipeline,
         quality,
+        mixture,
     ):
         for name, entry in mod.QUERIES.items():
             if name in merged:

@@ -19,7 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hopspark.catalog import SCHEMAS, table_path
+from hopspark.catalog import SCHEMAS, _events_ts_is_int64, table_path
 
 
 def _as_stream_dir(path: str) -> str:
@@ -43,14 +43,29 @@ def _as_stream_dir(path: str) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a file-source stream with the catalog schema; the raw ns
-    int64 `ts` surfaces as a µs timestamp exactly like the batch reader."""
+    """events as a file-source stream with the catalog schema; like the
+    batch reader, a legacy int64-nanos `ts` encoding is sniffed from the
+    footer and surfaced as a µs timestamp."""
+    from pyspark.sql import types as T
+
+    path = table_path(sf_dir, "events")
+    schema = SCHEMAS["events"]
+    legacy = _events_ts_is_int64(path)
+    if legacy:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in schema.fields
+            ]
+        )
     raw = (
-        spark.readStream.schema(SCHEMAS["events"])
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_as_stream_dir(table_path(sf_dir, "events")))
+        .parquet(_as_stream_dir(path))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if legacy:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def sessionized_counts(

@@ -263,3 +263,35 @@ def test_dq_orphans_key_only_projection(spark, sf_dir):
     df = dq_referential_orphans(spark, sf_dir)
     cols = scan_read_schema(df)
     assert set(cols) <= {"l_orderkey", "o_orderkey", "o_custkey", "c_custkey"}, cols
+
+
+def test_mixture_rebalance_broadcasts_rates(spark, sf_dir):
+    """The per-source rate table (~#sources rows) must broadcast back onto
+    the corpus scan — the big side of the rebalance join never shuffles."""
+    from hopspark.operators.mixture import mixture_rebalance_uniform
+
+    df = mixture_rebalance_uniform(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_mixture_quality_gate_no_window(spark, sf_dir):
+    """Quality gating is threshold-based (tiny percentile agg broadcast
+    back), never a percent_rank window that total-sorts each language."""
+    from hopspark.operators.mixture import mixture_quality_gate
+
+    df = mixture_quality_gate(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "Window" not in plan, plan
+    assert has_broadcast_join(df)
+
+
+def test_mixture_sample_single_scan_pruned(spark, sf_dir):
+    """Stratified sampling folds the hash filter into one aggregation over
+    one scan, reading only (doc_id, source, n_chars)."""
+    from hopspark.operators.mixture import mixture_stratified_sample
+
+    df = mixture_stratified_sample(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    cols = scan_read_schema(df)
+    assert set(cols) == {"doc_id", "source", "n_chars"}, cols
