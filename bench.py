@@ -58,6 +58,8 @@ HEADLINE = [
     "agg_pivot_status",
     "mm_payload_dedup",
     "tpcds_q95_multi_exists",
+    "mixture_rebalance_uniform",
+    "mixture_epoch_upsample",
 ]
 
 

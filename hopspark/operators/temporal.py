@@ -162,7 +162,8 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — both sides shuffle on user_id once and the retention matrix
     itself is tiny (weeks x offsets)."""
     ev = read_table(spark, "events", sf_dir)
-    week = F.date_trunc("week", "ts")
+    # cast to DATE: DuckDB's date_trunc('week') yields DATE, Spark TIMESTAMP
+    week = F.date_trunc("week", "ts").cast("date")
     cohorts = (
         ev.select("user_id", week.alias("w"))
         .groupBy("user_id")

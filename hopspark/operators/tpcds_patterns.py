@@ -358,11 +358,12 @@ ORDER BY best.rnk
 def tpcds_q51_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, "orders", sf_dir)
     li = read_table(spark, "lineitem", sf_dir)
+    # cast to DATE: DuckDB's date_trunc('month') yields DATE, Spark TIMESTAMP
     omonth = orders.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon")
     ).agg(F.sum(dec("o_totalprice")).alias("order_rev"))
     smonth = li.groupBy(
-        F.date_trunc("month", F.col("l_shipdate")).alias("mon")
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("mon")
     ).agg(F.sum(dec("l_extendedprice") * one_minus("l_discount")).alias("ship_rev"))
     joined = omonth.join(smonth, "mon", "full_outer")
     w = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding, 0)
