@@ -203,8 +203,117 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-25 tokens by frequency with corpus
+    share and cumulative coverage — the first diagnostic of any
+    tokenizer/vocab build (what fraction of the stream the head covers).
+
+    Scale shape: explode + groupBy(token) is the canonical word-count —
+    map-side partial aggregation collapses each partition's counts before
+    the only shuffle (compact (token, cnt) rows); the total is a scalar
+    broadcast and the window runs over the 25-row result."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(25)
+        .crossJoin(F.broadcast(total))
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return top.select(
+        "token",
+        "cnt",
+        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        F.round(F.sum("cnt").over(w) / F.col("total"), 6).alias("cum_share"),
+    ).orderBy(F.desc("cnt"), F.asc("token"))
+
+
+TEXT_VOCAB_COVERAGE_SQL = r"""
+WITH counts AS (
+  SELECT u.token, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents) u
+  GROUP BY u.token
+),
+total AS (SELECT SUM(cnt) AS total FROM counts),
+top AS (
+  SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 25
+)
+SELECT token, cnt,
+       ROUND(cnt / (SELECT total FROM total), 6) AS share,
+       ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / (SELECT total FROM total), 6) AS cum_share
+FROM top ORDER BY cnt DESC, token
+"""
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts: top-30 bigrams by frequency with the
+    conditional probability P(w2|w1) = c(w1,w2) / Σ_w c(w1,w) — the
+    distributed n-gram-count job behind KenLM-style LM training.
+
+    Scale shape: bigrams are built scan-side by zipping the token array
+    with its own tail (no self-join), shuffle once on compact (w1, w2)
+    keys with map-side combine; context totals reuse the bigram counts
+    (an agg over the already-small count table, never the corpus)."""
+    docs = read_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ctx = bg.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"))
+    return (
+        bg.join(ctx, "w1")
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.round(F.col("cnt") / F.col("ctx_cnt"), 6).alias("p_cond"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(30)
+    )
+
+
+TEXT_BIGRAM_LM_SQL = r"""
+WITH t AS (
+  SELECT string_split_regex(trim(text), '\s+') AS l FROM documents
+),
+bg AS (
+  SELECT u.bg[1] AS w1, u.bg[2] AS w2, COUNT(*) AS cnt
+  FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS bg FROM t) u
+  GROUP BY 1, 2
+),
+ctx AS (SELECT w1, SUM(cnt) AS ctx_cnt FROM bg GROUP BY w1)
+SELECT bg.w1, bg.w2, bg.cnt,
+       ROUND(bg.cnt / ctx.ctx_cnt, 6) AS p_cond
+FROM bg JOIN ctx ON bg.w1 = ctx.w1
+ORDER BY bg.cnt DESC, bg.w1, bg.w2 LIMIT 30
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "text_vocab_coverage": (text_vocab_coverage, TEXT_VOCAB_COVERAGE_SQL),
+    "text_bigram_lm": (text_bigram_lm, TEXT_BIGRAM_LM_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),
     "text_langid_heuristic": (text_langid_heuristic, TEXT_LANGID_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
