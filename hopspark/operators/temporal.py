@@ -162,8 +162,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — both sides shuffle on user_id once and the retention matrix
     itself is tiny (weeks x offsets)."""
     ev = read_table(spark, "events", sf_dir)
-    # cast to DATE: DuckDB's date_trunc('week') yields DATE, Spark TIMESTAMP
-    week = F.date_trunc("week", "ts").cast("date")
+    week = F.date_trunc("week", "ts")
     cohorts = (
         ev.select("user_id", week.alias("w"))
         .groupBy("user_id")
@@ -187,7 +186,12 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_COHORT_RETENTION_SQL = """
 WITH w AS (
-  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events
+  -- CAST back to TIMESTAMP: DuckDB date_trunc('week') yields DATE while
+  -- Spark yields TIMESTAMP; pinning both sides to TIMESTAMP keeps the
+  -- compare stable whether the harness fetches tuples or pandas frames.
+  SELECT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wk
+  FROM events
 ),
 cohorts AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY user_id),
 activity AS (SELECT DISTINCT user_id, wk AS active_week FROM w)

@@ -358,12 +358,11 @@ ORDER BY best.rnk
 def tpcds_q51_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, "orders", sf_dir)
     li = read_table(spark, "lineitem", sf_dir)
-    # cast to DATE: DuckDB's date_trunc('month') yields DATE, Spark TIMESTAMP
     omonth = orders.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon")
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon")
     ).agg(F.sum(dec("o_totalprice")).alias("order_rev"))
     smonth = li.groupBy(
-        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("mon")
+        F.date_trunc("month", F.col("l_shipdate")).alias("mon")
     ).agg(F.sum(dec("l_extendedprice") * one_minus("l_discount")).alias("ship_rev"))
     joined = omonth.join(smonth, "mon", "full_outer")
     w = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding, 0)
@@ -379,12 +378,13 @@ def tpcds_q51_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame
 
 TPCDS_Q51_SQL = f"""
 WITH o AS (
-  SELECT date_trunc('month', o_orderdate) AS mon,
+  -- TIMESTAMP pin: DuckDB date_trunc('month') yields DATE, Spark TIMESTAMP
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
          SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS order_rev
   FROM orders GROUP BY mon
 ),
 s AS (
-  SELECT date_trunc('month', l_shipdate) AS mon,
+  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mon,
          SUM({REVENUE_TERM}) AS ship_rev
   FROM lineitem GROUP BY mon
 )
@@ -676,7 +676,126 @@ ORDER BY l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# q14 shape — INTERSECT of item sets across periods feeding a semi-joined agg
+# (tpcds-q14: cross-channel common items -> sales over the common set)
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q14_common_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts shipped in BOTH halves of 1995 (INTERSECT, distinct
+    semantics), then 1996 revenue by brand over that common set.
+
+    Plan shape: two pruned key-only scans → intersect (Spark plans a
+    left-semi over distinct keys) → semi-join gates the 1996 scan before
+    the brand aggregation — the agg never sees non-common parts."""
+    li = read_table(spark, "lineitem", sf_dir)
+    part = read_table(spark, "part", sf_dir)
+    h1 = li.filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-07-01")
+    ).select("l_partkey")
+    h2 = li.filter(
+        (F.col("l_shipdate") >= "1995-07-01") & (F.col("l_shipdate") < "1996-01-01")
+    ).select("l_partkey")
+    common = h1.intersect(h2)
+    rev96 = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).join(common, "l_partkey", "semi")
+    return (
+        rev96.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            dsum(dec("l_extendedprice") * one_minus("l_discount")).alias("rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("rev"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+TPCDS_Q14_SQL = f"""
+WITH common AS (
+  SELECT l_partkey FROM lineitem
+  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-07-01'
+  INTERSECT
+  SELECT l_partkey FROM lineitem
+  WHERE l_shipdate >= DATE '1995-07-01' AND l_shipdate < DATE '1996-01-01'
+)
+SELECT p_brand,
+       CAST(SUM({REVENUE_TERM}) AS DOUBLE) AS rev,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_partkey IN (SELECT l_partkey FROM common)
+GROUP BY p_brand
+ORDER BY rev DESC, p_brand LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q31 shape — windowed quarter-over-quarter growth of an aggregated series
+# (tpcds-q31: per-county share growth across consecutive quarters)
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q31_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation quarterly order revenue for 1995 with quarter-over-quarter
+    growth via lag(): the window value-function-over-aggregate shape.
+
+    Plan shape: star join (orders→customer→nation, dims broadcast) →
+    hash agg to a tiny (nation, quarter) series → the lag window runs on
+    that aggregate, never the fact table."""
+    orders = read_table(spark, "orders", sf_dir)
+    cust = read_table(spark, "customer", sf_dir)
+    nation = read_table(spark, "nation", sf_dir)
+    q = F.quarter("o_orderdate")
+    series = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), q.alias("qtr"))
+        .agg(dsum(dec("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy("qtr")
+    prev = F.lag("rev").over(w)
+    return series.select(
+        "nation",
+        "qtr",
+        "rev",
+        F.round(F.col("rev").cast("double") / prev.cast("double"), 6).alias(
+            "qoq_growth"
+        ),
+    ).orderBy("nation", "qtr")
+
+
+TPCDS_Q31_SQL = """
+WITH series AS (
+  SELECT n_name AS nation,
+         CAST(quarter(o_orderdate) AS INT) AS qtr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  GROUP BY 1, 2
+)
+SELECT nation, qtr, rev,
+       ROUND(CAST(rev AS DOUBLE)
+             / CAST(lag(rev) OVER (PARTITION BY nation ORDER BY qtr) AS DOUBLE),
+             6) AS qoq_growth
+FROM series ORDER BY nation, qtr
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "tpcds_q14_common_parts_revenue": (
+        tpcds_q14_common_parts_revenue,
+        TPCDS_Q14_SQL,
+    ),
+    "tpcds_q31_quarterly_growth": (tpcds_q31_quarterly_growth, TPCDS_Q31_SQL),
     "tpcds_q3_brand_year_topn": (tpcds_q3_brand_year_topn, TPCDS_Q3_SQL),
     "tpcds_q7_avg_measures": (tpcds_q7_avg_measures, TPCDS_Q7_SQL),
     "tpcds_q11_yoy_growth": (tpcds_q11_yoy_growth, TPCDS_Q11_SQL),
