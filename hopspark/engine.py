@@ -55,6 +55,13 @@ class Engine:
         r"^\s*(?:REFRESH\s+(\w+)|INVALIDATE\s+METADATA(?:\s+(\w+))?)\s*;?\s*$",
         re.I,
     )
+    _CREATE_VIEW_RE = re.compile(
+        r"^\s*(CREATE|ALTER)\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*?);?\s*$",
+        re.I | re.S,
+    )
+    _DROP_VIEW_RE = re.compile(
+        r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
+    )
 
     def sql(self, impala_sql: str) -> DataFrame:
         """Run an Impala-dialect SQL statement; returns a lazy DataFrame.
@@ -79,6 +86,33 @@ class Engine:
         m = self._REFRESH_RE.match(impala_sql)
         if m:
             self.refresh(m.group(1) or m.group(2))
+            return self.spark.sql("SELECT 1 AS ok WHERE false")
+        m = self._CREATE_VIEW_RE.match(impala_sql)
+        if m:
+            verb, if_not_exists, name, body = m.groups()
+            # Impala CREATE/ALTER VIEW (sql-parser.cup view DDL). The engine
+            # catalog is session-scoped temp views, so views land there too;
+            # the body goes through the same dialect translation as queries.
+            if (
+                verb.upper() == "CREATE"
+                and if_not_exists
+                and any(
+                    t.name == name and t.isTemporary
+                    for t in self.spark.catalog.listTables()
+                )
+            ):
+                return self.spark.sql("SELECT 1 AS ok WHERE false")
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
+                + translate(body, options=self.options)
+            )
+            return self.spark.sql("SELECT 1 AS ok WHERE false")
+        m = self._DROP_VIEW_RE.match(impala_sql)
+        if m:
+            if_exists, name = m.groups()
+            dropped = self.spark.catalog.dropTempView(name)
+            if not dropped and not if_exists:
+                raise ValueError(f"view does not exist: {name}")
             return self.spark.sql("SELECT 1 AS ok WHERE false")
         return self.spark.sql(translate(impala_sql, options=self.options))
 

@@ -286,3 +286,29 @@ def test_utf8_mode_byte_semantics_default(spark, sf_dir):
     assert eng.sql("SELECT length('héllo') a").collect()[0]["a"] == 6
     # ASCII is unaffected either way
     assert eng.sql("SELECT substr('hello', 2, 3) a").collect()[0]["a"] == "ell"
+
+
+def test_view_ddl_surface(spark, sf_dir):
+    """CREATE/ALTER/DROP VIEW (Impala view DDL) — views are session temp
+    views over the engine catalog; bodies pass through dialect translation
+    (the nvl below is Impala-only)."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql(
+        "CREATE VIEW v_ddl AS SELECT n_name, nvl(NULL, n_nationkey) AS k "
+        "FROM nation WHERE n_nationkey >= 10"
+    )
+    n1 = eng.sql("SELECT count(*) AS c FROM v_ddl").head().c
+    assert n1 > 0
+    # IF NOT EXISTS against an existing view is a no-op
+    eng.sql("CREATE VIEW IF NOT EXISTS v_ddl AS SELECT 1 AS one")
+    assert eng.sql("SELECT count(*) AS c FROM v_ddl").head().c == n1
+    eng.sql("ALTER VIEW v_ddl AS SELECT n_name FROM nation")
+    assert eng.sql("SELECT * FROM v_ddl LIMIT 1").columns == ["n_name"]
+    eng.sql("DROP VIEW v_ddl")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.sql("DROP VIEW v_ddl")
+    eng.sql("DROP VIEW IF EXISTS v_ddl")  # silent
