@@ -62,6 +62,7 @@ class Engine:
     _DROP_VIEW_RE = re.compile(
         r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
     )
+    _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(.*?);?\s*$", re.I | re.S)
 
     def sql(self, impala_sql: str) -> DataFrame:
         """Run an Impala-dialect SQL statement; returns a lazy DataFrame.
@@ -114,6 +115,15 @@ class Engine:
             if not dropped and not if_exists:
                 raise ValueError(f"view does not exist: {name}")
             return self.spark.sql("SELECT 1 AS ok WHERE false")
+        m = self._EXPLAIN_RE.match(impala_sql)
+        if m:
+            # Impala EXPLAIN returns the plan as rows of 'Explain String'
+            # (impala-server HS2 result shape); surface Catalyst's formatted
+            # plan the same way.
+            lines = self.explain(m.group(1)).splitlines()
+            return self.spark.createDataFrame(
+                [(ln,) for ln in lines], "`Explain String` string"
+            )
         return self.spark.sql(translate(impala_sql, options=self.options))
 
     def set_option(self, name: str, value: bool) -> None:

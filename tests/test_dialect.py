@@ -312,3 +312,15 @@ def test_view_ddl_surface(spark, sf_dir):
     with _pytest.raises(ValueError):
         eng.sql("DROP VIEW v_ddl")
     eng.sql("DROP VIEW IF EXISTS v_ddl")  # silent
+
+
+def test_explain_statement_surface(spark, sf_dir):
+    """EXPLAIN <query> returns the plan as rows of 'Explain String' —
+    the reference's HS2 EXPLAIN result shape."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    df = eng.sql("EXPLAIN SELECT r_name FROM region WHERE r_regionkey = 1")
+    assert df.columns == ["Explain String"]
+    text = "\n".join(r[0] for r in df.collect())
+    assert "Physical Plan" in text and "region" in text
