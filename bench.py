@@ -60,6 +60,10 @@ HEADLINE = [
     "tpcds_q95_multi_exists",
     "mixture_rebalance_uniform",
     "mixture_epoch_upsample",
+    "text_vocab_coverage",
+    "text_bigram_lm",
+    "tpcds_q14_common_parts_revenue",
+    "tpcds_q31_quarterly_growth",
 ]
 
 
