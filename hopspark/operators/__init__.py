@@ -32,6 +32,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         relational,
         similarity,
         sketches,
+        stream_queries,
         temporal,
         text,
         tpch,
@@ -58,6 +59,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         pipeline,
         quality,
         mixture,
+        stream_queries,
     ):
         for name, entry in mod.QUERIES.items():
             if name in merged:
