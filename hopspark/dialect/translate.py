@@ -324,6 +324,22 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
             toks[i] = Tok("word", "CAST(unhex")
             i = j + 1
             continue
+        # precision(x) / scale(x) — decimal type introspection
+        # (BuiltinsDb precision/scale; analysis-time in the reference).
+        # Runtime equivalent: parse Spark's typeof(); NULL for non-decimals.
+        if name in ("precision", "scale"):
+            close = _matching_paren(toks, j)
+            group = "1" if name == "precision" else "2"
+            toks.insert(
+                close + 1,
+                Tok(
+                    "op",
+                    ", 'decimal\\\\((\\\\d+),(\\\\d+)\\\\)', " + group + ") AS INT)",
+                ),
+            )
+            toks[i] = Tok("word", "CAST(regexp_extract(typeof")
+            i = j + 1
+            continue
         # aggif(p, x) → max(CASE WHEN p THEN x END) — the reference's
         # conditional aggregate (BuiltinsDb.java:1188), defined for
         # predicates selecting one distinct value per group.

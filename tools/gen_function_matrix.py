@@ -91,8 +91,8 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "min_int": ("registered", "min_int()", "type-limit constant"),
     "max_bigint": ("registered", "max_bigint()", "type-limit constant"),
     "min_bigint": ("registered", "min_bigint()", "type-limit constant"),
-    "precision": ("unsupported", None, "decimal type introspection; use typeof() and parse"),
-    "scale": ("unsupported", None, "decimal type introspection; use typeof() and parse"),
+    "precision": ("rewritten", "precision(CAST(1.5 AS DECIMAL(12,2)))", "typeof()-parse; NULL for non-decimal"),
+    "scale": ("rewritten", "scale(CAST(1.5 AS DECIMAL(12,2)))", "typeof()-parse; NULL for non-decimal"),
     # ---------------- string ----------------
     "ascii": ("native", "ascii('A')", ""),
     "btrim": ("native", "btrim('  x  ')", ""),
