@@ -385,6 +385,45 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                         toks[inner_close] = Tok("op", "")
                         i += 1
                         continue
+        # ds_kll_rank(ds_kll_sketch(x), v) → avg(CAST(x < v AS DOUBLE)):
+        # the sketch→rank composition collapses to the exact normalized
+        # rank (DataSketches KLL get_rank = fraction of items < v).
+        if name == "ds_kll_rank":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                inner_i = _next_code(toks, args[0][0])
+                if (
+                    inner_i < len(toks)
+                    and toks[inner_i].text.lower() == "ds_kll_sketch"
+                ):
+                    comma = _prev_code(toks, args[1][0] - 1)
+                    toks.insert(close, Tok("op", " AS DOUBLE)"))
+                    toks[comma] = Tok("op", " < ")
+                    toks[inner_i] = Tok("word", "")
+                    toks[i] = Tok("word", "avg(CAST")
+                    i += 1
+                    continue
+        # ds_kll_n(ds_kll_sketch(x)) → count(x): the sketch's stream length
+        # is exactly the non-null count.
+        if name == "ds_kll_n":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 1:
+                inner_i = _next_code(toks, args[0][0])
+                if (
+                    inner_i < len(toks)
+                    and toks[inner_i].text.lower() == "ds_kll_sketch"
+                ):
+                    inner_open = _next_code(toks, inner_i + 1)
+                    if inner_open < close and toks[inner_open].text == "(":
+                        inner_close = _matching_paren(toks, inner_open)
+                        toks[i] = Tok("word", "count")
+                        toks[inner_i] = Tok("word", "")
+                        toks[inner_open] = Tok("op", "")
+                        toks[inner_close] = Tok("op", "")
+                        i += 1
+                        continue
         # regexp_like(s, pat, 'flags') → rlike(s, concat('(?flags)', pat)).
         # Impala flags (string-functions-ir.cc): i=case-insensitive,
         # m=multi-line, n=newline-matches-dot (Java's s).

@@ -304,8 +304,8 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "ds_theta_intersect_f": ("unsupported", None, "HLL can't intersect; use theta_intersect_estimate (KMV, operators/sketches.py)"),
     "ds_theta_exclude": ("unsupported", None, "use theta_except_estimate (KMV, operators/sketches.py)"),
     "ds_kll_quantile": ("rewritten", "ds_kll_quantile(ds_kll_sketch(x), 0.5) FROM (SELECT 1 AS x)", "composition → percentile"),
-    "ds_kll_n": ("unsupported", None, "KLL internals; count(x) is the equivalent"),
-    "ds_kll_rank": ("unsupported", None, "KLL internals; avg(x <= v) is the equivalent"),
+    "ds_kll_n": ("rewritten", "ds_kll_n(ds_kll_sketch(CAST(2 AS FLOAT)))", "sketch composition collapses to count(x)"),
+    "ds_kll_rank": ("rewritten", "ds_kll_rank(ds_kll_sketch(CAST(2 AS FLOAT)), 3)", "collapses to exact avg(x < v)"),
     "ds_kll_cdf_as_string": ("unsupported", None, "DataSketches string rendering of library internals"),
     "ds_kll_pmf_as_string": ("unsupported", None, "DataSketches string rendering of library internals"),
     "ds_kll_quantiles_as_string": ("unsupported", None, "DataSketches string rendering of library internals"),
