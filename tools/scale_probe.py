@@ -1,0 +1,107 @@
+"""Scale-linearity probe: replicate the sf0.1 documents corpus N× (ids
+shifted, text perturbed per copy so replicas are NEAR-duplicates, not exact
+ones) and measure wall-time of the document-pipeline operators at 1× vs N×.
+
+A linear operator should scale ~N×; anything super-linear (quadratic
+candidate generation, driver-side state, unbounded buckets) shows up as a
+ratio far above N. This is the local stand-in for "would this hold at
+1000 executors" — the shapes that stay linear here are the ones whose
+shuffles carry compact keys only.
+
+Usage: PYTHONPATH=. python tools/scale_probe.py [N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+PROBE_QUERIES = [
+    "text_vocab_coverage",
+    "text_bigram_lm",
+    "text_train_split",
+    "mixture_stratified_sample",
+    "mixture_rebalance_uniform",
+    "mixture_quality_gate",
+    "mixture_epoch_upsample",
+    "dedup_exact_groups",
+    "dedup_minhash_candidates",
+    "dedup_simhash",
+    "pack_sequences",
+    "pipeline_corpus_stats",
+]
+
+BASE = "/root/testdata/sf0.1"
+SCALED = "/tmp/hopspark_scale"
+
+
+def build_scaled(spark, n: int) -> str:
+    from pyspark.sql import functions as F
+
+    from hopspark.catalog import TABLES, read_table
+
+    out = f"{SCALED}/x{n}"
+    os.makedirs(out, exist_ok=True)
+    # documents: n id-shifted, text-perturbed copies
+    doc_path = os.path.join(out, "documents.parquet")
+    if not os.path.exists(doc_path):
+        docs = read_table(spark, "documents", BASE)
+        copies = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                (
+                    F.col("text")
+                    if i == 0
+                    else F.concat(F.col("text"), F.lit(f" copytoken{i}"))
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            for i in range(n)
+        ]
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        big.repartition(32).write.mode("overwrite").parquet(doc_path)
+    # other tables: symlink to base so read_table resolves them
+    for t in TABLES:
+        if t == "documents":
+            continue
+        link = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), link)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from hopspark.operators import all_queries
+    from hopspark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    reg = all_queries()
+    scaled_dir = build_scaled(spark, n)
+
+    # warmup
+    reg["text_vocab_coverage"][0](spark, BASE).collect()
+
+    print(f"{'query':34s} {'1x':>7s} {'%dx' % n:>8s}  ratio  rows@{n}x")
+    for name in PROBE_QUERIES:
+        fn = reg[name][0]
+        t0 = time.time()
+        fn(spark, BASE).collect()
+        t1 = time.time()
+        rows = len(fn(spark, scaled_dir).collect())
+        t2 = time.time()
+        base_s, big_s = t1 - t0, t2 - t1
+        print(
+            f"{name:34s} {base_s:7.2f} {big_s:8.2f} {big_s / base_s:6.1f}"
+            f"  {rows}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
