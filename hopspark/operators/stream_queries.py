@@ -71,6 +71,91 @@ ORDER BY hour, event_type
 """
 
 
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-timeout sessionization executed as a STREAM via native
+    `session_window` (state-store-merged across micro-batches), returned
+    as the final snapshot with per-user session numbering — checked by the
+    same lag+cumsum gaps-and-islands oracle as the batch operator.
+
+    Boundary alignment: the batch rule starts a new session when the gap
+    EXCEEDS 1800s, and `session_window` merges events with gap <= the
+    window size (verified empirically on an exactly-1801s gap) — so the
+    same 1800s constant aligns the two rules exactly. Session numbering
+    runs on the tiny final snapshot, not the stream."""
+    from pyspark.sql import Window as W
+
+    from hopspark.streaming.windows import stream_events
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", F.date_trunc("second", "ts").alias("ts")
+    )
+    sessions = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "1800 seconds").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    qname = "hopspark_stream_sessionize"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.table(qname)
+    order = W.partitionBy("user_id").orderBy("session_start")
+    return (
+        snap.select(
+            "user_id",
+            F.row_number().over(order).alias("session_no"),
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+STREAMING_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
+         event_id
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS INT) AS session_no,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "streaming_hourly_rollup": (streaming_hourly_rollup, STREAMING_HOURLY_SQL),
+    "streaming_sessionize": (streaming_sessionize, STREAMING_SESSIONIZE_SQL),
 }
