@@ -353,7 +353,13 @@ def events_gapfill_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.avg("value").alias("avg_value"),
+            # exact decimal sum -> double, / count: deterministic under any
+            # partitioning (double avg is summation-order-sensitive and can
+            # flip the 6th decimal at scale)
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
         )
     )
     axis = (
@@ -381,7 +387,8 @@ def events_gapfill_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_GAPFILL_SQL = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
-         COUNT(*) AS n_events, AVG(value) AS avg_value
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_value
   FROM events GROUP BY 1, 2
 ),
 axis AS (

@@ -180,7 +180,13 @@ def mixture_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.round(F.avg("score"), 6).alias("avg_score"),
+            # decimal-sum discipline: double avg is summation-order-
+            # sensitive and can flip the 6th decimal under repartitioning
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,10)")).cast("double")
+                / F.count("score"),
+                6,
+            ).alias("avg_score"),
         )
         .orderBy("lang")
     )
@@ -198,7 +204,8 @@ thresholds AS (
 )
 SELECT s.lang,
        COUNT(*) AS n_kept,
-       ROUND(AVG(s.score), 6) AS avg_score
+       ROUND(CAST(SUM(CAST(s.score AS DECIMAL(18,10))) AS DOUBLE)
+             / COUNT(s.score), 6) AS avg_score
 FROM scored s JOIN thresholds t ON s.lang = t.lang
 WHERE s.score >= t.p75
 GROUP BY s.lang ORDER BY s.lang
