@@ -30,6 +30,16 @@ PROBE_QUERIES = [
     "dedup_simhash",
     "pack_sequences",
     "pipeline_corpus_stats",
+    # fact-table (lineitem/orders) shapes: scan+agg, star join + top-n,
+    # broadcast-dim join chain, grouped window
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "agg_rollup",
+    "agg_multi_distinct",
+    "window_rank_topn",
+    "tpcds_q51_cumulative_channels",
 ]
 
 BASE = "/root/testdata/sf0.1"
@@ -65,9 +75,33 @@ def build_scaled(spark, n: int) -> str:
         for c in copies[1:]:
             big = big.unionByName(c)
         big.repartition(32).write.mode("overwrite").parquet(doc_path)
+    # fact tables: n key-shifted copies (order/line keys shift; dim keys —
+    # cust/part/supp — stay, modeling fact growth against constant dims)
+    for fact, keys in (
+        ("lineitem", ("l_orderkey",)),
+        ("orders", ("o_orderkey",)),
+    ):
+        fpath = os.path.join(out, f"{fact}.parquet")
+        if not os.path.exists(fpath):
+            t = read_table(spark, fact, BASE)
+            shifted = [
+                t.select(
+                    *[
+                        (F.col(c) + F.lit(i * 100_000_000)).alias(c)
+                        if c in keys
+                        else F.col(c)
+                        for c in t.columns
+                    ]
+                )
+                for i in range(n)
+            ]
+            big = shifted[0]
+            for c in shifted[1:]:
+                big = big.unionByName(c)
+            big.repartition(32).write.mode("overwrite").parquet(fpath)
     # other tables: symlink to base so read_table resolves them
     for t in TABLES:
-        if t == "documents":
+        if t in ("documents", "lineitem", "orders"):
             continue
         link = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(link):
