@@ -13,56 +13,134 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: Every operator module contributing to the query registry, in merge order.
+_MODULES = (
+    "tpch",
+    "relational",
+    "aggregates",
+    "analytic",
+    "nested",
+    "dedup",
+    "graph",
+    "temporal",
+    "similarity",
+    "sketches",
+    "text",
+    "curation",
+    "multimodal",
+    "dialect_sql",
+    "tpcds_patterns",
+    "pipeline",
+    "quality",
+    "mixture",
+    "stream_queries",
+)
+
+#: The driver's correctness gate checks only the FIRST 50 entries of
+#: ``all_queries()``.  Left to module-import order that set would be filled by
+#: tpch+relational+aggregates alone (round-2 lesson: the window queries were
+#: silently displaced out of the checked set).  This list hand-curates the
+#: first 50 so every operator module — every SURVEY.md §2 family plus each
+#: LLM-pipeline extension — has at least one driver-checked row.  Entries are
+#: chosen to prefer oracle-SQL-checked queries (value-hash compare) over
+#: rows-only ones.  ``tests/test_oracle_parity.py`` asserts the coverage.
+CURATED_FIRST = (
+    # TPC-H spine — richest plans (multi-join, agg, subquery shapes).
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_suppliers_waiting",
+    "tpch_q22_sales_opportunity",
+    # Joins / set ops / sorts (§2.4, §2.7, §2.8).
+    "join_full_outer",
+    "join_null_aware_anti_not_in",
+    "setop_intersect",
+    "setop_except",
+    "sort_nulls_ordering",
+    # Aggregation (§2.5).
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_multi_distinct",
+    "agg_pivot_status",
+    "agg_stats_moments",
+    # Analytic / windows (§2.6).
+    "window_rank_topn",
+    "window_running_sum",
+    "window_value_fns_ignore_nulls",
+    "window_sessionize",
+    # Nested types + subqueries (§2.9).
+    "nested_zip_unnest",
+    "nested_customer_orders",
+    "subquery_scalar_threshold",
+    # Deduplication.
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # Similarity graph / PageRank.
+    "dedup_cc_clusters",
+    "graph_pagerank_bipartite",
+    # Temporal.
+    "temporal_asof_attribution",
+    "events_cohort_retention",
+    # Similarity search.
+    "sim_knn_bruteforce_cosine",
+    "sim_embedding_norms",
+    # Sketches.
+    "sketch_theta_grouped",
+    # Text analysis.
+    "text_token_stats",
+    "text_quality_score",
+    # Curation.
+    "pack_sequences",
+    "text_contamination",
+    "events_gapfill_downsample",
+    # Multimodal.
+    "mm_payload_dedup",
+    "mm_metadata_stats",
+    # Impala dialect surface.
+    "dialect_sql_filters",
+    "dialect_sql_null_ordering",
+    # TPC-DS patterns.
+    "tpcds_q36_margin_rollup_rank",
+    "tpcds_q95_multi_exists",
+    # Pipeline / quality / mixture / streaming extensions.
+    "pipeline_corpus_stats",
+    "dq_null_profile",
+    "mixture_rebalance_uniform",
+    "streaming_hourly_rollup",
+)
+
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
-    """Merge every module's registry; import lazily so a broken module is
-    isolated to its own entries during development."""
-    from hopspark.operators import (
-        aggregates,
-        analytic,
-        curation,
-        dedup,
-        dialect_sql,
-        graph,
-        mixture,
-        multimodal,
-        nested,
-        pipeline,
-        quality,
-        relational,
-        similarity,
-        sketches,
-        stream_queries,
-        temporal,
-        text,
-        tpch,
-        tpcds_patterns,
-    )
+    """Merge every module's registry (import lazily so a broken module is
+    isolated during development), then reorder so ``CURATED_FIRST`` leads —
+    the driver's gate checks only the first 50 entries."""
+    import importlib
 
     merged: dict[str, tuple[QueryFn, str | None]] = {}
-    for mod in (
-        tpch,
-        relational,
-        aggregates,
-        analytic,
-        nested,
-        dedup,
-        graph,
-        temporal,
-        similarity,
-        sketches,
-        text,
-        curation,
-        multimodal,
-        dialect_sql,
-        tpcds_patterns,
-        pipeline,
-        quality,
-        mixture,
-        stream_queries,
-    ):
+    for mod_name in _MODULES:
+        mod = importlib.import_module(f"hopspark.operators.{mod_name}")
         for name, entry in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")
             merged[name] = entry
-    return merged
+    missing = [n for n in CURATED_FIRST if n not in merged]
+    if missing:
+        raise ValueError(f"CURATED_FIRST names not in registry: {missing}")
+    ordered = {n: merged[n] for n in CURATED_FIRST}
+    ordered.update((n, e) for n, e in merged.items() if n not in ordered)
+    return ordered
+
+
+def queries_by_module() -> dict[str, list[str]]:
+    """Map operator-module name → its query names (test/audit helper)."""
+    import importlib
+
+    out: dict[str, list[str]] = {}
+    for mod_name in _MODULES:
+        mod = importlib.import_module(f"hopspark.operators.{mod_name}")
+        out[mod_name] = list(mod.QUERIES)
+    return out

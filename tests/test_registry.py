@@ -1,0 +1,42 @@
+"""Registry-shape guards (no SparkSession needed).
+
+The driver's correctness gate checks only the FIRST 50 entries of
+``all_queries()``; round 2 showed module-import order can silently displace
+families out of that set.  These tests lock the curated ordering."""
+
+from __future__ import annotations
+
+from hopspark.operators import CURATED_FIRST, all_queries, queries_by_module
+
+
+def test_curated_first_is_exactly_50():
+    assert len(CURATED_FIRST) == 50
+    assert len(set(CURATED_FIRST)) == 50
+
+
+def test_first_50_matches_curation_order():
+    assert list(all_queries())[:50] == list(CURATED_FIRST)
+
+
+def test_first_50_spans_every_operator_module():
+    by_module = queries_by_module()
+    name_to_module = {n: m for m, names in by_module.items() for n in names}
+    covered = {name_to_module[n] for n in CURATED_FIRST}
+    assert covered == set(by_module), (
+        f"modules with no driver-checked query: {sorted(set(by_module) - covered)}"
+    )
+
+
+def test_first_50_all_oracle_checked():
+    """Every driver-checked row should be a value-hash compare, not rows-only."""
+    registry = all_queries()
+    rows_only = [n for n in CURATED_FIRST if registry[n][1] is None]
+    assert rows_only == []
+
+
+def test_registry_is_unique_and_complete():
+    registry = all_queries()
+    by_module = queries_by_module()
+    flat = [n for names in by_module.values() for n in names]
+    assert len(flat) == len(set(flat))
+    assert set(flat) == set(registry)
