@@ -137,24 +137,29 @@ _EVENTS_TS_IS_INT64: dict = {}
 def _events_ts_is_int64(path: str) -> bool:
     """True when events.ts is physically int64 nanos (legacy encoding).
 
-    One driver-side footer sniff per path — O(KB) metadata read, cached, so
-    it costs nothing at cluster scale (executors never run this).
+    One driver-side footer sniff per (path, mtime) — O(KB) metadata read, so
+    caching buys little; the mtime key exists because the test driver is
+    known to regenerate events.parquet with a different encoding while a
+    process is alive, and a path-keyed cache would then force the wrong read
+    schema.  Failed sniffs (e.g. file not written yet) are NOT cached, so a
+    later read re-probes instead of inheriting a stale False.
     """
-    if path not in _EVENTS_TS_IS_INT64:
-        import pyarrow.parquet as pq
-        import pyarrow.types as pt
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
 
-        probe = path
-        if os.path.isdir(path):
-            parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
-            if parts:
-                probe = os.path.join(path, parts[0])
-        try:
+    probe = path
+    if os.path.isdir(path):
+        parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+        if parts:
+            probe = os.path.join(path, parts[0])
+    try:
+        key = (probe, os.path.getmtime(probe))
+        if key not in _EVENTS_TS_IS_INT64:
             field = pq.read_schema(probe).field("ts")
-            _EVENTS_TS_IS_INT64[path] = pt.is_integer(field.type)
-        except Exception:
-            _EVENTS_TS_IS_INT64[path] = False
-    return _EVENTS_TS_IS_INT64[path]
+            _EVENTS_TS_IS_INT64[key] = pt.is_integer(field.type)
+        return _EVENTS_TS_IS_INT64[key]
+    except Exception:
+        return False
 
 
 def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

@@ -56,7 +56,8 @@ class Engine:
         re.I,
     )
     _CREATE_VIEW_RE = re.compile(
-        r"^\s*(CREATE|ALTER)\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*?);?\s*$",
+        r"^\s*(CREATE|ALTER)\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+        r"(\([^)]*\))?\s*AS\s+(.*?);?\s*$",
         re.I | re.S,
     )
     _DROP_VIEW_RE = re.compile(
@@ -90,22 +91,42 @@ class Engine:
             return self.spark.sql("SELECT 1 AS ok WHERE false")
         m = self._CREATE_VIEW_RE.match(impala_sql)
         if m:
-            verb, if_not_exists, name, body = m.groups()
+            verb, if_not_exists, name, col_list, body = m.groups()
             # Impala CREATE/ALTER VIEW (sql-parser.cup view DDL). The engine
             # catalog is session-scoped temp views, so views land there too;
             # the body goes through the same dialect translation as queries.
-            if (
-                verb.upper() == "CREATE"
-                and if_not_exists
-                and any(
-                    t.name == name and t.isTemporary
-                    for t in self.spark.catalog.listTables()
+            # Db-qualified names have no home in a temp-view catalog — reject
+            # explicitly rather than failing downstream with a parse error.
+            if "." in name:
+                raise ValueError(
+                    f"view name {name!r}: database-qualified views are not "
+                    "supported by the session (temp-view) catalog"
                 )
-            ):
-                return self.spark.sql("SELECT 1 AS ok WHERE false")
+            # Spark's catalog is case-insensitive; compare lowercased so
+            # IF NOT EXISTS V no-ops against an existing v (Impala
+            # analyzer semantics: table/view names are case-insensitive).
+            exists = any(
+                t.name.lower() == name.lower() and t.isTemporary
+                for t in self.spark.catalog.listTables()
+            )
+            if verb.upper() == "CREATE" and exists:
+                if if_not_exists:
+                    return self.spark.sql("SELECT 1 AS ok WHERE false")
+                # Impala raises AnalysisException: view already exists
+                # (fe CreateViewStmt analysis) — plain CREATE must not
+                # silently replace.
+                raise ValueError(f"view already exists: {name}")
+            translated = translate(body, options=self.options)
+            if col_list:
+                cols = [c.strip() for c in col_list.strip("()").split(",")]
+                if any(not c.isidentifier() for c in cols):
+                    raise ValueError(f"bad view column list: {col_list}")
+                translated = (
+                    f"SELECT * FROM ({translated}) AS "
+                    f"hopspark_view_body({', '.join(cols)})"
+                )
             self.spark.sql(
-                f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
-                + translate(body, options=self.options)
+                f"CREATE OR REPLACE TEMPORARY VIEW {name} AS " + translated
             )
             return self.spark.sql("SELECT 1 AS ok WHERE false")
         m = self._DROP_VIEW_RE.match(impala_sql)

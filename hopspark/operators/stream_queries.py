@@ -130,7 +130,7 @@ WITH e AS (
   FROM events
 ),
 flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    IS NULL
               OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
@@ -139,8 +139,13 @@ flagged AS (
   FROM e
 ),
 sess AS (
+  -- event_id carried into this ORDER BY so the cumulative sum walks rows in
+  -- the SAME order the lag-based new_sess flag was computed: with ts-only
+  -- ordering, second-truncated ts ties let DuckDB place a new_sess=0 row
+  -- before its session-opening new_sess=1 sibling, shifting it into the
+  -- previous session and flaking the gate nondeterministically.
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_no
   FROM flagged

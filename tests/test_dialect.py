@@ -314,6 +314,38 @@ def test_view_ddl_surface(spark, sf_dir):
     eng.sql("DROP VIEW IF EXISTS v_ddl")  # silent
 
 
+def test_view_ddl_edge_semantics(spark, sf_dir):
+    """Round-2 advice: plain CREATE VIEW over an existing view must raise
+    (Impala 'already exists', fe CreateViewStmt), IF NOT EXISTS must match
+    case-insensitively (Spark's catalog is case-insensitive), the column-list
+    form must rename, and db-qualified names must be rejected up front."""
+    import pytest as _pytest
+
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql("CREATE VIEW v_edge AS SELECT n_name FROM nation")
+    try:
+        # plain CREATE over existing: raise, don't silently replace
+        with _pytest.raises(ValueError, match="already exists"):
+            eng.sql("CREATE VIEW v_edge AS SELECT 1 AS one")
+        # IF NOT EXISTS is case-insensitive: V_EDGE no-ops against v_edge
+        eng.sql("CREATE VIEW IF NOT EXISTS V_EDGE AS SELECT 1 AS one")
+        assert eng.sql("SELECT * FROM v_edge LIMIT 1").columns == ["n_name"]
+        # column-list form renames the body's output
+        eng.sql(
+            "CREATE VIEW v_cols (nk, nm) AS "
+            "SELECT n_nationkey, n_name FROM nation"
+        )
+        assert eng.sql("SELECT * FROM v_cols LIMIT 1").columns == ["nk", "nm"]
+        # db-qualified views have no home in the temp-view catalog
+        with _pytest.raises(ValueError, match="qualified"):
+            eng.sql("CREATE VIEW somedb.v_q AS SELECT 1 AS one")
+    finally:
+        eng.sql("DROP VIEW IF EXISTS v_edge")
+        eng.sql("DROP VIEW IF EXISTS v_cols")
+
+
 def test_explain_statement_surface(spark, sf_dir):
     """EXPLAIN <query> returns the plan as rows of 'Explain String' —
     the reference's HS2 EXPLAIN result shape."""

@@ -256,3 +256,56 @@ def test_streaming_distinct_users_sketch(spark, sf_dir, ckpt_dir):
     for k, exact in want.items():
         # exact regime at test scale (distinct users per type < SKETCH_K)
         assert got[k] == float(exact), (k, got[k], exact)
+
+
+def test_sessionize_oracle_deterministic_on_ts_ties():
+    """Round-2 advice: with a second-truncated ts tie at a session boundary,
+    the oracle's cumulative sum must walk rows in the same (ts, event_id)
+    order as the lag-based new_sess flag — otherwise the tied non-opening
+    event can be assigned to the PREVIOUS session depending on DuckDB's
+    arbitrary tie order.  Pure-DuckDB check, adversarial insertion order."""
+    import duckdb
+
+    from hopspark.operators.stream_queries import STREAMING_SESSIONIZE_SQL
+
+    con = duckdb.connect()
+    # user 7: e1 opens session 1 at t=1000; >1800s gap; e3 and e2 tie at
+    # t=3600 (session 2).  Insert the higher event_id FIRST so a tie-order
+    # bug surfaces as e3 landing in session 1.
+    con.sql(
+        """
+        CREATE VIEW events AS
+        SELECT * FROM (VALUES
+          (7, TIMESTAMP '2024-01-01 00:16:40', 1),
+          (7, TIMESTAMP '2024-01-01 01:00:00', 3),
+          (7, TIMESTAMP '2024-01-01 01:00:00', 2),
+          (7, TIMESTAMP '2024-01-01 01:00:05', 4)
+        ) AS t(user_id, ts, event_id)
+        """
+    )
+    rows = con.sql(STREAMING_SESSIONIZE_SQL).fetchall()
+    # (user, session_no, start, end, n_events)
+    assert [(r[0], r[1], r[4]) for r in rows] == [(7, 1, 1), (7, 2, 3)]
+
+
+def test_events_ts_sniff_rekeys_on_rewrite(tmp_path):
+    """Round-2 advice: the footer sniff must re-probe when the file is
+    regenerated with a different encoding (driver does this between rounds)
+    and must not cache a failure for a file that doesn't exist yet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hopspark.catalog import _events_ts_is_int64
+
+    p = tmp_path / "events.parquet"
+    # missing file: False, and NOT cached
+    assert _events_ts_is_int64(str(p)) is False
+    pq.write_table(pa.table({"ts": pa.array([1, 2], pa.int64())}), p)
+    os.utime(p, (1000, 1000))
+    assert _events_ts_is_int64(str(p)) is True
+    # regenerate with timestamp encoding and a new mtime: verdict must flip
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2], pa.timestamp("us"))}), p
+    )
+    os.utime(p, (2000, 2000))
+    assert _events_ts_is_int64(str(p)) is False

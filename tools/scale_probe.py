@@ -109,6 +109,18 @@ def build_scaled(spark, n: int) -> str:
     return out
 
 
+def _timed(fn, spark, sf_dir: str) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).collect()
+    return time.time() - t0
+
+
+def _timed_rows(fn, spark, sf_dir: str) -> tuple[float, int]:
+    t0 = time.time()
+    rows = len(fn(spark, sf_dir).collect())
+    return time.time() - t0, rows
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     from hopspark.operators import all_queries
@@ -118,18 +130,21 @@ def main() -> None:
     reg = all_queries()
     scaled_dir = build_scaled(spark, n)
 
-    # warmup
-    reg["text_vocab_coverage"][0](spark, BASE).collect()
-
     print(f"{'query':34s} {'1x':>7s} {'%dx' % n:>8s}  ratio  rows@{n}x")
     for name in PROBE_QUERIES:
         fn = reg[name][0]
-        t0 = time.time()
+        # Untimed warmup pass at BOTH scales first: the 1× run otherwise
+        # pays JVM/codegen warmup the N× run inherits for free, while the
+        # N× run pays first-touch file listing of the scaled dir — both
+        # effects contaminate the ratio near the super-linearity threshold.
         fn(spark, BASE).collect()
-        t1 = time.time()
-        rows = len(fn(spark, scaled_dir).collect())
-        t2 = time.time()
-        base_s, big_s = t1 - t0, t2 - t1
+        fn(spark, scaled_dir).collect()
+        # min-of-2 timed passes so a GC pause doesn't fake super-linearity.
+        base_s = min(_timed(fn, spark, BASE) for _ in range(2))
+        big_s, rows = min(
+            (_timed_rows(fn, spark, scaled_dir) for _ in range(2)),
+            key=lambda t: t[0],
+        )
         print(
             f"{name:34s} {base_s:7.2f} {big_s:8.2f} {big_s / base_s:6.1f}"
             f"  {rows}",
