@@ -30,7 +30,10 @@ Scale design (100 TB thinking):
   shingles sort last and rarely land in a prefix), and a hard cap on
   per-shingle posting-list size is applied as defence in depth — pairs
   whose every shared shingle is ubiquitous can only have high Jaccard if
-  they also share a rare one.
+  they also share a rare one.  The cap is NOT silent:
+  ``similarity_posting_stats`` reports how many shingles it excludes and
+  how many docs have a hot shingle inside their true prefix (the only docs
+  whose pairs can be dropped), mirroring ``minhash_bucket_stats``.
 
 The driver oracle reproduces the *same* edge set brute-force (all-pairs at
 sf0.01 is trivial for DuckDB) and closes it with a recursive CTE, so the
@@ -130,6 +133,65 @@ def similarity_join_edges(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def posting_stats_from_shingles(
+    sh: DataFrame,
+    threshold: float = SIM_THRESHOLD,
+    cap: int = POSTING_CAP,
+) -> DataFrame:
+    """Audit the POSTING_CAP recall trade-off — the similarity-join twin of
+    ``minhash_bucket_stats`` (the repo's no-silent-caps discipline).
+
+    The prefix index excludes shingles with document frequency > ``cap``;
+    a pair can then only be missed if EVERY shared prefix shingle is that
+    hot.  This reports the blast radius: how many shingles are hot, and how
+    many documents have a hot shingle inside their true (uncapped) prefix —
+    the only docs whose candidate pairs can be dropped.
+
+    One row: (n_shingles, n_hot_shingles, max_df, n_docs,
+    n_docs_prefix_at_risk).
+    """
+    from pyspark.sql import Window as W
+
+    tok = sh.select("doc_id", "sz", F.explode("sh").alias("g"))
+    df_counts = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + F.lit(1)
+    )
+    # True prefix = first prefix_len shingles in (df, g) order over the
+    # UNFILTERED shingle set — the order the PPJoin bound is stated in.
+    w = W.partitionBy("doc_id").orderBy("df", "g")
+    at_risk = (
+        tok.join(df_counts, "g")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .groupBy("doc_id")
+        .agg(F.max((F.col("df") > cap).cast("int")).alias("at_risk"))
+    )
+    shingle_stats = df_counts.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("df") > cap).cast("int")).alias("n_hot_shingles"),
+        F.max("df").alias("max_df"),
+    )
+    doc_stats = at_risk.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("at_risk").alias("n_docs_prefix_at_risk"),
+    )
+    # Both sides are single aggregate rows — the crossJoin is 1×1.
+    return shingle_stats.crossJoin(doc_stats)
+
+
+def similarity_posting_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = SIM_THRESHOLD,
+    cap: int = POSTING_CAP,
+) -> DataFrame:
+    """`posting_stats_from_shingles` over the documents corpus."""
+    return posting_stats_from_shingles(
+        _doc_shingles(spark, sf_dir), threshold=threshold, cap=cap
     )
 
 

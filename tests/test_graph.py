@@ -96,3 +96,32 @@ def test_similarity_join_no_self_or_reverse_pairs(spark):
     docs = [(1, "x y z"), (2, "x y z")]
     rows = similarity_join_edges(_shingle_df(spark, docs), 0.5).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
+
+
+def test_posting_stats_audits_hot_shingle_drops(spark):
+    """POSTING_CAP audit (round-2 verdict item): a ubiquitous shingle must be
+    counted as hot, and the only docs flagged at-risk are those whose true
+    (uncapped) prefix contains it — the docs whose pairs the cap can drop."""
+    from hopspark.operators.graph import posting_stats_from_shingles
+
+    HOT = 999
+    rows = [
+        # four 4-shingle docs sharing HOT plus three rare shingles each:
+        # prefix_len = 4 - ceil(0.8*4) + 1 = 1, rarest-first ordering puts a
+        # df=1 shingle in the prefix, so HOT never enters their prefixes.
+        (1, [HOT, 11, 12, 13]),
+        (2, [HOT, 21, 22, 23]),
+        (3, [HOT, 31, 32, 33]),
+        (4, [HOT, 41, 42, 43]),
+        # single-shingle doc: its prefix IS the hot shingle -> at risk.
+        (5, [HOT]),
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, sh array<long>").withColumn(
+        "sz", F.size("sh")
+    )
+    stats = posting_stats_from_shingles(sh, threshold=0.8, cap=3).head()
+    assert stats.n_shingles == 13
+    assert stats.n_hot_shingles == 1  # HOT has df=5 > cap=3
+    assert stats.max_df == 5
+    assert stats.n_docs == 5
+    assert stats.n_docs_prefix_at_risk == 1  # only doc 5
