@@ -73,7 +73,7 @@ CURATED_FIRST = (
     "window_sessionize",
     # Nested types + subqueries (§2.9).
     "nested_zip_unnest",
-    "nested_customer_orders",
+    "nested_from_disk",
     "subquery_scalar_threshold",
     # Deduplication.
     "dedup_exact_groups",
