@@ -99,7 +99,7 @@ CURATED_FIRST = (
     "events_gapfill_downsample",
     # Multimodal.
     "mm_payload_dedup",
-    "mm_metadata_stats",
+    "mm_decode_image",
     # Impala dialect surface.
     "dialect_sql_filters",
     "dialect_sql_null_ordering",

@@ -45,3 +45,58 @@ def test_decode_features_match_local(spark, sf_dir):
         assert row.mean_byte == pytest.approx(mean)
         assert list(row.byte_hist) == hist
         assert sum(row.byte_hist) == row.n_bytes
+
+
+def test_decode_ppm_handcrafted_pixels():
+    """P6 with distinct pixels + a header comment: exact byte passthrough."""
+    from hopspark.operators.multimodal import decode_image
+
+    pixels = bytes(range(2 * 2 * 3))  # 2x2, values 0..11
+    payload = b"P6\n# synthetic\n2 2\n255\n" + pixels
+    d = decode_image(payload)
+    assert (d.width, d.height, d.channels) == (2, 2, 3)
+    assert d.pixels == pixels
+
+
+def test_decode_bmp_bottom_up_padding_and_bgr():
+    """24-bit BMP, 2x2 bottom-up with 2-byte row padding: decoder must flip
+    rows to top-down, strip padding, and swap BGR->RGB."""
+    import struct
+
+    from hopspark.operators.multimodal import decode_image
+
+    w, h = 2, 2
+    row_size = (w * 3 + 3) // 4 * 4  # 8 (2 pad bytes)
+    # target top-down RGB rows: row0 = (1,2,3),(4,5,6); row1 = (7,8,9),(10,11,12)
+    top_down = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    pix = bytearray()
+    for y in reversed(range(h)):  # file stores bottom-up
+        for r, g, b in top_down[y]:
+            pix += bytes((b, g, r))  # BGR on disk
+        pix += b"\xee" * (row_size - w * 3)  # padding junk
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(pix), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    )
+    d = decode_image(bytes(header + pix))
+    assert (d.width, d.height, d.channels) == (2, 2, 3)
+    assert d.pixels == bytes(range(1, 13))
+
+
+def test_decode_unsupported_format_still_raises():
+    import pytest as _pytest
+
+    from hopspark.operators.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_ppm_encode_decode_roundtrip():
+    from hopspark.operators.multimodal import decode_image, ppm_encode
+
+    d = decode_image(ppm_encode(5, 3, 77))
+    assert (d.width, d.height) == (5, 3)
+    assert set(d.pixels) == {77} and len(d.pixels) == 45
