@@ -349,6 +349,292 @@ def reference_names() -> set[str]:
     return names
 
 
+
+# ---------------------------------------------------------------------------
+# Value pins: expected result of each deterministic probe, normalized by
+# `normalize_value`.  Derived from reference semantics (Impala function
+# kernels: be/src/exprs/*-functions-ir.cc; expectations cross-checked
+# against testdata/workloads/functional-query/queries/QueryTest/exprs.test
+# conventions) and reviewed name-by-name — NOT a blind snapshot: the
+# Impala-specific contracts (keep-last-day month arithmetic, tinyint-width
+# rotates, IS TRUE null handling, ISO weeks, byte-vs-codepoint lengths,
+# x/0 -> NULL non-ANSI division) are each asserted by these pins.
+# Excluded: non-deterministic (rand/uuid/now family) and
+# environment-dependent (user/host/pid/version) names.
+# fmt: off
+EXPECTED: dict[str, str] = {
+    'abs': '3',
+    'acos': '0.0',
+    'asin': '0.0',
+    'atan': '0.0',
+    'atan2': '0.785398163',
+    'bin': '101',
+    'ceil': '2',
+    'ceiling': '2',
+    'conv': '255',
+    'cos': '1.0',
+    'cosh': '1.0',
+    'cot': '0.642092616',
+    'degrees': '180.0',
+    'e': '2.718281828',
+    'exp': '2.718281828',
+    'factorial': '120',
+    'floor': '1',
+    'greatest': '3',
+    'hex': 'FF',
+    'least': '1',
+    'ln': '1.0',
+    'log': '3.0',
+    'log10': '2.0',
+    'log2': '3.0',
+    'mod': '1',
+    'negative': '-5',
+    'pi': '3.141592654',
+    'pmod': '2',
+    'positive': '-5',
+    'pow': '1024.0',
+    'power': '1024.0',
+    'radians': '3.141592654',
+    'round': '3',
+    'sign': '-1.0',
+    'sin': '0.0',
+    'sinh': '0.0',
+    'sqrt': '2.0',
+    'tan': '0.0',
+    'tanh': '0.0',
+    'width_bucket': '3',
+    'unhex': 'AB',
+    'dceil': '2',
+    'dfloor': '1',
+    'dround': '3',
+    'dtrunc': '2020-06-01',
+    'dexp': '2.718281828',
+    'dlog1': '1.0',
+    'dlog10': '2.0',
+    'dsqrt': '2.0',
+    'dpow': '1024.0',
+    'fpow': '1024.0',
+    'fmod': '1.5',
+    'quotient': '3',
+    'truncate': '3.45',
+    'is_inf': 'NULL',
+    'is_nan': 'false',
+    'trunc': '2020-06-01',
+    'max_tinyint': '127',
+    'min_tinyint': '-128',
+    'max_smallint': '32767',
+    'min_smallint': '-32768',
+    'max_int': '2147483647',
+    'min_int': '-2147483648',
+    'max_bigint': '9223372036854775807',
+    'min_bigint': '-9223372036854775808',
+    'precision': '12',
+    'scale': '2',
+    'ascii': '65',
+    'btrim': 'x',
+    'bytes': '6',
+    'char_length': '3',
+    'character_length': '3',
+    'chr': 'A',
+    'concat': 'ab',
+    'concat_ws': 'a-b',
+    'find_in_set': '2',
+    'initcap': 'Hello World',
+    'instr': '4',
+    'left': 'imp',
+    'length': '6',
+    'levenshtein': '1',
+    'locate': '4',
+    'lower': 'abc',
+    'lcase': 'abc',
+    'lpad': '007',
+    'ltrim': 'x',
+    'parse_url': 'a.com',
+    'repeat': 'ababab',
+    'replace': 'bbb',
+    'reverse': 'cba',
+    'right': 'ala',
+    'rpad': '700',
+    'rtrim': 'x',
+    'space': '3',
+    'split_part': 'c',
+    'strleft': 'imp',
+    'strright': 'ala',
+    'substr': 'ell',
+    'substring': 'ell',
+    'translate': 'xycyx',
+    'trim': 'x',
+    'upper': 'ABC',
+    'ucase': 'ABC',
+    'regexp_extract': '12',
+    'regexp_like': 'true',
+    'regexp_replace': 'ab',
+    'regexp_escape': 'a\\.b',
+    'regexp_match_count': '3',
+    'base64encode': 'YWI=',
+    'base64decode': 'ab',
+    'jaro_distance': '0.055555556',
+    'jaro_similarity': '0.944444444',
+    'jaro_winkler_distance': '0.038888889',
+    'jaro_winkler_similarity': '0.961111111',
+    'damerau_levenshtein': '1',
+    'jaro_dst': '0.055555556',
+    'jaro_sim': '0.944444444',
+    'jw_dst': '0.038888889',
+    'jw_sim': '0.961111111',
+    'le_dst': '1',
+    'dle_dst': '1',
+    'initcap_ascii': 'Ab Cd',
+    'initcap_utf8': 'Ab Cd',
+    'lcase_ascii': 'ab',
+    'lcase_utf8': 'ab',
+    'lower_ascii': 'ab',
+    'lower_utf8': 'ab',
+    'ucase_ascii': 'AB',
+    'ucase_utf8': 'AB',
+    'upper_ascii': 'AB',
+    'upper_utf8': 'AB',
+    'utf8_length': '5',
+    'utf8_reverse': 'cba',
+    'utf8_substr': 'ell',
+    'utf8_substring': 'ell',
+    'add_months': '2023-03-31 05:00:00',
+    'adddate': '2020-03-01',
+    'subdate': '2020-02-29',
+    'date_add': '2020-01-06',
+    'date_sub': '2020-01-05',
+    'date_cmp': '1',
+    'date_part': '2020',
+    'date_trunc': '2020-02-01 00:00:00',
+    'datediff': '9',
+    'day': '15',
+    'dayname': 'Monday',
+    'dayofmonth': '15',
+    'dayofweek': '2',
+    'dayofyear': '32',
+    'days_add': '2020-03-01',
+    'days_sub': '2020-02-29',
+    'extract': '2020',
+    'from_timestamp': '2020-01-02',
+    'from_unixtime': '1970-01-01 00:00:00',
+    'from_utc_timestamp': '2020-06-01 08:00:00',
+    'hour': '5',
+    'hours_add': '2020-01-02 01:00:00',
+    'hours_sub': '2020-01-01 23:00:00',
+    'int_months_between': '2',
+    'last_day': '2020-02-29',
+    'microseconds_add': '2020-01-01 00:00:00.000005',
+    'microseconds_sub': '2019-12-31 23:59:59.999995',
+    'millisecond': '456',
+    'milliseconds_add': '2020-01-01 00:00:00.005000',
+    'milliseconds_sub': '2019-12-31 23:59:59.995000',
+    'minute': '6',
+    'minutes_add': '2020-01-01 01:01:00',
+    'minutes_sub': '2020-01-01 00:59:00',
+    'month': '6',
+    'monthname': 'June',
+    'months_add': '2023-03-31',
+    'months_sub': '2023-02-28',
+    'months_add_interval': '2023-03-28',
+    'months_sub_interval': '2023-02-28',
+    'months_between': '1.09677419',
+    'nanoseconds_add': '2020-01-01 00:00:00.000005',
+    'nanoseconds_sub': '2019-12-31 23:59:59.999995',
+    'next_day': '2020-01-06',
+    'quarter': '2',
+    'second': '7',
+    'seconds_add': '2020-01-01 00:01:01',
+    'seconds_sub': '2020-01-01 00:00:59',
+    'timestamp_cmp': '1',
+    'to_date': '2020-06-15',
+    'to_timestamp': '2021-03-05 00:00:00',
+    'to_utc_timestamp': '2020-06-01 16:00:00',
+    'unix_micros_to_utc_timestamp': '1970-01-01 00:00:00',
+    'unix_timestamp': '1577923200',
+    'utc_to_unix_micros': '1000000',
+    'week': '1',
+    'weekofyear': '1',
+    'weeks_add': '2020-01-15',
+    'weeks_sub': '2020-01-01',
+    'year': '2020',
+    'years_add': '2021-02-28',
+    'years_sub': '2020-02-28',
+    'coalesce': '7',
+    'if': 'y',
+    'ifnull': 'x',
+    'isnull': 'x',
+    'istrue': 'false',
+    'isfalse': 'true',
+    'isnottrue': 'true',
+    'isnotfalse': 'true',
+    'nonnullvalue': 'true',
+    'nullvalue': 'true',
+    'nvl': '7',
+    'nullifzero': 'NULL',
+    'zeroifnull': '0',
+    'distinctfrom': 'true',
+    'notdistinct': 'true',
+    'fnv_hash': '-1792535898324117685',
+    'murmur_hash': '-7148968302806999301',
+    'md5': '900150983cd24fb0d6963f7d28e17f72',
+    'sha1': 'a9993e364706816aba3e25717850c26c9cd0d89d',
+    'sha2': 'ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad',
+    'bitand': '2',
+    'bitor': '7',
+    'bitxor': '5',
+    'bitnot': '-7',
+    'countset': '3',
+    'getbit': '1',
+    'rotateleft': '2',
+    'rotateright': '32',
+    'setbit': '9',
+    'shiftleft': '8',
+    'shiftright': '-4',
+    'mask': 'XxXx-nnn',
+    'mask_first_n': 'xxcd',
+    'mask_last_n': 'abxx',
+    'mask_show_first_n': 'abcdnnnn',
+    'mask_show_last_n': 'xxxx1234',
+    'mask_hash': 'ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad',
+    'get_json_object': '1',
+    'sleep': 'true',
+    'typeof': 'int',
+    'ds_hll_estimate': '1',
+    'ds_hll_union_f': '1',
+    'ds_hll_stringify': '0201070C030001082BF2FB0600000000000000000000000000000000000000000000000000000000',
+    'ds_cpc_estimate': '1',
+    'ds_cpc_union_f': '1',
+    'ds_cpc_stringify': '0201070C030001082BF2FB0600000000000000000000000000000000000000000000000000000000',
+    'ds_theta_estimate': '1',
+    'ds_theta_union_f': '1',
+    'ds_kll_quantile': '1.0',
+    'ds_kll_n': '1',
+    'ds_kll_rank': '1.0',
+}
+# fmt: on
+
+
+def normalize_value(v) -> str:
+    """Canonical string form for pin comparison (floats rounded to 9dp so
+    JVM/libc last-ulp noise cannot flake the matrix)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
 def run_probes(eng) -> dict[str, str]:
     """Execute every probe; returns {name: error} for failures."""
     errors: dict[str, str] = {}
@@ -357,7 +643,14 @@ def run_probes(eng) -> dict[str, str]:
             continue
         sql = f"SELECT {probe} AS v" if " FROM " not in probe else f"SELECT {probe}"
         try:
-            eng.sql(sql).collect()
+            rows = eng.sql(sql).collect()
+            if name in EXPECTED:
+                got = normalize_value(rows[0][0])
+                if got != EXPECTED[name]:
+                    errors[name] = (
+                        f"{status}: value pin mismatch — expected "
+                        f"{EXPECTED[name]!r}, got {got!r}"
+                    )
         except Exception as ex:  # noqa: BLE001 — report, don't raise
             errors[name] = f"{status}: {str(ex).splitlines()[0][:120]}"
     return errors
@@ -377,21 +670,28 @@ def write_markdown(path: str = "FUNCTIONS.md") -> None:
         "",
         "Generated by `tools/gen_function_matrix.py`; every supported row's",
         "probe expression is executed through the Impala-dialect SQL surface",
-        "by `tests/test_function_matrix.py`.",
+        "by `tests/test_function_matrix.py`, and rows marked `pinned` also",
+        "assert the probe's VALUE against a reviewed reference-semantics",
+        "expectation (EXPECTED in the tool) — parity evidence, not just",
+        "no-crash evidence.  Unpinned supported rows are the",
+        "non-deterministic / environment-dependent names (rand/uuid/now,",
+        "user/host/pid/version families).",
         "",
         f"**{supported} of {len(MATRIX)} classified names supported** "
         f"(native {counts['native']}, renamed {counts['renamed']}, "
         f"rewritten {counts['rewritten']}, registered {counts['registered']}; "
         f"unsupported {counts['unsupported']}, "
-        f"out-of-scope {counts['out-of-scope']}).",
+        f"out-of-scope {counts['out-of-scope']}); "
+        f"**{len(EXPECTED)} value-pinned**.",
         "",
-        "| function | status | probe / note |",
-        "|---|---|---|",
+        "| function | status | pinned | probe / note |",
+        "|---|---|---|---|",
     ]
     for name in sorted(MATRIX):
         status, probe, note = MATRIX[name]
         detail = " — ".join(x for x in (f"`{probe}`" if probe else "", note) if x)
-        lines.append(f"| {name} | {status} | {detail} |")
+        pin = f"`{EXPECTED[name]}`" if name in EXPECTED else ""
+        lines.append(f"| {name} | {status} | {pin} | {detail} |")
     if missing:
         lines += ["", "Unclassified reference names: " + ", ".join(missing)]
     with open(path, "w") as f:
