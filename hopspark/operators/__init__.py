@@ -30,6 +30,7 @@ _MODULES = (
     "multimodal",
     "dialect_sql",
     "tpcds_patterns",
+    "tpcds_patterns2",
     "pipeline",
     "quality",
     "mixture",
