@@ -903,6 +903,472 @@ ORDER BY a.l_suppkey, mo1
 """
 
 
+# ---------------------------------------------------------------------------
+# q41 shape — distinct dimension rows via OR'd correlated EXISTS over the
+# same dimension (self-referential attribute combos)
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q41_or_exists_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, "part", sf_dir)
+    combo = part.filter(
+        ((F.col("p_type") == "ECONOMY") & F.col("p_size").between(1, 15))
+        | ((F.col("p_type") == "PROMO") & F.col("p_size").between(30, 45))
+    ).select(F.col("p_brand").alias("b"))
+    return (
+        part.join(combo, part.p_brand == F.col("b"), "left_semi")
+        .select("p_name")
+        .distinct()
+        .orderBy("p_name")
+        .limit(50)
+    )
+
+
+TPCDS_Q41_SQL = """
+SELECT DISTINCT p_name
+FROM part p
+WHERE EXISTS (
+  SELECT 1 FROM part p2
+  WHERE p2.p_brand = p.p_brand
+    AND ((p2.p_type = 'ECONOMY' AND p2.p_size BETWEEN 1 AND 15)
+         OR (p2.p_type = 'PROMO' AND p2.p_size BETWEEN 30 AND 45))
+)
+ORDER BY p_name
+LIMIT 50
+"""
+
+# ---------------------------------------------------------------------------
+# q45 shape — geo filter OR'd with an IN-subquery over a different table
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q45_geo_or_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, "customer", sf_dir)
+    nation = read_table(spark, "nation", sf_dir)
+    rich = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("rk")
+    )
+    base = (
+        _li_orders(spark, sf_dir)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    in_rich = base.join(rich, F.col("c_custkey") == F.col("rk"), "left_semi")
+    named = base.filter(F.col("n_name").isin("NATION_1", "NATION_3"))
+    return (
+        named.unionByName(in_rich)
+        .select("n_name", "l_orderkey", "l_linenumber", _REV.alias("rev"))
+        .distinct()
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("rev")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("n_name")
+    )
+
+
+TPCDS_Q45_SQL = f"""
+SELECT n_name, CAST(SUM({REVENUE_TERM}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_3')
+   OR c_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+# ---------------------------------------------------------------------------
+# q47 shape — monthly revenue vs the brand-year window average, with
+# lag/lead neighbors in the same window (deviation-from-average analytics)
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q47_window_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, "part", sf_dir)
+    monthly = (
+        read_table(spark, "lineitem", sf_dir)
+        .filter(F.year("l_shipdate") == 1995)
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", F.month("l_shipdate").alias("mo"))
+        .agg(dsum(_REV).alias("rev"))
+    )
+    w = Window.partitionBy("p_brand")
+    wo = Window.partitionBy("p_brand").orderBy("mo")
+    dev = monthly.select(
+        "p_brand",
+        "mo",
+        F.col("rev").cast("double").alias("rev"),
+        (F.sum("rev").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "avg_rev"
+        ),
+        F.lag(F.col("rev").cast("double")).over(wo).alias("prev_rev"),
+        F.lead(F.col("rev").cast("double")).over(wo).alias("next_rev"),
+    )
+    return (
+        dev.withColumn(
+            "dev_ratio",
+            F.round((F.col("rev") - F.col("avg_rev")) / F.col("avg_rev"), 6),
+        )
+        .filter(F.abs(F.col("dev_ratio")) > 0.1)
+        .orderBy("p_brand", "mo")
+    )
+
+
+TPCDS_Q47_SQL = f"""
+WITH monthly AS (
+  SELECT p_brand, month(l_shipdate) AS mo, SUM({REVENUE_TERM}) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1995
+  GROUP BY p_brand, month(l_shipdate)
+),
+dev AS (
+  SELECT p_brand, CAST(mo AS INT) AS mo, CAST(rev AS DOUBLE) AS rev,
+         CAST(SUM(rev) OVER (PARTITION BY p_brand) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY p_brand) AS avg_rev,
+         LAG(CAST(rev AS DOUBLE)) OVER (PARTITION BY p_brand ORDER BY mo)
+           AS prev_rev,
+         LEAD(CAST(rev AS DOUBLE)) OVER (PARTITION BY p_brand ORDER BY mo)
+           AS next_rev
+  FROM monthly
+)
+SELECT p_brand, mo, rev, avg_rev, prev_rev, next_rev,
+       ROUND((rev - avg_rev) / avg_rev, 6) AS dev_ratio
+FROM dev
+WHERE abs(ROUND((rev - avg_rev) / avg_rev, 6)) > 0.1
+ORDER BY p_brand, mo
+"""
+
+# ---------------------------------------------------------------------------
+# q53 shape — quarterly share-of-total within "manufacturer" (windowed
+# share), keeping quarters that deviate from an even share
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q53_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, "part", sf_dir)
+    quarterly = (
+        read_table(spark, "lineitem", sf_dir)
+        .filter(F.year("l_shipdate") == 1995)
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_type", F.quarter("l_shipdate").alias("qtr"))
+        .agg(dsum(_REV).alias("rev"))
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        quarterly.select(
+            "p_type",
+            "qtr",
+            F.col("rev").cast("double").alias("rev"),
+            F.round(
+                F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .filter(F.abs(F.col("share") - 0.25) > 0.02)
+        .orderBy("p_type", "qtr")
+    )
+
+
+TPCDS_Q53_SQL = f"""
+WITH quarterly AS (
+  SELECT p_type, quarter(l_shipdate) AS qtr, SUM({REVENUE_TERM}) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1995
+  GROUP BY p_type, quarter(l_shipdate)
+)
+SELECT * FROM (
+  SELECT p_type, CAST(qtr AS INT) AS qtr, CAST(rev AS DOUBLE) AS rev,
+         ROUND(CAST(rev AS DOUBLE)
+               / CAST(SUM(rev) OVER (PARTITION BY p_type) AS DOUBLE), 6) AS share
+  FROM quarterly
+) t
+WHERE abs(share - 0.25) > 0.02
+ORDER BY p_type, qtr
+"""
+
+# ---------------------------------------------------------------------------
+# q58 shape — brands whose three channel revenues each sit within a band
+# around the cross-channel average (0.5-1.5: the channel classes are
+# 2/1/2 priorities wide, so even shares cluster near 0.6/1.2) (equal-share comparison of 3 CTEs)
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q58_equal_share_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, "part", sf_dir)
+    base = (
+        _li_orders(spark, sf_dir)
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .select("p_brand", "o_orderpriority", _REV.alias("rev"))
+    )
+
+    def chan(prios: tuple, out: str) -> DataFrame:
+        return (
+            base.filter(F.col("o_orderpriority").isin(*prios))
+            .groupBy("p_brand")
+            .agg(dsum(F.col("rev")).cast("double").alias(out))
+        )
+
+    joined = (
+        chan(URGENT, "rev_hi")
+        .join(chan(MEDIUM, "rev_md"), "p_brand")
+        .join(chan(LOW, "rev_lo"), "p_brand")
+        .withColumn(
+            "avg_rev",
+            (F.col("rev_hi") + F.col("rev_md") + F.col("rev_lo")) / 3.0,
+        )
+    )
+    in_band = (
+        (F.col("rev_hi") / F.col("avg_rev")).between(0.5, 1.5)
+        & (F.col("rev_md") / F.col("avg_rev")).between(0.5, 1.5)
+        & (F.col("rev_lo") / F.col("avg_rev")).between(0.5, 1.5)
+    )
+    return (
+        joined.filter(in_band)
+        .select("p_brand", "rev_hi", "rev_md", "rev_lo")
+        .orderBy("p_brand")
+    )
+
+
+TPCDS_Q58_SQL = f"""
+WITH base AS (
+  SELECT p_brand, o_orderpriority, {REVENUE_TERM} AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part   ON l_partkey = p_partkey
+),
+hi AS (SELECT p_brand, CAST(SUM(rev) AS DOUBLE) AS rev_hi FROM base
+       WHERE o_orderpriority IN ('1-URGENT','2-HIGH') GROUP BY p_brand),
+md AS (SELECT p_brand, CAST(SUM(rev) AS DOUBLE) AS rev_md FROM base
+       WHERE o_orderpriority IN ('3-MEDIUM') GROUP BY p_brand),
+lo AS (SELECT p_brand, CAST(SUM(rev) AS DOUBLE) AS rev_lo FROM base
+       WHERE o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') GROUP BY p_brand)
+SELECT hi.p_brand AS p_brand, rev_hi, rev_md, rev_lo
+FROM hi JOIN md ON hi.p_brand = md.p_brand
+        JOIN lo ON hi.p_brand = lo.p_brand
+WHERE rev_hi / ((rev_hi + rev_md + rev_lo) / 3.0) BETWEEN 0.5 AND 1.5
+  AND rev_md / ((rev_hi + rev_md + rev_lo) / 3.0) BETWEEN 0.5 AND 1.5
+  AND rev_lo / ((rev_hi + rev_md + rev_lo) / 3.0) BETWEEN 0.5 AND 1.5
+ORDER BY p_brand
+"""
+
+# ---------------------------------------------------------------------------
+# q74 shape — year-over-year ORDER-COUNT ratio per customer across two
+# channels; keep customers whose low-channel ratio beats the high-channel
+# ratio (the count-based little sibling of q4)
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q74_yoy_count_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, "orders", sf_dir)
+    yearly = (
+        orders.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            "o_custkey",
+            F.year("o_orderdate").alias("yr"),
+            F.when(F.col("o_orderpriority").isin(*URGENT), F.lit("hi"))
+            .otherwise(F.lit("lo"))
+            .alias("ch"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def slice_(yr: int, ch: str, out: str) -> DataFrame:
+        return yearly.filter((F.col("yr") == yr) & (F.col("ch") == ch)).select(
+            F.col("o_custkey").alias("ck"), F.col("cnt").alias(out)
+        )
+
+    return (
+        slice_(1995, "hi", "h1")
+        .join(slice_(1996, "hi", "h2"), "ck")
+        .join(slice_(1995, "lo", "l1"), "ck")
+        .join(slice_(1996, "lo", "l2"), "ck")
+        .select(
+            F.col("ck").alias("c_custkey"),
+            F.round(F.col("l2") / F.col("l1"), 6).alias("lo_ratio"),
+            F.round(F.col("h2") / F.col("h1"), 6).alias("hi_ratio"),
+        )
+        .filter(F.col("lo_ratio") > F.col("hi_ratio"))
+        .orderBy(F.desc("lo_ratio"), "c_custkey")
+        .limit(100)
+    )
+
+
+TPCDS_Q74_SQL = """
+WITH yearly AS (
+  SELECT o_custkey AS ck, year(o_orderdate) AS yr,
+         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 'hi' ELSE 'lo' END AS ch,
+         COUNT(*) AS cnt
+  FROM orders
+  WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2, 3
+)
+SELECT h1.ck AS c_custkey,
+       ROUND(CAST(l2.cnt AS DOUBLE) / l1.cnt, 6) AS lo_ratio,
+       ROUND(CAST(h2.cnt AS DOUBLE) / h1.cnt, 6) AS hi_ratio
+FROM yearly h1
+JOIN yearly h2 ON h1.ck = h2.ck AND h2.yr = 1996 AND h2.ch = 'hi'
+JOIN yearly l1 ON h1.ck = l1.ck AND l1.yr = 1995 AND l1.ch = 'lo'
+JOIN yearly l2 ON h1.ck = l2.ck AND l2.yr = 1996 AND l2.ch = 'lo'
+WHERE h1.yr = 1995 AND h1.ch = 'hi'
+  AND ROUND(CAST(l2.cnt AS DOUBLE) / l1.cnt, 6)
+    > ROUND(CAST(h2.cnt AS DOUBLE) / h1.cnt, 6)
+ORDER BY lo_ratio DESC, c_custkey
+LIMIT 100
+"""
+
+# ---------------------------------------------------------------------------
+# q75 shape — per-(year, brand) quantity+revenue across UNION'd channels,
+# current-vs-prior-year join, negative deltas first
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q75_brand_yoy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, "part", sf_dir)
+    base = (
+        _li_orders(spark, sf_dir)
+        .filter(F.year("o_orderdate").isin(1995, 1996))
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            "p_brand",
+            "o_orderpriority",
+            dec("l_quantity").alias("qty"),
+            _REV.alias("rev"),
+        )
+    )
+    hi = base.filter(F.col("o_orderpriority").isin(*URGENT))
+    rest = base.filter(~F.col("o_orderpriority").isin(*URGENT))
+    tot = (
+        hi.unionByName(rest)
+        .groupBy("yr", "p_brand")
+        .agg(
+            F.sum("qty").alias("qty"),
+            dsum(F.col("rev")).alias("rev"),
+        )
+    )
+    cur = tot.filter(F.col("yr") == 1996).select(
+        "p_brand", F.col("qty").alias("qty2"), F.col("rev").alias("rev2")
+    )
+    prev = tot.filter(F.col("yr") == 1995).select(
+        "p_brand", F.col("qty").alias("qty1"), F.col("rev").alias("rev1")
+    )
+    return (
+        cur.join(prev, "p_brand")
+        .select(
+            "p_brand",
+            (F.col("qty2") - F.col("qty1")).cast("double").alias("qty_delta"),
+            (F.col("rev2") - F.col("rev1")).cast("double").alias("rev_delta"),
+        )
+        .filter(F.col("qty_delta") < 0)
+        .orderBy("qty_delta", "p_brand")
+        .limit(100)
+    )
+
+
+TPCDS_Q75_SQL = f"""
+WITH base AS (
+  SELECT year(o_orderdate) AS yr, p_brand,
+         CAST(l_quantity AS DECIMAL(12,2)) AS qty, {REVENUE_TERM} AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part   ON l_partkey = p_partkey
+  WHERE year(o_orderdate) IN (1995, 1996)
+    AND o_orderpriority IN ('1-URGENT','2-HIGH')
+  UNION ALL
+  SELECT year(o_orderdate) AS yr, p_brand,
+         CAST(l_quantity AS DECIMAL(12,2)) AS qty, {REVENUE_TERM} AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part   ON l_partkey = p_partkey
+  WHERE year(o_orderdate) IN (1995, 1996)
+    AND o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+),
+tot AS (
+  SELECT yr, p_brand, SUM(qty) AS qty, SUM(rev) AS rev
+  FROM base GROUP BY yr, p_brand
+)
+SELECT cur.p_brand AS p_brand,
+       CAST(cur.qty - prev.qty AS DOUBLE) AS qty_delta,
+       CAST(cur.rev - prev.rev AS DOUBLE) AS rev_delta
+FROM tot cur JOIN tot prev
+  ON cur.p_brand = prev.p_brand AND cur.yr = 1996 AND prev.yr = 1995
+WHERE CAST(cur.qty - prev.qty AS DOUBLE) < 0
+ORDER BY qty_delta, p_brand
+LIMIT 100
+"""
+
+# ---------------------------------------------------------------------------
+# q78 shape — per-(customer, year) cross-channel quantity ratio with a
+# windowed rank over the ratio
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q78_cross_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        _li_orders(spark, sf_dir)
+        .filter(F.year("o_orderdate") == 1995)
+        .select(
+            "o_custkey",
+            F.when(F.col("o_orderpriority").isin(*URGENT), F.lit("hi"))
+            .otherwise(F.lit("lo"))
+            .alias("ch"),
+            dec("l_quantity").alias("qty"),
+        )
+        .groupBy("o_custkey", "ch")
+        .agg(F.sum("qty").alias("qty"))
+    )
+    hi = base.filter(F.col("ch") == "hi").select(
+        F.col("o_custkey").alias("ck"), F.col("qty").alias("hi_qty")
+    )
+    lo = base.filter(F.col("ch") == "lo").select(
+        F.col("o_custkey").alias("ck"), F.col("qty").alias("lo_qty")
+    )
+    ratio = hi.join(lo, "ck").select(
+        F.col("ck").alias("c_custkey"),
+        F.col("hi_qty").cast("double").alias("hi_qty"),
+        F.col("lo_qty").cast("double").alias("lo_qty"),
+        F.round(F.col("hi_qty").cast("double") / F.col("lo_qty").cast("double"), 6)
+        .alias("ratio"),
+    )
+    w = Window.orderBy(F.desc("ratio"), F.asc("c_custkey"))
+    return (
+        ratio.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .orderBy("rk")
+    )
+
+
+TPCDS_Q78_SQL = """
+WITH base AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 'hi' ELSE 'lo' END AS ch,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1995
+  GROUP BY 1, 2
+),
+ratio AS (
+  SELECT hi.o_custkey AS c_custkey,
+         CAST(hi.qty AS DOUBLE) AS hi_qty,
+         CAST(lo.qty AS DOUBLE) AS lo_qty,
+         ROUND(CAST(hi.qty AS DOUBLE) / CAST(lo.qty AS DOUBLE), 6) AS ratio
+  FROM base hi JOIN base lo
+    ON hi.o_custkey = lo.o_custkey AND hi.ch = 'hi' AND lo.ch = 'lo'
+)
+SELECT c_custkey, hi_qty, lo_qty, ratio,
+       CAST(ROW_NUMBER() OVER (ORDER BY ratio DESC, c_custkey) AS INT) AS rk
+FROM ratio
+QUALIFY rk <= 50
+ORDER BY rk
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "tpcds_q1_returns_above_avg": (tpcds_q1_returns_above_avg, TPCDS_Q1_SQL),
     "tpcds_q2_weekly_channel_ratio": (
@@ -935,4 +1401,21 @@ QUERIES: dict[str, tuple] = {
         TPCDS_Q38_SQL,
     ),
     "tpcds_q39_inventory_cov": (tpcds_q39_inventory_cov, TPCDS_Q39_SQL),
+    "tpcds_q41_or_exists_distinct": (
+        tpcds_q41_or_exists_distinct,
+        TPCDS_Q41_SQL,
+    ),
+    "tpcds_q45_geo_or_in": (tpcds_q45_geo_or_in, TPCDS_Q45_SQL),
+    "tpcds_q47_window_deviation": (tpcds_q47_window_deviation, TPCDS_Q47_SQL),
+    "tpcds_q53_share_of_total": (tpcds_q53_share_of_total, TPCDS_Q53_SQL),
+    "tpcds_q58_equal_share_channels": (
+        tpcds_q58_equal_share_channels,
+        TPCDS_Q58_SQL,
+    ),
+    "tpcds_q74_yoy_count_ratio": (tpcds_q74_yoy_count_ratio, TPCDS_Q74_SQL),
+    "tpcds_q75_brand_yoy_delta": (tpcds_q75_brand_yoy_delta, TPCDS_Q75_SQL),
+    "tpcds_q78_cross_channel_ratio": (
+        tpcds_q78_cross_channel_ratio,
+        TPCDS_Q78_SQL,
+    ),
 }
