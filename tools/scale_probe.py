@@ -152,5 +152,167 @@ def main() -> None:
         )
 
 
+# ---------------------------------------------------------------------------
+# Skew probe (round-3 verdict item 6): one hot key owning ~30% of the fact
+# table — measure plain vs salted shapes on the same data.
+# Run: PYTHONPATH=. python tools/scale_probe.py --skew [replication]
+# ---------------------------------------------------------------------------
+
+HOT_KEY = 7
+
+
+def build_skewed_orders(spark, n: int) -> str:
+    """Replicate sf0.1 orders n× and reassign ~30% of rows to one customer
+    (uniform otherwise). Written once to /tmp and reused."""
+    from pyspark.sql import functions as F
+
+    from hopspark.catalog import read_table
+
+    out = f"{SCALED}/skew_orders_x{n}"
+    if not os.path.exists(out):
+        orders = read_table(spark, "orders", BASE)
+        copies = orders
+        for i in range(1, n):
+            copies = copies.unionByName(
+                orders.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000)
+                )
+            )
+        skewed = copies.withColumn(
+            "o_custkey",
+            F.when(F.rand(seed=7) < 0.3, F.lit(HOT_KEY)).otherwise(
+                F.col("o_custkey")
+            ),
+        )
+        skewed.repartition(32).write.mode("overwrite").parquet(out)
+    return out
+
+
+def skew_probe() -> None:
+
+    from pyspark.sql import functions as F
+
+    from hopspark.catalog import read_table
+    from hopspark.session import get_spark
+    from hopspark.skew import salted_agg, salted_join
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark(app_name="skew-probe")
+    path = build_skewed_orders(spark, n)
+    orders = spark.read.parquet(path)
+    cust = read_table(spark, "customer", BASE).select("c_custkey", "c_mktsegment")
+
+    total = orders.count()
+    hot = orders.filter(F.col("o_custkey") == HOT_KEY).count()
+    print(f"skewed orders: {total} rows, hot key owns {hot / total:.1%}")
+
+    def timed(label, build):
+        # min-of-3 after one warmup, matching the main probe's discipline
+        build().collect()
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            rows = build().collect()
+            ts.append(time.time() - t0)
+        print(f"{label:28s} {min(ts):7.2f}s  (runs: "
+              f"{', '.join(f'{t:.2f}' for t in ts)})  rows={len(rows)}")
+        return min(ts), rows
+
+    def plain_agg():
+        return orders.groupBy("o_custkey").agg(
+            F.sum("o_totalprice").alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+
+    def skew_agg():
+        return salted_agg(
+            orders,
+            ["o_custkey"],
+            {"rev": ("sum", "o_totalprice"), "cnt": ("count", F.lit(1))},
+        )
+
+    def plain_join():
+        return (
+            orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def plain_join_smj():
+        return (
+            orders.hint("merge")
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def skew_join():
+        return (
+            salted_join(
+                orders.withColumnRenamed("o_custkey", "c_custkey"),
+                cust,
+                on=["c_custkey"],
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def same_aggs(a, b):
+        # double sums differ in summation order between the one- and
+        # two-phase plans; compare with relative tolerance
+        da = {r[0]: (r[1], r[2]) for r in a}
+        db = {r[0]: (r[1], r[2]) for r in b}
+        assert da.keys() == db.keys()
+        for k, (rev_a, cnt_a) in da.items():
+            rev_b, cnt_b = db[k]
+            assert cnt_a == cnt_b and abs(rev_a - rev_b) <= 1e-6 * max(abs(rev_a), 1.0)
+
+    t_pa, r_pa = timed("plain groupBy agg", plain_agg)
+    t_sa, r_sa = timed("salted_agg", skew_agg)
+    same_aggs(r_pa, r_sa)
+    t_mj, r_mj = timed("sort-merge join (AQE skew)", plain_join_smj)
+    t_pj, r_pj = timed("forced shuffle-hash join", plain_join)
+    t_sj, r_sj = timed("salted_join", skew_join)
+    assert sorted(map(tuple, r_pj)) == sorted(map(tuple, r_sj)) == sorted(map(tuple, r_mj))
+    # Window/sort state is the shape partial agg cannot absorb: the hot
+    # key's rows must colocate AND sort in one task.  Same volume, uniform
+    # keys, as the control.
+    from pyspark.sql import Window
+
+    uniform = orders.withColumn(
+        "o_custkey", (F.abs(F.hash("o_orderkey")) % 15000).cast("long")
+    )
+
+    def windowed(src):
+        # running sum: no WindowGroupLimit pushdown possible (top-k would
+        # be optimized into a partial group-limit and hide the skew), so
+        # the hot key's 30% of all rows must sort+scan in ONE task
+        def build():
+            w = (
+                Window.partitionBy("o_custkey")
+                .orderBy("o_orderkey")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            return (
+                src.withColumn("rs", F.sum("o_totalprice").over(w))
+                .groupBy()
+                .agg(F.sum("rs").alias("chk"), F.count(F.lit(1)).alias("n"))
+            )
+        return build
+
+    t_wu, _ = timed("window running-sum uniform", windowed(uniform))
+    t_ws, _ = timed("window running-sum skewed", windowed(orders))
+
+    print(
+        f"agg ratio salted/plain:          {t_sa / t_pa:.2f}\n"
+        f"join ratio salted/shuffle-hash:  {t_sj / t_pj:.2f}\n"
+        f"join ratio salted/AQE-smj:       {t_sj / t_mj:.2f}\n"
+        f"window skew tax (skewed/uniform): {t_ws / t_wu:.2f}"
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        skew_probe()
+    else:
+        main()
