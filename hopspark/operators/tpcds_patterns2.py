@@ -31,7 +31,10 @@ URGENT = ("1-URGENT", "2-HIGH")
 MEDIUM = ("3-MEDIUM",)
 LOW = ("4-NOT SPECIFIED", "5-LOW")
 
-_REV = dec("l_extendedprice") * one_minus("l_discount")
+def _rev():
+    """Exact-decimal revenue term; built lazily because Column construction
+    needs an active SparkContext (module import must stay session-free)."""
+    return dec("l_extendedprice") * one_minus("l_discount")
 
 
 def _li_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,7 +56,7 @@ def tpcds_q1_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag") == "R")
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_custkey", "c_nationkey")
-        .agg(dsum(_REV).alias("ret"))
+        .agg(dsum(_rev()).alias("ret"))
     )
     avg_ret = ctr.groupBy(F.col("c_nationkey").alias("nk")).agg(
         (F.sum("ret").cast("double") / F.count(F.lit(1))).alias("avg_ret")
@@ -102,7 +105,7 @@ def tpcds_q2_weekly_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
             F.when(F.col("o_orderpriority").isin(*URGENT), F.lit("hi"))
             .otherwise(F.lit("lo"))
             .alias("ch"),
-            _REV.alias("rev"),
+            _rev().alias("rev"),
         )
         .groupBy("yr", "wk", "ch")
         .agg(dsum(F.col("rev")).alias("rev"))
@@ -339,7 +342,7 @@ def tpcds_q13_branchy_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))
             ).alias("avg_price"),
-            dsum(_REV).cast("double").alias("revenue"),
+            dsum(_rev()).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )
@@ -589,7 +592,7 @@ def tpcds_q30_return_ratio_by_segment(
         .filter(F.col("l_returnflag") == "R")
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_custkey", "c_mktsegment")
-        .agg(dsum(_REV).alias("ret"))
+        .agg(dsum(_rev()).alias("ret"))
     )
     seg_avg = ctr.groupBy(F.col("c_mktsegment").alias("seg")).agg(
         (F.sum("ret").cast("double") / F.count(F.lit(1))).alias("avg_ret")
@@ -680,7 +683,7 @@ def tpcds_q33_manufacturer_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_type",
             "o_orderpriority",
-            _REV.alias("rev"),
+            _rev().alias("rev"),
         )
     )
 
@@ -957,7 +960,7 @@ def tpcds_q45_geo_or_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     named = base.filter(F.col("n_name").isin("NATION_1", "NATION_3"))
     return (
         named.unionByName(in_rich)
-        .select("n_name", "l_orderkey", "l_linenumber", _REV.alias("rev"))
+        .select("n_name", "l_orderkey", "l_linenumber", _rev().alias("rev"))
         .distinct()
         .groupBy("n_name")
         .agg(
@@ -994,7 +997,7 @@ def tpcds_q47_window_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.year("l_shipdate") == 1995)
         .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", F.month("l_shipdate").alias("mo"))
-        .agg(dsum(_REV).alias("rev"))
+        .agg(dsum(_rev()).alias("rev"))
     )
     w = Window.partitionBy("p_brand")
     wo = Window.partitionBy("p_brand").orderBy("mo")
@@ -1055,7 +1058,7 @@ def tpcds_q53_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.year("l_shipdate") == 1995)
         .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_type", F.quarter("l_shipdate").alias("qtr"))
-        .agg(dsum(_REV).alias("rev"))
+        .agg(dsum(_rev()).alias("rev"))
     )
     w = Window.partitionBy("p_type")
     return (
@@ -1102,7 +1105,7 @@ def tpcds_q58_equal_share_channels(spark: SparkSession, sf_dir: str) -> DataFram
     base = (
         _li_orders(spark, sf_dir)
         .join(part, F.col("l_partkey") == part.p_partkey)
-        .select("p_brand", "o_orderpriority", _REV.alias("rev"))
+        .select("p_brand", "o_orderpriority", _rev().alias("rev"))
     )
 
     def chan(prios: tuple, out: str) -> DataFrame:
@@ -1238,7 +1241,7 @@ def tpcds_q75_brand_yoy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "o_orderpriority",
             dec("l_quantity").alias("qty"),
-            _REV.alias("rev"),
+            _rev().alias("rev"),
         )
     )
     hi = base.filter(F.col("o_orderpriority").isin(*URGENT))
