@@ -29,6 +29,7 @@ _MODULES = (
     "curation",
     "multimodal",
     "dialect_sql",
+    "iceberg_queries",
     "tpcds_patterns",
     "tpcds_patterns2",
     "pipeline",

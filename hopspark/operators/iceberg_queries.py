@@ -1,0 +1,113 @@
+"""Iceberg table-format queries under the correctness gate.
+
+Reference parity: the reference plans Iceberg scans with merge-on-read
+delete application (fe/src/main/java/org/apache/impala/planner/
+IcebergScanPlanner.java — position deletes become an ANTI JOIN on
+(file, pos), equality deletes an ANTI JOIN on the equality columns).
+These queries build a REAL format-v2 table on disk through
+hopspark.sources.iceberg (spec-faithful metadata/manifests/delete files),
+mutate it with both delete flavors plus a post-delete append, and read it
+back — so the gate checks the whole write→delete→plan→anti-join→read
+path, with the oracle recomputing the expected survivors from the flat
+source table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hopspark.catalog import read_table
+from hopspark.sources.iceberg import (
+    delete_from_iceberg,
+    equality_delete_from_iceberg,
+    read_iceberg,
+    write_iceberg_table,
+)
+
+
+def _fixture_path(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"hopspark_ice_{name}_{tag}")
+
+
+def iceberg_v2_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a v2 table from `nation`, position-delete every 4th key,
+    equality-delete region 2, then append INDIA (key 8 — a row BOTH deletes
+    had removed) back. The merge-on-read scan must drop the position- and
+    equality-deleted rows but keep the re-appended one (its data sequence
+    number is newer than the equality delete's — the spec's strict
+    sequence rule)."""
+    path = _fixture_path(sf_dir, "v2_nation")
+    shutil.rmtree(path, ignore_errors=True)
+    nation = read_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_iceberg_table(nation, path, format_version=2)
+    delete_from_iceberg(spark, path, "n_nationkey % 4 = 0")
+    equality_delete_from_iceberg(
+        spark, path, nation.filter("n_regionkey = 2").select("n_regionkey"),
+        ["n_regionkey"],
+    )
+    write_iceberg_table(nation.filter("n_nationkey = 8"), path, mode="append")
+    return read_iceberg(spark, path).orderBy("n_nationkey")
+
+
+ICEBERG_V2_MOR_SQL = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+WHERE (n_nationkey % 4 <> 0 AND n_regionkey <> 2) OR n_nationkey = 8
+ORDER BY n_nationkey
+"""
+
+
+def iceberg_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff read: per-region row counts at the pre-delete snapshot
+    vs the current one — SHOW SNAPSHOTS + time-travel, the catalog surface
+    the reference exposes for Iceberg (IcebergTable.java snapshot log)."""
+    path = _fixture_path(sf_dir, "v2_tt")
+    shutil.rmtree(path, ignore_errors=True)
+    nation = read_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    s1 = write_iceberg_table(nation, path, format_version=2)
+    delete_from_iceberg(spark, path, "n_nationkey % 2 = 1")
+    before = (
+        read_iceberg(spark, path, snapshot_id=s1)
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    after = (
+        read_iceberg(spark, path)
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        before.join(after, "n_regionkey", "left")
+        .select(
+            "n_regionkey",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+ICEBERG_TT_DIFF_SQL = """
+SELECT n_regionkey,
+       COUNT(*) AS n_before,
+       SUM(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END) AS n_after
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+QUERIES = {
+    "iceberg_v2_mor_read": (iceberg_v2_mor_read, ICEBERG_V2_MOR_SQL),
+    "iceberg_time_travel_diff": (iceberg_time_travel_diff, ICEBERG_TT_DIFF_SQL),
+}

@@ -56,7 +56,7 @@ def tpcds_q1_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag") == "R")
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_custkey", "c_nationkey")
-        .agg(dsum(_rev()).alias("ret"))
+        .agg(F.sum(_rev()).alias("ret"))
     )
     avg_ret = ctr.groupBy(F.col("c_nationkey").alias("nk")).agg(
         (F.sum("ret").cast("double") / F.count(F.lit(1))).alias("avg_ret")
@@ -592,7 +592,7 @@ def tpcds_q30_return_ratio_by_segment(
         .filter(F.col("l_returnflag") == "R")
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_custkey", "c_mktsegment")
-        .agg(dsum(_rev()).alias("ret"))
+        .agg(F.sum(_rev()).alias("ret"))
     )
     seg_avg = ctr.groupBy(F.col("c_mktsegment").alias("seg")).agg(
         (F.sum("ret").cast("double") / F.count(F.lit(1))).alias("avg_ret")
@@ -691,7 +691,7 @@ def tpcds_q33_manufacturer_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             base.filter(F.col("o_orderpriority").isin(*prios))
             .groupBy("p_type")
-            .agg(dsum(F.col("rev")).alias("rev"))
+            .agg(F.sum(F.col("rev")).alias("rev"))
             .select("p_type", F.lit(name).alias("channel"), "rev")
         )
 
@@ -997,7 +997,7 @@ def tpcds_q47_window_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.year("l_shipdate") == 1995)
         .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", F.month("l_shipdate").alias("mo"))
-        .agg(dsum(_rev()).alias("rev"))
+        .agg(F.sum(_rev()).alias("rev"))
     )
     w = Window.partitionBy("p_brand")
     wo = Window.partitionBy("p_brand").orderBy("mo")
@@ -1058,7 +1058,7 @@ def tpcds_q53_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.year("l_shipdate") == 1995)
         .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_type", F.quarter("l_shipdate").alias("qtr"))
-        .agg(dsum(_rev()).alias("rev"))
+        .agg(F.sum(_rev()).alias("rev"))
     )
     w = Window.partitionBy("p_type")
     return (

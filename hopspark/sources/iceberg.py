@@ -2,37 +2,61 @@
 
 Reference parity: the reference reads Iceberg tables through its catalog
 (fe/.../catalog/IcebergTable.java; fe/.../analysis/... iceberg scan
-planning) — snapshot-based metadata, manifest-driven file planning, and
-identity-partition pruning. No Iceberg jars or pyiceberg exist in this
+planning) — snapshot-based metadata, manifest-driven file planning,
+identity-partition pruning, and (format v2) merge-on-read delete files
+(fe/src/main/java/org/apache/impala/planner/IcebergScanPlanner.java applies
+position/equality deletes as ANTI JOINs against the data scan — the same
+plan shape used here). No Iceberg jars or pyiceberg exist in this
 environment, so this module implements the PUBLISHED Iceberg table spec
-(v1, https://iceberg.apache.org/spec/) directly:
+(https://iceberg.apache.org/spec/) directly:
 
   metadata/vN.metadata.json   table metadata: schema (field-ids), partition
-                              spec, snapshot log, current snapshot pointer
+                              spec, snapshot log, current snapshot pointer;
+                              v2 adds last-sequence-number, schemas/
+                              current-schema-id, partition-specs/
+                              default-spec-id
   metadata/snap-*.avro        manifest list (one row per manifest; spec
-                              field-ids 500+)
+                              field-ids 500+; v2 adds content 517 and
+                              sequence numbers 515/516)
   metadata/manifest-*.avro    manifest files: manifest_entry records
                               (status, snapshot_id, data_file with
                               file_path/partition/record_count; field-ids
-                              0-2, 100-104)
+                              0-2, 100-104; v2 adds sequence_number 3,
+                              data_file.content 134, equality_ids 135)
   data/...parquet             data files — ALL columns retained (Iceberg is
                               not Hive: identity-partition columns live in
                               the data files AND the manifest partition
                               tuple)
+  data/deletes-*/...parquet   v2 delete files: position deletes
+                              (file_path: 2147483546, pos: 2147483545) and
+                              equality deletes (the equality columns)
 
 The avro containers are written/read by the pure-Python codec in
 avro_codec.py (nested record/array/map support). Supported subset:
-format-version 1, identity partition transforms, create + append snapshots,
-snapshot time travel, and manifest-level identity-partition pruning (the
-scan plans only the files whose partition tuple survives the filter — the
-I/O-level win Iceberg exists for). Deletes/schema-evolution/hidden
-transforms are out of scope and raise.
+format-versions 1 and 2, identity partition transforms, create + append
+snapshots, snapshot time travel, manifest-level identity-partition pruning,
+and v2 merge-on-read row-level deletes (position + equality). Schema
+evolution and hidden partition transforms are out of scope and raise.
+
+Delete semantics follow the spec's sequence-number rules:
+  - a POSITION delete applies to a data file when
+    delete.sequence_number >= data.sequence_number;
+  - an EQUALITY delete applies when
+    delete.sequence_number > data.sequence_number (strictly newer — rows
+    appended in the same or a later snapshot than the delete survive);
+  - equality matching is null-safe (null == null matches), per spec.
+v1 files read as sequence number 0.
 
 Scale notes: metadata and manifests are driver-side (small by design —
 Iceberg's own model); the data scan is a plain distributed parquet read
 over the planned file list, so Catalyst pushdown/pruning applies as usual.
-A production writer would commit files from a distributed write rather
-than the per-partition loop used for fixtures here (documented trade-off).
+Deletes are applied distributed as LEFT ANTI joins keyed on
+(_metadata.file_path, _metadata.row_index) for position deletes and on the
+equality columns for equality deletes — delete files are small by design
+(Iceberg compaction keeps them bounded) so both sides broadcast-resolve
+under AQE; nothing is collected to the driver. A production writer would
+commit files from a distributed write rather than the per-partition loop
+used for fixtures here (documented trade-off).
 """
 
 from __future__ import annotations
@@ -41,6 +65,7 @@ import json
 import os
 import time
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,6 +119,17 @@ def _iceberg_to_spark_schema(ice: dict) -> T.StructType:
     return T.StructType(out)
 
 
+def _table_schema(md: dict) -> dict:
+    """v2 metadata carries `schemas` + `current-schema-id`; v1 a single
+    `schema`. Prefer the v2 form when present (spec §Table Metadata)."""
+    if "schemas" in md:
+        cur = md.get("current-schema-id", 0)
+        for s in md["schemas"]:
+            if s.get("schema-id", 0) == cur:
+                return s
+    return md["schema"]
+
+
 def _partition_avro_type(schema: T.StructType, partition_by: list[str]) -> dict:
     """Avro record for the manifest `partition` tuple (spec: one field per
     partition field, field-ids from the spec)."""
@@ -112,42 +148,74 @@ def _partition_avro_type(schema: T.StructType, partition_by: list[str]) -> dict:
     return {"type": "record", "name": "r102", "fields": fields}
 
 
-def _manifest_entry_schema(partition_type: dict) -> dict:
-    """manifest_entry (spec v1: field-ids 0,1,2; data_file 100-104)."""
-    data_file = {
-        "type": "record",
-        "name": "r2",
-        "fields": [
-            {"name": "file_path", "type": "string", "field-id": 100},
-            {"name": "file_format", "type": "string", "field-id": 101},
-            {"name": "partition", "type": partition_type, "field-id": 102},
-            {"name": "record_count", "type": "long", "field-id": 103},
-            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-        ],
-    }
-    return {
-        "type": "record",
-        "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int", "field-id": 0},
-            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
-            {"name": "data_file", "type": data_file, "field-id": 2},
-        ],
-    }
+def _manifest_entry_schema(partition_type: dict, format_version: int = 1) -> dict:
+    """manifest_entry (spec v1: field-ids 0,1,2; data_file 100-104; v2 adds
+    sequence_number 3, data_file.content 134, equality_ids 135)."""
+    df_fields = [
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": partition_type, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ]
+    if format_version >= 2:
+        df_fields.append({"name": "content", "type": "int", "field-id": 134})
+        df_fields.append(
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "field-id": 135,
+            }
+        )
+    data_file = {"type": "record", "name": "r2", "fields": df_fields}
+    fields = [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+    ]
+    if format_version >= 2:
+        fields.append(
+            {"name": "sequence_number", "type": ["null", "long"], "field-id": 3}
+        )
+    fields.append({"name": "data_file", "type": data_file, "field-id": 2})
+    return {"type": "record", "name": "manifest_entry", "fields": fields}
 
 
-_MANIFEST_LIST_SCHEMA = {
-    "type": "record",
-    "name": "manifest_file",
-    "fields": [
+def _manifest_list_schema(format_version: int = 1) -> dict:
+    fields = [
         {"name": "manifest_path", "type": "string", "field-id": 500},
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
         {"name": "added_snapshot_id", "type": ["null", "long"], "field-id": 503},
         {"name": "added_data_files_count", "type": ["null", "int"], "field-id": 504},
         {"name": "added_rows_count", "type": ["null", "long"], "field-id": 512},
-    ],
-}
+    ]
+    if format_version >= 2:
+        # content: 0 = data manifest, 1 = delete manifest (spec field 517)
+        fields.append({"name": "content", "type": "int", "field-id": 517})
+        fields.append(
+            {"name": "sequence_number", "type": ["null", "long"], "field-id": 515}
+        )
+        fields.append(
+            {"name": "min_sequence_number", "type": ["null", "long"], "field-id": 516}
+        )
+    return {"type": "record", "name": "manifest_file", "fields": fields}
+
+
+_MANIFEST_LIST_SCHEMA = _manifest_list_schema(1)
+
+# Spec-reserved field ids/names for position delete files (§Position Delete
+# Files): file_path = 2147483546, pos = 2147483545.
+_POS_DELETE_SPARK_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("pos", T.LongType(), False),
+    ]
+)
+
+# content values for data_file.content (spec §Manifests)
+_CONTENT_DATA = 0
+_CONTENT_POS_DELETES = 1
+_CONTENT_EQ_DELETES = 2
 
 # ----------------------------------------------------------------- writer
 
@@ -180,15 +248,92 @@ def _commit_metadata(path: str, md: dict, version: int) -> None:
         f.write(str(version))
 
 
+def _parquet_files(out_dir: str) -> list[str]:
+    return [
+        os.path.join(out_dir, f)
+        for f in sorted(os.listdir(out_dir))
+        if f.endswith(".parquet")
+    ]
+
+
+def _commit_snapshot(
+    path: str,
+    md: dict,
+    version: int,
+    entries: list[tuple],
+    entry_schema: dict,
+    snapshot_id: int,
+    n_rows: int,
+    operation: str,
+    manifest_content: int = 0,
+) -> None:
+    """Write the snapshot's manifest + a manifest list carrying forward the
+    previous snapshot's manifests, append the snapshot record, bump the
+    metadata version. v2 tables also advance last-sequence-number."""
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    fv = md.get("format-version", 1)
+    seq = md.get("last-sequence-number", 0) + 1 if fv >= 2 else None
+
+    manifest_path = os.path.join(meta_dir, f"manifest-{snapshot_id}.avro")
+    write_container(manifest_path, entry_schema, entries)
+
+    # manifest list = previous snapshot's manifests + the new one
+    prev = [
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    ]
+    manifests: list[tuple] = []
+    if prev:
+        blob = open(prev[0]["manifest-list"], "rb").read()
+        for row in decode_container(blob, _manifest_list_schema(fv) if fv >= 2 else None):
+            row = tuple(row)
+            if fv >= 2 and row[6] is None:
+                # carried forward from a pre-upgrade v1 list: data content,
+                # sequence 0 (spec: v1 metadata reads as sequence number 0)
+                row = row[:6] + (0, 0, 0)
+            manifests.append(row)
+    new_row: tuple = (
+        manifest_path,
+        os.path.getsize(manifest_path),
+        0,
+        snapshot_id,
+        len(entries),
+        n_rows,
+    )
+    if fv >= 2:
+        new_row = new_row + (manifest_content, seq, seq)
+    manifests.append(new_row)
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_container(list_path, _manifest_list_schema(fv), manifests)
+
+    snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": list_path,
+        "summary": {"operation": operation},
+    }
+    if fv >= 2:
+        snap["sequence-number"] = seq
+        md["last-sequence-number"] = seq
+    md["snapshots"].append(snap)
+    md["current-snapshot-id"] = snapshot_id
+    md["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(path, md, version + 1)
+
+
 def write_iceberg_table(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
     mode: str = "create",
+    format_version: int = 1,
 ) -> int:
     """Create or append a snapshot; returns the new snapshot id.
 
-    Identity partition transforms only. Fixture-oriented writer: each
+    Identity partition transforms only. `format_version=2` (create mode)
+    produces spec-v2 metadata with sequence numbers, enabling the
+    merge-on-read delete surface (`delete_from_iceberg`,
+    `equality_delete_from_iceberg`). Fixture-oriented writer: each
     partition value's rows are written in their own parquet job so every
     data file holds exactly one partition tuple (the invariant manifests
     require); all table columns stay in the data files per the spec."""
@@ -200,31 +345,42 @@ def write_iceberg_table(
     if mode == "create":
         if os.path.exists(meta_dir) and os.listdir(meta_dir):
             raise ValueError(f"table already exists at {path}")
+        if format_version not in (1, 2):
+            raise ValueError(f"format-version must be 1 or 2, got {format_version}")
+        ice_schema = _spark_to_iceberg_schema(schema)
+        spec_fields = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": [f.name for f in schema.fields].index(c) + 1,
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(partition_by)
+        ]
         md = {
-            "format-version": 1,
+            "format-version": format_version,
             "table-uuid": str(uuid.uuid4()),
             "location": path,
             "last-updated-ms": int(time.time() * 1000),
             "last-column-id": len(schema.fields),
-            "schema": _spark_to_iceberg_schema(schema),
-            "partition-spec": [
-                {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": [f.name for f in schema.fields].index(c) + 1,
-                    "field-id": 1000 + i,
-                }
-                for i, c in enumerate(partition_by)
-            ],
+            "schema": ice_schema,
+            "partition-spec": spec_fields,
             "current-snapshot-id": -1,
             "snapshots": [],
         }
+        if format_version >= 2:
+            md["last-sequence-number"] = 0
+            md["schemas"] = [ice_schema]
+            md["current-schema-id"] = 0
+            md["partition-specs"] = [{"spec-id": 0, "fields": spec_fields}]
+            md["default-spec-id"] = 0
         version = 0
     elif mode == "append":
         md, version = _load_metadata(path)
         partition_by = [p["name"] for p in md["partition-spec"]]
     else:
         raise ValueError("mode must be create or append")
+    fv = md.get("format-version", 1)
 
     snapshot_id = int(time.time() * 1000) * 1000 + len(md["snapshots"])
     snap_dir = os.path.join(data_dir, f"snap-{snapshot_id}")
@@ -247,63 +403,137 @@ def write_iceberg_table(
 
     # one manifest for the snapshot's added files
     part_type = _partition_avro_type(schema, partition_by)
-    entry_schema = _manifest_entry_schema(part_type)
+    entry_schema = _manifest_entry_schema(part_type, fv)
+    seq = md.get("last-sequence-number", 0) + 1 if fv >= 2 else None
     entries = []
     n_rows = 0
-    for pvals, out in groups:
-        for fname in sorted(os.listdir(out)):
-            if not fname.endswith(".parquet"):
-                continue
-            fpath = os.path.join(out, fname)
-            import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
+    for pvals, out in groups:
+        for fpath in _parquet_files(out):
             count = pq.ParquetFile(fpath).metadata.num_rows
             n_rows += count
-            entries.append(
-                (
-                    1,  # status: ADDED
-                    snapshot_id,
-                    {
-                        "file_path": fpath,
-                        "file_format": "PARQUET",
-                        "partition": pvals,
-                        "record_count": count,
-                        "file_size_in_bytes": os.path.getsize(fpath),
-                    },
-                )
-            )
-    os.makedirs(meta_dir, exist_ok=True)
-    manifest_path = os.path.join(meta_dir, f"manifest-{snapshot_id}.avro")
-    write_container(manifest_path, entry_schema, entries)
+            data_file = {
+                "file_path": fpath,
+                "file_format": "PARQUET",
+                "partition": pvals,
+                "record_count": count,
+                "file_size_in_bytes": os.path.getsize(fpath),
+            }
+            if fv >= 2:
+                data_file["content"] = _CONTENT_DATA
+                data_file["equality_ids"] = None
+                entries.append((1, snapshot_id, seq, data_file))
+            else:
+                entries.append((1, snapshot_id, data_file))
 
-    # manifest list = previous snapshot's manifests + the new one
-    prev = [
-        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
-    ]
-    manifests: list[tuple] = []
-    if prev:
-        blob = open(prev[0]["manifest-list"], "rb").read()
-        for row in decode_container(blob):
-            manifests.append(row)
-    manifests.append(
-        (manifest_path, os.path.getsize(manifest_path), 0, snapshot_id,
-         len(entries), n_rows)
+    _commit_snapshot(
+        path, md, version, entries, entry_schema, snapshot_id, n_rows, "append"
     )
-    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
-    write_container(list_path, _MANIFEST_LIST_SCHEMA, manifests)
-
-    md["snapshots"].append(
-        {
-            "snapshot-id": snapshot_id,
-            "timestamp-ms": int(time.time() * 1000),
-            "manifest-list": list_path,
-            "summary": {"operation": "append"},
-        }
-    )
-    md["current-snapshot-id"] = snapshot_id
-    md["last-updated-ms"] = int(time.time() * 1000)
-    _commit_metadata(path, md, version + 1)
     return snapshot_id
+
+
+def _require_v2(md: dict, what: str) -> None:
+    if md.get("format-version", 1) < 2:
+        raise NotImplementedError(
+            f"{what} requires an Iceberg format-version 2 table "
+            "(create with write_iceberg_table(..., format_version=2))"
+        )
+
+
+def _commit_delete_files(
+    spark: SparkSession,
+    path: str,
+    deletes: DataFrame,
+    content: int,
+    equality_ids: list[int] | None,
+) -> int:
+    """Shared tail of both delete flows: write the delete rows as parquet,
+    manifest them with the given content kind, commit a delete snapshot."""
+    md, version = _load_metadata(path)
+    snapshot_id = int(time.time() * 1000) * 1000 + len(md["snapshots"])
+    out = os.path.join(path, "data", f"deletes-snap-{snapshot_id}")
+    deletes.write.mode("errorifexists").parquet(out)
+
+    schema = _iceberg_to_spark_schema(_table_schema(md))
+    partition_by = [p["name"] for p in md["partition-spec"]]
+    part_type = _partition_avro_type(schema, partition_by)
+    entry_schema = _manifest_entry_schema(part_type, 2)
+    seq = md["last-sequence-number"] + 1
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    n_rows = 0
+    for fpath in _parquet_files(out):
+        count = pq.ParquetFile(fpath).metadata.num_rows
+        n_rows += count
+        entries.append(
+            (
+                1,
+                snapshot_id,
+                seq,
+                {
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    # delete files in this subset are table-global
+                    "partition": {},
+                    "record_count": count,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "content": content,
+                    "equality_ids": equality_ids,
+                },
+            )
+        )
+    _commit_snapshot(
+        path,
+        md,
+        version,
+        entries,
+        entry_schema,
+        snapshot_id,
+        n_rows,
+        "delete",
+        manifest_content=1,
+    )
+    return snapshot_id
+
+
+def delete_from_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
+    """DELETE FROM t WHERE predicate — merge-on-read position deletes.
+
+    Plans the current snapshot, finds the (file_path, pos) of every live
+    row matching `predicate` (a Spark SQL boolean expression over the table
+    columns), writes them as a spec position-delete file, and commits a
+    delete snapshot. Returns the new snapshot id. The matching rows are
+    computed distributed (metadata columns `_metadata.file_path` /
+    `_metadata.row_index`); nothing is collected to the driver."""
+    md, _ = _load_metadata(path)
+    _require_v2(md, "DELETE FROM")
+    live = _read_with_meta(spark, _plan_scan(path))
+    hits = live.filter(F.expr(predicate)).select(
+        F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
+    )
+    return _commit_delete_files(spark, path, hits, _CONTENT_POS_DELETES, None)
+
+
+def equality_delete_from_iceberg(
+    spark: SparkSession, path: str, keys: DataFrame, equality_cols: list[str]
+) -> int:
+    """Equality-delete commit: every current-or-earlier row whose
+    `equality_cols` tuple matches a row of `keys` is deleted (null-safe
+    equality, per spec). Later appends with the same key values survive —
+    the spec's strict sequence-number rule. Returns the new snapshot id."""
+    md, _ = _load_metadata(path)
+    _require_v2(md, "equality deletes")
+    ice = _table_schema(md)
+    by_name = {f["name"]: f["id"] for f in ice["fields"]}
+    missing = [c for c in equality_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"equality columns not in table schema: {missing}")
+    eq_ids = [by_name[c] for c in equality_cols]
+    rows = keys.select(*equality_cols).distinct()
+    return _commit_delete_files(spark, path, rows, _CONTENT_EQ_DELETES, eq_ids)
 
 
 # ----------------------------------------------------------------- reader
@@ -315,36 +545,180 @@ def iceberg_snapshots(path: str) -> list[dict]:
     return md["snapshots"]
 
 
+def _iter_entries(md: dict, snapshot_id: int | None):
+    """Yield (status, entry_seq, data_file_dict) for every manifest entry of
+    the resolved snapshot. entry_seq applies the spec's inheritance rules:
+    explicit entry value, else the manifest-list row's sequence number, else
+    0 (v1)."""
+    fv = md.get("format-version", 1)
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    if sid not in snaps:
+        raise ValueError(f"unknown snapshot {sid}; have {sorted(snaps)}")
+    blob = open(snaps[sid]["manifest-list"], "rb").read()
+    for mrow in decode_container(blob, _manifest_list_schema(fv) if fv >= 2 else None):
+        mrow = tuple(mrow)
+        manifest_path = mrow[0]
+        manifest_seq = mrow[7] if fv >= 2 and len(mrow) > 7 and mrow[7] is not None else 0
+        for row in decode_container(open(manifest_path, "rb").read()):
+            row = tuple(row)
+            if len(row) == 3:  # v1 entry: (status, snapshot_id, data_file)
+                status, _snap, data_file = row
+                entry_seq = 0
+            else:  # v2 entry: (status, snapshot_id, sequence_number, data_file)
+                status, _snap, eseq, data_file = row
+                entry_seq = eseq if eseq is not None else manifest_seq
+            yield status, entry_seq, data_file
+
+
 def plan_data_files(
     path: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
 ) -> list[dict]:
     """Manifest-driven scan planning: resolve the snapshot, read its
-    manifest list, read each manifest, keep live entries (status != 2
-    DELETED), and apply identity-partition pruning — files whose partition
-    tuple contradicts `partition_filter` are never touched."""
+    manifest list, read each manifest, keep live DATA entries (status != 2
+    DELETED; content == 0), and apply identity-partition pruning — files
+    whose partition tuple contradicts `partition_filter` are never
+    touched."""
     md, _ = _load_metadata(path)
-    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
-    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
-    if sid not in snaps:
-        raise ValueError(f"unknown snapshot {sid}; have {sorted(snaps)}")
     files: list[dict] = []
-    blob = open(snaps[sid]["manifest-list"], "rb").read()
-    for mrow in decode_container(blob):
-        manifest_path = mrow[0]
-        for status, _snap, data_file in decode_container(
-            open(manifest_path, "rb").read()
+    for status, _seq, data_file in _iter_entries(md, snapshot_id):
+        if status == 2:  # DELETED
+            continue
+        if data_file.get("content", _CONTENT_DATA) != _CONTENT_DATA:
+            continue
+        part = data_file["partition"] or {}
+        if partition_filter and any(
+            k in part and part[k] != v for k, v in partition_filter.items()
         ):
-            if status == 2:  # DELETED
-                continue
+            continue
+        files.append(data_file)
+    return files
+
+
+def _plan_scan(
+    path: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> dict:
+    """Full scan plan: pruned live data files with their sequence numbers,
+    plus every live delete file (position and equality) of the snapshot.
+    Delete files are never partition-pruned in this subset (they are
+    table-global)."""
+    md, _ = _load_metadata(path)
+    schema = _iceberg_to_spark_schema(_table_schema(md))
+    id_to_name = {f["id"]: f["name"] for f in _table_schema(md)["fields"]}
+    data: list[tuple[str, int]] = []
+    pos_deletes: list[tuple[str, int]] = []
+    eq_deletes: list[tuple[str, int, tuple[str, ...]]] = []
+    for status, seq, data_file in _iter_entries(md, snapshot_id):
+        if status == 2:
+            continue
+        content = data_file.get("content", _CONTENT_DATA)
+        if content == _CONTENT_DATA:
             part = data_file["partition"] or {}
             if partition_filter and any(
                 k in part and part[k] != v for k, v in partition_filter.items()
             ):
                 continue
-            files.append(data_file)
-    return files
+            data.append((data_file["file_path"], seq))
+        elif content == _CONTENT_POS_DELETES:
+            pos_deletes.append((data_file["file_path"], seq))
+        elif content == _CONTENT_EQ_DELETES:
+            cols = tuple(id_to_name[i] for i in (data_file.get("equality_ids") or ()))
+            eq_deletes.append((data_file["file_path"], seq, cols))
+    return {
+        "schema": schema,
+        "data": data,
+        "pos_deletes": pos_deletes,
+        "eq_deletes": eq_deletes,
+    }
+
+
+def _read_by_seq(
+    spark: SparkSession,
+    files_with_seq: list[tuple[str, int]],
+    schema: T.StructType | None,
+    with_position: bool,
+) -> DataFrame:
+    """Read parquet files grouped by sequence number, attaching `__seq` as a
+    literal per group (snapshots are few; this avoids a per-row join to
+    recover sequence numbers). With `with_position`, also attach the spec's
+    position-delete identity: normalized `__fp` + `__pos` from the hidden
+    parquet metadata columns."""
+    by_seq: dict[int, list[str]] = {}
+    for fpath, seq in files_with_seq:
+        by_seq.setdefault(seq, []).append(fpath)
+    parts = []
+    for seq in sorted(by_seq):
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*by_seq[seq])
+        if with_position:
+            df = df.select(
+                "*",
+                # _metadata.file_path is a file: URI; manifests store plain
+                # absolute paths — normalize to compare/join
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+                    "__fp"
+                ),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        parts.append(df.withColumn("__seq", F.lit(seq).cast("long")))
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _read_with_meta(spark: SparkSession, scan: dict) -> DataFrame:
+    """Scan the planned data files and apply the snapshot's delete files
+    (merge-on-read), keeping the __fp/__pos/__seq bookkeeping columns —
+    `read_iceberg` drops them; `delete_from_iceberg` uses them."""
+    schema: T.StructType = scan["schema"]
+    if not scan["data"]:
+        base = spark.createDataFrame([], schema)
+        return (
+            base.withColumn("__fp", F.lit(None).cast("string"))
+            .withColumn("__pos", F.lit(None).cast("long"))
+            .withColumn("__seq", F.lit(None).cast("long"))
+        )
+    df = _read_by_seq(spark, scan["data"], schema, with_position=True)
+
+    if scan["pos_deletes"]:
+        dels = _read_by_seq(
+            spark, scan["pos_deletes"], _POS_DELETE_SPARK_SCHEMA, with_position=False
+        ).select(
+            F.col("file_path").alias("__del_fp"),
+            F.col("pos").alias("__del_pos"),
+            F.col("__seq").alias("__dseq"),
+        )
+        # spec: a position delete applies to data files with
+        # data sequence number <= delete sequence number
+        cond = (
+            (df["__fp"] == dels["__del_fp"])
+            & (df["__pos"] == dels["__del_pos"])
+            & (df["__seq"] <= dels["__dseq"])
+        )
+        df = df.join(F.broadcast(dels), cond, "left_anti")
+
+    # group equality-delete files by their equality-column set: each set is
+    # one anti join on those columns
+    eq_groups: dict[tuple[str, ...], list[tuple[str, int]]] = {}
+    for fpath, seq, cols in scan["eq_deletes"]:
+        eq_groups.setdefault(cols, []).append((fpath, seq))
+    for cols, files in sorted(eq_groups.items()):
+        key_schema = T.StructType([schema[c] for c in cols])
+        dels = _read_by_seq(spark, files, key_schema, with_position=False).select(
+            *[F.col(c).alias(f"__ed_{c}") for c in cols],
+            F.col("__seq").alias("__dseq"),
+        )
+        # spec: an equality delete applies only to STRICTLY older data
+        # files; matching is null-safe
+        cond = df["__seq"] < dels["__dseq"]
+        for c in cols:
+            cond = cond & df[c].eqNullSafe(dels[f"__ed_{c}"])
+        df = df.join(F.broadcast(dels), cond, "left_anti")
+    return df
 
 
 def read_iceberg(
@@ -354,11 +728,8 @@ def read_iceberg(
     partition_filter: dict | None = None,
 ) -> DataFrame:
     """Scan an Iceberg table (current or time-travel snapshot), planning
-    files from manifests with identity-partition pruning, then reading the
-    surviving parquet files with the table schema."""
-    md, _ = _load_metadata(path)
-    schema = _iceberg_to_spark_schema(md["schema"])
-    files = [f["file_path"] for f in plan_data_files(path, snapshot_id, partition_filter)]
-    if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    files from manifests with identity-partition pruning, applying any v2
+    position/equality delete files merge-on-read style (distributed LEFT
+    ANTI joins), then returning the table columns."""
+    scan = _plan_scan(path, snapshot_id, partition_filter)
+    return _read_with_meta(spark, scan).drop("__fp", "__pos", "__seq")

@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 
 from hopspark.catalog import read_table
 from hopspark.sources.iceberg import (
+    _load_metadata,
+    delete_from_iceberg,
+    equality_delete_from_iceberg,
     iceberg_snapshots,
     plan_data_files,
     read_iceberg,
@@ -86,3 +89,91 @@ def test_unknown_snapshot_raises(spark, table):
     path, *_ = table
     with pytest.raises(ValueError, match="unknown snapshot"):
         read_iceberg(spark, path, snapshot_id=123)
+
+# ----------------------------------------------------- format-version 2
+
+
+@pytest.fixture(scope="module")
+def v2_table(spark, sf_dir, tmp_path_factory):
+    """v2 table over nation: create (n_nationkey < 20), append the rest,
+    position-delete the even keys, equality-delete region 3, then append
+    one region-3 row back (must survive — strict sequence rule)."""
+    path = str(tmp_path_factory.mktemp("ice2") / "nation")
+    nation = read_table(spark, "nation", sf_dir)
+    s1 = write_iceberg_table(
+        nation.filter("n_nationkey < 20"), path, format_version=2
+    )
+    s2 = write_iceberg_table(nation.filter("n_nationkey >= 20"), path, mode="append")
+    s3 = delete_from_iceberg(spark, path, "n_nationkey % 2 = 0")
+    s4 = equality_delete_from_iceberg(
+        spark, path, nation.filter("n_regionkey = 3").select("n_regionkey"),
+        ["n_regionkey"],
+    )
+    resurrected = nation.filter("n_nationkey = 19")  # RUSSIA, region 3
+    s5 = write_iceberg_table(resurrected, path, mode="append")
+    return path, (s1, s2, s3, s4, s5), nation
+
+
+def test_v2_metadata_shape(v2_table):
+    path, snaps, _ = v2_table
+    md, _v = _load_metadata(path)
+    assert md["format-version"] == 2
+    assert md["last-sequence-number"] == 5
+    assert md["schemas"] and md["current-schema-id"] == 0
+    assert [s["sequence-number"] for s in md["snapshots"]] == [1, 2, 3, 4, 5]
+    assert [s["snapshot-id"] for s in md["snapshots"]] == list(snaps)
+
+
+def test_v2_merge_on_read(spark, v2_table):
+    """Current snapshot = all rows, minus even keys (position deletes),
+    minus region 3 rows older than the equality delete — but the region-3
+    row appended AFTER the equality delete survives."""
+    path, _, nation = v2_table
+    got = {r.n_nationkey for r in read_iceberg(spark, path).collect()}
+    base = {
+        r.n_nationkey
+        for r in nation.filter("n_nationkey % 2 != 0 AND n_regionkey != 3").collect()
+    }
+    assert got == base | {19}
+
+
+def test_v2_time_travel_pre_delete(spark, v2_table):
+    path, (s1, s2, *_), nation = v2_table
+    tt = read_iceberg(spark, path, snapshot_id=s2)
+    assert tt.count() == nation.count()
+    t1 = read_iceberg(spark, path, snapshot_id=s1)
+    assert t1.count() == nation.filter("n_nationkey < 20").count()
+
+
+def test_v2_position_delete_snapshot(spark, v2_table):
+    """At the position-delete snapshot only the even keys are gone; the
+    equality delete (a later sequence) is not yet visible."""
+    path, (_, _, s3, *_), nation = v2_table
+    got = {r.n_nationkey for r in read_iceberg(spark, path, snapshot_id=s3).collect()}
+    want = {r.n_nationkey for r in nation.filter("n_nationkey % 2 != 0").collect()}
+    assert got == want
+
+
+def test_v2_plan_excludes_delete_files(v2_table):
+    path, _, nation = v2_table
+    files = plan_data_files(path)
+    assert all("deletes-snap" not in f["file_path"] for f in files)
+    # record counts are pre-delete (merge-on-read: deletes applied at scan)
+    assert sum(f["record_count"] for f in files) == nation.count() + 1
+
+
+def test_v1_rejects_deletes(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ice1") / "region")
+    write_iceberg_table(read_table(spark, "region", sf_dir), path)
+    with pytest.raises(NotImplementedError, match="format-version 2"):
+        delete_from_iceberg(spark, path, "r_regionkey = 0")
+    with pytest.raises(NotImplementedError, match="format-version 2"):
+        equality_delete_from_iceberg(
+            spark, path, read_table(spark, "region", sf_dir), ["r_regionkey"]
+        )
+
+
+def test_v2_equality_ids_validated(spark, v2_table):
+    path, _, nation = v2_table
+    with pytest.raises(ValueError, match="not in table schema"):
+        equality_delete_from_iceberg(spark, path, nation, ["nope"])

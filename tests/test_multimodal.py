@@ -100,3 +100,68 @@ def test_ppm_encode_decode_roundtrip():
     d = decode_image(ppm_encode(5, 3, 77))
     assert (d.width, d.height) == (5, 3)
     assert set(d.pixels) == {77} and len(d.pixels) == 45
+
+
+# ------------------------------------------------------------- WAV codec
+
+
+def test_wav_encode_decode_roundtrip():
+    from hopspark.operators.multimodal import decode_audio, wav_encode
+
+    samples = [0, 100, -100, 32767, -32768, 7]
+    d = decode_audio(wav_encode(16000, samples))
+    assert (d.sample_rate, d.channels, d.bits) == (16000, 1, 16)
+    assert d.samples == samples
+
+
+def test_wav_stereo_interleave():
+    from hopspark.operators.multimodal import decode_audio, wav_encode
+
+    # L/R interleaved frames survive as written
+    d = decode_audio(wav_encode(8000, [1, -1, 2, -2], channels=2))
+    assert d.channels == 2
+    assert d.samples == [1, -1, 2, -2]
+
+
+def test_wav_8bit_unsigned_centering():
+    import struct
+
+    from hopspark.operators.multimodal import decode_audio
+
+    # hand-built 8-bit file: 0x80 is silence (0), 0xFF is +127, 0x00 is -128
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 3) + bytes([0x80, 0xFF, 0x00])
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_audio(payload).samples == [0, 127, -128]
+
+
+def test_wav_skips_unknown_chunks_with_alignment():
+    import struct
+
+    from hopspark.operators.multimodal import decode_audio
+
+    # LIST chunk with ODD size before fmt/data — walker must pad to even
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + struct.pack("<2h", 5, -5)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_audio(payload).samples == [5, -5]
+
+
+def test_wav_non_pcm_and_non_wav_raise():
+    import struct
+
+    import pytest as _pytest
+
+    from hopspark.operators.multimodal import decode_audio
+
+    with _pytest.raises(NotImplementedError, match="audio library"):
+        decode_audio(b"\xff\xfb\x90\x00 mp3 frame")
+    fmt = struct.pack("<HHIIHH", 85, 1, 44100, 0, 0, 0)  # tag 85 = MP3
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 0)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pytest.raises(NotImplementedError, match="PCM"):
+        decode_audio(payload)
