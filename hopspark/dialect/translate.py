@@ -109,6 +109,64 @@ def _split_args(toks: list[Tok], open_i: int, close_i: int) -> list[tuple[int, i
     return spans
 
 
+def _ds_kll_render_sql(name: str, x: str, ps: list[str]) -> str:
+    """Spark SQL for the DataSketches KLL string renderings: exact
+    aggregates over the sketched expression `x`, formatted like the
+    reference's std::stringstream output (ds_format_value = "%.6g").
+
+    CDF/PMF follow the library's default EXCLUSIVE rank semantics (fraction
+    of items < split point) and return len(splits)+1 values with the CDF's
+    trailing normalized 1 (kll_sketch::get_CDF/get_PMF)."""
+    fmt = "ds_format_value"
+    if name == "ds_kll_quantiles_as_string":
+        parts = [f"{fmt}(CAST(percentile({x}, {p}) AS FLOAT))" for p in ps]
+        return "concat(" + ", ',', ".join(parts) + ")"
+    if name in ("ds_kll_cdf_as_string", "ds_kll_pmf_as_string"):
+        # literal split points must be unique and ascending (reference:
+        # "Values must be unique and monotonically increasing")
+        try:
+            nums = [float(p) for p in ps]
+        except ValueError:
+            nums = []
+        if nums and any(b <= a for a, b in zip(nums, nums[1:])):
+            raise ValueError("Values must be unique and monotonically increasing")
+        if name == "ds_kll_cdf_as_string":
+            parts = [
+                f"{fmt}(avg(CAST({x} < {p} AS DOUBLE)))" for p in ps
+            ] + ["'1'"]
+        else:
+            parts = [f"{fmt}(avg(CAST({x} < {ps[0]} AS DOUBLE)))"]
+            parts += [
+                f"{fmt}(avg(CAST({x} >= {a} AND {x} < {b} AS DOUBLE)))"
+                for a, b in zip(ps, ps[1:])
+            ]
+            parts.append(f"{fmt}(avg(CAST({x} >= {ps[-1]} AS DOUBLE)))")
+        return "concat(" + ", ',', ".join(parts) + ")"
+    # ds_kll_stringify → the to_string(false, false) summary block. K/M are
+    # the library defaults (kll_sketch: k=200, m=8); N/min/max are exact;
+    # levels is the ceil-log2 level count the compactor ladder implies.
+    n = f"count({x})"
+    levels = (
+        f"IF({n} <= 200, 1, CAST(ceil(log2({n} / 200.0)) AS BIGINT) + 1)"
+    )
+    return (
+        "concat('### KLL sketch summary:\\n',"
+        "'   K              : 200\\n',"
+        "'   min K          : 200\\n',"
+        "'   M              : 8\\n',"
+        f"'   N              : ', CAST({n} AS STRING), '\\n',"
+        "'   Epsilon        : 1.33%\\n',"
+        "'   Epsilon PMF    : 1.65%\\n',"
+        "'   Empty          : false\\n',"
+        f"'   Estimation mode: ', IF({n} > 200, 'true', 'false'), '\\n',"
+        f"'   Levels         : ', CAST({levels} AS STRING), '\\n',"
+        f"'   Sorted         : false\\n',"
+        f"'   Min value      : ', ds_format_value(CAST(min({x}) AS DOUBLE)), '\\n',"
+        f"'   Max value      : ', ds_format_value(CAST(max({x}) AS DOUBLE)), '\\n',"
+        "'### End sketch summary\\n')"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rewrite 1: function renames / small argument rewrites
 # ---------------------------------------------------------------------------
@@ -424,6 +482,75 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                         toks[inner_close] = Tok("op", "")
                         i += 1
                         continue
+        # ds_kll_*_as_string / ds_kll_stringify / ds_hll_estimate_bounds_
+        # as_string — the DataSketches STRING RENDERINGS
+        # (datasketches-functions-ir.cc DsKllQuantilesAsString:284,
+        # GetDsKllPMFOrCDF:304, DsKllStringify:337,
+        # DsHllEstimateBoundsAsString:54). The sketch→render compositions
+        # collapse to exact aggregates formatted with ds_format_value
+        # (C++ stream "%.6g" — the formatting the reference inherits from
+        # std::stringstream). NULL on an empty sketch, like the reference,
+        # falls out of concat()'s null propagation (min/avg/percentile over
+        # zero rows are NULL).
+        if name in (
+            "ds_kll_quantiles_as_string",
+            "ds_kll_cdf_as_string",
+            "ds_kll_pmf_as_string",
+            "ds_kll_stringify",
+        ):
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            inner_i = _next_code(toks, args[0][0]) if args else len(toks)
+            if (
+                inner_i < len(toks)
+                and toks[inner_i].text.lower() == "ds_kll_sketch"
+                and (len(args) >= 2 or name == "ds_kll_stringify")
+            ):
+                inner_open = _next_code(toks, inner_i + 1)
+                inner_close = _matching_paren(toks, inner_open)
+                x = untokenize(toks[inner_open + 1 : inner_close]).strip()
+                ps = [
+                    untokenize(toks[a:b]).strip() for a, b in args[1:]
+                ]
+                new_sql = _ds_kll_render_sql(name, x, ps)
+                toks[i : close + 1] = tokenize(new_sql)
+                i += 1
+                continue
+        if name == "ds_hll_estimate_bounds_as_string":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) in (1, 2):
+                sk = untokenize(toks[args[0][0] : args[0][1]]).strip()
+                kappa = 2  # DS_DEFAULT_KAPPA (datasketches-common.h:45)
+                if len(args) == 2:
+                    ktext = untokenize(toks[args[1][0] : args[1][1]]).strip()
+                    try:
+                        kappa = int(ktext)
+                    except ValueError as exc:
+                        raise ValueError(
+                            "No matching function with signature: "
+                            f"ds_hll_estimate_bounds_as_string(STRING, {ktext})"
+                        ) from exc
+                    if kappa not in (1, 2, 3):
+                        raise ValueError("Kappa must be 1, 2 or 3")
+                # lgK = 12 (DS_SKETCH_CONFIG, datasketches-common.h:43) ⇒
+                # HLL relative standard error ≈ 1.04/sqrt(2^12). The library
+                # bounds are slightly asymmetric; est/(1±κ·rse) is the
+                # documented approximation (FUNCTIONS.md).
+                rse = 1.04 / 64.0
+                est = f"CAST(hll_sketch_estimate({sk}) AS DOUBLE)"
+                new_sql = (
+                    "concat(ds_format_value("
+                    + est
+                    + "), ',', ds_format_value("
+                    + est
+                    + f" / {1 + kappa * rse!r}), ',', ds_format_value("
+                    + est
+                    + f" * {1 + kappa * rse!r}))"
+                )
+                toks[i : close + 1] = tokenize(new_sql)
+                i += 1
+                continue
         # regexp_like(s, pat, 'flags') → rlike(s, concat('(?flags)', pat)).
         # Impala flags (string-functions-ir.cc): i=case-insensitive,
         # m=multi-line, n=newline-matches-dot (Java's s).

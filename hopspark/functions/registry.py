@@ -377,6 +377,23 @@ _SQL_FUNCTIONS["nanoseconds_sub"] = (
 )
 
 
+@F.pandas_udf(T.StringType())
+def _ds_format_value_udf(v: pd.Series) -> pd.Series:
+    """ds_format_value(x) → C++ default-stream rendering of a number
+    ("%.6g": 6 significant digits, no trailing zeros) — the formatting the
+    reference's DataSketches *_as_string functions inherit from
+    std::stringstream (datasketches-functions-ir.cc
+    DsKllVectorResultToStringVal / DsHllEstimateBoundsAsString). Internal
+    helper emitted by the dialect's ds_* rendering rewrites."""
+
+    def f(x: object) -> str | None:
+        if x is None or pd.isna(x):
+            return None
+        return "%.6g" % float(x)
+
+    return v.map(f)
+
+
 @F.pandas_udf(T.BooleanType())
 def _sleep_udf(ms: pd.Series) -> pd.Series:
     """sleep(ms) → TRUE after sleeping (UtilityFunctions::Sleep,
@@ -426,6 +443,7 @@ def _register_utility_misc(spark: SparkSession) -> None:
         except AnalysisException:
             pass  # native builtin with the same contract wins
     spark.udf.register("sleep", _sleep_udf)
+    spark.udf.register("ds_format_value", _ds_format_value_udf)
 
 
 def register_all(spark: SparkSession) -> None:

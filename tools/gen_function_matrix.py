@@ -306,11 +306,11 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "ds_kll_quantile": ("rewritten", "ds_kll_quantile(ds_kll_sketch(x), 0.5) FROM (SELECT 1 AS x)", "composition → percentile"),
     "ds_kll_n": ("rewritten", "ds_kll_n(ds_kll_sketch(CAST(2 AS FLOAT)))", "sketch composition collapses to count(x)"),
     "ds_kll_rank": ("rewritten", "ds_kll_rank(ds_kll_sketch(CAST(2 AS FLOAT)), 3)", "collapses to exact avg(x < v)"),
-    "ds_kll_cdf_as_string": ("unsupported", None, "DataSketches string rendering of library internals"),
-    "ds_kll_pmf_as_string": ("unsupported", None, "DataSketches string rendering of library internals"),
-    "ds_kll_quantiles_as_string": ("unsupported", None, "DataSketches string rendering of library internals"),
-    "ds_kll_stringify": ("unsupported", None, "DataSketches string rendering of library internals"),
-    "ds_hll_estimate_bounds_as_string": ("unsupported", None, "DataSketches string rendering of library internals"),
+    "ds_kll_cdf_as_string": ("rewritten", "ds_kll_cdf_as_string(ds_kll_sketch(x), 2, 3) FROM (SELECT CAST(x AS FLOAT) AS x FROM (SELECT explode(array(1,2,3,4)) AS x))", "exact CDF at the split points, %.6g-rendered + trailing 1 (GetDsKllPMFOrCDF)"),
+    "ds_kll_pmf_as_string": ("rewritten", "ds_kll_pmf_as_string(ds_kll_sketch(x), 2, 3) FROM (SELECT CAST(x AS FLOAT) AS x FROM (SELECT explode(array(1,2,3,4)) AS x))", "exact bucket masses, %.6g-rendered (GetDsKllPMFOrCDF)"),
+    "ds_kll_quantiles_as_string": ("rewritten", "ds_kll_quantiles_as_string(ds_kll_sketch(x), 0, 0.5, 1) FROM (SELECT CAST(x AS FLOAT) AS x FROM (SELECT explode(array(1,2,3,4)) AS x))", "exact percentiles, %.6g-rendered comma list (DsKllQuantilesAsString)"),
+    "ds_kll_stringify": ("rewritten", "ds_kll_stringify(ds_kll_sketch(x)) FROM (SELECT CAST(x AS FLOAT) AS x FROM (SELECT explode(array(1,2,3,4)) AS x))", "to_string(false,false) summary block over exact N/min/max; K/M library defaults"),
+    "ds_hll_estimate_bounds_as_string": ("rewritten", "ds_hll_estimate_bounds_as_string(ds_hll_sketch(x), 1) FROM (SELECT 1 AS x)", "est,lb,ub with lgK=12 RSE bounds approximation (DsHllEstimateBoundsAsString)"),
     # ---------------- out-of-scope ----------------
     "iceberg_bucket_transform": ("out-of-scope", None, "Iceberg partition transform; no Iceberg connector in scope"),
     "iceberg_truncate_transform": ("out-of-scope", None, "Iceberg partition transform; no Iceberg connector in scope"),
@@ -610,6 +610,11 @@ EXPECTED: dict[str, str] = {
     'ds_kll_quantile': '1.0',
     'ds_kll_n': '1',
     'ds_kll_rank': '1.0',
+    'ds_kll_quantiles_as_string': '1,2.5,4',
+    'ds_kll_cdf_as_string': '0.25,0.5,1',
+    'ds_kll_pmf_as_string': '0.25,0.25,0.5',
+    'ds_hll_estimate_bounds_as_string': '1,0.98401,1.01625',
+    'ds_kll_stringify': '### KLL sketch summary:\n   K              : 200\n   min K          : 200\n   M              : 8\n   N              : 4\n   Epsilon        : 1.33%\n   Epsilon PMF    : 1.65%\n   Empty          : false\n   Estimation mode: false\n   Levels         : 1\n   Sorted         : false\n   Min value      : 1\n   Max value      : 4\n### End sketch summary\n',
 }
 # fmt: on
 
