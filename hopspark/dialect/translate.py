@@ -437,7 +437,10 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     inner_open = _next_code(toks, inner_i + 1)
                     if inner_open < close and toks[inner_open].text == "(":
                         inner_close = _matching_paren(toks, inner_open)
-                        toks[i] = Tok("word", "percentile")
+                        # CAST to FLOAT: the reference returns FloatVal
+                        # (DsKllQuantile, datasketches-functions-ir.cc:240)
+                        toks.insert(close + 1, Tok("op", " AS FLOAT)"))
+                        toks[i] = Tok("word", "CAST(percentile")
                         toks[inner_i] = Tok("word", "")
                         toks[inner_open] = Tok("op", "")
                         toks[inner_close] = Tok("op", "")
