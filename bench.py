@@ -64,6 +64,12 @@ HEADLINE = [
     "text_bigram_lm",
     "tpcds_q14_common_parts_revenue",
     "tpcds_q31_quarterly_growth",
+    # r3 additions: Iceberg v2 merge-on-read, Arrow audio decode, and the
+    # two heaviest part-3 TPC-DS shapes (rank-over-rollup, channel overlap)
+    "iceberg_v2_mor_read",
+    "mm_decode_audio",
+    "tpcds_q67_rollup_rank_topn",
+    "tpcds_q97_channel_overlap",
 ]
 
 

@@ -32,6 +32,7 @@ _MODULES = (
     "iceberg_queries",
     "tpcds_patterns",
     "tpcds_patterns2",
+    "tpcds_patterns3",
     "pipeline",
     "quality",
     "mixture",
@@ -52,7 +53,6 @@ CURATED_FIRST = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q8_market_share",
-    "tpch_q17_small_quantity",
     "tpch_q18_large_volume_customers",
     "tpch_q21_suppliers_waiting",
     "tpch_q22_sales_opportunity",
@@ -89,7 +89,6 @@ CURATED_FIRST = (
     "events_cohort_retention",
     # Similarity search.
     "sim_knn_bruteforce_cosine",
-    "sim_embedding_norms",
     # Sketches.
     "sketch_theta_grouped",
     # Text analysis.
@@ -107,7 +106,10 @@ CURATED_FIRST = (
     "dialect_sql_null_ordering",
     # TPC-DS patterns.
     "tpcds_q36_margin_rollup_rank",
-    "tpcds_q95_multi_exists",
+    "tpcds_q33_manufacturer_union",
+    "tpcds_q67_rollup_rank_topn",
+    # Iceberg table format (v2 merge-on-read).
+    "iceberg_v2_mor_read",
     # Pipeline / quality / mixture / streaming extensions.
     "pipeline_corpus_stats",
     "dq_null_profile",

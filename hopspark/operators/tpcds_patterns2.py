@@ -1251,7 +1251,7 @@ def tpcds_q75_brand_yoy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("yr", "p_brand")
         .agg(
             F.sum("qty").alias("qty"),
-            dsum(F.col("rev")).alias("rev"),
+            F.sum(F.col("rev")).alias("rev"),
         )
     )
     cur = tot.filter(F.col("yr") == 1996).select(

@@ -212,7 +212,7 @@ def test_histogram_and_kll_rewrites(spark, sf_dir):
     out = translate("SELECT histogram(x) FROM t")
     assert out == "SELECT array_join(sort_array(collect_list(CAST(x AS STRING))), ', ') FROM t"
     assert translate("SELECT ds_kll_quantile(ds_kll_sketch(q), 0.5) FROM t") == (
-        "SELECT percentile(q, 0.5) FROM t"
+        "SELECT CAST(percentile(q, 0.5) AS FLOAT) FROM t"
     )
     eng = Engine(spark=spark, sf_dir=sf_dir)
     assert eng.sql("SELECT histogram(r_regionkey) AS h FROM region").head().h == "0, 1, 2, 3, 4"

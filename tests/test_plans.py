@@ -295,3 +295,38 @@ def test_mixture_sample_single_scan_pruned(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
     cols = scan_read_schema(df)
     assert set(cols) == {"doc_id", "source", "n_chars"}, cols
+
+
+def test_iceberg_mor_deletes_are_broadcast_anti_joins(spark, sf_dir):
+    """v2 merge-on-read: both delete flavors must apply as BROADCAST anti
+    joins against the data scan (delete files are small by design —
+    reference IcebergScanPlanner.java builds the same ANTI JOIN shape),
+    with no shuffle of the fact side and no cartesian product."""
+    from hopspark.operators.iceberg_queries import iceberg_v2_mor_read
+
+    df = iceberg_v2_mor_read(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert plan.count("LeftAnti") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "LeftAnti" in plan
+
+
+def test_tpcds_q67_rollup_rank_uses_group_limit(spark, sf_dir):
+    """row_number<=3 over the rollup output should plan as a
+    WindowGroupLimit — the rollup Expand feeds a bounded top-n, not a full
+    per-partition sort of everything."""
+    from hopspark.operators.tpcds_patterns3 import tpcds_q67_rollup_rank_topn
+
+    df = tpcds_q67_rollup_rank_topn(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Expand" in plan, plan
+
+
+def test_tpcds_q46_broadcasts_nation_no_cartesian(spark, sf_dir):
+    from hopspark.operators.tpcds_patterns3 import tpcds_q46_nation_mismatch
+
+    df = tpcds_q46_nation_mismatch(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
