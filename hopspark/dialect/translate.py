@@ -966,6 +966,32 @@ def _rewrite_byte_semantics(toks: list[Tok]) -> list[Tok]:
                 toks.insert(comma1, Tok("op", ", 'utf-8')"))
                 toks.insert(j + 1, Tok("word", "substring(encode("))
                 toks[i] = Tok("word", "cast")
+        elif name in ("strleft", "left", "strright", "right"):
+            # strleft/strright (and their left/right aliases) take BYTE
+            # counts under UTF8_MODE=false (string-functions-ir.cc Left/
+            # Right over the raw byte buffer) — slice the encoded bytes
+            # like the substr form above. n <= 0 yields the empty string.
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                s = untokenize(toks[args[0][0] : args[0][1]]).strip()
+                n = untokenize(toks[args[1][0] : args[1][1]]).strip()
+                if name in ("strleft", "left"):
+                    new_sql = (
+                        f"CAST(substring(encode({s}, 'utf-8'), 1, {n}) "
+                        "AS STRING)"
+                    )
+                else:
+                    new_sql = (
+                        f"CAST(IF(({n}) <= 0, encode('', 'utf-8'), "
+                        f"substring(encode({s}, 'utf-8'), -({n}))) AS STRING)"
+                    )
+                new_toks = tokenize(new_sql)
+                toks[i : close + 1] = new_toks
+                # skip past the splice: this pass must not re-rewrite the
+                # substring() it just emitted (double-encode)
+                i += len(new_toks)
+                continue
         i += 1
     return toks
 

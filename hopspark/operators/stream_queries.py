@@ -160,7 +160,104 @@ ORDER BY user_id, session_no
 """
 
 
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup — `dropDuplicates` over the key columns with
+    the dedup state in the streaming state store, run to completion and
+    returned as the surviving key set. The LLM-pipeline dedup operators
+    (operators/dedup.py) in continuous-ingestion form: first occurrence
+    wins, every later duplicate is dropped in-flight.
+
+    Scale note: keyed-only dropDuplicates holds one state row per distinct
+    key forever — right for bounded backfill; an unbounded 100 TB/day feed
+    uses `dropDuplicatesWithinWatermark` so keys age out with the
+    watermark (documented trade-off: dedup guarantee then only spans the
+    watermark horizon). Output = just the keys, so which physical row
+    survived never affects the result."""
+    from hopspark.streaming.windows import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    deduped = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    qname = "hopspark_stream_dedup_keys"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).orderBy("user_id", "event_type")
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+"""
+
+
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: each view joined to the same user's
+    purchases within the following hour — both sides watermarked so the
+    join state is bounded by the interval + watermark, the canonical
+    Structured Streaming attribution join. Run to completion; the same
+    pairs a batch range-join produces, so the DuckDB oracle is exact."""
+    from hopspark.streaming.windows import stream_events
+
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("buyer_id"), F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = views.join(
+        buys,
+        F.expr(
+            "user_id = buyer_id AND "
+            "buy_ts >= view_ts AND buy_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("user_id", "view_ts", "buy_ts")
+    qname = "hopspark_stream_vp_join"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).orderBy("user_id", "view_ts", "buy_ts")
+
+
+STREAMING_VP_JOIN_SQL = """
+SELECT v.user_id, v.ts AS view_ts, p.ts AS buy_ts
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY v.user_id, view_ts, buy_ts
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "streaming_hourly_rollup": (streaming_hourly_rollup, STREAMING_HOURLY_SQL),
     "streaming_sessionize": (streaming_sessionize, STREAMING_SESSIONIZE_SQL),
+    "streaming_dedup_keys": (streaming_dedup_keys, STREAMING_DEDUP_SQL),
+    "streaming_view_purchase_join": (
+        streaming_view_purchase_join,
+        STREAMING_VP_JOIN_SQL,
+    ),
 }

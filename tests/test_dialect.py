@@ -12,7 +12,14 @@ def test_passthrough_untouched():
 
 def test_function_renames():
     assert translate("SELECT ndv(x) FROM t") == "SELECT approx_count_distinct(x) FROM t"
-    assert translate("SELECT strleft(s, 3) FROM t") == "SELECT left(s, 3) FROM t"
+    # byte-mode default: strleft slices BYTES (translate.py byte-semantics
+    # pass); with utf8_mode on it renames to the char-native left()
+    assert translate("SELECT strleft(s, 3) FROM t") == (
+        "SELECT CAST(substring(encode(s, 'utf-8'), 1, 3) AS STRING) FROM t"
+    )
+    assert translate(
+        "SELECT strleft(s, 3) FROM t", options={"utf8_mode": True}
+    ) == "SELECT left(s, 3) FROM t"
     assert translate("SELECT lcase(s) FROM t") == "SELECT lower(s) FROM t"
 
 

@@ -105,7 +105,7 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "find_in_set": ("native", "find_in_set('b', 'a,b,c')", ""),
     "initcap": ("native", "initcap('hello world')", ""),
     "instr": ("rewritten", "instr('foobarbar', 'bar', -3, 2)", "2-arg native; 3/4-arg → instr4 kernel (pos/occ, negative pos)"),
-    "left": ("native", "left('impala', 3)", ""),
+    "left": ("rewritten", "left('impala', 3)", "byte-count slice under UTF8_MODE=false (alias of strleft)"),
     "length": ("native", "length('héllo')", "UTF-8 chars"),
     "levenshtein": ("native", "levenshtein('abc', 'abd')", ""),
     "locate": ("native", "locate('b', 'abcb', 3)", "2- and 3-arg"),
@@ -117,13 +117,13 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "repeat": ("native", "repeat('ab', 3)", ""),
     "replace": ("native", "replace('aaa', 'a', 'b')", ""),
     "reverse": ("native", "reverse('abc')", ""),
-    "right": ("native", "right('impala', 3)", ""),
+    "right": ("rewritten", "right('impala', 3)", "byte-count slice under UTF8_MODE=false (alias of strright)"),
     "rpad": ("native", "rpad('7', 3, '0')", ""),
     "rtrim": ("native", "rtrim('x  ')", ""),
     "space": ("native", "length(space(3))", ""),
     "split_part": ("native", "split_part('a|b|c', '|', -1)", "negative index counts from end"),
-    "strleft": ("renamed", "strleft('impala', 3)", "→ left"),
-    "strright": ("renamed", "strright('impala', 3)", "→ right"),
+    "strleft": ("rewritten", "strleft('impala', 3)", "BYTE-count prefix under UTF8_MODE=false (encode→substring→cast, string-functions-ir.cc Left)"),
+    "strright": ("rewritten", "strright('impala', 3)", "BYTE-count suffix under UTF8_MODE=false (encode→substring→cast, string-functions-ir.cc Right)"),
     "substr": ("native", "substr('hello', 2, 3)", ""),
     "substring": ("native", "substring('hello', 2, 3)", ""),
     "translate": ("native", "translate('abcba', 'ab', 'xy')", ""),
