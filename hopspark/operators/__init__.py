@@ -33,6 +33,7 @@ _MODULES = (
     "tpcds_patterns",
     "tpcds_patterns2",
     "tpcds_patterns3",
+    "tpcds_patterns4",
     "pipeline",
     "quality",
     "mixture",
@@ -59,7 +60,6 @@ CURATED_FIRST = (
     # Joins / set ops / sorts (§2.4, §2.7, §2.8).
     "join_full_outer",
     "join_null_aware_anti_not_in",
-    "setop_intersect",
     "setop_except",
     "sort_nulls_ordering",
     # Aggregation (§2.5).
@@ -108,6 +108,7 @@ CURATED_FIRST = (
     "tpcds_q36_margin_rollup_rank",
     "tpcds_q33_manufacturer_union",
     "tpcds_q67_rollup_rank_topn",
+    "tpcds_q19_disjunctive_bands",
     # Iceberg table format (v2 merge-on-read).
     "iceberg_v2_mor_read",
     # Pipeline / quality / mixture / streaming extensions.

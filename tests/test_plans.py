@@ -330,3 +330,48 @@ def test_tpcds_q46_broadcasts_nation_no_cartesian(spark, sf_dir):
     plan = explain_formatted(df)
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_table(spark, sf_dir, tmp_path):
+    """Hive-layout partitioned fact table joined to a filtered dim must
+    plan a dynamicpruning subquery on the partition column — the Spark
+    analogue of the reference's runtime partition pruning
+    (RuntimeFilterGenerator.java:105-119 partition-column filters;
+    HdfsPartitionPruner static pruning is the planning-time half). At
+    100 TB this is the difference between scanning one partition and all
+    of them."""
+    from hopspark.sources.io import write_partitioned
+
+    orders = read_table(spark, "orders", sf_dir)
+    path = str(tmp_path / "orders_part")
+    write_partitioned(orders, path, partition_by=["o_orderpriority"])
+
+    fact = spark.read.parquet(path)
+
+    # (a) literal dim filter on the partition key: Catalyst propagates it
+    # STATICALLY through the join (InferFiltersFromConstraints) — the
+    # pruning happens at plan time, before any runtime filter is needed
+    lit_dim = (
+        read_table(spark, "orders", sf_dir)
+        .select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    )
+    static_plan = explain_formatted(
+        fact.join(lit_dim, "o_orderpriority").groupBy("o_orderpriority").count()
+    )
+    assert "PartitionFilters: [(o_orderpriority" in static_plan, static_plan
+
+    # (b) runtime-only dim filter (qualifying priorities known only after
+    # an aggregation): the scan must carry a dynamicpruning subquery
+    rt_dim = (
+        read_table(spark, "orders", sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 2)
+        .select("o_orderpriority")
+    )
+    dynamic_plan = explain_formatted(
+        fact.join(rt_dim, "o_orderpriority").agg(F.count(F.lit(1)))
+    )
+    assert "dynamicpruning" in dynamic_plan.lower(), dynamic_plan
