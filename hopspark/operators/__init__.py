@@ -34,6 +34,7 @@ _MODULES = (
     "tpcds_patterns2",
     "tpcds_patterns3",
     "tpcds_patterns4",
+    "tpcds_patterns5",
     "pipeline",
     "quality",
     "mixture",
@@ -97,7 +98,6 @@ CURATED_FIRST = (
     # Curation.
     "pack_sequences",
     "text_contamination",
-    "events_gapfill_downsample",
     # Multimodal.
     "mm_payload_dedup",
     "mm_decode_image",
@@ -109,6 +109,7 @@ CURATED_FIRST = (
     "tpcds_q33_manufacturer_union",
     "tpcds_q67_rollup_rank_topn",
     "tpcds_q19_disjunctive_bands",
+    "tpcds_q57_rolling_window",
     # Iceberg table format (v2 merge-on-read).
     "iceberg_v2_mor_read",
     # Pipeline / quality / mixture / streaming extensions.
