@@ -383,7 +383,10 @@ def graph_pagerank_bipartite(
     edges = eo.union(eo.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # edge ⋈ degree is iteration-invariant: materialize once, reuse 3×.
-    src = edges.join(deg, "u").localCheckpoint(eager=False)
+    # Eager checkpoint (like connected_components): lazy local checkpoints
+    # materialize at first action and interacted badly with AQE/block-manager
+    # state in the r3 driver environment (the one nonreproducible red row).
+    src = edges.join(deg, "u").localCheckpoint(eager=True)
     ncnt = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = deg.crossJoin(ncnt).select(
         "u", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r")
@@ -398,10 +401,14 @@ def graph_pagerank_bipartite(
             .groupBy("u")
             .agg(F.sum("c").alias("c"))
         )
+        # No per-iteration checkpoint: at a fixed 3 iterations the plan depth
+        # is trivial, and lazy checkpoints were the r3 flake suspect. For an
+        # unbounded-iteration variant, cut lineage with eager localCheckpoint
+        # every K iterations (see connected_components).
         ranks = contrib.crossJoin(ncnt).select(
             "u",
             F.expr(f"CAST({15 * PR_SCALE} AS BIGINT) div (100 * n) + c").alias("r"),
-        ).localCheckpoint(eager=False)
+        )
     return (
         ranks.select(
             F.when(F.col("u") % 2 == 0, F.lit("customer"))

@@ -326,13 +326,20 @@ def nested_from_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure THROUGH the nested columns — the on-disk complextypestbl
     analogue the round-2 verdict asked to put under the gate.  The oracle
     recomputes the same measures from the flat tables, so a wrong nested
-    write/read/access path cannot cancel out."""
-    import hashlib
+    write/read/access path cannot cancel out.
+
+    The fixture directory is a fresh ``mkdtemp()`` per invocation (cleaned
+    at process exit): a stable shared /tmp path keyed by sf_dir — the
+    round-3 design — let a concurrent gate process or leftover writer
+    change what the explicit-schema read returned (the r3 driver-red)."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"hopspark_nested_fixture_{tag}")
+    base = tempfile.mkdtemp(prefix="hopspark_nested_fixture_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "data")
     nested_orders_table(spark, sf_dir).write.mode("overwrite").parquet(path)
 
     t = spark.read.schema(NESTED_FIXTURE_SCHEMA).parquet(path)

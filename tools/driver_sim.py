@@ -3,7 +3,10 @@ DuckDB oracle side-by-side at a given SF, compare row count, sorted-column
 schema, and a rounded-value hash — the same checks CORRECTNESS_r{N}.json
 records.
 
-Usage: PYTHONPATH=. python tools/driver_sim.py [sf_dir]
+Usage: PYTHONPATH=. python tools/driver_sim.py [sf_dir] [--first N] [--out PATH]
+
+``--first N`` limits the run to the first N registry entries — the driver's
+gate checks exactly the first 50, so ``--first 50`` reproduces its scope.
 """
 
 from __future__ import annotations
@@ -34,7 +37,18 @@ def _norm(rows, cols):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    first = None
+    out_path = "/tmp/driver_sim.json"
+    if "--first" in args:
+        i = args.index("--first")
+        first = int(args[i + 1])
+        del args[i : i + 2]
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
     from hopspark.operators import all_queries
@@ -49,7 +63,14 @@ def main() -> None:
 
     results = {}
     fails = []
-    for name, (fn, sql) in sorted(all_queries().items()):
+    items = list(all_queries().items())
+    if first is not None:
+        # Gate scope: the driver checks the first N in REGISTRY order
+        # (CURATED_FIRST leads), not alphabetical.
+        items = items[:first]
+    else:
+        items = sorted(items)
+    for name, (fn, sql) in items:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -85,8 +106,9 @@ def main() -> None:
         f"\n{len(results)} queries, {n_oracle} oracle-checked, "
         f"{len(fails)} failing: {fails}"
     )
-    with open("/tmp/driver_sim.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
+    sys.exit(1 if fails else 0)
 
 
 if __name__ == "__main__":
