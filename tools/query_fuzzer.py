@@ -1,0 +1,558 @@
+"""Randomized differential tester: seeded random SELECTs over the driver
+tables, executed on BOTH Spark and DuckDB, value-hash-compared with the same
+discipline as the driver's correctness gate.
+
+This is the analogue of the reference's random query generator + discrepancy
+searcher (apache-impala-4.1.0 `tests/comparison/query_generator.py`,
+`discrepancy_searcher.py`, `data_generator.py`, which fuzz Impala against
+Postgres/Oracle) — the tool most likely to catch the next float/decimal/null
+divergence before the driver gate does.
+
+Determinism discipline (what makes a random query hash-comparable):
+- rows are compared as a sorted multiset, so ORDER BY never matters except
+  under LIMIT — LIMIT is only emitted when the ORDER BY covers every output
+  column (ties are then identical tuples, so any tie-break yields the same
+  multiset);
+- SUM/AVG accumulate integers only (double columns go through FLOOR→BIGINT;
+  raw double accumulation is order-dependent across engines);
+- no division without NULLIF (DuckDB errors on /0, Spark yields NULL);
+- window functions order by a unique key within the partition.
+
+Usage:
+  PYTHONPATH=. python tools/query_fuzzer.py [--seeds N] [--start S] [--sf DIR]
+Prints one line per divergence with the full repro SQL; exits nonzero if any.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+# ---------------------------------------------------------------------------
+# Table metadata: column kinds + unique key + FK join graph.
+# ---------------------------------------------------------------------------
+
+TABLES: dict[str, dict] = {
+    "region": {
+        "cols": {"r_regionkey": "int", "r_name": "str"},
+        "key": ["r_regionkey"],
+    },
+    "nation": {
+        "cols": {"n_nationkey": "int", "n_name": "str", "n_regionkey": "int"},
+        "key": ["n_nationkey"],
+    },
+    "customer": {
+        "cols": {
+            "c_custkey": "int",
+            "c_name": "str",
+            "c_nationkey": "int",
+            "c_acctbal": "double",
+            "c_mktsegment": "str",
+        },
+        "key": ["c_custkey"],
+    },
+    "supplier": {
+        "cols": {
+            "s_suppkey": "int",
+            "s_name": "str",
+            "s_nationkey": "int",
+            "s_acctbal": "double",
+        },
+        "key": ["s_suppkey"],
+    },
+    "part": {
+        "cols": {
+            "p_partkey": "int",
+            "p_name": "str",
+            "p_brand": "str",
+            "p_type": "str",
+            "p_size": "int",
+            "p_retailprice": "double",
+        },
+        "key": ["p_partkey"],
+    },
+    "orders": {
+        "cols": {
+            "o_orderkey": "int",
+            "o_custkey": "int",
+            "o_orderstatus": "str",
+            "o_totalprice": "double",
+            "o_orderdate": "ts",
+            "o_orderpriority": "str",
+        },
+        "key": ["o_orderkey"],
+    },
+    "lineitem": {
+        "cols": {
+            "l_orderkey": "int",
+            "l_partkey": "int",
+            "l_suppkey": "int",
+            "l_linenumber": "int",
+            "l_quantity": "double",
+            "l_extendedprice": "double",
+            "l_discount": "double",
+            "l_tax": "double",
+            "l_returnflag": "str",
+            "l_linestatus": "str",
+            "l_shipdate": "ts",
+        },
+        "key": ["l_orderkey", "l_linenumber"],
+    },
+    "events": {
+        "cols": {
+            "event_id": "int",
+            "ts": "ts",
+            "user_id": "int",
+            "event_type": "str",
+            "value": "double",
+        },
+        "key": ["event_id"],
+    },
+    "documents": {
+        "cols": {
+            "doc_id": "int",
+            "lang": "str",
+            "source": "str",
+            "n_chars": "int",
+        },
+        "key": ["doc_id"],
+    },
+}
+
+#: (left_table, right_table, left_col, right_col) — FK edges for join chains.
+JOIN_GRAPH = [
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+]
+
+STR_LITS = ["a", "e", "r", "o", "BUILDING", "N", "F", "O", "A", "R", "P"]
+TS_LITS = [
+    "1993-06-01 00:00:00",
+    "1995-01-01 00:00:00",
+    "1996-07-15 00:00:00",
+    "1997-12-31 00:00:00",
+]
+
+
+class Gen:
+    """One seeded random query. `sql` is valid in both Spark SQL and DuckDB."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
+        self.seed = seed
+
+    # -- scoped helpers ----------------------------------------------------
+
+    def _cols_of_kind(self, scope, kind):
+        return [
+            f"{alias}.{c}"
+            for alias, tbl in scope
+            for c, k in TABLES[tbl]["cols"].items()
+            if k == kind
+        ]
+
+    def int_expr(self, scope, depth=0):
+        r = self.rng
+        cols = self._cols_of_kind(scope, "int")
+        choices = ["col", "col", "col", "const"]
+        if depth < 2:
+            choices += ["arith", "case", "floor_double", "length", "nullif"]
+        kind = r.choice(choices)
+        if kind == "col" and cols:
+            return r.choice(cols)
+        if kind == "arith" and cols:
+            op = r.choice(["+", "-", "%"])
+            if op == "%":
+                return f"({r.choice(cols)} % {r.randint(2, 13)})"
+            return f"({self.int_expr(scope, depth + 1)} {op} {r.randint(1, 50)})"
+        if kind == "case":
+            return (
+                f"(CASE WHEN {self.pred(scope, depth + 1)} "
+                f"THEN {self.int_expr(scope, depth + 1)} "
+                f"ELSE {r.randint(0, 9)} END)"
+            )
+        if kind == "floor_double":
+            dcols = self._cols_of_kind(scope, "double")
+            if dcols:
+                return f"CAST(FLOOR({r.choice(dcols)}) AS BIGINT)"
+        if kind == "length":
+            scols = self._cols_of_kind(scope, "str")
+            if scols:
+                return f"LENGTH({r.choice(scols)})"
+        if kind == "nullif" and cols:
+            c = r.choice(cols)
+            return f"NULLIF({c}, {r.randint(0, 20)})"
+        return str(r.randint(0, 100))
+
+    def str_expr(self, scope, depth=0):
+        r = self.rng
+        cols = self._cols_of_kind(scope, "str")
+        if not cols:
+            return f"'{r.choice(STR_LITS)}'"
+        c = r.choice(cols)
+        kind = r.choice(["col", "col", "upper", "substr", "concat", "case"])
+        if kind == "upper":
+            return f"{r.choice(['UPPER', 'LOWER'])}({c})"
+        if kind == "substr":
+            return f"SUBSTR({c}, {r.randint(1, 3)}, {r.randint(1, 6)})"
+        if kind == "concat":
+            return f"CONCAT({c}, '_', {r.choice(cols)})"
+        if kind == "case" and depth < 2:
+            return (
+                f"(CASE WHEN {self.pred(scope, depth + 1)} THEN {c} "
+                f"ELSE '{r.choice(STR_LITS)}' END)"
+            )
+        return c
+
+    def pred(self, scope, depth=0):
+        r = self.rng
+        kind = r.choice(
+            ["cmp_int", "cmp_str", "in_str", "like", "between", "null",
+             "cmp_ts", "bool"] + (["and_or"] * (2 if depth < 2 else 0))
+        )
+        if kind == "and_or":
+            op = r.choice(["AND", "OR"])
+            a = self.pred(scope, depth + 1)
+            b = self.pred(scope, depth + 1)
+            neg = "NOT " if r.random() < 0.2 else ""
+            return f"{neg}({a} {op} {b})"
+        if kind == "cmp_int":
+            op = r.choice(["<", "<=", ">", ">=", "=", "<>"])
+            return f"{self.int_expr(scope, depth + 1)} {op} {r.randint(0, 500)}"
+        if kind == "cmp_str":
+            op = r.choice(["<", ">", "=", "<>"])
+            return f"{self.str_expr(scope, depth + 1)} {op} '{r.choice(STR_LITS)}'"
+        if kind == "in_str":
+            scols = self._cols_of_kind(scope, "str")
+            if scols:
+                lits = ", ".join(
+                    f"'{x}'" for x in r.sample(STR_LITS, r.randint(1, 4))
+                )
+                neg = "NOT " if r.random() < 0.3 else ""
+                return f"{r.choice(scols)} {neg}IN ({lits})"
+        if kind == "like":
+            scols = self._cols_of_kind(scope, "str")
+            if scols:
+                pat = r.choice(["%a%", "%e%", "B%", "%r", "%o%", "_a%"])
+                return f"{r.choice(scols)} LIKE '{pat}'"
+        if kind == "between":
+            return (
+                f"{self.int_expr(scope, depth + 1)} BETWEEN "
+                f"{r.randint(0, 50)} AND {r.randint(51, 400)}"
+            )
+        if kind == "null":
+            neg = r.choice(["", " NOT"])
+            return f"NULLIF({self.int_expr(scope, depth + 1)}, " \
+                   f"{r.randint(0, 9)}) IS{neg} NULL"
+        if kind == "cmp_ts":
+            tcols = self._cols_of_kind(scope, "ts")
+            if tcols:
+                c = r.choice(tcols)
+                if r.random() < 0.5:
+                    return (
+                        f"{c} {r.choice(['<', '>='])} "
+                        f"TIMESTAMP '{r.choice(TS_LITS)}'"
+                    )
+                return (
+                    f"EXTRACT(YEAR FROM {c}) % {r.randint(2, 4)} "
+                    f"= {r.randint(0, 1)}"
+                )
+        return f"{self.int_expr(scope, depth + 1)} > {r.randint(0, 200)}"
+
+    # -- FROM clause -------------------------------------------------------
+
+    def from_clause(self):
+        """Random 1-3 table join chain along the FK graph."""
+        r = self.rng
+        n_tables = r.choice([1, 1, 2, 2, 2, 3])
+        base = r.choice(list(TABLES))
+        scope = [("t0", base)]
+        sql = f"{base} t0"
+        for _ in range(n_tables - 1):
+            edges = [
+                e for e in JOIN_GRAPH
+                if any(t == e[0] for _, t in scope)
+                and all(t != e[1] for _, t in scope)
+            ]
+            # also allow walking an edge backwards (dim → fact is skipped:
+            # fact tables only ever appear as the base/left side)
+            if not edges:
+                break
+            e = r.choice(edges)
+            left_alias = next(a for a, t in scope if t == e[0])
+            alias = f"t{len(scope)}"
+            jt = r.choice(["JOIN", "JOIN", "LEFT JOIN"])
+            sql += (
+                f" {jt} {e[1]} {alias} "
+                f"ON {left_alias}.{e[2]} = {alias}.{e[3]}"
+            )
+            scope.append((alias, e[1]))
+        return sql, scope
+
+    # -- query templates ---------------------------------------------------
+
+    def gen(self) -> str:
+        r = self.rng
+        kind = r.choice(
+            ["proj", "agg", "agg", "window", "setop", "subq", "exists"]
+        )
+        return getattr(self, f"q_{kind}")()
+
+    def q_proj(self) -> str:
+        r = self.rng
+        frm, scope = self.from_clause()
+        n = r.randint(2, 5)
+        exprs = []
+        for i in range(n):
+            e = r.choice([self.int_expr, self.str_expr])(scope)
+            exprs.append(f"{e} AS c{i}")
+        sql = f"SELECT {', '.join(exprs)} FROM {frm}"
+        if r.random() < 0.8:
+            sql += f" WHERE {self.pred(scope)}"
+        if r.random() < 0.4:
+            # LIMIT needs a total order over the full output row
+            order = ", ".join(
+                f"c{i} {r.choice(['ASC', 'DESC'])} "
+                f"{r.choice(['NULLS FIRST', 'NULLS LAST'])}"
+                for i in range(n)
+            )
+            sql += f" ORDER BY {order} LIMIT {r.randint(1, 40)}"
+        return sql
+
+    def _agg_exprs(self, scope, n):
+        r = self.rng
+        out = []
+        for i in range(n):
+            a = r.choice(["count", "count", "sum", "avg", "min", "max", "cd"])
+            if a == "count":
+                out.append(f"COUNT(*) AS a{i}")
+            elif a == "cd":
+                e = r.choice([self.int_expr, self.str_expr])(scope)
+                out.append(f"COUNT(DISTINCT {e}) AS a{i}")
+            elif a == "sum":
+                out.append(f"SUM({self.int_expr(scope)}) AS a{i}")
+            elif a == "avg":
+                out.append(
+                    f"CAST(AVG({self.int_expr(scope)}) AS DOUBLE) AS a{i}"
+                )
+            else:
+                f_ = a.upper()
+                e = r.choice(
+                    [self.int_expr, self.str_expr]
+                )(scope)
+                out.append(f"{f_}({e}) AS a{i}")
+        return out
+
+    def q_agg(self) -> str:
+        r = self.rng
+        frm, scope = self.from_clause()
+        n_keys = r.randint(1, 2)
+        keys = []
+        for _ in range(n_keys):
+            k = r.choice([self.str_expr, self.int_expr])(scope)
+            if k.isdigit():
+                # a bare integer literal in GROUP BY is an ORDINAL in both
+                # engines — wrap it so it stays a constant expression
+                k = f"({k} + 0)"
+            keys.append(k)
+        key_sel = [f"{k} AS g{i}" for i, k in enumerate(keys)]
+        aggs = self._agg_exprs(scope, r.randint(1, 3))
+        sql = (
+            f"SELECT {', '.join(key_sel + aggs)} FROM {frm}"
+        )
+        if r.random() < 0.6:
+            sql += f" WHERE {self.pred(scope)}"
+        sql += f" GROUP BY {', '.join(keys)}"
+        if r.random() < 0.3:
+            sql += f" HAVING COUNT(*) > {r.randint(0, 3)}"
+        return sql
+
+    def q_window(self) -> str:
+        r = self.rng
+        tbl = r.choice(list(TABLES))
+        scope = [("t0", tbl)]
+        key = TABLES[tbl]["key"]
+        key_cols = ", ".join(f"t0.{k}" for k in key)
+        part = r.choice(
+            self._cols_of_kind(scope, "str")
+            or self._cols_of_kind(scope, "int")
+        )
+        wf = r.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+        # rank on a unique key is deterministic; also exercise running sums
+        osort = key_cols
+        inner_cols = [f"t0.{k} AS k{i}" for i, k in enumerate(key)]
+        extra = ""
+        if r.random() < 0.5:
+            extra = (
+                f", SUM({self.int_expr(scope)}) OVER (PARTITION BY {part} "
+                f"ORDER BY {osort} ROWS BETWEEN {r.randint(1, 5)} PRECEDING "
+                f"AND CURRENT ROW) AS c_run"
+            )
+        sql = (
+            f"SELECT {', '.join(inner_cols)}, {part} AS c_part, "
+            f"{wf} OVER (PARTITION BY {part} ORDER BY {osort}) AS c_rn"
+            f"{extra} FROM {tbl} t0"
+        )
+        if r.random() < 0.5:
+            sql += f" WHERE {self.pred(scope)}"
+        outer = f"SELECT * FROM ({sql}) w WHERE c_rn <= {r.randint(1, 8)}"
+        return outer
+
+    def q_setop(self) -> str:
+        r = self.rng
+        tbl = r.choice(list(TABLES))
+        scope = [("t0", tbl)]
+        n = r.randint(1, 3)
+        exprs = [
+            f"{r.choice([self.int_expr, self.str_expr])(scope)} AS c{i}"
+            for i in range(n)
+        ]
+        sel = f"SELECT {', '.join(exprs)} FROM {tbl} t0"
+        op = r.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+        a = f"{sel} WHERE {self.pred(scope)}"
+        b = f"{sel} WHERE {self.pred(scope)}"
+        return f"{a} {op} {b}"
+
+    def q_subq(self) -> str:
+        r = self.rng
+        tbl = r.choice(list(TABLES))
+        scope = [("t0", tbl)]
+        icols = self._cols_of_kind(scope, "int")
+        c = r.choice(icols)
+        inner_agg = r.choice(["AVG", "MIN", "MAX"])
+        n = r.randint(1, 3)
+        exprs = [
+            f"{r.choice([self.int_expr, self.str_expr])(scope)} AS c{i}"
+            for i in range(n)
+        ]
+        sql = (
+            f"SELECT {', '.join(exprs)} FROM {tbl} t0 "
+            f"WHERE {c} {r.choice(['>', '<='])} "
+            f"(SELECT {inner_agg}({c.split('.')[1]}) FROM {tbl})"
+        )
+        if r.random() < 0.5:
+            sql += f" AND {self.pred(scope)}"
+        return sql
+
+    def q_exists(self) -> str:
+        r = self.rng
+        e = r.choice(JOIN_GRAPH)
+        # EXISTS from the dim side into the fact side (correlated)
+        outer_tbl, outer_col, inner_tbl, inner_col = e[1], e[3], e[0], e[2]
+        scope_o = [("t0", outer_tbl)]
+        scope_i = [("s0", inner_tbl)]
+        n = r.randint(1, 3)
+        exprs = [
+            f"{r.choice([self.int_expr, self.str_expr])(scope_o)} AS c{i}"
+            for i in range(n)
+        ]
+        neg = "NOT " if r.random() < 0.4 else ""
+        sql = (
+            f"SELECT {', '.join(exprs)} FROM {outer_tbl} t0 "
+            f"WHERE {neg}EXISTS (SELECT 1 FROM {inner_tbl} s0 "
+            f"WHERE s0.{inner_col} = t0.{outer_col} "
+            f"AND {self.pred(scope_i)})"
+        )
+        return sql
+
+
+def gen_query(seed: int) -> str:
+    return Gen(seed).gen()
+
+
+# ---------------------------------------------------------------------------
+# Differential runner
+# ---------------------------------------------------------------------------
+
+
+def _norm(rows, cols):
+    idx = [cols.index(c) for c in sorted(cols)]
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def run_differential(spark, con, seed: int) -> tuple[bool, str, str]:
+    """Returns (ok, sql, detail)."""
+    sql = gen_query(seed)
+    try:
+        sdf = spark.sql(sql)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as exc:  # noqa: BLE001
+        return False, sql, f"spark error: {type(exc).__name__}: {exc}"[:400]
+    try:
+        ores = con.sql(sql)
+        ocols = list(ores.columns)
+        orows = ores.fetchall()
+    except Exception as exc:  # noqa: BLE001
+        return False, sql, f"duckdb error: {type(exc).__name__}: {exc}"[:400]
+    if sorted(scols) != sorted(ocols):
+        return False, sql, f"schema: spark={scols} duckdb={ocols}"
+    if len(srows) != len(orows):
+        return False, sql, f"rows: spark={len(srows)} duckdb={len(orows)}"
+    sn, on = _norm(srows, scols), _norm(orows, ocols)
+    if sn != on:
+        diff = next(
+            (i, a, b) for i, (a, b) in enumerate(zip(sn, on)) if a != b
+        )
+        return False, sql, f"hash: first diff at row {diff[0]}: " \
+                           f"spark={diff[1]} duckdb={diff[2]}"
+    return True, sql, f"ok ({len(srows)} rows)"
+
+
+def register_views(spark, con, sf_dir: str) -> None:
+    for t in TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    n_seeds, start, sf_dir = 300, 0, "/root/testdata/sf0.001"
+    if "--seeds" in args:
+        n_seeds = int(args[args.index("--seeds") + 1])
+    if "--start" in args:
+        start = int(args[args.index("--start") + 1])
+    if "--sf" in args:
+        sf_dir = args[args.index("--sf") + 1]
+
+    import duckdb
+
+    from hopspark.session import get_spark
+
+    spark = get_spark(app_name="query-fuzzer")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    register_views(spark, con, sf_dir)
+
+    fails = []
+    for seed in range(start, start + n_seeds):
+        ok, sql, detail = run_differential(spark, con, seed)
+        if not ok:
+            fails.append(seed)
+            print(f"--- seed {seed}: {detail}\n{sql}\n", flush=True)
+        elif seed % 50 == 0:
+            print(f"seed {seed}: {detail}", flush=True)
+
+    print(f"\n{n_seeds} seeds, {len(fails)} divergent: {fails}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
