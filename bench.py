@@ -7,6 +7,11 @@ Mirrors the reference's per-query perf reporting
 (tests/performance/query.py:28-66 and bin/single_node_perf_run.py in the
 reference tree): each query timed end-to-end including result fetch
 (collect), after a session-warmup query that amortizes JVM/codegen startup.
+
+Each query is run $SPARK_GRAFT_BENCH_RUNS times (default 2) and the MIN is
+reported — single-shot timing drifted ±5-30% round-over-round from session
+variance alone (round-3 verdict item), the same discipline tools/mor_probe.py
+already uses.
 """
 
 from __future__ import annotations
@@ -89,12 +94,16 @@ def main() -> None:
     # Warmup: exercise scan + shuffle + codegen paths once.
     registry["tpch_q1_pricing_summary"][0](spark, SF_DIR).collect()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = registry[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

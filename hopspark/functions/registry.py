@@ -365,6 +365,46 @@ for _u, _unit in _INTERVAL_UNITS.items():
         "TIMESTAMP",
         f"timestampadd({_unit}, -n, t)",
     )
+# DataSketches theta intersect / A-not-B — the two set operations HLL
+# cannot express (reference datasketches-functions-ir.cc DsThetaExclude /
+# DsThetaIntersectFinalize). They operate on KMV array sketches — the
+# representation operators/sketches.py builds (k smallest distinct values
+# of xxhash64>>>1, ascending; see that module's header) — and return the
+# terminal ESTIMATE as DOUBLE: the reference returns a serialized sketch
+# whose only terminal consumer is ds_theta_estimate, so the composition
+# collapses, the same convention as the dialect's ds_kll_* rewrites.
+# Pure Catalyst expressions: filter/array_except/array_intersect, no UDF.
+_THETA_K = 16384  # DEFAULT_K in operators/sketches.py
+_SP = "CAST(9223372036854775808 AS DOUBLE)"  # 2^63 = KMV hash space
+
+
+def _theta_of(v: str) -> str:
+    return (
+        f"(CASE WHEN size({v}) < {_THETA_K} THEN CAST(1.0 AS DOUBLE) "
+        f"ELSE CAST(element_at({v}, {_THETA_K}) + 1 AS DOUBLE) / {_SP} END)"
+    )
+
+
+_TH = f"least({_theta_of('a')}, {_theta_of('b')})"
+
+
+def _theta_cut(v: str) -> str:
+    return f"filter({v}, h -> CAST(h AS DOUBLE) < {_TH} * {_SP})"
+
+
+_SQL_FUNCTIONS["ds_theta_exclude"] = (
+    "a ARRAY<BIGINT>, b ARRAY<BIGINT>",
+    "DOUBLE",
+    f"CAST(size(array_except({_theta_cut('a')}, {_theta_cut('b')})) AS DOUBLE)"
+    f" / {_TH}",
+)
+_SQL_FUNCTIONS["ds_theta_intersect_f"] = (
+    "a ARRAY<BIGINT>, b ARRAY<BIGINT>",
+    "DOUBLE",
+    f"CAST(size(array_intersect({_theta_cut('a')}, {_theta_cut('b')})) AS DOUBLE)"
+    f" / {_TH}",
+)
+
 _SQL_FUNCTIONS["nanoseconds_add"] = (
     "t TIMESTAMP, n BIGINT",
     "TIMESTAMP",

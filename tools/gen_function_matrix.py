@@ -301,8 +301,8 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "ds_cpc_stringify": ("renamed", "ds_cpc_stringify(ds_cpc_sketch(x)) FROM (SELECT 1 AS x)", "→ hex of sketch bytes"),
     "ds_theta_estimate": ("renamed", "ds_theta_estimate(ds_theta_sketch(x)) FROM (SELECT 1 AS x)", "→ hll estimate in SQL; exact KMV algebra in DataFrame API (operators/sketches.py)"),
     "ds_theta_union_f": ("renamed", "ds_theta_estimate(ds_theta_union_f(ds_theta_sketch(x), ds_theta_sketch(x))) FROM (SELECT 1 AS x)", "→ hll_union scalar"),
-    "ds_theta_intersect_f": ("unsupported", None, "HLL can't intersect; use theta_intersect_estimate (KMV, operators/sketches.py)"),
-    "ds_theta_exclude": ("unsupported", None, "use theta_except_estimate (KMV, operators/sketches.py)"),
+    "ds_theta_intersect_f": ("registered", "ds_theta_intersect_f(slice(array_sort(collect_set(shiftrightunsigned(xxhash64(a),1))),1,16384), slice(array_sort(collect_set(shiftrightunsigned(xxhash64(b),1))),1,16384)) FROM (SELECT explode(array(1,2,3,4)) AS a, 3 AS b)", "KMV array sketches; returns the intersection ESTIMATE (terminal ds_theta_estimate composition collapses, like the ds_kll rewrites)"),
+    "ds_theta_exclude": ("registered", "ds_theta_exclude(slice(array_sort(collect_set(shiftrightunsigned(xxhash64(a),1))),1,16384), slice(array_sort(collect_set(shiftrightunsigned(xxhash64(b),1))),1,16384)) FROM (SELECT explode(array(1,2,3,4)) AS a, 3 AS b)", "KMV array sketches; returns the A-not-B ESTIMATE (exact regime below k=16384)"),
     "ds_kll_quantile": ("rewritten", "ds_kll_quantile(ds_kll_sketch(x), 0.5) FROM (SELECT 1 AS x)", "composition → percentile"),
     "ds_kll_n": ("rewritten", "ds_kll_n(ds_kll_sketch(CAST(2 AS FLOAT)))", "sketch composition collapses to count(x)"),
     "ds_kll_rank": ("rewritten", "ds_kll_rank(ds_kll_sketch(CAST(2 AS FLOAT)), 3)", "collapses to exact avg(x < v)"),
@@ -609,6 +609,8 @@ EXPECTED: dict[str, str] = {
     'ds_theta_union_f': '1',
     'ds_kll_quantile': '1.0',
     'ds_kll_n': '1',
+    'ds_theta_exclude': '3.0',
+    'ds_theta_intersect_f': '1.0',
     'ds_kll_rank': '1.0',
     'ds_kll_quantiles_as_string': '1,2.5,4',
     'ds_kll_cdf_as_string': '0.25,0.5,1',
