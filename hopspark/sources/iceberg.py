@@ -256,6 +256,18 @@ def _parquet_files(out_dir: str) -> list[str]:
     ]
 
 
+def _parquet_files_recursive(out_dir: str) -> list[str]:
+    """All parquet files under a (possibly partitionBy-nested) write dir."""
+    out = []
+    for root, dirs, files in os.walk(out_dir):
+        dirs.sort()
+        out.extend(
+            os.path.join(root, f) for f in sorted(files)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
 def _commit_snapshot(
     path: str,
     md: dict,
@@ -385,23 +397,26 @@ def write_iceberg_table(
     snapshot_id = int(time.time() * 1000) * 1000 + len(md["snapshots"])
     snap_dir = os.path.join(data_dir, f"snap-{snapshot_id}")
 
-    # data files: one write per partition tuple (identity invariant)
+    # data files: ONE partitionBy pass over the source (the round-3 writer
+    # scanned the fact frame once per partition tuple plus a driver-side
+    # distinct().collect() — O(partitions) scans).  The partition columns are
+    # duplicated under temp names so Spark's partitionBy consumes the copies
+    # as directories while the ORIGINAL columns stay inside the data files,
+    # as identity-partitioned Iceberg data files require.
     if partition_by:
-        tuples = [tuple(r) for r in df.select(*partition_by).distinct().collect()]
-        groups = []
-        for i, vals in enumerate(sorted(tuples, key=str)):
-            cond = None
-            for c, v in zip(partition_by, vals):
-                p = F.col(c).eqNullSafe(F.lit(v))
-                cond = p if cond is None else cond & p
-            out = os.path.join(snap_dir, f"p{i:04d}")
-            df.filter(cond).write.mode("errorifexists").parquet(out)
-            groups.append((dict(zip(partition_by, vals)), out))
+        staged = df
+        for c in partition_by:
+            staged = staged.withColumn(f"_ice_p_{c}", F.col(c))
+        staged.write.mode("errorifexists").partitionBy(
+            *[f"_ice_p_{c}" for c in partition_by]
+        ).parquet(snap_dir)
     else:
         df.write.mode("errorifexists").parquet(snap_dir)
-        groups = [({}, snap_dir)]
 
-    # one manifest for the snapshot's added files
+    # one manifest for the snapshot's added files; per-file partition values
+    # are recovered TYPED from the first row of each file's retained
+    # partition columns (identity invariant: all rows in a file agree) — a
+    # footer + single-row-group read, no string-unescaping of dir names.
     part_type = _partition_avro_type(schema, partition_by)
     entry_schema = _manifest_entry_schema(part_type, fv)
     seq = md.get("last-sequence-number", 0) + 1 if fv >= 2 else None
@@ -409,23 +424,28 @@ def write_iceberg_table(
     n_rows = 0
     import pyarrow.parquet as pq
 
-    for pvals, out in groups:
-        for fpath in _parquet_files(out):
-            count = pq.ParquetFile(fpath).metadata.num_rows
-            n_rows += count
-            data_file = {
-                "file_path": fpath,
-                "file_format": "PARQUET",
-                "partition": pvals,
-                "record_count": count,
-                "file_size_in_bytes": os.path.getsize(fpath),
-            }
-            if fv >= 2:
-                data_file["content"] = _CONTENT_DATA
-                data_file["equality_ids"] = None
-                entries.append((1, snapshot_id, seq, data_file))
-            else:
-                entries.append((1, snapshot_id, data_file))
+    for fpath in _parquet_files_recursive(snap_dir):
+        pf = pq.ParquetFile(fpath)
+        count = pf.metadata.num_rows
+        n_rows += count
+        if partition_by and count:
+            first = pf.read_row_group(0, columns=partition_by)
+            pvals = {c: first.column(c)[0].as_py() for c in partition_by}
+        else:
+            pvals = {}
+        data_file = {
+            "file_path": fpath,
+            "file_format": "PARQUET",
+            "partition": pvals,
+            "record_count": count,
+            "file_size_in_bytes": os.path.getsize(fpath),
+        }
+        if fv >= 2:
+            data_file["content"] = _CONTENT_DATA
+            data_file["equality_ids"] = None
+            entries.append((1, snapshot_id, seq, data_file))
+        else:
+            entries.append((1, snapshot_id, data_file))
 
     _commit_snapshot(
         path, md, version, entries, entry_schema, snapshot_id, n_rows, "append"
