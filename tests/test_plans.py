@@ -151,6 +151,44 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
 
 
+def test_tpch_q8_q21_bloom_filters_at_scale_shape(spark, sf_dir):
+    """At 100 TB the dimension sides of TPC-H q8/q21 exceed the broadcast
+    threshold and the big joins shuffle — exactly where Impala's runtime
+    bloom filters earn their keep (RuntimeFilterGenerator.java:105-119).
+    Emulate that regime on the REAL q8/q21 plans (broadcast off; the
+    probe-side scan-size threshold scaled from its 10 GB production default
+    down to the local fixture's scale) and assert Catalyst injects a
+    bloom-filter reduction on the probe side.  The production thresholds in
+    session.py stay untouched: a 10 GB application side is the right bar on
+    a cluster and is met by any fact scan at the target SF."""
+    from hopspark.operators import all_queries
+
+    reg = all_queries()
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "64KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for q in ("tpch_q8_market_share", "tpch_q21_suppliers_waiting"):
+            plan = (
+                reg[q][0](spark, sf_dir)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .toString()
+            )
+            assert "bloom" in plan.lower(), (
+                f"{q}: no runtime bloom filter injected under shuffle-join "
+                f"regime\n{plan[:2000]}"
+            )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_contamination_benchmark_side_broadcast(spark, sf_dir):
     """The benchmark n-gram set is small by construction, so it must be the
     (pinned) broadcast side; the training corpus side must never be
