@@ -181,7 +181,6 @@ _FN_RENAME = {
     "dceil": "ceil",
     "dfloor": "floor",
     "dround": "round",
-    "dtrunc": "trunc",
     "dexp": "exp",
     "dlog10": "log10",
     "dsqrt": "sqrt",
@@ -348,6 +347,59 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 toks[i] = Tok("op", "")  # drop name, '(' stays
                 toks[comma] = Tok("op", f" {op} make_interval({'0, ' * pos}")
                 toks.insert(close, Tok("op", ", 0" * (6 - pos) + ")"))
+                i += 1
+                continue
+        # truncate/dtrunc/trunc are three aliases of BOTH the numeric
+        # truncate-toward-zero (1-2 args, impala_functions.py:350,481-486)
+        # and the Oracle-style datetime trunc (string unit second arg).
+        # Dispatch on the second argument's shape: string literal → Spark's
+        # native date trunc; otherwise → the registered numeric truncate,
+        # defaulting the scale to 0 for the 1-arg form.
+        if name in ("truncate", "dtrunc", "trunc"):
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            second_is_str = (
+                len(args) == 2
+                and toks[_next_code(toks, args[1][0])].kind == "str"
+            )
+            if second_is_str:
+                toks[i] = Tok("word", "trunc")
+            else:
+                toks[i] = Tok("word", "truncate")
+                if len(args) == 1:
+                    toks.insert(close, Tok("op", ", 0"))
+            i += 1
+            continue
+        # pmod: the reference computes ((a % b) + b) % b for EVERY sign
+        # combination (math-functions-ir.cc PmodBigInt:436-440) — negative
+        # divisors yield a negative result (pmod(3,-5) = -2). Spark's pmod
+        # only normalizes when the remainder is negative (pmod(3,-5) = 3).
+        if name == "pmod":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                a = untokenize(toks[args[0][0]:args[0][1]]).strip()
+                b = untokenize(toks[args[1][0]:args[1][1]]).strip()
+                repl = f"((({a}) % ({b}) + ({b})) % ({b}))"
+                toks[i : close + 1] = tokenize(repl)
+                i += 1
+                continue
+        # greatest/least: the reference returns NULL when ANY argument is
+        # NULL (math-functions-ir.cc LeastGreatest:619-622); Spark's
+        # greatest/least skip NULLs. Rewrite to a null guard over
+        # array_max/array_min (same implicit-coercion rules, and no
+        # greatest( text in the output so the single rewrite pass can't
+        # re-match its own replacement).
+        if name in ("greatest", "least"):
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if args:
+                exprs = [untokenize(toks[a:b]).strip() for a, b in args]
+                guard = " OR ".join(f"({e}) IS NULL" for e in exprs)
+                arr = ", ".join(f"({e})" for e in exprs)
+                fn = "array_max" if name == "greatest" else "array_min"
+                repl = f"(CASE WHEN {guard} THEN NULL ELSE {fn}(array({arr})) END)"
+                toks[i : close + 1] = tokenize(repl)
                 i += 1
                 continue
         # extract(ts, 'unit') — Impala's two-arg form takes the SOURCE
@@ -671,6 +723,12 @@ _ISO_TO_JAVA = [
     ("YYYY", "yyyy"),
     ("YYY", "yyy"),
     ("YY", "yy"),
+    # round-year (RR/RRRR, iso-sql-format-tokenizer.cc:44-45): on format,
+    # identical to YY/YYYY; on parse, 2-digit years century-infer — Java's
+    # "yy" uses the same 2000-pivot inference in the CORRECTED parser.
+    ("RRRR", "yyyy"),
+    ("RR", "yy"),
+    ("Y", "y"),
     ("DDD", "DDD"),
     ("DD", "dd"),
     ("DAY", "EEEE"),
@@ -716,6 +774,17 @@ def _iso_format_to_java(fmt: str) -> str:
     i = 0
     up = fmt.upper()
     while i < len(fmt):
+        if fmt[i] == '"':
+            # ISO-SQL double-quoted literal text section
+            # (datetime-iso-sql-format-tokenizer.cc ProcessSeparators) →
+            # Java single-quoted literal ('' escapes an embedded quote)
+            j = fmt.find('"', i + 1)
+            if j == -1:
+                j = len(fmt)
+            text = fmt[i + 1 : j]
+            out.append("'" + text.replace("'", "''") + "'")
+            i = j + 1
+            continue
         for iso, java in _ISO_TO_JAVA:
             if up.startswith(iso, i):
                 out.append(java)
@@ -725,6 +794,16 @@ def _iso_format_to_java(fmt: str) -> str:
             out.append(fmt[i])
             i += 1
     return "".join(out)
+
+
+_RR_TOKEN = re.compile(r"(?<![Rr])[Rr]{2}(?![Rr])")
+
+
+def _has_round_year(fmt: str) -> bool:
+    """True when the ISO format has a 2-digit round-year RR token (RRRR is
+    plain year). Quoted literal sections are excluded."""
+    unquoted = re.sub(r'"[^"]*"', "", fmt)
+    return bool(_RR_TOKEN.search(unquoted))
 
 
 _DATETIME_TYPES = {"TIMESTAMP", "DATE"}
@@ -777,7 +856,29 @@ def _rewrite_cast_format(toks: list[Tok]) -> list[Tok]:
             i += 1
             continue
         # double-quoted SQL literal: the Java pattern may itself contain
-        # single-quoted literal sections ('T', 'Z')
+        # single-quoted literal sections ('T', 'Z', converted "text")
+        iso_fmt = toks[s_idx].text[1:-1]
+        if fn in ("to_timestamp", "to_date") and _has_round_year(iso_fmt):
+            # RR round-year (iso-sql-format-parser.cc
+            # RoundYearFromCurrentYear:402-408): 2-digit years land in the
+            # half-century nearest the session's current year. Java's 'yy'
+            # parses to 20yy; adjust ±100 years when the Oracle-rule century
+            # differs. Window contract: correct for current years 2000-2099,
+            # like the base-2000 the Java pattern anchors on.
+            expr_sql = untokenize(expr).strip()
+            inner = f'{fn}({expr_sql}, "{java_fmt}")'
+            repl_sql = (
+                f"(CASE WHEN year({inner}) % 100 < 50 "
+                f"AND year(current_date()) % 100 > 49 "
+                f"THEN {inner} + make_interval(100) "
+                f"WHEN year({inner}) % 100 > 49 "
+                f"AND year(current_date()) % 100 < 50 "
+                f"THEN {inner} - make_interval(100) "
+                f"ELSE {inner} END)"
+            )
+            toks[i : close + 1] = tokenize(repl_sql)
+            i += 1
+            continue
         repl = (
             [Tok("word", fn), Tok("op", "(")]
             + expr

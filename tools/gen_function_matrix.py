@@ -51,7 +51,7 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "mod": ("native", "mod(7, 3)", ""),
     "negative": ("native", "negative(5)", ""),
     "pi": ("native", "pi()", ""),
-    "pmod": ("native", "pmod(-3, 5)", ""),
+    "pmod": ("rewritten", "pmod(3, -5)", "((a%b)+b)%b for every sign (PmodBigInt:436-440); Spark pmod differs for negative divisors"),
     "positive": ("native", "positive(-5)", ""),
     "pow": ("native", "pow(2, 10)", ""),
     "power": ("native", "power(2, 10)", ""),
@@ -70,7 +70,7 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "dceil": ("renamed", "dceil(1.2)", "→ ceil"),
     "dfloor": ("renamed", "dfloor(1.8)", "→ floor"),
     "dround": ("renamed", "dround(2.5)", "→ round"),
-    "dtrunc": ("renamed", "dtrunc(DATE'2020-06-15', 'MM')", "→ trunc (date form)"),
+    "dtrunc": ("rewritten", "dtrunc(9.9)", "numeric truncate-toward-zero; string 2nd arg dispatches to the date form"),
     "dexp": ("renamed", "dexp(1.0)", "→ exp"),
     "dlog1": ("renamed", "dlog1(e())", "→ ln"),
     "dlog10": ("renamed", "dlog10(100)", "→ log10"),
@@ -82,7 +82,7 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "truncate": ("registered", "truncate(3.456, 2)", "numeric truncate toward zero"),
     "is_inf": ("registered", "is_inf(1.0 / 0.0)", "NOTE x/0→NULL non-ANSI; literal inf works"),
     "is_nan": ("renamed", "is_nan(0.0)", "→ isnan"),
-    "trunc": ("native", "trunc(DATE'2020-06-15', 'MM')", "date form; numeric = truncate()"),
+    "trunc": ("rewritten", "trunc(DATE'2020-06-15', 'MM')", "date form via string-2nd-arg dispatch; numeric form routes to truncate()"),
     "max_tinyint": ("registered", "max_tinyint()", "type-limit constant"),
     "min_tinyint": ("registered", "min_tinyint()", "type-limit constant"),
     "max_smallint": ("registered", "max_smallint()", "type-limit constant"),
@@ -390,7 +390,7 @@ EXPECTED: dict[str, str] = {
     'mod': '1',
     'negative': '-5',
     'pi': '3.141592654',
-    'pmod': '2',
+    'pmod': '-2',
     'positive': '-5',
     'pow': '1024.0',
     'power': '1024.0',
@@ -407,7 +407,7 @@ EXPECTED: dict[str, str] = {
     'dceil': '2',
     'dfloor': '1',
     'dround': '3',
-    'dtrunc': '2020-06-01',
+    'dtrunc': '9.0',
     'dexp': '2.718281828',
     'dlog1': '1.0',
     'dlog10': '2.0',
