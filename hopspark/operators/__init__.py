@@ -35,6 +35,7 @@ _MODULES = (
     "tpcds_patterns3",
     "tpcds_patterns4",
     "tpcds_patterns5",
+    "tpcds_patterns6",
     "pipeline",
     "quality",
     "mixture",
@@ -57,7 +58,6 @@ CURATED_FIRST = (
     "tpch_q8_market_share",
     "tpch_q18_large_volume_customers",
     "tpch_q21_suppliers_waiting",
-    "tpch_q22_sales_opportunity",
     # Joins / set ops / sorts (§2.4, §2.7, §2.8).
     "join_full_outer",
     "join_null_aware_anti_not_in",
@@ -65,7 +65,6 @@ CURATED_FIRST = (
     "sort_nulls_ordering",
     # Aggregation (§2.5).
     "agg_rollup",
-    "agg_grouping_sets",
     "agg_multi_distinct",
     "agg_pivot_status",
     "agg_stats_moments",
@@ -110,6 +109,12 @@ CURATED_FIRST = (
     "tpcds_q67_rollup_rank_topn",
     "tpcds_q19_disjunctive_bands",
     "tpcds_q57_rolling_window",
+    # r4 rotations: grouping-sets over a derived channel and correlated
+    # EXISTS/NOT-EXISTS + rollup (tpcds_patterns6). They replace
+    # agg_grouping_sets (subsumed by the richer q18 shape) and tpch_q22
+    # (0-row result at gate SF — weak hash evidence).
+    "tpcds_q18_grouping_sets_channels",
+    "tpcds_q16_exists_not_exists_rollup",
     # Iceberg table format (v2 merge-on-read).
     "iceberg_v2_mor_read",
     # Pipeline / quality / mixture / streaming extensions.
