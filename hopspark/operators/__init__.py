@@ -36,6 +36,7 @@ _MODULES = (
     "tpcds_patterns4",
     "tpcds_patterns5",
     "tpcds_patterns6",
+    "tpcds_patterns7",
     "pipeline",
     "quality",
     "mixture",
@@ -71,7 +72,6 @@ CURATED_FIRST = (
     # Analytic / windows (§2.6).
     "window_rank_topn",
     "window_running_sum",
-    "window_value_fns_ignore_nulls",
     "window_sessionize",
     # Nested types + subqueries (§2.9).
     "nested_zip_unnest",
@@ -115,6 +115,9 @@ CURATED_FIRST = (
     # (0-row result at gate SF — weak hash evidence).
     "tpcds_q18_grouping_sets_channels",
     "tpcds_q16_exists_not_exists_rollup",
+    # r4: engine-neutral weekday pivot (tpcds_patterns7); replaces
+    # window_value_fns_ignore_nulls (analytic keeps 3 curated rows).
+    "tpcds_q43_weekday_pivot",
     # Iceberg table format (v2 merge-on-read).
     "iceberg_v2_mor_read",
     # Pipeline / quality / mixture / streaming extensions.
