@@ -370,7 +370,22 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     toks.insert(close, Tok("op", ", 0"))
             i += 1
             continue
-        # pmod: the reference computes ((a % b) + b) % b for EVERY sign
+        # regexp_replace: the reference's rewrite strings use RE2 \N
+        # backreferences (string-functions-ir.cc RegexpReplace); Java's
+        # Matcher.replaceAll wants $N and treats \1 as an escaped literal.
+        # Convert literal third arguments.
+        if name == "regexp_replace":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 3:
+                a3 = _next_code(toks, args[2][0])
+                if a3 < close and toks[a3].kind == "str":
+                    inner = toks[a3].text[1:-1]
+                    converted = re.sub(r"\\\\(\d)", r"$\1", inner)
+                    converted = re.sub(r"\\(\d)", r"$\1", converted)
+                    if converted != inner:
+                        toks[a3] = Tok("str", f"'{converted}'")
+            # fall through: the name itself is Spark-native
         # combination (math-functions-ir.cc PmodBigInt:436-440) — negative
         # divisors yield a negative result (pmod(3,-5) = -2). Spark's pmod
         # only normalizes when the remainder is negative (pmod(3,-5) = 3).
