@@ -75,6 +75,12 @@ HEADLINE = [
     "mm_decode_audio",
     "tpcds_q67_rollup_rank_topn",
     "tpcds_q97_channel_overlap",
+    # r4 additions: the new curated TPC-DS shapes plus the heaviest part-7
+    # shape (per-part average join over the filtered fact)
+    "tpcds_q18_grouping_sets_channels",
+    "tpcds_q16_exists_not_exists_rollup",
+    "tpcds_q43_weekday_pivot",
+    "tpcds_q92_above_1_3x_part_avg",
 ]
 
 
