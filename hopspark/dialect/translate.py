@@ -441,6 +441,21 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 toks[i:close + 1] = repl
                 i += 1
                 continue
+            if len(args) == 1 and name == "extract":
+                # extract(unit FROM ts) — grammar shared with Spark, but
+                # Impala returns BIGINT where Spark returns INT. Emit the
+                # quoted-field two-arg form, which this pass never
+                # re-matches (string first argument).
+                inner = untokenize(toks[j + 1 : close]).strip()
+                m = re.match(r"(?is)^(.+?)\bFROM\b(.+)$", inner)
+                if m:
+                    field = m.group(1).strip()
+                    src = m.group(2).strip()
+                    toks[i : close + 1] = tokenize(
+                        f"CAST(extract('{field}', {src}) AS BIGINT)"
+                    )
+                    i += 1
+                    continue
         # unhex returns STRING in Impala (string-functions-ir.cc), BINARY
         # in Spark — wrap in a cast.
         if name == "unhex":
