@@ -176,23 +176,25 @@ ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST
 
 
 def tpcds_q74_yoy_customer_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11/q74 shape. The reference joins the same yearly CTE against
+    itself; pushing each year filter through the aggregate would scan the
+    fact TWICE. Spark-first: ONE scan with per-year conditional sums —
+    identical result (the oracle keeps the reference's self-join form),
+    half the IO at 100 TB."""
     orders = read_table(spark, "orders", sf_dir)
-    yearly = (
-        orders.withColumn("yr", F.year("o_orderdate"))
-        .filter(F.col("yr").isin(1996, 1997))
-        .groupBy("o_custkey", "yr")
-        .agg(F.sum(dec("o_totalprice")).alias("total"))
+    yr = F.year("o_orderdate")
+    both = (
+        orders.filter(yr.isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == 1996, dec("o_totalprice"))).alias("t1"),
+            F.sum(F.when(yr == 1997, dec("o_totalprice"))).alias("t2"),
+        )
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
     )
-    y1 = yearly.filter(F.col("yr") == 1996).select(
-        "o_custkey", F.col("total").alias("t1")
-    )
-    y2 = yearly.filter(F.col("yr") == 1997).select(
-        "o_custkey", F.col("total").alias("t2")
-    )
-    joined = y1.join(y2, "o_custkey")
     ratio = F.round(F.col("t2").cast("double") / F.col("t1").cast("double"), 6)
     return (
-        joined.select(
+        both.select(
             "o_custkey",
             F.col("t1").cast("double").alias("total_1996"),
             F.col("t2").cast("double").alias("total_1997"),
@@ -350,22 +352,19 @@ ORDER BY o_orderkey
 
 
 def tpcds_q59_mom_across_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q59 shape — same one-scan conditional-sum rewrite as q74 (the
+    oracle keeps the reference's monthly-CTE self-join form)."""
     orders = read_table(spark, "orders", sf_dir)
-    monthly = (
-        orders.withColumn("yr", F.year("o_orderdate"))
-        .withColumn("mo", F.month("o_orderdate"))
-        .filter(F.col("yr").isin(1996, 1997))
-        .groupBy("yr", "mo")
-        .agg(F.sum(dec("o_totalprice")).alias("total"))
-    )
-    m1 = monthly.filter(F.col("yr") == 1996).select(
-        "mo", F.col("total").alias("t1")
-    )
-    m2 = monthly.filter(F.col("yr") == 1997).select(
-        "mo", F.col("total").alias("t2")
-    )
+    yr = F.year("o_orderdate")
     return (
-        m1.join(m2, "mo")
+        orders.filter(yr.isin(1996, 1997))
+        .withColumn("mo", F.month("o_orderdate"))
+        .groupBy("mo")
+        .agg(
+            F.sum(F.when(yr == 1996, dec("o_totalprice"))).alias("t1"),
+            F.sum(F.when(yr == 1997, dec("o_totalprice"))).alias("t2"),
+        )
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
         .select(
             "mo",
             F.col("t1").cast("double").alias("total_1996"),
@@ -779,14 +778,15 @@ ORDER BY 1
 
 
 def tpcds_q90_slice_count_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q90 shape. The reference computes the two slice counts as two
+    scalar subqueries (two fact scans); Spark-first is one
+    conditional-count scan — the oracle keeps the two-subquery form."""
     orders = read_table(spark, "orders", sf_dir)
-    h1 = orders.filter(F.month("o_orderdate").between(1, 3)).agg(
-        F.count(F.lit(1)).alias("n_q1")
-    )
-    h2 = orders.filter(F.month("o_orderdate").between(10, 12)).agg(
-        F.count(F.lit(1)).alias("n_q4")
-    )
-    return h1.crossJoin(h2).select(
+    mo = F.month("o_orderdate")
+    return orders.agg(
+        F.sum(F.when(mo.between(1, 3), 1).otherwise(0)).alias("n_q1"),
+        F.sum(F.when(mo.between(10, 12), 1).otherwise(0)).alias("n_q4"),
+    ).select(
         "n_q1",
         "n_q4",
         F.round(F.col("n_q1").cast("double") / F.col("n_q4"), 6).alias("ratio"),

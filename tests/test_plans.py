@@ -189,6 +189,52 @@ def test_tpch_q8_q21_bloom_filters_at_scale_shape(spark, sf_dir):
             spark.conf.set(k, v)
 
 
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_yoy_self_join_shapes_scan_fact_once(spark, sf_dir):
+    """q74/q59/q90 (tpcds_patterns6): the reference's CTE-self-join /
+    twin-scalar-subquery forms would scan the fact twice; the Spark-first
+    rewrite is one conditional-aggregation scan. Lock the single scan."""
+    from hopspark.operators.tpcds_patterns6 import (
+        tpcds_q59_mom_across_years,
+        tpcds_q74_yoy_customer_growth,
+        tpcds_q90_slice_count_ratio,
+    )
+
+    for fn in (
+        tpcds_q74_yoy_customer_growth,
+        tpcds_q59_mom_across_years,
+        tpcds_q90_slice_count_ratio,
+    ):
+        plan = _executed_plan(fn(spark, sf_dir))
+        assert plan.count("Scan parquet") == 1, (
+            f"{fn.__name__}: expected a single fact scan\n{plan[:1500]}"
+        )
+
+
+def test_q9_bucket_case_single_scan(spark, sf_dir):
+    """q9 (tpcds_patterns6): the reference runs 15 scalar subqueries; the
+    Spark plan must be ONE conditional-aggregation scan of lineitem."""
+    from hopspark.operators.tpcds_patterns6 import tpcds_q9_bucket_case_profile
+
+    plan = _executed_plan(tpcds_q9_bucket_case_profile(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+
+
+def test_q18_grouping_sets_single_expand_broadcast_dims(spark, sf_dir):
+    """q18 (tpcds_patterns6): GROUPING SETS lowers to exactly one Expand
+    after the join, and both dims broadcast at test scale."""
+    from hopspark.operators.tpcds_patterns6 import (
+        tpcds_q18_grouping_sets_channels,
+    )
+
+    plan = _executed_plan(tpcds_q18_grouping_sets_channels(spark, sf_dir))
+    assert plan.count("Expand") == 1, plan[:1500]
+    assert plan.count("BroadcastHashJoin") == 2, plan[:1500]
+
+
 def test_contamination_benchmark_side_broadcast(spark, sf_dir):
     """The benchmark n-gram set is small by construction, so it must be the
     (pinned) broadcast side; the training corpus side must never be
