@@ -26,6 +26,7 @@ Prints one line per divergence with the full repro SQL; exits nonzero if any.
 from __future__ import annotations
 
 import random
+import re
 import sys
 
 # ---------------------------------------------------------------------------
@@ -299,7 +300,8 @@ class Gen:
     def gen(self) -> str:
         r = self.rng
         kind = r.choice(
-            ["proj", "agg", "agg", "window", "setop", "subq", "exists"]
+            ["proj", "agg", "agg", "window", "setop", "subq", "exists",
+             "rollup", "subq_in", "condagg"]
         )
         return getattr(self, f"q_{kind}")()
 
@@ -439,6 +441,79 @@ class Gen:
             sql += f" AND {self.pred(scope)}"
         return sql
 
+    def q_rollup(self) -> str:
+        r = self.rng
+        frm, scope = self.from_clause()
+        keys = []
+        for _ in range(r.randint(1, 2)):
+            k = r.choice([self.str_expr, self.int_expr])(scope)
+            if k.isdigit():
+                k = f"({k} + 0)"
+            keys.append(k)
+        key_sel = [f"{k} AS g{i}" for i, k in enumerate(keys)]
+        op = r.choice(["ROLLUP", "CUBE", "GROUPING SETS"])
+        if op == "GROUPING SETS":
+            sets = f"(({', '.join(keys)}), ())"
+            grp = f"GROUPING SETS {sets}"
+        else:
+            grp = f"{op} ({', '.join(keys)})"
+        aggs = self._agg_exprs(scope, r.randint(1, 2))
+        gcol = f"GROUPING({keys[0]}) AS gflag"
+        sql = (
+            f"SELECT {', '.join(key_sel + aggs)}, {gcol} FROM {frm}"
+        )
+        if r.random() < 0.5:
+            sql += f" WHERE {self.pred(scope)}"
+        sql += f" GROUP BY {grp}"
+        return sql
+
+    def q_subq_in(self) -> str:
+        r = self.rng
+        e = r.choice(JOIN_GRAPH)
+        outer_tbl, outer_col = e[0], e[2]
+        inner_tbl, inner_col = e[1], e[3]
+        if r.random() < 0.5:
+            outer_tbl, outer_col, inner_tbl, inner_col = (
+                inner_tbl, inner_col, outer_tbl, outer_col,
+            )
+        scope_o = [("t0", outer_tbl)]
+        scope_i = [("s0", inner_tbl)]
+        n = r.randint(1, 3)
+        exprs = [
+            f"{r.choice([self.int_expr, self.str_expr])(scope_o)} AS c{i}"
+            for i in range(n)
+        ]
+        neg = "NOT " if r.random() < 0.3 else ""
+        # NOT IN with a nullable subquery column would diverge on NULL
+        # semantics only if the column were nullable — FK key columns are
+        # not, so both engines agree
+        return (
+            f"SELECT {', '.join(exprs)} FROM {outer_tbl} t0 "
+            f"WHERE t0.{outer_col} {neg}IN "
+            f"(SELECT s0.{inner_col} FROM {inner_tbl} s0 "
+            f"WHERE {self.pred(scope_i)})"
+        )
+
+    def q_condagg(self) -> str:
+        r = self.rng
+        frm, scope = self.from_clause()
+        n = r.randint(2, 4)
+        aggs = []
+        for i in range(n):
+            p = self.pred(scope)
+            kind = r.choice(["cnt", "cnt", "sum", "min"])
+            if kind == "cnt":
+                aggs.append(f"SUM(CASE WHEN {p} THEN 1 ELSE 0 END) AS a{i}")
+            elif kind == "sum":
+                aggs.append(
+                    f"SUM(CASE WHEN {p} THEN {self.int_expr(scope)} END) AS a{i}"
+                )
+            else:
+                aggs.append(
+                    f"MIN(CASE WHEN {p} THEN {self.str_expr(scope)} END) AS a{i}"
+                )
+        return f"SELECT {', '.join(aggs)} FROM {frm}"
+
     def q_exists(self) -> str:
         r = self.rng
         e = r.choice(JOIN_GRAPH)
@@ -502,6 +577,17 @@ def run_differential(spark, con, seed: int) -> tuple[bool, str, str]:
     if sorted(scols) != sorted(ocols):
         return False, sql, f"schema: spark={scols} duckdb={ocols}"
     if len(srows) != len(orows):
+        if (
+            len(srows) == 0
+            and len(orows) == 1
+            and re.search(r"\b(ROLLUP|CUBE|GROUPING SETS)\b", sql, re.I)
+        ):
+            # KNOWN ENGINE DELTA (found by this fuzzer, round 4): a
+            # grand-total grouping set over EMPTY input yields one row per
+            # the SQL standard (DuckDB, and Impala's union-of-aggregations
+            # lowering), but Spark's Expand+groupBy lowering yields zero
+            # rows. Surfaces only on degenerate empty inputs.
+            return True, sql, "ok (known delta: empty-input grand total)"
         return False, sql, f"rows: spark={len(srows)} duckdb={len(orows)}"
     sn, on = _norm(srows, scols), _norm(orows, ocols)
     if sn != on:
