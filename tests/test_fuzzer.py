@@ -18,7 +18,12 @@ import pytest
 
 sys.path.insert(0, "tools")
 
-from query_fuzzer import gen_query, register_views, run_differential  # noqa: E402
+from query_fuzzer import (  # noqa: E402
+    gen_query,
+    register_views,
+    run_dialect_differential,
+    run_differential,
+)
 
 #: Seeds that once exposed a generator or engine divergence — always re-run.
 #: (seed, note). 16/52 were generator bugs: bare int literals in GROUP BY
@@ -55,6 +60,24 @@ def test_regression_seeds(fuzz_env):
     for seed, note in REGRESSION_SEEDS:
         ok, sql, detail = run_differential(spark, con, seed)
         assert ok, f"seed {seed} ({note}): {detail}\n{sql}"
+
+
+def test_dialect_fuzz_150_seeds(fuzz_env, sf_dir):
+    """Dialect-mode differential: random IMPALA-dialect queries (nvl,
+    decode, ilike, istrue, <=>, strleft/strright, bit fns, quotient, if)
+    through Engine.sql — exercising hopspark/dialect/translate.py under
+    composition — against hand-mapped DuckDB twins."""
+    from hopspark.engine import Engine
+
+    spark, con = fuzz_env
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    fails = []
+    for seed in range(150):
+        ok, sql, detail = run_dialect_differential(eng, con, seed)
+        if not ok:
+            fails.append((seed, detail, sql))
+    msg = "\n\n".join(f"seed {s}: {d}\n{q}" for s, d, q in fails[:5])
+    assert not fails, f"{len(fails)}/150 dialect seeds divergent:\n{msg}"
 
 
 def test_fuzz_300_seeds(fuzz_env):

@@ -642,3 +642,218 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# Dialect-mode fuzzer: random IMPALA-dialect queries through Engine.sql
+# (exercising hopspark/dialect/translate.py under composition) against
+# hand-mapped DuckDB twins. Each construct is generated as an
+# (impala_sql, duckdb_sql) PAIR, so a pass proves the dialect rewrite and
+# the oracle agree on the same semantics.
+# ---------------------------------------------------------------------------
+
+#: ASCII-only tables (dialect byte-semantics string fns == char semantics)
+_DIALECT_TABLES = ["region", "nation", "customer", "supplier", "part", "orders"]
+
+
+class DialectGen:
+    """One seeded random Impala-dialect query + its DuckDB twin."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(900_000 + seed)
+
+    def _cols(self, tbl, kind):
+        return [c for c, k in TABLES[tbl]["cols"].items() if k == kind]
+
+    # every method returns (impala_sql, duckdb_sql)
+
+    def int_pair(self, tbl, depth=0):
+        r = self.rng
+        ics = self._cols(tbl, "int")
+        c = r.choice(ics)
+        kind = r.choice(
+            ["col", "nvl", "zeroifnull", "nullifzero", "isnull", "quotient",
+             "bitand", "bitor", "bitxor", "if_", "length_"]
+            if depth < 2 else ["col"]
+        )
+        if kind == "col":
+            return c, c
+        if kind == "nvl":
+            k, m = r.randint(0, 20), r.randint(0, 9)
+            return (f"nvl(nullif({c}, {k}), {m})",
+                    f"coalesce(nullif({c}, {k}), {m})")
+        if kind == "zeroifnull":
+            k = r.randint(0, 20)
+            return (f"zeroifnull(nullif({c}, {k}))",
+                    f"coalesce(nullif({c}, {k}), 0)")
+        if kind == "nullifzero":
+            k = r.randint(2, 7)
+            return (f"nullifzero({c} % {k})", f"nullif({c} % {k}, 0)")
+        if kind == "isnull":
+            k, m = r.randint(0, 20), r.randint(0, 9)
+            return (f"isnull(nullif({c}, {k}), {m})",
+                    f"coalesce(nullif({c}, {k}), {m})")
+        if kind == "quotient":
+            k = r.randint(2, 9)
+            return f"quotient({c}, {k})", f"({c} // {k})"
+        if kind == "bitand":
+            k = r.randint(0, 63)
+            return f"bitand({c}, {k})", f"({c} & {k})"
+        if kind == "bitor":
+            k = r.randint(0, 63)
+            return f"bitor({c}, {k})", f"({c} | {k})"
+        if kind == "bitxor":
+            k = r.randint(0, 63)
+            return f"bitxor({c}, {k})", f"xor({c}, {k})"
+        if kind == "if_":
+            pi, pd = self.pred_pair(tbl, depth + 1)
+            ai, ad = self.int_pair(tbl, depth + 1)
+            b = r.randint(0, 9)
+            return (f"if({pi}, {ai}, {b})",
+                    f"(CASE WHEN {pd} THEN {ad} ELSE {b} END)")
+        if kind == "length_":
+            si, sd = self.str_pair(tbl, depth + 1)
+            return f"length({si})", f"length({sd})"
+        return c, c
+
+    def str_pair(self, tbl, depth=0):
+        r = self.rng
+        scs = self._cols(tbl, "str")
+        c = r.choice(scs)
+        kind = r.choice(
+            ["col", "decode", "nvl", "strleft", "strright", "case_up"]
+            if depth < 2 else ["col"]
+        )
+        if kind == "col":
+            return c, c
+        if kind == "decode":
+            ii, id_ = self.int_pair(tbl, depth + 1)
+            return (
+                f"decode({ii} % 3, 0, 'zero', 1, 'one', 'many')",
+                f"(CASE WHEN ({id_} % 3) = 0 THEN 'zero' "
+                f"WHEN ({id_} % 3) = 1 THEN 'one' ELSE 'many' END)",
+            )
+        if kind == "nvl":
+            return (f"nvl(nullif({c}, 'x'), 'dflt')",
+                    f"coalesce(nullif({c}, 'x'), 'dflt')")
+        if kind == "strleft":
+            k = r.randint(1, 6)
+            return f"strleft({c}, {k})", f"left({c}, {k})"
+        if kind == "strright":
+            k = r.randint(1, 6)
+            return f"strright({c}, {k})", f"right({c}, {k})"
+        if kind == "case_up":
+            return (f"(case when {c} < 'M' then ucase({c}) else lcase({c}) end)",
+                    f"(case when {c} < 'M' then upper({c}) else lower({c}) end)")
+        return c, c
+
+    def pred_pair(self, tbl, depth=0):
+        r = self.rng
+        kind = r.choice(
+            ["cmp", "ilike", "istrue", "isnotfalse", "ndsf", "between",
+             "in_", "and_or"] if depth < 2 else ["cmp"]
+        )
+        if kind == "and_or":
+            op = r.choice(["AND", "OR"])
+            a_i, a_d = self.pred_pair(tbl, depth + 1)
+            b_i, b_d = self.pred_pair(tbl, depth + 1)
+            return f"({a_i} {op} {b_i})", f"({a_d} {op} {b_d})"
+        if kind == "cmp":
+            ii, id_ = self.int_pair(tbl, depth + 1)
+            op = r.choice(["<", "<=", ">", ">=", "=", "!="])
+            k = r.randint(0, 300)
+            return f"{ii} {op} {k}", f"{id_} {op} {k}"
+        if kind == "ilike":
+            c = r.choice(self._cols(tbl, "str"))
+            pat = r.choice(["%a%", "b%", "%N_1%", "%e"])
+            return (f"{c} ilike '{pat.upper()}'",
+                    f"lower({c}) LIKE '{pat.lower()}'")
+        if kind == "istrue":
+            ii, id_ = self.int_pair(tbl, depth + 1)
+            k = r.randint(0, 20)
+            return (f"istrue(nullif({ii}, {k}) > 2)",
+                    f"(nullif({id_}, {k}) > 2) IS TRUE")
+        if kind == "isnotfalse":
+            ii, id_ = self.int_pair(tbl, depth + 1)
+            k = r.randint(0, 20)
+            return (f"isnotfalse(nullif({ii}, {k}) > 2)",
+                    f"(nullif({id_}, {k}) > 2) IS NOT FALSE")
+        if kind == "ndsf":
+            ii, id_ = self.int_pair(tbl, depth + 1)
+            k = r.randint(0, 9)
+            return (f"nullif({ii}, {k}) <=> {k + 1}",
+                    f"nullif({id_}, {k}) IS NOT DISTINCT FROM {k + 1}")
+        if kind == "between":
+            ii, id_ = self.int_pair(tbl, depth + 1)
+            lo, hi = r.randint(0, 40), r.randint(41, 300)
+            return (f"{ii} between {lo} and {hi}",
+                    f"{id_} between {lo} and {hi}")
+        if kind == "in_":
+            c = r.choice(self._cols(tbl, "int"))
+            lits = ", ".join(str(r.randint(0, 30)) for _ in range(3))
+            neg = "not " if r.random() < 0.3 else ""
+            return f"{c} {neg}in ({lits})", f"{c} {neg}in ({lits})"
+        raise AssertionError(kind)
+
+    def gen(self):
+        r = self.rng
+        tbl = r.choice(_DIALECT_TABLES)
+        if r.random() < 0.5:
+            # projection + filter
+            n = r.randint(2, 4)
+            pairs = [
+                r.choice([self.int_pair, self.str_pair])(tbl)
+                for _ in range(n)
+            ]
+            sel_i = ", ".join(f"{p[0]} AS c{i}" for i, p in enumerate(pairs))
+            sel_d = ", ".join(f"{p[1]} AS c{i}" for i, p in enumerate(pairs))
+            wi, wd = self.pred_pair(tbl)
+            return (
+                f"SELECT {sel_i} FROM {tbl} WHERE {wi}",
+                f"SELECT {sel_d} FROM {tbl} WHERE {wd}",
+            )
+        # aggregation over a dialect group key
+        gi, gd = r.choice([self.int_pair, self.str_pair])(tbl)
+        ai, ad = self.int_pair(tbl)
+        aggs = r.choice(["COUNT(*)", "MIN", "MAX", "SUM"])
+        if aggs == "COUNT(*)":
+            agg_i = agg_d = "COUNT(*)"
+        else:
+            agg_i, agg_d = f"{aggs}({ai})", f"{aggs}({ad})"
+        wi, wd = self.pred_pair(tbl)
+        return (
+            f"SELECT {gi} AS g, {agg_i} AS a FROM {tbl} "
+            f"WHERE {wi} GROUP BY {gi}",
+            f"SELECT {gd} AS g, {agg_d} AS a FROM {tbl} "
+            f"WHERE {wd} GROUP BY {gd}",
+        )
+
+
+def run_dialect_differential(engine, con, seed: int):
+    """Returns (ok, impala_sql, detail). `engine` is hopspark Engine."""
+    imp, duck = DialectGen(seed).gen()
+    try:
+        sdf = engine.sql(imp)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as exc:  # noqa: BLE001
+        return False, imp, f"engine error: {type(exc).__name__}: {exc}"[:400]
+    try:
+        ores = con.sql(duck)
+        ocols = list(ores.columns)
+        orows = ores.fetchall()
+    except Exception as exc:  # noqa: BLE001
+        return False, imp, f"duckdb error on twin: {exc}"[:400] + f"\n{duck}"
+    if sorted(scols) != sorted(ocols):
+        return False, imp, f"schema: {scols} vs {ocols}"
+    if len(srows) != len(orows):
+        return False, imp, (
+            f"rows: spark={len(srows)} duckdb={len(orows)}\ntwin: {duck}"
+        )
+    sn, on = _norm(srows, scols), _norm(orows, ocols)
+    if sn != on:
+        d = next((i, a, b) for i, (a, b) in enumerate(zip(sn, on)) if a != b)
+        return False, imp, (
+            f"hash: row {d[0]}: spark={d[1]} duckdb={d[2]}\ntwin: {duck}"
+        )
+    return True, imp, f"ok ({len(srows)} rows)"
