@@ -673,9 +673,11 @@ class DialectGen:
         c = r.choice(ics)
         kind = r.choice(
             ["col", "nvl", "zeroifnull", "nullifzero", "isnull", "quotient",
-             "bitand", "bitor", "bitxor", "if_", "length_"]
+             "bitand", "bitor", "bitxor", "if_", "length_", "ts_"]
             if depth < 2 else ["col"]
         )
+        if kind == "ts_":
+            return self.ts_int_pair(tbl, depth + 1)
         if kind == "col":
             return c, c
         if kind == "nvl":
@@ -747,12 +749,40 @@ class DialectGen:
                     f"(case when {c} < 'M' then upper({c}) else lower({c}) end)")
         return c, c
 
+    def ts_int_pair(self, tbl, depth=0):
+        """Integer-valued expressions over a timestamp column (dialect
+        datetime functions vs DuckDB equivalents)."""
+        r = self.rng
+        tcs = self._cols(tbl, "ts")
+        if not tcs:
+            return self.int_pair(tbl, depth)
+        c = r.choice(tcs)
+        kind = r.choice(["year", "month", "day", "quarter", "dateadd_y"])
+        if kind == "year":
+            return f"year({c})", f"year({c})"
+        if kind == "month":
+            return f"month({c})", f"month({c})"
+        if kind == "day":
+            return f"day({c})", f"day({c})"
+        if kind == "quarter":
+            return f"quarter({c})", f"quarter({c})"
+        # year() of type-preserving day arithmetic: days_add keeps
+        # TIMESTAMP (make_interval form) — DuckDB interval addition too
+        n = r.randint(1, 400)
+        return (f"year(days_add({c}, {n}))",
+                f"year({c} + INTERVAL {n} DAY)")
+
     def pred_pair(self, tbl, depth=0):
         r = self.rng
         kind = r.choice(
             ["cmp", "ilike", "istrue", "isnotfalse", "ndsf", "between",
-             "in_", "and_or"] if depth < 2 else ["cmp"]
+             "in_", "and_or", "ts_cmp"] if depth < 2 else ["cmp"]
         )
+        if kind == "ts_cmp":
+            ii, id_ = self.ts_int_pair(tbl, depth + 1)
+            op = r.choice(["<", ">=", "="])
+            k = r.randint(1992, 1999) if "year" in ii else r.randint(1, 12)
+            return f"{ii} {op} {k}", f"{id_} {op} {k}"
         if kind == "and_or":
             op = r.choice(["AND", "OR"])
             a_i, a_d = self.pred_pair(tbl, depth + 1)
