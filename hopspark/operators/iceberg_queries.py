@@ -14,6 +14,7 @@ source table.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import shutil
@@ -31,9 +32,20 @@ from hopspark.sources.iceberg import (
 )
 
 
+#: Per-PROCESS unique fixture root (lazy mkdtemp, removed at exit). A
+#: stable shared /tmp path let a CONCURRENT gate process rmtree a table
+#: this process was mid-read on — caught by tools/gate_stability.py's
+#: concurrent round (the same hazard class as round 3's nested_from_disk).
+_FIXTURE_ROOT: str | None = None
+
+
 def _fixture_path(sf_dir: str, name: str) -> str:
+    global _FIXTURE_ROOT
+    if _FIXTURE_ROOT is None:
+        _FIXTURE_ROOT = tempfile.mkdtemp(prefix="hopspark_ice_")
+        atexit.register(shutil.rmtree, _FIXTURE_ROOT, ignore_errors=True)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"hopspark_ice_{name}_{tag}")
+    return os.path.join(_FIXTURE_ROOT, f"{name}_{tag}")
 
 
 def iceberg_v2_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
