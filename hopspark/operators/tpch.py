@@ -168,6 +168,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            # redundant RAW bounding range: the exact predicate below casts
+            # to decimal, which blocks parquet pushdown — this wider raw
+            # range is pushable (row-group/page pruning at 100 TB) and
+            # never excludes a row the cast predicate would keep
+            & (F.col("l_discount") >= 0.015) & (F.col("l_discount") <= 0.045)
             & (dec("l_discount", 4, 2).between(0.02, 0.04))
             & (F.col("l_quantity") < 24)
         )

@@ -235,6 +235,60 @@ def test_q18_grouping_sets_single_expand_broadcast_dims(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 2, plan[:1500]
 
 
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """TPC-H q6 is a pure scan-filter-agg: every predicate (shipdate range,
+    discount band, quantity cap) must reach the parquet scan."""
+    from hopspark.operators import all_queries
+
+    df = all_queries()["tpch_q6_forecast_revenue"][0](spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(l_shipdate" in pf, pf
+    assert "GreaterThanOrEqual(l_discount" in pf, (
+        f"raw discount bounding range not pushed: {pf}"
+    )
+    assert "LessThan(l_quantity" in pf, pf
+
+
+def test_q56_union_branch_filters_pushed(spark, sf_dir):
+    """q56 (tpcds_patterns7): each UNION branch's channel filter must reach
+    its orders scan (In(o_orderpriority,...) pushed three times). The three
+    fact scans mirror the reference's three distinct channel fact TABLES —
+    on this folded schema they are the true shape, not a missed reuse."""
+    from hopspark.operators.tpcds_patterns7 import tpcds_q56_disjoint_union_reagg
+
+    plan = _executed_plan(tpcds_q56_disjoint_union_reagg(spark, sf_dir))
+    pushed = [
+        line for line in plan.splitlines()
+        if "PushedFilters" in line and "o_orderpriority" in line
+    ]
+    assert len(pushed) == 3, plan[:2000]
+
+
+def test_text_ops_have_no_python_eval(spark, sf_dir):
+    """The text-analysis family is pure Catalyst expressions (round-1
+    design rule: zero Python row path) — no Arrow/Batch eval nodes."""
+    from hopspark.operators import all_queries
+
+    reg = all_queries()
+    for q in ("text_token_stats", "text_quality_score", "text_vocab_coverage",
+              "text_bigram_lm"):
+        plan = _executed_plan(reg[q][0](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{q} fell off the JVM path"
+
+
+def test_asof_join_two_pruned_scans_one_window(spark, sf_dir):
+    """As-of attribution = union of the two pre-filtered event slices +
+    ONE partitioned window merge — no cartesian/range join blowup, and the
+    event_type filters reach both scans."""
+    from hopspark.operators import all_queries
+
+    plan = _executed_plan(
+        all_queries()["temporal_asof_attribution"][0](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2, plan[:1500]
+    assert "Cartesian" not in plan
+    assert plan.count("EqualTo(event_type,") == 2, plan[:1500]
+
+
 def test_contamination_benchmark_side_broadcast(spark, sf_dir):
     """The benchmark n-gram set is small by construction, so it must be the
     (pinned) broadcast side; the training corpus side must never be
