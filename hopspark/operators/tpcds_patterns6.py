@@ -41,16 +41,25 @@ def tpcds_q18_grouping_sets_channels(spark: SparkSession, sf_dir: str) -> DataFr
             .otherwise(F.lit("standard")),
         )
     )
-    return (
+    # Pre-aggregate to the finest grouping grain BEFORE the grouping sets:
+    # Expand multiplies its input by the number of sets, so expanding the
+    # raw fact triples 600k rows (and at 100 TB, the full scan) — expanding
+    # the ~15-row (channel, segment) partial is free. SUM/COUNT re-aggregate
+    # losslessly across the coarser sets.
+    fine = (
         base.select("channel", "c_mktsegment", _rev().alias("r"))
-        .groupingSets(
+        .groupBy("channel", "c_mktsegment")
+        .agg(F.sum("r").alias("pr"), F.count(F.lit(1)).alias("pn"))
+    )
+    return (
+        fine.groupingSets(
             [["channel", "c_mktsegment"], ["channel"], []],
             "channel",
             "c_mktsegment",
         )
         .agg(
-            F.sum("r").cast("double").alias("rev"),
-            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("pr").cast("double").alias("rev"),
+            F.sum("pn").alias("n_lines"),
             F.grouping_id().alias("gid"),
         )
         .orderBy("gid", "channel", "c_mktsegment")
