@@ -566,8 +566,12 @@ def tpcds_q70_rank_within_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
     )
-    rolled = base.rollup("r_name", "n_name").agg(
-        F.sum(dec("o_totalprice")).alias("total"),
+    # finest-grain pre-aggregation before the rollup Expand (see q18)
+    fine = base.groupBy("r_name", "n_name").agg(
+        F.sum(dec("o_totalprice")).alias("pt")
+    )
+    rolled = fine.rollup("r_name", "n_name").agg(
+        F.sum("pt").alias("total"),
         F.grouping_id().alias("gid"),
     )
     w = Window.partitionBy("gid", "r_name").orderBy(

@@ -126,13 +126,17 @@ def tpcds_q27_three_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
     )
+    # pre-aggregate at the finest grain; rollup re-aggregates the partials
+    # (Expand over ~125 rows instead of the order fact — see q18)
+    fine = base.groupBy("r_name", "n_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(dec("o_totalprice")).alias("ps"),
+    )
     return (
-        base.rollup("r_name", "n_name", "c_mktsegment")
+        fine.rollup("r_name", "n_name", "c_mktsegment")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            (
-                F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))
-            ).alias("avg_price"),
+            F.sum("pn").alias("n_orders"),
+            (F.sum("ps").cast("double") / F.sum("pn")).alias("avg_price"),
             F.grouping_id().alias("gid"),
         )
         .filter(F.col("n_orders") >= 500)
@@ -396,10 +400,12 @@ def tpcds_q80_netted_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     net = F.when(F.col("l_returnflag") == "R", -_rev()).otherwise(_rev())
+    # finest-grain pre-aggregation before the rollup Expand (see q18)
+    fine = base.groupBy("channel", "p_brand").agg(F.sum(net).alias("pnet"))
     return (
-        base.rollup("channel", "p_brand")
+        fine.rollup("channel", "p_brand")
         .agg(
-            F.sum(net).cast("double").alias("net_rev"),
+            F.sum("pnet").cast("double").alias("net_rev"),
             F.grouping_id().alias("gid"),
         )
         .filter((F.col("gid") > 0) | (F.col("net_rev") < 0))
