@@ -828,6 +828,23 @@ class DialectGen:
     def gen(self):
         r = self.rng
         tbl = r.choice(_DIALECT_TABLES)
+        if r.random() < 0.25:
+            # ORDER BY + LIMIT with a NULLABLE key and NO explicit NULLS
+            # direction: exercises the dialect's Impala-default null
+            # ordering rewrite (ASC → NULLS LAST, DESC → NULLS FIRST) —
+            # the DuckDB twin spells Impala's defaults explicitly.
+            key = TABLES[tbl]["key"][0]
+            ii, id_ = self.int_pair(tbl)
+            k = r.randint(0, 25)
+            d = r.choice(["ASC", "DESC"])
+            duck_nulls = "NULLS LAST" if d == "ASC" else "NULLS FIRST"
+            n = r.randint(3, 30)
+            return (
+                f"SELECT nullif({ii}, {k}) AS s, {key} AS k FROM {tbl} "
+                f"ORDER BY s {d}, k LIMIT {n}",
+                f"SELECT nullif({id_}, {k}) AS s, {key} AS k FROM {tbl} "
+                f"ORDER BY s {d} {duck_nulls}, k LIMIT {n}",
+            )
         if r.random() < 0.5:
             # projection + filter
             n = r.randint(2, 4)
