@@ -389,11 +389,21 @@ class Gen:
         osort = key_cols
         inner_cols = [f"t0.{k} AS k{i}" for i, k in enumerate(key)]
         extra = ""
-        if r.random() < 0.5:
+        if r.random() < 0.4:
             extra = (
                 f", SUM({self.int_expr(scope)}) OVER (PARTITION BY {part} "
                 f"ORDER BY {osort} ROWS BETWEEN {r.randint(1, 5)} PRECEDING "
                 f"AND CURRENT ROW) AS c_run"
+            )
+        elif r.random() < 0.5:
+            # value functions: deterministic under the unique-key order
+            vf = r.choice(
+                [f"LAG({self.int_expr(scope)}, {r.randint(1, 2)})",
+                 f"LEAD({self.int_expr(scope)}, {r.randint(1, 2)})",
+                 f"NTILE({r.randint(2, 5)})"]
+            )
+            extra = (
+                f", {vf} OVER (PARTITION BY {part} ORDER BY {osort}) AS c_v"
             )
         sql = (
             f"SELECT {', '.join(inner_cols)}, {part} AS c_part, "
