@@ -767,7 +767,21 @@ class DialectGen:
         if not tcs:
             return self.int_pair(tbl, depth)
         c = r.choice(tcs)
-        kind = r.choice(["year", "month", "day", "quarter", "dateadd_y"])
+        kind = r.choice(
+            ["year", "month", "day", "quarter", "dateadd_y", "datediff_",
+             "lastday"]
+        )
+        if kind == "datediff_":
+            # Impala datediff(a, b) = a - b in days; DuckDB wants the unit
+            # first and (start, end) order
+            n = r.randint(1, 90)
+            return (f"datediff(days_add({c}, {n}), {c})",
+                    f"DATEDIFF('day', {c}, {c} + INTERVAL {n} DAY)")
+        if kind == "lastday":
+            # compare via day() — Impala last_day returns TIMESTAMP,
+            # Spark/DuckDB DATE
+            return (f"day(last_day({c}))",
+                    f"day(last_day(CAST({c} AS DATE)))")
         if kind == "year":
             return f"year({c})", f"year({c})"
         if kind == "month":
