@@ -62,7 +62,6 @@ CURATED_FIRST = (
     # Joins / set ops / sorts (§2.4, §2.7, §2.8).
     "join_full_outer",
     "join_null_aware_anti_not_in",
-    "setop_except",
     "sort_nulls_ordering",
     # Aggregation (§2.5).
     "agg_rollup",
@@ -100,9 +99,14 @@ CURATED_FIRST = (
     # Multimodal.
     "mm_payload_dedup",
     "mm_decode_image",
-    # Impala dialect surface.
+    # Impala dialect surface. scalar_parity pins the round-4 kernel fixes
+    # (greatest/least NULL-poisoning, pmod sign rule, regexp backrefs,
+    # extract BIGINT, dtrunc, RR round-year) under the driver gate; it
+    # replaces setop_except (0 rows at gate SF — weak hash evidence; set
+    # ops stay covered by sim + the curated union-composite TPC-DS rows).
     "dialect_sql_filters",
     "dialect_sql_null_ordering",
+    "dialect_sql_scalar_parity",
     # TPC-DS patterns.
     "tpcds_q36_margin_rollup_rank",
     "tpcds_q33_manufacturer_union",

@@ -99,8 +99,50 @@ LIMIT 50
 """
 
 
+def dialect_scalar_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 parity kernels through the SQL front door: greatest/least
+    NULL-poisoning (LeastGreatest:619-622), pmod's every-sign formula
+    (PmodBigInt:436-440), regexp_replace RE2 backreferences, extract-FROM
+    returning BIGINT, numeric dtrunc, and the RR round-year FORMAT parse
+    (RoundYearFromCurrentYear:402-408)."""
+    return _engine(spark, sf_dir).sql(
+        r"""
+        SELECT n_nationkey,
+               greatest(n_regionkey, nullif(n_nationkey, 7), 2) AS g,
+               least(n_regionkey, nullif(n_nationkey, 13)) AS l,
+               pmod(n_nationkey - 12, -5) AS pm,
+               regexp_replace(n_name, '([0-9]+)', '<\\1>') AS tagged,
+               extract(year from years_add(CAST('1995-03-01' AS timestamp),
+                                           n_regionkey)) AS yr,
+               dtrunc(n_nationkey + 0.9) AS tr,
+               CAST(CAST('96-03-04' AS date FORMAT 'RR-MM-DD') AS string)
+                   AS rr_date
+        FROM nation
+        ORDER BY n_nationkey
+        """
+    )
+
+
+DIALECT_SCALAR_PARITY_SQL = r"""
+SELECT n_nationkey,
+       CASE WHEN nullif(n_nationkey, 7) IS NULL THEN NULL
+            ELSE greatest(n_regionkey, nullif(n_nationkey, 7), 2) END AS g,
+       CASE WHEN nullif(n_nationkey, 13) IS NULL THEN NULL
+            ELSE least(n_regionkey, nullif(n_nationkey, 13)) END AS l,
+       (((n_nationkey - 12) % -5) + -5) % -5 AS pm,
+       regexp_replace(n_name, '([0-9]+)', '<\1>') AS tagged,
+       CAST(year(TIMESTAMP '1995-03-01'
+                 + n_regionkey * INTERVAL 1 YEAR) AS BIGINT) AS yr,
+       CAST(FLOOR(n_nationkey + 0.9) AS DOUBLE) AS tr,
+       '1996-03-04' AS rr_date
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dialect_sql_filters": (dialect_filters, DIALECT_FILTERS_SQL),
     "dialect_sql_interval_dates": (dialect_interval_dates, DIALECT_INTERVAL_SQL),
     "dialect_sql_null_ordering": (dialect_null_ordering, DIALECT_NULL_ORDERING_SQL),
+    "dialect_sql_scalar_parity": (dialect_scalar_parity, DIALECT_SCALAR_PARITY_SQL),
 }
