@@ -37,6 +37,7 @@ _MODULES = (
     "tpcds_patterns5",
     "tpcds_patterns6",
     "tpcds_patterns7",
+    "tpcds_patterns8",
     "pipeline",
     "quality",
     "mixture",
@@ -92,7 +93,6 @@ CURATED_FIRST = (
     "sketch_theta_grouped",
     # Text analysis.
     "text_token_stats",
-    "text_quality_score",
     # Curation.
     "pack_sequences",
     "text_contamination",
@@ -122,6 +122,9 @@ CURATED_FIRST = (
     # r4: engine-neutral weekday pivot (tpcds_patterns7); replaces
     # window_value_fns_ignore_nulls (analytic keeps 3 curated rows).
     "tpcds_q43_weekday_pivot",
+    # r4: multi-supplier/no-returns HAVING composite (tpcds_patterns8);
+    # replaces text_quality_score (text family keeps token_stats).
+    "tpcds_q94_multi_supplier_clean_orders",
     # Iceberg table format (v2 merge-on-read).
     "iceberg_v2_mor_read",
     # Pipeline / quality / mixture / streaming extensions.
