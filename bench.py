@@ -81,6 +81,8 @@ HEADLINE = [
     "tpcds_q16_exists_not_exists_rollup",
     "tpcds_q43_weekday_pivot",
     "tpcds_q92_above_1_3x_part_avg",
+    "tpcds_q94_multi_supplier_clean_orders",
+    "tpcds_q91_loss_ratio_matrix",
 ]
 
 
