@@ -751,6 +751,9 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
 # datetime formatter prohibits Java's Y/w/W patterns outright).
 _ISO_TO_JAVA = [
     ("YYYY", "yyyy"),
+    # format-direction delta: Impala YYY/Y print the year's LAST digits;
+    # Java's yyy/y print the full year (only yy is special-cased to
+    # 2-digit output). Parse direction agrees.
     ("YYY", "yyy"),
     ("YY", "yy"),
     # round-year (RR/RRRR, iso-sql-format-tokenizer.cc:44-45): on format,
