@@ -363,7 +363,39 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 and toks[_next_code(toks, args[1][0])].kind == "str"
             )
             if second_is_str:
-                toks[i] = Tok("word", "trunc")
+                # Datetime trunc: the reference accepts the full Oracle
+                # unit set (udf-builtins.cc StrToTruncUnit) and returns
+                # TIMESTAMP. Spark's native trunc() covers only
+                # year/quarter/month and demotes to DATE; route through
+                # date_trunc(unit, ts) (TIMESTAMP-preserving) via a unit
+                # table. DAY/DY/D = start of week, Monday in both the
+                # reference and Spark's 'WEEK'. WW/W (same weekday as
+                # Jan 1 / 1st of month) have no Spark unit — synthesized
+                # with day arithmetic. Unknown units raise in the
+                # reference; leave the call unrewritten so Spark raises
+                # rather than silently returning NULL.
+                s_i = _next_code(toks, args[1][0])
+                unit = toks[s_i].text[1:-1].upper()
+                a1 = untokenize(toks[args[0][0] : args[0][1]]).strip()
+                if unit in _TRUNC_UNITS:
+                    repl = f"date_trunc('{_TRUNC_UNITS[unit]}', {a1})"
+                elif unit in ("WW", "W"):
+                    anchor = (
+                        f"make_date(year({a1}), 1, 1)"
+                        if unit == "WW"
+                        else f"make_date(year({a1}), month({a1}), 1)"
+                    )
+                    repl = (
+                        f"timestampadd(DAY, "
+                        f"-((datediff(CAST(({a1}) AS DATE), {anchor})) % 7)"
+                        f", date_trunc('DAY', {a1}))"
+                    )
+                else:
+                    i += 1
+                    continue
+                toks[i : close + 1] = tokenize(repl)
+                i += 1
+                continue
             else:
                 toks[i] = Tok("word", "truncate")
                 if len(args) == 1:
@@ -381,7 +413,13 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 a3 = _next_code(toks, args[2][0])
                 if a3 < close and toks[a3].kind == "str":
                     inner = toks[a3].text[1:-1]
-                    converted = re.sub(r"\\\\(\d)", r"$\1", inner)
+                    # RE2 rewrite strings treat '$' as a literal; Java's
+                    # Matcher.replaceAll treats it as the group sigil
+                    # ('price: $' throws, '$1' silently substitutes group
+                    # 1). Escape literal '$' FIRST, so the '$N' forms the
+                    # backref conversion emits next stay live.
+                    converted = inner.replace("$", r"\\$")
+                    converted = re.sub(r"\\\\(\d)", r"$\1", converted)
                     converted = re.sub(r"\\(\d)", r"$\1", converted)
                     if converted != inner:
                         toks[a3] = Tok("str", f"'{converted}'")
@@ -402,18 +440,23 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
         # greatest/least: the reference returns NULL when ANY argument is
         # NULL (math-functions-ir.cc LeastGreatest:619-622); Spark's
         # greatest/least skip NULLs. Rewrite to a null guard over
-        # array_max/array_min (same implicit-coercion rules, and no
-        # greatest( text in the output so the single rewrite pass can't
-        # re-match its own replacement).
+        # array_max/array_min. Each argument is spliced exactly ONCE: the
+        # single array literal is bound to a transform() lambda variable,
+        # so nondeterministic arguments (rand(), uuid()) and expensive
+        # scalar subqueries evaluate once, and no greatest( text remains
+        # for the rewrite pass to re-match.
         if name in ("greatest", "least"):
             close = _matching_paren(toks, j)
             args = _split_args(toks, j, close)
             if args:
                 exprs = [untokenize(toks[a:b]).strip() for a, b in args]
-                guard = " OR ".join(f"({e}) IS NULL" for e in exprs)
                 arr = ", ".join(f"({e})" for e in exprs)
                 fn = "array_max" if name == "greatest" else "array_min"
-                repl = f"(CASE WHEN {guard} THEN NULL ELSE {fn}(array({arr})) END)"
+                repl = (
+                    f"element_at(transform(array(array({arr})), "
+                    f"__hs_a -> CASE WHEN exists(__hs_a, __hs_x -> "
+                    f"__hs_x IS NULL) THEN NULL ELSE {fn}(__hs_a) END), 1)"
+                )
                 toks[i : close + 1] = tokenize(repl)
                 i += 1
                 continue
@@ -749,6 +792,20 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
 # passthrough error), FM/FX (padding/strictness modifiers; dropped).
 # Also unmapped: IYYY/IYY/IY/IW/WW/W (week-based fields — Spark's CORRECTED
 # datetime formatter prohibits Java's Y/w/W patterns outright).
+# Datetime-trunc unit table (udf-builtins.cc StrToTruncUnit → Spark
+# date_trunc units). WW/W are synthesized in the rewrite; unknown units
+# are left unrewritten (the reference raises on them too).
+_TRUNC_UNITS = {
+    "SYYYY": "YEAR", "YYYY": "YEAR", "YEAR": "YEAR", "SYEAR": "YEAR",
+    "YYY": "YEAR", "YY": "YEAR", "Y": "YEAR",
+    "Q": "QUARTER",
+    "MONTH": "MONTH", "MON": "MONTH", "MM": "MONTH", "RM": "MONTH",
+    "DDD": "DAY", "DD": "DAY", "J": "DAY",
+    "DAY": "WEEK", "DY": "WEEK", "D": "WEEK",
+    "HH": "HOUR", "HH12": "HOUR", "HH24": "HOUR",
+    "MI": "MINUTE",
+}
+
 _ISO_TO_JAVA = [
     ("YYYY", "yyyy"),
     # format-direction delta: Impala YYY/Y print the year's LAST digits;
@@ -802,7 +859,18 @@ _ISO_TO_JAVA = [
 ]
 
 
-def _iso_format_to_java(fmt: str) -> str:
+# Format-direction overrides: the reference's Y/YYY PRINT the year's last
+# 1/3 digits, while Java's y/yyy print the full year (only yy 2-digit
+# special-cases). In the date_format direction these map to private-use
+# placeholder characters (non-letters — literal to Java's formatter), which
+# _rewrite_cast_format then replace()s with a substring of the full year.
+# Parse direction agrees between the dialects, so it keeps y/yyy.
+_Y1_PH = "\ue001"
+_Y3_PH = "\ue003"
+_FORMAT_DIR_OVERRIDES = {"YYY": _Y3_PH, "Y": _Y1_PH}
+
+
+def _iso_format_to_java(fmt: str, for_format: bool = False) -> str:
     out = []
     i = 0
     up = fmt.upper()
@@ -820,6 +888,8 @@ def _iso_format_to_java(fmt: str) -> str:
             continue
         for iso, java in _ISO_TO_JAVA:
             if up.startswith(iso, i):
+                if for_format and iso in _FORMAT_DIR_OVERRIDES:
+                    java = _FORMAT_DIR_OVERRIDES[iso]
                 out.append(java)
                 i += len(iso)
                 break
@@ -879,7 +949,6 @@ def _rewrite_cast_format(toks: list[Tok]) -> list[Tok]:
             continue
         type_idx = _next_code(toks, as_idx + 1)
         type_name = toks[type_idx].upper
-        java_fmt = _iso_format_to_java(toks[s_idx].text[1:-1])
         expr = toks[j + 1 : as_idx]
         if type_name in _DATETIME_TYPES:
             fn = "to_timestamp" if type_name == "TIMESTAMP" else "to_date"
@@ -888,6 +957,9 @@ def _rewrite_cast_format(toks: list[Tok]) -> list[Tok]:
         else:
             i += 1
             continue
+        java_fmt = _iso_format_to_java(
+            toks[s_idx].text[1:-1], for_format=(fn == "date_format")
+        )
         # double-quoted SQL literal: the Java pattern may itself contain
         # single-quoted literal sections ('T', 'Z', converted "text")
         iso_fmt = toks[s_idx].text[1:-1]
@@ -910,6 +982,20 @@ def _rewrite_cast_format(toks: list[Tok]) -> list[Tok]:
                 f"ELSE {inner} END)"
             )
             toks[i : close + 1] = tokenize(repl_sql)
+            i += 1
+            continue
+        if fn == "date_format" and (_Y1_PH in java_fmt or _Y3_PH in java_fmt):
+            # Y/YYY format-direction: the placeholders the converter
+            # emitted are literal (non-letter) chars in the formatted
+            # output; swap them for the last 1/3 digits of the full year.
+            expr_sql = untokenize(expr).strip()
+            inner = f'date_format({expr_sql}, "{java_fmt}")'
+            yr = f"date_format({expr_sql}, 'yyyy')"
+            if _Y3_PH in java_fmt:
+                inner = f"replace({inner}, '{_Y3_PH}', substr({yr}, -3, 3))"
+            if _Y1_PH in java_fmt:
+                inner = f"replace({inner}, '{_Y1_PH}', substr({yr}, -1, 1))"
+            toks[i : close + 1] = tokenize(inner)
             i += 1
             continue
         repl = (

@@ -378,18 +378,31 @@ _THETA_K = 16384  # DEFAULT_K in operators/sketches.py
 _SP = "CAST(9223372036854775808 AS DOUBLE)"  # 2^63 = KMV hash space
 
 
-def _theta_of(v: str) -> str:
+# The theta cut runs in INTEGER space: comparing 63-bit hashes after a
+# CAST to DOUBLE (53-bit mantissa) can misclassify hashes within ~1024 of
+# the boundary, and element_at(v, k) + 1 overflows BIGINT when the k-th
+# hash is 2^63-1. The bound is the k-th retained hash itself (h <= kth ⇔
+# h < kth+1, no +1 needed), BIGINT-max when the sketch is in exact mode;
+# the double theta appears only in the final estimate division.
+_BIG_MAX = "9223372036854775807"
+
+
+def _theta_bound(v: str) -> str:
     return (
-        f"(CASE WHEN size({v}) < {_THETA_K} THEN CAST(1.0 AS DOUBLE) "
-        f"ELSE CAST(element_at({v}, {_THETA_K}) + 1 AS DOUBLE) / {_SP} END)"
+        f"(CASE WHEN size({v}) < {_THETA_K} THEN {_BIG_MAX} "
+        f"ELSE element_at({v}, {_THETA_K}) END)"
     )
 
 
-_TH = f"least({_theta_of('a')}, {_theta_of('b')})"
+_TB = f"least({_theta_bound('a')}, {_theta_bound('b')})"
+_TH = (
+    f"(CASE WHEN {_TB} = {_BIG_MAX} THEN CAST(1.0 AS DOUBLE) "
+    f"ELSE (CAST({_TB} AS DOUBLE) + 1) / {_SP} END)"
+)
 
 
 def _theta_cut(v: str) -> str:
-    return f"filter({v}, h -> CAST(h AS DOUBLE) < {_TH} * {_SP})"
+    return f"filter({v}, h -> h <= {_TB})"
 
 
 _SQL_FUNCTIONS["ds_theta_exclude"] = (

@@ -74,7 +74,7 @@ def similarity_join_edges(
     # The shingle frame feeds three subtrees (df counts, prefix build, and
     # both verify sides); checkpoint it so the document scan + shingle
     # construction runs once instead of once per consumer.
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.localCheckpoint(eager=True)
 
     # Global document frequency per shingle: the ordering key that makes
     # prefixes rare.  One explode + groupBy over (hash-sized) tokens.
@@ -450,7 +450,7 @@ r0 AS (SELECT u, """
     + f"""
 SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
        u // 2 AS entity_key,
-       r AS rank_fp
+       CAST(r AS BIGINT) AS rank_fp
 FROM r{PR_ITERS}
 ORDER BY rank_fp DESC, node_type, entity_key
 LIMIT 20

@@ -113,7 +113,7 @@ def iceberg_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 ICEBERG_TT_DIFF_SQL = """
 SELECT n_regionkey,
        COUNT(*) AS n_before,
-       SUM(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END) AS n_after
+       CAST(SUM(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after
 FROM nation
 GROUP BY n_regionkey
 ORDER BY n_regionkey

@@ -368,7 +368,7 @@ def nested_from_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
 NESTED_FROM_DISK_SQL = """
 SELECT c_custkey,
        COUNT(*) AS n_orders,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
        CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS max_price,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spent
 FROM customer JOIN orders ON o_custkey = c_custkey

@@ -538,14 +538,14 @@ def tpcds_q88_multiband_single_scan(spark: SparkSession, sf_dir: str) -> DataFra
 
 TPCDS_Q88_SQL = """
 SELECT
-  SUM(CASE WHEN l_quantity >= 0  AND l_quantity < 10 THEN 1 ELSE 0 END) AS q0_10,
-  SUM(CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN 1 ELSE 0 END) AS q10_20,
-  SUM(CASE WHEN l_quantity >= 20 AND l_quantity < 30 THEN 1 ELSE 0 END) AS q20_30,
-  SUM(CASE WHEN l_quantity >= 30 AND l_quantity < 60 THEN 1 ELSE 0 END) AS q30_60,
-  SUM(CASE WHEN l_quantity >= 0  AND l_quantity < 10 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS r0_10,
-  SUM(CASE WHEN l_quantity >= 10 AND l_quantity < 20 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS r10_20,
-  SUM(CASE WHEN l_quantity >= 20 AND l_quantity < 30 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS r20_30,
-  SUM(CASE WHEN l_quantity >= 30 AND l_quantity < 60 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS r30_60
+  CAST(SUM(CASE WHEN l_quantity >= 0  AND l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS q0_10,
+  CAST(SUM(CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN 1 ELSE 0 END) AS BIGINT) AS q10_20,
+  CAST(SUM(CASE WHEN l_quantity >= 20 AND l_quantity < 30 THEN 1 ELSE 0 END) AS BIGINT) AS q20_30,
+  CAST(SUM(CASE WHEN l_quantity >= 30 AND l_quantity < 60 THEN 1 ELSE 0 END) AS BIGINT) AS q30_60,
+  CAST(SUM(CASE WHEN l_quantity >= 0  AND l_quantity < 10 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r0_10,
+  CAST(SUM(CASE WHEN l_quantity >= 10 AND l_quantity < 20 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r10_20,
+  CAST(SUM(CASE WHEN l_quantity >= 20 AND l_quantity < 30 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r20_30,
+  CAST(SUM(CASE WHEN l_quantity >= 30 AND l_quantity < 60 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r30_60
 FROM lineitem
 """
 

@@ -277,11 +277,11 @@ def tpcds_q50_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCDS_Q50_SQL = """
 SELECT n_name,
-  SUM(CASE WHEN lat <= 30 THEN 1 ELSE 0 END) AS d30,
-  SUM(CASE WHEN lat > 30 AND lat <= 60 THEN 1 ELSE 0 END) AS d60,
-  SUM(CASE WHEN lat > 60 AND lat <= 90 THEN 1 ELSE 0 END) AS d90,
-  SUM(CASE WHEN lat > 90 AND lat <= 120 THEN 1 ELSE 0 END) AS d120,
-  SUM(CASE WHEN lat > 120 THEN 1 ELSE 0 END) AS d120_plus
+  CAST(SUM(CASE WHEN lat <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+  CAST(SUM(CASE WHEN lat > 30 AND lat <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+  CAST(SUM(CASE WHEN lat > 60 AND lat <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+  CAST(SUM(CASE WHEN lat > 90 AND lat <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+  CAST(SUM(CASE WHEN lat > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120_plus
 FROM (
   SELECT n_name, DATEDIFF('day', o_orderdate, l_shipdate) AS lat
   FROM lineitem
@@ -645,10 +645,10 @@ def tpcds_q99_month_latency_matrix(spark: SparkSession, sf_dir: str) -> DataFram
 
 TPCDS_Q99_SQL = """
 SELECT month(o_orderdate) AS mo,
-  SUM(CASE WHEN lat <= 30 THEN 1 ELSE 0 END) AS d30,
-  SUM(CASE WHEN lat > 30 AND lat <= 60 THEN 1 ELSE 0 END) AS d60,
-  SUM(CASE WHEN lat > 60 AND lat <= 90 THEN 1 ELSE 0 END) AS d90,
-  SUM(CASE WHEN lat > 90 THEN 1 ELSE 0 END) AS d90_plus
+  CAST(SUM(CASE WHEN lat <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+  CAST(SUM(CASE WHEN lat > 30 AND lat <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+  CAST(SUM(CASE WHEN lat > 60 AND lat <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+  CAST(SUM(CASE WHEN lat > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90_plus
 FROM (
   SELECT o_orderdate, DATEDIFF('day', o_orderdate, l_shipdate) AS lat
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -40,6 +40,73 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def type_category(type_str: str) -> str:
+    """Collapse a Spark dtype / DuckDB type string to a comparison category.
+
+    The driver fetches the oracle through pandas/Arrow, which renders DuckDB
+    HUGEINT (int128 — what SUM over integers widens to) as float64, breaking
+    the value hash while `fetchall()`-based local comparisons still pass.
+    Categories let us fail that class of bug BEFORE fetch, where no pandas
+    null-widening noise exists (round-4 verdict item 2)."""
+    s = str(type_str).upper()
+    if "HUGEINT" in s or "INT128" in s:
+        return "hugeint"
+    if "DECIMAL" in s or "NUMERIC" in s:
+        return "decimal"
+    if any(k in s for k in ("DOUBLE", "FLOAT", "REAL")):
+        return "float"
+    if "BOOL" in s:
+        return "bool"
+    if any(
+        k in s
+        for k in ("TINYINT", "SMALLINT", "BIGINT", "INTEGER", "INT", "LONG",
+                  "SHORT", "BYTE")
+    ):
+        return "int"
+    if "TIMESTAMP" in s:
+        return "timestamp"
+    if "DATE" in s:
+        return "date"
+    if any(k in s for k in ("VARCHAR", "STRING", "CHAR", "TEXT")):
+        return "str"
+    if "BINARY" in s or "BLOB" in s:
+        return "binary"
+    return "other"
+
+
+def oracle_type_errors(scols_types: list, ocols_types: list) -> list[str]:
+    """Compare (name, type) lists category-wise; sorted by column name.
+
+    `scols_types` from Spark `df.dtypes`; `ocols_types` from a DuckDB
+    relation's (columns, types) zip. Any HUGEINT oracle column is an error
+    even if Spark happens to agree, because the driver's pandas fetch cannot
+    represent it faithfully."""
+    errors: list[str] = []
+    omap = {c: str(t) for c, t in ocols_types}
+    smap = {c: str(t) for c, t in scols_types}
+    for c, t in sorted(omap.items()):
+        if type_category(t) == "hugeint":
+            errors.append(
+                f"oracle column {c!r} is {t} (int128): pandas/Arrow fetch "
+                f"renders it float64 — CAST(... AS BIGINT) in the oracle SQL"
+            )
+    for c in sorted(set(smap) & set(omap)):
+        sc, oc = type_category(smap[c]), type_category(omap[c])
+        if sc == oc or "hugeint" in (sc, oc):
+            continue
+        # int vs float vs decimal drift is exactly what breaks the driver's
+        # str()-level value hash; date/timestamp likewise. str-vs-other is
+        # noise only when a side is a complex type rendered as string.
+        if {sc, oc} <= {"int", "float", "decimal"} or {sc, oc} <= {
+            "date", "timestamp"
+        }:
+            errors.append(
+                f"type category mismatch col={c}: spark={smap[c]}({sc}) "
+                f"oracle={omap[c]}({oc})"
+            )
+    return errors
+
+
 @dataclass
 class CompareResult:
     ok: bool
@@ -53,11 +120,17 @@ def compare(spark_df: DataFrame, oracle_sql: str, sf_dir: str) -> CompareResult:
     got = spark_df.toPandas()
     con = oracle_connection(sf_dir)
     try:
-        want = con.execute(oracle_sql).fetchdf()
+        rel = con.sql(oracle_sql)
+        type_errs = oracle_type_errors(
+            spark_df.dtypes, list(zip(rel.columns, rel.types))
+        )
+        want = rel.df()
     finally:
         con.close()
 
-    errors: list[str] = []
+    errors: list[str] = list(type_errs)
+    if errors:
+        return CompareResult(False, errors)
     if sorted(got.columns) != sorted(want.columns):
         errors.append(f"columns differ: spark={sorted(got.columns)} oracle={sorted(want.columns)}")
         return CompareResult(False, errors)

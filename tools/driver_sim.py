@@ -4,9 +4,18 @@ schema, and a rounded-value hash — the same checks CORRECTNESS_r{N}.json
 records.
 
 Usage: PYTHONPATH=. python tools/driver_sim.py [sf_dir] [--first N] [--out PATH]
+                                               [--arrow]
 
 ``--first N`` limits the run to the first N registry entries — the driver's
 gate checks exactly the first 50, so ``--first 50`` reproduces its scope.
+
+``--arrow`` fetches the oracle through Arrow (``fetch_arrow_table``) instead
+of ``fetchall()`` — the discipline a pandas/Arrow-based driver uses, which
+renders DuckDB HUGEINT as float64. Round 4 proved the sim's ``fetchall()``
+(int128 → Python int, lossless) masked exactly that divergence; the sim must
+be at least as strict as the strictest plausible driver, so both modes exist
+and the oracle's pre-fetch relation types are category-checked against the
+Spark schema in EVERY mode.
 """
 
 from __future__ import annotations
@@ -40,6 +49,9 @@ def main() -> None:
     args = sys.argv[1:]
     first = None
     out_path = "/tmp/driver_sim.json"
+    arrow_fetch = "--arrow" in args
+    if arrow_fetch:
+        args.remove("--arrow")
     if "--first" in args:
         i = args.index("--first")
         first = int(args[i + 1])
@@ -53,6 +65,7 @@ def main() -> None:
 
     from hopspark.operators import all_queries
     from hopspark.session import get_spark
+    from hopspark.testing import oracle_type_errors
 
     spark = get_spark(app_name="driver-sim")
     con = duckdb.connect()
@@ -80,7 +93,17 @@ def main() -> None:
                 continue
             ores = con.sql(sql)
             ocols = list(ores.columns)
-            orows = ores.fetchall()
+            type_errs = oracle_type_errors(
+                sdf.dtypes, list(zip(ores.columns, ores.types))
+            )
+            if arrow_fetch:
+                tbl = ores.fetch_arrow_table()
+                orows = [
+                    tuple(col[i].as_py() for col in tbl.columns)
+                    for i in range(tbl.num_rows)
+                ]
+            else:
+                orows = ores.fetchall()
             rows_match = len(srows) == len(orows)
             schema_match = sorted(scols) == sorted(ocols)
             hash_match = _norm(srows, scols) == _norm(orows, ocols)
@@ -88,10 +111,13 @@ def main() -> None:
                 "rows_match": rows_match,
                 "schema_match": schema_match,
                 "hash_match": hash_match,
+                "type_match": not type_errs,
                 "spark_rows": len(srows),
                 "oracle_rows": len(orows),
             }
-            if not (rows_match and schema_match and hash_match):
+            if type_errs:
+                results[name]["type_errors"] = type_errs
+            if not (rows_match and schema_match and hash_match) or type_errs:
                 fails.append(name)
         except Exception as exc:  # noqa: BLE001
             results[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}

@@ -7,7 +7,12 @@ in-process; the suspects were /tmp fixture sharing and lazy localCheckpoint.
 This harness is the proof that those fixes hold under the driver's own
 conditions (fresh JVM per run, concurrent tenants of /tmp).
 
-Usage: PYTHONPATH=. python tools/gate_stability.py [N] [sf_dir]
+Usage: PYTHONPATH=. python tools/gate_stability.py [N] [sf_dir] [--arrow]
+
+``--arrow`` runs every gate subprocess with driver_sim's Arrow oracle fetch
+(the pandas/Arrow rendering a real driver uses, which turns DuckDB HUGEINT
+into float64) — proving the gate stable under BOTH fetch disciplines
+(round-4 verdict item 8).
 """
 
 from __future__ import annotations
@@ -21,11 +26,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+ARROW = "--arrow" in sys.argv
+if ARROW:
+    sys.argv.remove("--arrow")
+
+
 def run_gate(tag: str, sf_dir: str) -> tuple[int, list[str]]:
     out = f"/tmp/gate_stab_{tag}_{os.getpid()}.json"
     proc = subprocess.run(
         [sys.executable, "tools/driver_sim.py", sf_dir, "--first", "50",
-         "--out", out],
+         "--out", out] + (["--arrow"] if ARROW else []),
         cwd=REPO,
         env={**os.environ, "PYTHONPATH": REPO},
         capture_output=True,
@@ -39,7 +49,8 @@ def run_gate(tag: str, sf_dir: str) -> tuple[int, list[str]]:
             n for n, r in results.items()
             if r.get("err") not in (None, "no_oracle")
             or not (r.get("rows_match", True) and r.get("schema_match", True)
-                    and r.get("hash_match", True))
+                    and r.get("hash_match", True)
+                    and r.get("type_match", True))
         ]
     except FileNotFoundError:
         fails = ["<gate crashed before writing results>"]
@@ -68,7 +79,8 @@ def main() -> None:
     procs = [
         subprocess.Popen(
             [sys.executable, "tools/driver_sim.py", sf_dir, "--first", "50",
-             "--out", f"/tmp/gate_stab_conc{j}.json"],
+             "--out", f"/tmp/gate_stab_conc{j}.json"]
+            + (["--arrow"] if ARROW else []),
             cwd=REPO,
             env={**os.environ, "PYTHONPATH": REPO},
             stdout=subprocess.DEVNULL,
@@ -84,7 +96,8 @@ def main() -> None:
             name for name, r in results.items()
             if r.get("err") not in (None, "no_oracle")
             or not (r.get("rows_match", True) and r.get("schema_match", True)
-                    and r.get("hash_match", True))
+                    and r.get("hash_match", True)
+                    and r.get("type_match", True))
         ]
         os.unlink(f"/tmp/gate_stab_conc{j}.json")
         print(f"concurrent[{j}]: rc={p.returncode} fails={fails}", flush=True)
