@@ -38,6 +38,7 @@ _MODULES = (
     "tpcds_patterns6",
     "tpcds_patterns7",
     "tpcds_patterns8",
+    "tpcds_patterns9",
     "pipeline",
     "quality",
     "mixture",
@@ -71,8 +72,12 @@ CURATED_FIRST = (
     "agg_stats_moments",
     # Analytic / windows (§2.6).
     "window_rank_topn",
-    "window_running_sum",
     "window_sessionize",
+    # r5 rotation: cumulative-DISTINCT-over-window via the scalable
+    # first-occurrence rewrite (tpcds_patterns9) — keeps the running-sum
+    # window family covered (it IS a running SUM over the month dim) and
+    # adds the distinct-window shape; replaces window_running_sum.
+    "tpcds_q51a_cumulative_distinct",
     # Nested types + subqueries (§2.9).
     "nested_zip_unnest",
     "nested_from_disk",
@@ -118,7 +123,10 @@ CURATED_FIRST = (
     # agg_grouping_sets (subsumed by the richer q18 shape) and tpch_q22
     # (0-row result at gate SF — weak hash evidence).
     "tpcds_q18_grouping_sets_channels",
-    "tpcds_q16_exists_not_exists_rollup",
+    # r5 rotation: ROLLUP + RANK-within-grouping-parent composition
+    # (tpcds_patterns9, q86 shape) replaces q16 — patterns6 stays covered
+    # by q18, and the EXISTS/NOT-EXISTS family by q94 below.
+    "tpcds_q86_rollup_rank_within_parent",
     # r4: engine-neutral weekday pivot (tpcds_patterns7); replaces
     # window_value_fns_ignore_nulls (analytic keeps 3 curated rows).
     "tpcds_q43_weekday_pivot",

@@ -94,3 +94,28 @@ def test_fuzz_300_seeds(fuzz_env):
         f"seed {s}: {d}\n{q}" for s, d, q in fails[:5]
     )
     assert not fails, f"{len(fails)}/{N_SEEDS} seeds divergent:\n{msg}"
+
+
+N_REGION_SEEDS = 300
+
+
+@pytest.mark.parametrize("region", ["nested", "decimal", "subquery"])
+def test_region_fuzz_300_seeds(fuzz_env, region):
+    """Round-5 grammar regions (round-4 verdict item 3): (a) nested types —
+    synthesized arrays/maps through explode, zipping unnest, lambdas;
+    (b) DECIMAL arithmetic result values under random (p,s), including the
+    truncate-vs-round decimal→int dialect delta; (c) correlated scalar/
+    EXISTS/IN subqueries two levels deep. Spark and the DuckDB twin must
+    agree on schema, cardinality, and the value multiset."""
+    from query_fuzzer import run_pair_differential
+
+    spark, con = fuzz_env
+    fails = []
+    for seed in range(N_REGION_SEEDS):
+        ok, sql, detail = run_pair_differential(spark, con, region, seed)
+        if not ok:
+            fails.append((seed, detail, sql))
+    msg = "\n\n".join(f"seed {s}: {d}\n{q}" for s, d, q in fails[:5])
+    assert not fails, (
+        f"{len(fails)}/{N_REGION_SEEDS} {region} seeds divergent:\n{msg}"
+    )

@@ -556,6 +556,8 @@ def gen_query(seed: int) -> str:
 
 
 def _norm(rows, cols):
+    from decimal import Decimal
+
     idx = [cols.index(c) for c in sorted(cols)]
     out = []
     for r in rows:
@@ -564,6 +566,13 @@ def _norm(rows, cols):
             v = r[i]
             if isinstance(v, float):
                 v = round(v, 6)
+            elif isinstance(v, Decimal):
+                # scale-insensitive rendering: engines may legally differ
+                # in result scale (e.g. division); values must not.
+                s = format(v, "f")
+                if "." in s:
+                    s = s.rstrip("0").rstrip(".")
+                v = "0" if s in ("-0", "") else s
             vals.append(str(v))
         out.append(tuple(vals))
     return sorted(out)
@@ -928,3 +937,326 @@ def run_dialect_differential(engine, con, seed: int):
             f"hash: row {d[0]}: spark={d[1]} duckdb={d[2]}\ntwin: {duck}"
         )
     return True, imp, f"ok ({len(srows)} rows)"
+
+
+# ===========================================================================
+# Region fuzzers (round 5): nested types, DECIMAL arithmetic, correlated
+# subqueries — the three grammar regions the round-4 brief flagged as the
+# likeliest residual divergence surface (reference analogue:
+# tests/comparison/query_generator.py's nested/decimal profiles).
+#
+# Each generator yields a (spark_sql, duck_sql) PAIR: nested/decimal need
+# dialect twins (array constructors and list functions are spelled
+# differently; DuckDB's decimal→int cast rounds where Spark truncates);
+# subquery pairs are identical strings. Pairs share run_pair_differential.
+# ===========================================================================
+
+
+class NestedGen:
+    """Arrays/maps synthesized from base-table columns, then exploded,
+    zipped, reduced, or transformed. Elements reuse Gen's scoped int
+    grammar, COALESCEd where a NULL element would diverge by design
+    (DuckDB list_sum skips NULLs; Spark aggregate() propagates)."""
+
+    TABLES = ["nation", "customer", "supplier", "part", "orders"]
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(1_000_003 * (seed + 1))
+        self.g = Gen(seed)
+        self.g.rng = self.rng  # one stream: pair stays deterministic
+
+    def _elem(self, scope) -> str:
+        return f"COALESCE({self.g.int_expr(scope)}, 0)"
+
+    def gen(self) -> tuple[str, str]:
+        r = self.rng
+        tbl = r.choice(self.TABLES)
+        scope = [("t0", tbl)]
+        key = TABLES[tbl]["key"][0]
+        es = [self._elem(scope) for _ in range(5)]
+        pred = self.g.pred(scope)
+        cte_s = (
+            f"WITH t AS (SELECT t0.{key} AS k, "
+            f"array({es[0]}, {es[1]}, {es[2]}) AS a, "
+            f"array({es[3]}, {es[4]}) AS b "
+            f"FROM {tbl} t0 WHERE {pred})"
+        )
+        cte_d = cte_s.replace(
+            f"array({es[0]}, {es[1]}, {es[2]})", f"[{es[0]}, {es[1]}, {es[2]}]"
+        ).replace(f"array({es[3]}, {es[4]})", f"[{es[3]}, {es[4]}]")
+        kind = r.choice(
+            ["explode", "zip", "reduce", "lambda", "agg_sum", "map"]
+        )
+        if kind == "explode":
+            spark = f"{cte_s} SELECT k, x FROM t LATERAL VIEW explode(a) v AS x"
+            duck = f"{cte_d} SELECT k, unnest(a) AS x FROM t"
+            return spark, duck
+        if kind == "zip":
+            # zipping unnest: the 3-long a against the 2-long b — Spark's
+            # element_at past b's end is NULL (ANSI off), matching DuckDB's
+            # NULL-padded multi-unnest zip.
+            spark = (
+                f"{cte_s} SELECT k, x, element_at(b, pos + 1) AS y "
+                f"FROM t LATERAL VIEW posexplode(a) v AS pos, x"
+            )
+            duck = f"{cte_d} SELECT k, unnest(a) AS x, unnest(b) AS y FROM t"
+            return spark, duck
+        if kind == "reduce":
+            i = r.randint(1, 4)  # 4 is out of bounds for the 3-long array
+            c = r.randint(0, 9)
+            spark = (
+                f"{cte_s} SELECT k, size(a) AS n, element_at(a, {i}) AS e, "
+                f"array_contains(a, {c}) AS c, sort_array(a) AS s FROM t"
+            )
+            duck = (
+                f"{cte_d} SELECT k, CAST(len(a) AS INT) AS n, "
+                f"list_extract(a, {i}) AS e, "
+                f"COALESCE(array_contains(a, {c}), FALSE) AS c, "
+                f"list_sort(a) AS s FROM t"
+            )
+            return spark, duck
+        if kind == "lambda":
+            c, d = r.randint(0, 50), r.randint(1, 9)
+            spark = (
+                f"{cte_s} SELECT k, filter(a, x -> x > {c}) AS f, "
+                f"transform(b, x -> x + {d}) AS m FROM t"
+            )
+            duck = (
+                f"{cte_d} SELECT k, list_filter(a, x -> x > {c}) AS f, "
+                f"list_transform(b, x -> x + {d}) AS m FROM t"
+            )
+            return spark, duck
+        if kind == "agg_sum":
+            spark = (
+                f"{cte_s} SELECT k, aggregate(a, CAST(0 AS BIGINT), "
+                f"(s, x) -> s + x) AS total FROM t"
+            )
+            duck = (
+                f"{cte_d} SELECT k, CAST(list_sum(a) AS BIGINT) AS total "
+                f"FROM t"
+            )
+            return spark, duck
+        # map: value lookup incl. a missing key (NULL both sides)
+        lk = r.randint(1, 3)
+        spark = (
+            f"{cte_s} SELECT k, element_at("
+            f"map_from_arrays(array(1, 2), array(a[0], a[1])), {lk}) AS v "
+            f"FROM t"
+        )
+        duck = (
+            f"{cte_d} SELECT k, map([1, 2], [a[1], a[2]])[{lk}][1] AS v "
+            f"FROM t"
+        )
+        return spark, duck
+
+
+class DecimalGen:
+    """DECIMAL arithmetic result values under random (p, s) pairs —
+    +, -, *, % share result-scale rules across Spark and DuckDB; division
+    scales differ by design, so it is normalized with round(_, s); the
+    decimal→integer cast pair encodes the known dialect delta (Spark/Impala
+    truncate toward zero, DuckDB rounds — twin wraps trunc())."""
+
+    #: (table, double column) sources with bounded magnitudes
+    SOURCES = [
+        ("customer", "c_acctbal"),
+        ("supplier", "s_acctbal"),
+        ("part", "p_retailprice"),
+        ("orders", "o_totalprice"),
+    ]
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(2_000_003 * (seed + 1))
+        self.g = Gen(seed)
+        self.g.rng = self.rng
+
+    def _dec_term(self, col: str) -> tuple[str, int]:
+        r = self.rng
+        s = r.randint(0, 4)
+        p = s + r.randint(8, 12)
+        if r.random() < 0.3:
+            lit = f"{r.randint(1, 999)}.{r.randint(0, 99):02d}"
+            return f"CAST({lit} AS DECIMAL({p},{max(s, 2)}))", max(s, 2)
+        return f"CAST({col} AS DECIMAL({p},{s}))", s
+
+    def gen(self) -> tuple[str, str]:
+        r = self.rng
+        tbl, col = r.choice(self.SOURCES)
+        scope = [("t0", tbl)]
+        key = TABLES[tbl]["key"][0]
+        a, sa = self._dec_term(f"t0.{col}")
+        b, sb = self._dec_term(f"t0.{col}")
+        pred = self.g.pred(scope)
+        kind = r.choice(["add", "sub", "mul", "mod", "div", "int_cast", "agg"])
+        if kind in ("add", "sub", "mul", "mod"):
+            if kind == "mul":
+                # keep the product inside 18 digits: DuckDB's decimal
+                # multiply uses an int64 intermediate and ERRORS past it
+                # (Spark widens to DECIMAL(38)); p<=9, s<=2 per operand
+                # bounds the result at p1+p2 = 18.
+                sa, sb = r.randint(0, 2), r.randint(0, 2)
+                a = f"CAST({col} AS DECIMAL({sa + 7},{sa}))"
+                b = f"CAST({r.randint(1, 99)}.{r.randint(0, 9)} AS DECIMAL(9,2))"
+            op = {"add": "+", "sub": "-", "mul": "*", "mod": "%"}[kind]
+            expr = f"({a} {op} {b})"
+            sel = f"t0.{key} AS k, {expr} AS v"
+            sql = f"SELECT {sel} FROM {tbl} t0 WHERE {pred}"
+            return sql, sql
+        if kind == "div":
+            # division result TYPE is engine-specific (DuckDB can promote
+            # wide decimal division to DOUBLE); normalize the VALUE to
+            # DOUBLE on both sides and compare under the round-6 rule.
+            s_out = r.randint(2, 6)
+            expr = f"CAST(round({a} / (ABS({b}) + 1), {s_out}) AS DOUBLE)"
+            sql = (
+                f"SELECT t0.{key} AS k, {expr} AS v FROM {tbl} t0 "
+                f"WHERE {pred}"
+            )
+            return sql, sql
+        if kind == "int_cast":
+            spark = (
+                f"SELECT t0.{key} AS k, CAST({a} AS BIGINT) AS v "
+                f"FROM {tbl} t0 WHERE {pred}"
+            )
+            duck = (
+                f"SELECT t0.{key} AS k, CAST(trunc({a}) AS BIGINT) AS v "
+                f"FROM {tbl} t0 WHERE {pred}"
+            )
+            return spark, duck
+        # agg: SUM keeps the operand scale in both engines. AVG is
+        # engine-specific (DuckDB: DOUBLE running mean; Spark: DECIMAL
+        # rounded at s+4) — both sides restate it as the deterministic
+        # exact-SUM-over-COUNT with ONE IEEE division (the repo's money
+        # discipline, operators/_util.py).
+        gcol = {
+            "customer": "t0.c_nationkey",
+            "supplier": "t0.s_nationkey",
+            "part": "t0.p_brand",
+            "orders": "t0.o_orderstatus",
+        }[tbl]
+        sql = (
+            f"SELECT {gcol} AS g, SUM({a}) AS s, "
+            f"CAST(SUM({a}) AS DOUBLE) / COUNT(*) AS m "
+            f"FROM {tbl} t0 WHERE {pred} GROUP BY {gcol}"
+        )
+        return sql, sql
+
+
+class SubqGen:
+    """Correlated scalar / EXISTS / IN subqueries up to two levels deep,
+    equality-correlated along the FK graph (the correlation shape both
+    engines and the reference's planner decorrelate). Identical SQL on
+    both sides; integer aggregates are CAST to BIGINT inside the subquery
+    so DuckDB's HUGEINT widening can't leak into the compared schema."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(3_000_003 * (seed + 1))
+        self.g = Gen(seed)
+        self.g.rng = self.rng
+
+    def gen(self) -> tuple[str, str]:
+        r = self.rng
+        kind = r.choice(
+            ["scalar_count", "scalar_agg", "exists2", "not_exists",
+             "not_in", "in_exists", "scalar_cmp"]
+        )
+        p_c = self.g.pred([("c", "customer")])
+        p_o = self.g.pred([("o", "orders")])
+        if kind == "scalar_count":
+            sql = (
+                f"SELECT c.c_custkey, (SELECT COUNT(*) FROM orders o "
+                f"WHERE o.o_custkey = c.c_custkey AND {p_o}) AS n "
+                f"FROM customer c WHERE {p_c}"
+            )
+        elif kind == "scalar_agg":
+            agg = r.choice(["MIN", "MAX", "SUM"])
+            e_o = self.g.int_expr([("o", "orders")])
+            sql = (
+                f"SELECT c.c_custkey, COALESCE((SELECT CAST({agg}({e_o}) "
+                f"AS BIGINT) FROM orders o WHERE o.o_custkey = c.c_custkey "
+                f"AND {p_o}), -1) AS v FROM customer c WHERE {p_c}"
+            )
+        elif kind == "exists2":
+            sql = (
+                f"SELECT n.n_nationkey, n.n_name FROM nation n "
+                f"WHERE EXISTS (SELECT 1 FROM customer c "
+                f"WHERE c.c_nationkey = n.n_nationkey AND {p_c} "
+                f"AND EXISTS (SELECT 1 FROM orders o "
+                f"WHERE o.o_custkey = c.c_custkey AND {p_o}))"
+            )
+        elif kind == "not_exists":
+            p_l = self.g.pred([("l", "lineitem")])
+            sql = (
+                f"SELECT s.s_suppkey FROM supplier s "
+                f"WHERE NOT EXISTS (SELECT 1 FROM lineitem l "
+                f"WHERE l.l_suppkey = s.s_suppkey AND {p_l})"
+            )
+        elif kind == "not_in":
+            nullif = (
+                f"NULLIF(o.o_custkey, {r.randint(1, 50)})"
+                if r.random() < 0.5
+                else "o.o_custkey"
+            )
+            sql = (
+                f"SELECT c.c_custkey FROM customer c "
+                f"WHERE {p_c} AND c.c_custkey NOT IN "
+                f"(SELECT {nullif} FROM orders o WHERE {p_o})"
+            )
+        elif kind == "in_exists":
+            p_r = self.g.pred([("r", "region")])
+            sql = (
+                f"SELECT c.c_custkey FROM customer c "
+                f"WHERE {p_c} AND c.c_nationkey IN "
+                f"(SELECT n.n_nationkey FROM nation n "
+                f"WHERE EXISTS (SELECT 1 FROM region r "
+                f"WHERE r.r_regionkey = n.n_regionkey AND {p_r}))"
+            )
+        else:  # scalar_cmp: correlated AVG in a WHERE comparison
+            sql = (
+                f"SELECT c.c_custkey FROM customer c "
+                f"WHERE FLOOR(c.c_acctbal) > (SELECT FLOOR(AVG("
+                f"c2.c_acctbal)) FROM customer c2 "
+                f"WHERE c2.c_nationkey = c.c_nationkey)"
+            )
+        return sql, sql
+
+
+REGION_GENS = {
+    "nested": NestedGen,
+    "decimal": DecimalGen,
+    "subquery": SubqGen,
+}
+
+
+def run_pair_differential(spark, con, region: str, seed: int):
+    """Returns (ok, spark_sql, detail) for one (spark, duck) pair."""
+    spark_sql, duck_sql = REGION_GENS[region](seed).gen()
+    try:
+        sdf = spark.sql(spark_sql)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as exc:  # noqa: BLE001
+        return False, spark_sql, (
+            f"spark error: {type(exc).__name__}: {exc}"[:400]
+        )
+    try:
+        ores = con.sql(duck_sql)
+        ocols = list(ores.columns)
+        orows = ores.fetchall()
+    except Exception as exc:  # noqa: BLE001
+        return False, spark_sql, (
+            f"duckdb error: {exc}"[:400] + f"\ntwin: {duck_sql}"
+        )
+    if sorted(scols) != sorted(ocols):
+        return False, spark_sql, f"schema: {scols} vs {ocols}"
+    if len(srows) != len(orows):
+        return False, spark_sql, (
+            f"rows: spark={len(srows)} duckdb={len(orows)}\ntwin: {duck_sql}"
+        )
+    sn, on = _norm(srows, scols), _norm(orows, ocols)
+    if sn != on:
+        d = next((i, a, b) for i, (a, b) in enumerate(zip(sn, on)) if a != b)
+        return False, spark_sql, (
+            f"hash: row {d[0]}: spark={d[1]} duckdb={d[2]}\ntwin: {duck_sql}"
+        )
+    return True, spark_sql, f"ok ({len(srows)} rows)"
