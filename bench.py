@@ -83,6 +83,11 @@ HEADLINE = [
     "tpcds_q92_above_1_3x_part_avg",
     "tpcds_q94_multi_supplier_clean_orders",
     "tpcds_q91_loss_ratio_matrix",
+    # r5 additions: the two newly-curated part-9 shapes plus the heaviest
+    # of the new report family (whole-lineitem month x supplier window)
+    "tpcds_q86_rollup_rank_within_parent",
+    "tpcds_q51a_cumulative_distinct",
+    "tpcds_q63_monthly_deviation",
 ]
 
 

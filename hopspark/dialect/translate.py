@@ -209,6 +209,10 @@ _FN_RENAME = {
     # dlog1 = natural log (math-functions-ir.cc); bytes() = byte length
     "dlog1": "ln",
     "bytes": "octet_length",
+    # variance_pop/variance_samp aliases (BuiltinsDb.java:1254,1270);
+    # Spark spells them var_pop/var_samp (variance itself is native).
+    "variance_pop": "var_pop",
+    "variance_samp": "var_samp",
     # DataSketches HLL family → Spark's native HLL sketches (Spark 3.5+).
     # The sketch *bytes* differ (DataSketches vs Spark's implementation) but
     # the agg/estimate/union algebra is the same (reference BuiltinsDb
@@ -867,10 +871,24 @@ _ISO_TO_JAVA = [
 # Parse direction agrees between the dialects, so it keeps y/yyy.
 _Y1_PH = "\ue001"
 _Y3_PH = "\ue003"
-_FORMAT_DIR_OVERRIDES = {"YYY": _Y3_PH, "Y": _Y1_PH}
+_MER_PH = "\ue004"  # A.M./P.M. long meridiem: the reference prints WITH
+# periods (timestamp-parse-util.cc MERIDIEM_INDICATOR, AM_LONG/PM_LONG);
+# Java 'a' prints AM/PM \u2014 resolved via placeholder + CASE on the hour.
+_FORMAT_DIR_OVERRIDES = {
+    "YYY": _Y3_PH,
+    "Y": _Y1_PH,
+    "A.M.": _MER_PH,
+    "P.M.": _MER_PH,
+    # FF defaults to 9 fractional digits in the reference
+    # (iso-sql-format-tokenizer.cc {"FF", 9}); keep 6 in the parse
+    # direction, where Java S-runs are width-strict and Spark stores \u00b5s.
+    "FF": "SSSSSSSSS",
+}
 
 
-def _iso_format_to_java(fmt: str, for_format: bool = False) -> str:
+def _iso_format_to_java(
+    fmt: str, for_format: bool = False, consumed: list | None = None
+) -> str:
     out = []
     i = 0
     up = fmt.upper()
@@ -890,6 +908,8 @@ def _iso_format_to_java(fmt: str, for_format: bool = False) -> str:
             if up.startswith(iso, i):
                 if for_format and iso in _FORMAT_DIR_OVERRIDES:
                     java = _FORMAT_DIR_OVERRIDES[iso]
+                if consumed is not None:
+                    consumed.append(iso)
                 out.append(java)
                 i += len(iso)
                 break
@@ -957,12 +977,37 @@ def _rewrite_cast_format(toks: list[Tok]) -> list[Tok]:
         else:
             i += 1
             continue
+        consumed: list = []
         java_fmt = _iso_format_to_java(
-            toks[s_idx].text[1:-1], for_format=(fn == "date_format")
+            toks[s_idx].text[1:-1],
+            for_format=(fn == "date_format"),
+            consumed=consumed,
         )
         # double-quoted SQL literal: the Java pattern may itself contain
         # single-quoted literal sections ('T', 'Z', converted "text")
         iso_fmt = toks[s_idx].text[1:-1]
+        if fn in ("to_timestamp", "to_date") and (
+            "Y" in consumed or "YYY" in consumed
+        ):
+            # Sub-4-digit year parse: the reference prefixes the missing
+            # high-order digits from the CURRENT year
+            # (iso-sql-format-parser.cc PrefixYearFromCurrentYear:393-400:
+            # year + (current_year / 10^len) * 10^len); Java's y/yyy parse
+            # '7'/'026' as literal years 7/26. Add the runtime prefix.
+            # (YY needs no wrap: Java's yy pivots into 2000-2099, which IS
+            # the prefix rule for current years in that window — the same
+            # window contract as the RR adjustment below.)
+            k = 10 if "Y" in consumed else 1000
+            expr_sql = untokenize(expr).strip()
+            inner = f'{fn}({expr_sql}, "{java_fmt}")'
+            adj = f"(year(current_date()) div {k}) * {k}"
+            if fn == "to_date":
+                repl_sql = f"add_months({inner}, 12 * ({adj}))"
+            else:
+                repl_sql = f"({inner} + make_interval({adj}))"
+            toks[i : close + 1] = tokenize(repl_sql)
+            i += 1
+            continue
         if fn in ("to_timestamp", "to_date") and _has_round_year(iso_fmt):
             # RR round-year (iso-sql-format-parser.cc
             # RoundYearFromCurrentYear:402-408): 2-digit years land in the
@@ -984,10 +1029,12 @@ def _rewrite_cast_format(toks: list[Tok]) -> list[Tok]:
             toks[i : close + 1] = tokenize(repl_sql)
             i += 1
             continue
-        if fn == "date_format" and (_Y1_PH in java_fmt or _Y3_PH in java_fmt):
-            # Y/YYY format-direction: the placeholders the converter
-            # emitted are literal (non-letter) chars in the formatted
-            # output; swap them for the last 1/3 digits of the full year.
+        if fn == "date_format" and any(
+            ph in java_fmt for ph in (_Y1_PH, _Y3_PH, _MER_PH)
+        ):
+            # Placeholder post-processing: the converter emitted literal
+            # (non-letter) chars; swap them for the last 1/3 digits of the
+            # full year (Y/YYY) and the period-style meridiem (A.M./P.M.).
             expr_sql = untokenize(expr).strip()
             inner = f'date_format({expr_sql}, "{java_fmt}")'
             yr = f"date_format({expr_sql}, 'yyyy')"
@@ -995,6 +1042,12 @@ def _rewrite_cast_format(toks: list[Tok]) -> list[Tok]:
                 inner = f"replace({inner}, '{_Y3_PH}', substr({yr}, -3, 3))"
             if _Y1_PH in java_fmt:
                 inner = f"replace({inner}, '{_Y1_PH}', substr({yr}, -1, 1))"
+            if _MER_PH in java_fmt:
+                mer = (
+                    f"(CASE WHEN hour({expr_sql}) >= 12 "
+                    f"THEN 'P.M.' ELSE 'A.M.' END)"
+                )
+                inner = f"replace({inner}, '{_MER_PH}', {mer})"
             toks[i : close + 1] = tokenize(inner)
             i += 1
             continue

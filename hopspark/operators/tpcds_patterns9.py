@@ -348,17 +348,23 @@ def tpcds_q60_region_channel_union(spark: SparkSession, sf_dir: str) -> DataFram
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(part, li.l_partkey == part.p_partkey)
     )
-
-    def channel(regions):
-        return (
-            base.filter(F.col("n_regionkey").isin(*regions))
-            .groupBy("p_type")
-            .agg(F.sum(_rev()).alias("rev"))
-        )
-
-    unioned = channel((0,)).unionAll(channel((1, 2))).unionAll(channel((3, 4)))
+    # One-scan rewrite (the r4 q74/q59/q90 discipline, SCALE.md): the three
+    # channels are disjoint region slices union-all'd then re-summed per
+    # type, so a single scan grouped by (channel, p_type) followed by the
+    # tiny re-aggregation is value-identical — at 100 TB this reads the
+    # fact once instead of three times. The oracle keeps the reference's
+    # literal 3-subquery UNION ALL form.
+    channel = (
+        F.when(F.col("n_regionkey") == 0, 0)
+        .when(F.col("n_regionkey").isin(1, 2), 1)
+        .otherwise(2)
+    )
+    per_channel = (
+        base.groupBy(channel.alias("ch"), F.col("p_type"))
+        .agg(F.sum(_rev()).alias("rev"))
+    )
     return (
-        unioned.groupBy("p_type")
+        per_channel.groupBy("p_type")
         .agg(F.sum("rev").cast("double").alias("total_rev"))
         .orderBy(F.desc("total_rev"), "p_type")
         .limit(25)
