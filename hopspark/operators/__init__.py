@@ -39,6 +39,7 @@ _MODULES = (
     "tpcds_patterns7",
     "tpcds_patterns8",
     "tpcds_patterns9",
+    "tpcds_patterns10",
     "pipeline",
     "quality",
     "mixture",
@@ -68,7 +69,11 @@ CURATED_FIRST = (
     # Aggregation (§2.5).
     "agg_rollup",
     "agg_multi_distinct",
-    "agg_pivot_status",
+    # r5 rotation: explicit GROUPING SETS over a pre-aggregated partial
+    # (tpcds_patterns10, q27a shape) replaces agg_pivot_status — §2.5
+    # grouping-family evidence deepens (rollup + grouping sets + q18/q86
+    # below); PIVOT stays sim-checked and golden-pinned.
+    "tpcds_q27a_grouping_sets",
     "agg_stats_moments",
     # Analytic / windows (§2.6).
     "window_rank_topn",

@@ -1,0 +1,607 @@
+"""TPC-DS-pattern workload slice, part 10 — 11 variant shapes (→ 128).
+
+Round-5 second widening: the reference ships 'a'-variant query files whose
+PLANS differ structurally from the base query (testdata/workloads/tpcds/
+queries/*a.test): GROUPING SETS in place of ROLLUP (q27a), the explicit
+pre-aggregate-then-rollup CTE (q36a), union-of-semi-joins replacing an
+AND-chain of EXISTS (q10a), the paired strict/lenient two-snapshot
+coefficient-of-variation join (q39 a/b), rollup-over-channel-union P&L
+(q77a/q80a), decile bucketing over a ranked measure (q49 family), a
+centered moving-average outlier filter (q57 family), the argmax join-back
+(q64 family), and a cross-fact activity ratio (q78 family).
+
+Same adaptation + determinism discipline as parts 1-9: shapes re-derived
+on the driver schema, exact DECIMAL accumulation with one terminal DOUBLE
+conversion, BIGINT-cast counts in oracles (no HUGEINT), total orders
+before every LIMIT, and window ORDER BYs carry a unique tiebreaker so
+bucketing functions are deterministic.
+
+Scale notes (100 TB): every variant aggregates facts to group grain before
+any Expand/window/self-join; the q39 pair self-joins a (part, month)
+aggregate, not the fact; q64a joins back on a tiny (brand, max) frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hopspark.catalog import read_table
+from hopspark.operators._util import REVENUE_TERM, dec
+from hopspark.operators.tpcds_patterns2 import _li_orders, _rev
+
+# ---------------------------------------------------------------------------
+# q27a shape — explicit GROUPING SETS ((a,b),(a),()) where the base q27
+# uses a three-level ROLLUP: a different Expand (no (a,b,c) level)
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q27a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, "nation", sf_dir)
+    cust = read_table(spark, "customer", sf_dir)
+    base = (
+        _li_orders(spark, sf_dir)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+    )
+    fine = base.groupBy("o_orderstatus", "n_name").agg(
+        F.sum(_rev()).alias("rev0"),
+        F.count(F.lit(1)).alias("n0"),
+    )
+    return (
+        fine.groupingSets(
+            [["o_orderstatus", "n_name"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "n_name",
+        )
+        .agg(
+            F.sum("rev0").cast("double").alias("rev"),
+            F.sum("n0").alias("n_items"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
+
+
+TPCDS_Q27A_SQL = f"""
+WITH fine AS (
+  SELECT o_orderstatus, n_name, SUM({REVENUE_TERM}) AS rev0,
+         CAST(COUNT(*) AS BIGINT) AS n0
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT o_orderstatus, n_name, CAST(SUM(rev0) AS DOUBLE) AS rev,
+       CAST(SUM(n0) AS BIGINT) AS n_items
+FROM fine
+GROUP BY GROUPING SETS ((o_orderstatus, n_name), (o_orderstatus), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# q39 a/b shape — two adjacent monthly snapshots of per-part quantity
+# mean/cov, self-joined; 'a' keeps cov>1 on both sides, 'b' tightens the
+# first month. Moments computed EXACTLY (decimal sum/sumsq, one double
+# sqrt) so the cov filter can't flip between engines.
+# ---------------------------------------------------------------------------
+
+
+def _q39_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir).filter(
+        F.year("l_shipdate") == 1996
+    )
+    q = dec("l_quantity", 12, 2)
+    return (
+        li.withColumn("mo", F.month("l_shipdate"))
+        .groupBy("l_partkey", "mo")
+        .agg(
+            F.sum(q).alias("s"),
+            F.sum((q * q).cast("decimal(20,4)")).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "l_partkey",
+            "mo",
+            (F.col("s").cast("double") / F.col("n")).alias("mean"),
+            F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s").cast("double")
+                    * F.col("s").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ).alias("sd"),
+        )
+        .withColumn("cov", F.col("sd") / F.col("mean"))
+    )
+
+
+_Q39_MOMENTS_SQL = """
+  SELECT l_partkey, mo,
+         CAST(s AS DOUBLE) / n AS mean,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+              / (n - 1)) AS sd,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+              / (n - 1)) / (CAST(s AS DOUBLE) / n) AS cov
+  FROM (
+    SELECT l_partkey, month(l_shipdate) AS mo,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s,
+           SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(20,4))) AS s2,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem WHERE year(l_shipdate) = 1996
+    GROUP BY 1, 2
+  ) WHERE n >= 2
+"""
+
+
+def _q39(spark: SparkSession, sf_dir: str, strict: bool) -> DataFrame:
+    m = _q39_moments(spark, sf_dir)
+    lo = 1.5 if strict else 1.0
+    a = m.filter(F.col("cov") > lo).alias("a")
+    b = m.filter(F.col("cov") > 1.0).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("b.mo") == F.col("a.mo") + 1),
+        )
+        .select(
+            F.col("a.l_partkey").alias("l_partkey"),
+            F.col("a.mo").alias("mo1"),
+            F.round("a.cov", 6).alias("cov1"),
+            F.col("b.mo").alias("mo2"),
+            F.round("b.cov", 6).alias("cov2"),
+        )
+        .orderBy("l_partkey", "mo1")
+        .limit(100)
+    )
+
+
+def tpcds_q39a_cov_adjacent_months(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _q39(spark, sf_dir, strict=False)
+
+
+def tpcds_q39b_cov_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q39(spark, sf_dir, strict=True)
+
+
+def _q39_sql(lo: str) -> str:
+    return f"""
+WITH m AS ({_Q39_MOMENTS_SQL})
+SELECT a.l_partkey, a.mo AS mo1, ROUND(a.cov, 6) AS cov1,
+       b.mo AS mo2, ROUND(b.cov, 6) AS cov2
+FROM m a JOIN m b ON a.l_partkey = b.l_partkey AND b.mo = a.mo + 1
+WHERE a.cov > {lo} AND b.cov > 1.0
+ORDER BY a.l_partkey, mo1
+LIMIT 100
+"""
+
+
+TPCDS_Q39A_SQL = _q39_sql("1.0")
+TPCDS_Q39B_SQL = _q39_sql("1.5")
+
+
+# ---------------------------------------------------------------------------
+# q77a shape — profit & loss per channel with a ROLLUP grand-total row:
+# sales minus returns per orderstatus channel, rolled up
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q77a_pl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _li_orders(spark, sf_dir)
+    per = base.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("l_returnflag") != "R", _rev())).alias("sales"),
+        F.sum(F.when(F.col("l_returnflag") == "R", _rev())).alias("returns"),
+    )
+    return (
+        per.rollup("o_orderstatus")
+        .agg(
+            F.sum("sales").cast("double").alias("sales"),
+            F.sum("returns").cast("double").alias("returns"),
+            (F.sum("sales") - F.sum("returns")).cast("double").alias("profit"),
+        )
+        .orderBy(F.col("o_orderstatus").asc_nulls_first())
+    )
+
+
+TPCDS_Q77A_SQL = f"""
+WITH per AS (
+  SELECT o_orderstatus,
+         SUM(CASE WHEN l_returnflag <> 'R' THEN {REVENUE_TERM} END) AS sales,
+         SUM(CASE WHEN l_returnflag = 'R' THEN {REVENUE_TERM} END) AS returns
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT o_orderstatus, CAST(SUM(sales) AS DOUBLE) AS sales,
+       CAST(SUM(returns) AS DOUBLE) AS returns,
+       CAST(SUM(sales) - SUM(returns) AS DOUBLE) AS profit
+FROM per
+GROUP BY ROLLUP(o_orderstatus)
+ORDER BY o_orderstatus ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# q80a shape — netted revenue by (channel, brand) ROLLUP over a channel
+# union, pre-aggregated before the Expand
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q80a_brand_channel_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = read_table(spark, "part", sf_dir)
+    base = _li_orders(spark, sf_dir).join(
+        part, F.col("l_partkey") == part.p_partkey
+    )
+    channel = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("low")
+    )
+    net = _rev() - F.when(F.col("l_returnflag") == "R", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    fine = base.groupBy(channel.alias("channel"), F.col("p_brand")).agg(
+        F.sum(net).alias("net0")
+    )
+    return (
+        fine.rollup("channel", "p_brand")
+        .agg(F.sum("net0").cast("double").alias("net_rev"))
+        .orderBy(
+            F.col("channel").asc_nulls_first(),
+            F.col("p_brand").asc_nulls_first(),
+        )
+    )
+
+
+TPCDS_Q80A_SQL = f"""
+WITH fine AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'urgent'
+              WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+              ELSE 'low' END AS channel,
+         p_brand,
+         SUM({REVENUE_TERM}
+             - CASE WHEN l_returnflag = 'R' THEN {REVENUE_TERM}
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS net0
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT channel, p_brand, CAST(SUM(net0) AS DOUBLE) AS net_rev
+FROM fine
+GROUP BY ROLLUP(channel, p_brand)
+ORDER BY channel ASC NULLS FIRST, p_brand ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# q36a shape — the reference's explicit pre-aggregate CTE feeding a rollup
+# (q36a rewrites q36 exactly this way); margin = net/gross per geography
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q36a_preagg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = read_table(spark, "supplier", sf_dir)
+    nation = read_table(spark, "nation", sf_dir)
+    region = read_table(spark, "region", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir)
+    base = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    fine = base.groupBy("r_name", "n_name").agg(
+        F.sum(_rev()).alias("net0"),
+        F.sum(dec("l_extendedprice", 14, 2)).alias("gross0"),
+    )
+    rolled = fine.rollup("r_name", "n_name").agg(
+        F.sum("net0").alias("net"), F.sum("gross0").alias("gross")
+    )
+    return (
+        rolled.select(
+            "r_name",
+            "n_name",
+            (F.col("net").cast("double") / F.col("gross").cast("double"))
+            .alias("margin"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
+
+
+TPCDS_Q36A_SQL = f"""
+WITH fine AS (
+  SELECT r_name, n_name, SUM({REVENUE_TERM}) AS net0,
+         SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS gross0
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name,
+       CAST(SUM(net0) AS DOUBLE) / CAST(SUM(gross0) AS DOUBLE) AS margin
+FROM fine
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10a shape — union-of-semi-joins replacing q10's AND-chain of EXISTS:
+# customers active in EITHER channel, then a demographic count
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q10a_union_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, "customer", sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    events = read_table(spark, "events", sf_dir)
+    ch1 = orders.filter(F.year("o_orderdate") >= 1998).select(
+        F.col("o_custkey").alias("k")
+    )
+    ch2 = events.select(F.col("user_id").alias("k"))
+    active = ch1.union(ch2).distinct()
+    return (
+        cust.join(active, cust.c_custkey == active.k)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+TPCDS_Q10A_SQL = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1998
+  UNION
+  SELECT user_id FROM events
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q49 family shape — decile bucketing over a ranked measure: ntile(10) on
+# per-part return rate, then counts per decile (unique tiebreaker keeps
+# ntile deterministic across engines)
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q49a_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir)
+    per = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "n_ret"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+        .withColumn(
+            "ret_rate",
+            F.col("n_ret").cast("double") / F.col("n").cast("double"),
+        )
+    )
+    w = Window.orderBy(F.desc("ret_rate"), F.col("l_partkey"))
+    return (
+        per.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("ret_rate"), 6).alias("avg_ret_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+TPCDS_Q49A_SQL = """
+WITH per AS (
+  SELECT l_partkey,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ret,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 3
+), rated AS (
+  SELECT l_partkey, CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE) AS ret_rate
+  FROM per
+), bucketed AS (
+  SELECT NTILE(10) OVER (ORDER BY ret_rate DESC, l_partkey) AS decile,
+         ret_rate
+  FROM rated
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(AVG(ret_rate), 6) AS avg_ret_rate
+FROM bucketed
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# q57 family shape — centered moving-average outlier filter: monthly
+# revenue vs avg(prev, cur, next), keep months deviating > 20%
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q57a_centered_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir)
+    per = (
+        li.withColumn("mo", F.date_format("l_shipdate", "yyyy-MM"))
+        .groupBy("mo")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    w = Window.orderBy("mo").rowsBetween(-1, 1)
+    wn = Window.orderBy("mo")
+    per = (
+        per.withColumn("ctr", F.avg(F.col("rev").cast("double")).over(w))
+        .withColumn("n_nbr", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_nbr") == 3)
+    )
+    return (
+        per.filter(
+            F.abs(F.col("rev").cast("double") - F.col("ctr"))
+            > 0.2 * F.col("ctr")
+        )
+        .select(
+            "mo",
+            F.col("rev").cast("double").alias("rev"),
+            F.round("ctr", 4).alias("centered_avg"),
+        )
+        .orderBy("mo")
+    )
+
+
+TPCDS_Q57A_SQL = f"""
+WITH per AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS mo, SUM({REVENUE_TERM}) AS rev
+  FROM lineitem GROUP BY 1
+), win AS (
+  SELECT mo, rev,
+         AVG(CAST(rev AS DOUBLE)) OVER (ORDER BY mo
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS ctr,
+         CAST(COUNT(*) OVER (ORDER BY mo
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n_nbr
+  FROM per
+)
+SELECT mo, CAST(rev AS DOUBLE) AS rev, ROUND(ctr, 4) AS centered_avg
+FROM win
+WHERE n_nbr = 3 AND ABS(CAST(rev AS DOUBLE) - ctr) > 0.2 * ctr
+ORDER BY mo
+"""
+
+
+# ---------------------------------------------------------------------------
+# q64 family shape — argmax join-back: for each brand, the month with the
+# maximum revenue (aggregate -> tiny max frame -> equi-join back)
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q64a_argmax_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, "part", sf_dir)
+    per = (
+        _li_orders(spark, sf_dir)
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .withColumn("mo", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("p_brand", "mo")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    mx = per.groupBy("p_brand").agg(F.max("rev").alias("mx"))
+    return (
+        per.join(mx, "p_brand")
+        .filter(F.col("rev") == F.col("mx"))
+        .select(
+            "p_brand",
+            F.col("mo").alias("best_month"),
+            F.col("rev").cast("double").alias("rev"),
+        )
+        .orderBy("p_brand", "best_month")
+    )
+
+
+TPCDS_Q64A_SQL = f"""
+WITH per AS (
+  SELECT p_brand, strftime(o_orderdate, '%Y-%m') AS mo,
+         SUM({REVENUE_TERM}) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT per.p_brand, per.mo AS best_month, CAST(per.rev AS DOUBLE) AS rev
+FROM per
+JOIN (SELECT p_brand, MAX(rev) AS mx FROM per GROUP BY 1) m
+  ON per.p_brand = m.p_brand AND per.rev = m.mx
+ORDER BY per.p_brand, best_month
+"""
+
+
+# ---------------------------------------------------------------------------
+# q78 family shape — cross-fact activity ratio per customer: order spend
+# vs event value, both pre-aggregated, one terminal division
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q78a_cross_fact_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, "orders", sf_dir)
+    events = read_table(spark, "events", sf_dir)
+    o = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", 14, 2)).alias("spend")
+    )
+    e = events.groupBy("user_id").agg(
+        F.sum(dec("value", 14, 4)).alias("ev")
+    )
+    return (
+        o.join(e, o.o_custkey == e.user_id)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("spend").cast("double").alias("spend"),
+            F.col("ev").cast("double").alias("event_value"),
+            F.round(
+                F.col("spend").cast("double") / F.col("ev").cast("double"), 6
+            ).alias("spend_per_event_value"),
+        )
+        .orderBy("custkey")
+    )
+
+
+TPCDS_Q78A_SQL = """
+WITH o AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+  FROM orders GROUP BY 1
+), e AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(14,4))) AS ev
+  FROM events GROUP BY 1
+)
+SELECT o_custkey AS custkey, CAST(spend AS DOUBLE) AS spend,
+       CAST(ev AS DOUBLE) AS event_value,
+       ROUND(CAST(spend AS DOUBLE) / CAST(ev AS DOUBLE), 6)
+         AS spend_per_event_value
+FROM o JOIN e ON o_custkey = user_id
+ORDER BY custkey
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "tpcds_q27a_grouping_sets": (
+        tpcds_q27a_grouping_sets, TPCDS_Q27A_SQL),
+    "tpcds_q39a_cov_adjacent_months": (
+        tpcds_q39a_cov_adjacent_months, TPCDS_Q39A_SQL),
+    "tpcds_q39b_cov_strict": (
+        tpcds_q39b_cov_strict, TPCDS_Q39B_SQL),
+    "tpcds_q77a_pl_rollup": (
+        tpcds_q77a_pl_rollup, TPCDS_Q77A_SQL),
+    "tpcds_q80a_brand_channel_rollup": (
+        tpcds_q80a_brand_channel_rollup, TPCDS_Q80A_SQL),
+    "tpcds_q36a_preagg_rollup": (
+        tpcds_q36a_preagg_rollup, TPCDS_Q36A_SQL),
+    "tpcds_q10a_union_exists": (
+        tpcds_q10a_union_exists, TPCDS_Q10A_SQL),
+    "tpcds_q49a_decile_buckets": (
+        tpcds_q49a_decile_buckets, TPCDS_Q49A_SQL),
+    "tpcds_q57a_centered_outliers": (
+        tpcds_q57a_centered_outliers, TPCDS_Q57A_SQL),
+    "tpcds_q64a_argmax_joinback": (
+        tpcds_q64a_argmax_joinback, TPCDS_Q64A_SQL),
+    "tpcds_q78a_cross_fact_ratio": (
+        tpcds_q78a_cross_fact_ratio, TPCDS_Q78A_SQL),
+}

@@ -536,8 +536,14 @@ def tpcds_q86_rollup_rank_within_parent(
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
     )
-    rolled = base.rollup("r_name", "n_name").agg(
-        F.sum(_rev()).alias("rev"),
+    # Grouping-sets pre-aggregation (SCALE.md, r4 discipline): SUM
+    # re-aggregates losslessly, so reduce the fact join to the finest
+    # (region, nation) grain FIRST and roll up the ≤25-row partial —
+    # Expand multiplies its input by the number of grouping sets, and at
+    # 100 TB that input must be the group count, not the fact row count.
+    fine = base.groupBy("r_name", "n_name").agg(F.sum(_rev()).alias("rev0"))
+    rolled = fine.rollup("r_name", "n_name").agg(
+        F.sum("rev0").alias("rev"),
         (F.grouping("r_name") + F.grouping("n_name")).alias("lochier"),
         F.grouping("n_name").alias("g_nation"),
     )
