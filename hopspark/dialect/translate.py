@@ -1402,4 +1402,65 @@ def translate(sql: str, options: dict[str, bool] | None = None) -> str:
         toks = _rewrite_count_distinct_to_ndv(toks)
     toks = _rewrite_iregexp(toks)
     toks = _rewrite_null_ordering(toks)
+    toks = _rewrite_null_predicates(toks)
     return untokenize(toks)
+
+
+def _rewrite_null_predicates(toks: list[Tok]) -> list[Tok]:
+    """Two NULL/BOOLEAN acceptance deltas the reference is permissive on:
+
+    1. ``CASE WHEN NULL THEN`` / ``IF(NULL, ...)`` — the reference types a
+       bare NULL predicate as BOOLEAN (fe analysis NullLiteral
+       type-coercion); Spark 4's analyzer rejects VOID in a condition.
+       Rewrite the bare literal to ``CAST(NULL AS BOOLEAN)``.
+    2. ``CAST('<lit>' AS BOOLEAN)`` — the reference converts only
+       'true'/'false' (case-insensitive, util/string-parser.h
+       StringToBool); Spark also accepts 'yes'/'no'/'y'/'n'/'0'/'1'.
+       Fold literal string→boolean casts at translate time to the
+       reference's contract (non-literal operands keep Spark semantics —
+       a documented delta, type unknown at token level).
+    """
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "word" and t.upper == "NULL":
+            p = _prev_code(toks, i - 1)
+            n = _next_code(toks, i + 1)
+            prev_u = toks[p].upper if p >= 0 else ""
+            next_u = toks[n].upper if n < len(toks) else ""
+            if (prev_u == "WHEN" and next_u == "THEN") or (
+                prev_u in ("IF", "(")
+                and p >= 1
+                and toks[_prev_code(toks, p - 1)].upper == "IF"
+                and next_u == ","
+            ):
+                toks[i : i + 1] = tokenize("CAST(NULL AS BOOLEAN)")
+                i += 1
+                continue
+        if t.kind == "word" and t.upper == "CAST":
+            j = _next_code(toks, i + 1)
+            if j < len(toks) and toks[j].text == "(":
+                close = _matching_paren(toks, j)
+                s_i = _next_code(toks, j + 1)
+                as_i = _next_code(toks, s_i + 1)
+                ty_i = _next_code(toks, as_i + 1)
+                if (
+                    toks[s_i].kind == "str"
+                    and as_i < close
+                    and toks[as_i].upper == "AS"
+                    and ty_i < close
+                    and toks[ty_i].upper == "BOOLEAN"
+                    and _next_code(toks, ty_i + 1) == close
+                ):
+                    lit = toks[s_i].text[1:-1].strip().lower()
+                    if lit == "true":
+                        repl = "TRUE"
+                    elif lit == "false":
+                        repl = "FALSE"
+                    else:
+                        repl = "CAST(NULL AS BOOLEAN)"
+                    toks[i : close + 1] = tokenize(repl)
+                    i += 1
+                    continue
+        i += 1
+    return toks
