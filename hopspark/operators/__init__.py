@@ -40,6 +40,7 @@ _MODULES = (
     "tpcds_patterns8",
     "tpcds_patterns9",
     "tpcds_patterns10",
+    "advanced_sql",
     "pipeline",
     "quality",
     "mixture",
@@ -60,7 +61,10 @@ CURATED_FIRST = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q8_market_share",
-    "tpch_q18_large_volume_customers",
+    # r5 rotation: LATERAL per-group top-k (advanced_sql) replaces
+    # tpch_q18 — TPC-H spine keeps q1/q3/q5/q8/q21, and the group-
+    # having shape q18 exercises stays via tpcds_q94's HAVING composite.
+    "lateral_topk_per_group",
     "tpch_q21_suppliers_waiting",
     # Joins / set ops / sorts (§2.4, §2.7, §2.8).
     "join_full_outer",

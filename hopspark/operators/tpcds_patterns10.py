@@ -1,4 +1,4 @@
-"""TPC-DS-pattern workload slice, part 10 — 11 variant shapes (→ 128).
+"""TPC-DS-pattern workload slice, part 10 — 13 variant shapes (→ 130).
 
 Round-5 second widening: the reference ships 'a'-variant query files whose
 PLANS differ structurally from the base query (testdata/workloads/tpcds/
@@ -8,7 +8,8 @@ AND-chain of EXISTS (q10a), the paired strict/lenient two-snapshot
 coefficient-of-variation join (q39 a/b), rollup-over-channel-union P&L
 (q77a/q80a), decile bucketing over a ranked measure (q49 family), a
 centered moving-average outlier filter (q57 family), the argmax join-back
-(q64 family), and a cross-fact activity ratio (q78 family).
+(q64 family), a cross-fact activity ratio (q78 family), non-hierarchical
+partial GROUPING SETS (q22a), and a fact-period INTERSECT feed (q14a).
 
 Same adaptation + determinism discipline as parts 1-9: shapes re-derived
 on the driver schema, exact DECIMAL accumulation with one terminal DOUBLE
@@ -605,3 +606,113 @@ QUERIES: dict[str, tuple] = {
     "tpcds_q78a_cross_fact_ratio": (
         tpcds_q78a_cross_fact_ratio, TPCDS_Q78A_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# q22a shape — NON-hierarchical GROUPING SETS over the q22 hierarchy:
+# ((p_type, size), (p_brand), (size), ()) — partial sets a ROLLUP cannot
+# express; avg derived from re-aggregable sum/count partials
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q22a_partial_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir)
+    part = read_table(spark, "part", sf_dir)
+    size_bucket = (
+        F.col("p_size") - 1 - (F.col("p_size") - 1) % 10 + 1
+    ).cast("int")
+    fine = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_type"),
+            F.col("p_brand"),
+            size_bucket.alias("size_lo"),
+        )
+        .agg(
+            F.sum(dec("l_quantity", 12, 2)).alias("s0"),
+            F.count(F.lit(1)).alias("n0"),
+        )
+    )
+    return (
+        fine.groupingSets(
+            [["p_type", "size_lo"], ["p_brand"], ["size_lo"], []],
+            "p_type",
+            "p_brand",
+            "size_lo",
+        )
+        .agg(
+            (F.sum("s0").cast("double") / F.sum("n0")).alias("avg_qty"),
+            F.sum("n0").alias("cnt"),
+        )
+        .orderBy(
+            F.col("p_type").asc_nulls_first(),
+            F.col("p_brand").asc_nulls_first(),
+            F.col("size_lo").asc_nulls_first(),
+        )
+    )
+
+
+TPCDS_Q22A_SQL = """
+WITH fine AS (
+  SELECT p_type, p_brand,
+         CAST((p_size - 1 - (p_size - 1) % 10 + 1) AS INT) AS size_lo,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s0,
+         CAST(COUNT(*) AS BIGINT) AS n0
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT p_type, p_brand, size_lo,
+       CAST(SUM(s0) AS DOUBLE) / SUM(n0) AS avg_qty,
+       CAST(SUM(n0) AS BIGINT) AS cnt
+FROM fine
+GROUP BY GROUPING SETS ((p_type, size_lo), (p_brand), (size_lo), ())
+ORDER BY p_type ASC NULLS FIRST, p_brand ASC NULLS FIRST,
+         size_lo ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14a shape — fact-period INTERSECT: parts sold in BOTH halves of 1996,
+# the intersection feeding a revenue aggregate (q14b intersects dims; this
+# intersects fact-derived key sets)
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q14a_period_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir)
+    h1 = li.filter(
+        (F.year("l_shipdate") == 1996) & (F.month("l_shipdate") <= 6)
+    ).select("l_partkey")
+    h2 = li.filter(
+        (F.year("l_shipdate") == 1996) & (F.month("l_shipdate") > 6)
+    ).select("l_partkey")
+    both = h1.intersect(h2)
+    return (
+        li.filter(F.year("l_shipdate") == 1996)
+        .join(both, "l_partkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(_rev()).cast("double").alias("rev"),
+        )
+    )
+
+
+TPCDS_Q14A_SQL = f"""
+WITH both_halves AS (
+  SELECT l_partkey FROM lineitem
+  WHERE year(l_shipdate) = 1996 AND month(l_shipdate) <= 6
+  INTERSECT
+  SELECT l_partkey FROM lineitem
+  WHERE year(l_shipdate) = 1996 AND month(l_shipdate) > 6
+)
+SELECT CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+       CAST(SUM({REVENUE_TERM}) AS DOUBLE) AS rev
+FROM lineitem l JOIN both_halves b ON l.l_partkey = b.l_partkey
+WHERE year(l.l_shipdate) = 1996
+"""
+
+
+QUERIES["tpcds_q22a_partial_sets"] = (
+    tpcds_q22a_partial_sets, TPCDS_Q22A_SQL)
+QUERIES["tpcds_q14a_period_intersect"] = (
+    tpcds_q14a_period_intersect, TPCDS_Q14A_SQL)
