@@ -513,3 +513,73 @@ def test_dynamic_partition_pruning_on_partitioned_table(spark, sf_dir, tmp_path)
         fact.join(rt_dim, "o_orderpriority").agg(F.count(F.lit(1)))
     )
     assert "dynamicpruning" in dynamic_plan.lower(), dynamic_plan
+
+
+def test_tpcds_q51a_windows_over_aggregate_not_fact(spark, sf_dir):
+    """Cumulative-DISTINCT via the first-occurrence rewrite: the running
+    window must consume the tiny per-month aggregate, never a per-customer
+    collect_set state — plan shape is scan → two HashAggregates → one
+    Window, no ObjectHashAggregate/collect_set."""
+    from hopspark.operators.tpcds_patterns9 import tpcds_q51a_cumulative_distinct
+
+    df = tpcds_q51a_cumulative_distinct(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "collect_set" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+    # the orders scan reads only the two columns the rewrite needs
+    cols = scan_read_schema(df)
+    assert set(cols) <= {"o_custkey", "o_orderdate"}, cols
+
+
+def test_tpcds_q86_expand_feeds_on_preaggregated_partial(spark, sf_dir):
+    """q86's rollup Expand must sit ABOVE the fine-grain aggregation: at
+    100 TB the Expand input is the (region, nation) group count, not the
+    fact join. In the formatted plan the Expand node id must be smaller
+    (higher in the tree) than at least one HashAggregate that consumes the
+    scan — i.e. an aggregate appears below the Expand."""
+    import re
+
+    from hopspark.operators.tpcds_patterns9 import (
+        tpcds_q86_rollup_rank_within_parent,
+    )
+
+    df = tpcds_q86_rollup_rank_within_parent(spark, sf_dir)
+    plan = explain_formatted(df)
+    tree = plan.split("\n\n")[0]
+    expand_depth = min(
+        len(line) - len(line.lstrip())
+        for line in tree.splitlines()
+        if "Expand" in line
+    )
+    agg_deeper = any(
+        (len(line) - len(line.lstrip())) > expand_depth
+        for line in tree.splitlines()
+        if "HashAggregate" in line
+    )
+    assert agg_deeper, plan
+
+
+def test_tpcds_q60_single_fact_scan(spark, sf_dir):
+    """The one-scan rewrite of the 3-channel union: exactly one lineitem
+    scan in the physical plan (the literal UNION ALL form reads the fact
+    three times)."""
+    from hopspark.operators.tpcds_patterns9 import tpcds_q60_region_channel_union
+
+    df = tpcds_q60_region_channel_union(spark, sf_dir)
+    tree = explain_formatted(df).split("\n\n")[0]
+    scans = [ln for ln in tree.splitlines() if "Scan parquet" in ln]
+    assert len(scans) <= 4, tree  # lineitem + 3 dims, each once
+
+
+def test_lateral_topk_plans_per_group_limit(spark, sf_dir):
+    """The LATERAL top-k decorrelates into a bounded per-group rank —
+    Catalyst rewrites the correlated LIMIT subquery to a Window (rank
+    filter) over a broadcast-joined dim, never a cartesian product with a
+    per-row re-execution."""
+    from hopspark.operators.advanced_sql import lateral_topk_per_group
+
+    df = lateral_topk_per_group(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan or "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
