@@ -742,9 +742,25 @@ class DialectGen:
         scs = self._cols(tbl, "str")
         c = r.choice(scs)
         kind = r.choice(
-            ["col", "decode", "nvl", "strleft", "strright", "case_up"]
+            ["col", "decode", "nvl", "strleft", "strright", "case_up",
+             "fmt", "fmt_y"]
             if depth < 2 else ["col"]
         )
+        if kind in ("fmt", "fmt_y"):
+            tcs = self._cols(tbl, "ts")
+            if tcs:
+                t = r.choice(tcs)
+                if kind == "fmt":
+                    # CAST ... FORMAT string direction vs strftime twin
+                    return (f"cast({t} as string format 'YYYY-MM')",
+                            f"strftime({t}, '%Y-%m')")
+                # round-5 Y/YYY format direction: last 1/3 year digits
+                if r.random() < 0.5:
+                    return (f"cast({t} as string format 'YYY')",
+                            f"substr(strftime({t}, '%Y'), 2, 3)")
+                return (f"cast({t} as string format 'Y')",
+                        f"substr(strftime({t}, '%Y'), 4, 1)")
+            kind = "col"
         if kind == "col":
             return c, c
         if kind == "decode":
@@ -778,8 +794,22 @@ class DialectGen:
         c = r.choice(tcs)
         kind = r.choice(
             ["year", "month", "day", "quarter", "dateadd_y", "datediff_",
-             "lastday"]
+             "lastday", "trunc_dd", "trunc_q", "trunc_day", "trunc_hh"]
         )
+        # round-5 datetime-trunc unit table (udf-builtins.cc
+        # StrToTruncUnit -> date_trunc): DD/Q/HH24 plus DAY = Monday week
+        if kind == "trunc_dd":
+            return (f"day(trunc({c}, 'DD'))",
+                    f"day(date_trunc('day', {c}))")
+        if kind == "trunc_q":
+            return (f"month(trunc({c}, 'Q'))",
+                    f"month(date_trunc('quarter', {c}))")
+        if kind == "trunc_day":
+            return (f"day(trunc({c}, 'DAY'))",
+                    f"day(date_trunc('week', {c}))")
+        if kind == "trunc_hh":
+            return (f"hour(trunc({c}, 'HH24'))",
+                    f"hour(date_trunc('hour', {c}))")
         if kind == "datediff_":
             # Impala datediff(a, b) = a - b in days; DuckDB wants the unit
             # first and (start, end) order
@@ -895,9 +925,14 @@ class DialectGen:
         # aggregation over a dialect group key
         gi, gd = r.choice([self.int_pair, self.str_pair])(tbl)
         ai, ad = self.int_pair(tbl)
-        aggs = r.choice(["COUNT(*)", "MIN", "MAX", "SUM"])
+        aggs = r.choice(["COUNT(*)", "MIN", "MAX", "SUM", "VARP"])
         if aggs == "COUNT(*)":
             agg_i = agg_d = "COUNT(*)"
+        elif aggs == "VARP":
+            # round-5 variance alias (BuiltinsDb.java:1270) — rounded so a
+            # last-ulp accumulation difference can't flip the hash
+            agg_i = f"round(variance_pop({ai}), 4)"
+            agg_d = f"round(var_pop({ad}), 4)"
         else:
             agg_i, agg_d = f"{aggs}({ai})", f"{aggs}({ad})"
         wi, wd = self.pred_pair(tbl)
