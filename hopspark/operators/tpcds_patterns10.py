@@ -1,4 +1,4 @@
-"""TPC-DS-pattern workload slice, part 10 — 13 variant shapes (→ 130).
+"""TPC-DS-pattern workload slice, part 10 — 16 variant shapes (→ 133).
 
 Round-5 second widening: the reference ships 'a'-variant query files whose
 PLANS differ structurally from the base query (testdata/workloads/tpcds/
@@ -9,7 +9,9 @@ coefficient-of-variation join (q39 a/b), rollup-over-channel-union P&L
 (q77a/q80a), decile bucketing over a ranked measure (q49 family), a
 centered moving-average outlier filter (q57 family), the argmax join-back
 (q64 family), a cross-fact activity ratio (q78 family), non-hierarchical
-partial GROUPING SETS (q22a), and a fact-period INTERSECT feed (q14a).
+partial GROUPING SETS (q22a), a fact-period INTERSECT feed (q14a), a
+value-based RANGE-interval trailing window (q47a), a window-over-window
+rank-of-deviation (q89a), and two-level percent-of-parent shares (q98a).
 
 Same adaptation + determinism discipline as parts 1-9: shapes re-derived
 on the driver schema, exact DECIMAL accumulation with one terminal DOUBLE
@@ -716,3 +718,182 @@ QUERIES["tpcds_q22a_partial_sets"] = (
     tpcds_q22a_partial_sets, TPCDS_Q22A_SQL)
 QUERIES["tpcds_q14a_period_intersect"] = (
     tpcds_q14a_period_intersect, TPCDS_Q14A_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q47a shape — trailing-30-day revenue via a RANGE frame over event-time
+# (value-based frame, not row-count): per day, sum of revenue in the
+# preceding 30 days. The window runs over the per-day aggregate.
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q47a_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir).filter(
+        F.year("l_shipdate") == 1997
+    )
+    per_day = (
+        li.groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.sum(_rev()).alias("rev"))
+        .withColumn("rev_d", F.col("rev").cast("double"))
+    )
+    day_sec = 86400
+    w = (
+        Window.orderBy(F.unix_timestamp(F.col("d").cast("timestamp")))
+        .rangeBetween(-30 * day_sec, 0)
+    )
+    # day rendered as a STRING: a DATE output column fetches as
+    # datetime.date from Spark but pandas-Timestamp from DuckDB — the same
+    # rendering ambiguity the HUGEINT guard exists for, avoided at source.
+    return (
+        per_day.select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.col("rev_d").alias("rev"),
+            F.round(F.sum("rev_d").over(w), 4).alias("trailing_30d"),
+        )
+        .orderBy("d")
+        .limit(120)
+    )
+
+
+TPCDS_Q47A_SQL = f"""
+WITH per_day AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM({REVENUE_TERM}) AS DOUBLE) AS rev
+  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS d, rev,
+       ROUND(SUM(rev) OVER (ORDER BY d
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 4)
+         AS trailing_30d
+FROM per_day
+ORDER BY d
+LIMIT 120
+"""
+
+
+# ---------------------------------------------------------------------------
+# q89a shape — window over a window: monthly revenue deviation from the
+# supplier average (window 1), then RANK the deviations within the
+# supplier (window 2) and keep each supplier's 2 most deviant months
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q89a_rank_of_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_suppkey") <= 20
+    )
+    per = (
+        li.withColumn("mo", F.date_format("l_shipdate", "yyyy-MM"))
+        .groupBy("l_suppkey", "mo")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    w1 = Window.partitionBy("l_suppkey")
+    per = per.withColumn(
+        "dev",
+        F.abs(
+            F.col("rev").cast("double")
+            - F.sum(F.col("rev").cast("double")).over(w1)
+            / F.count(F.lit(1)).over(w1)
+        ),
+    )
+    w2 = Window.partitionBy("l_suppkey").orderBy(F.desc("dev"), F.col("mo"))
+    return (
+        per.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 2)
+        .select(
+            "l_suppkey",
+            "mo",
+            F.col("rev").cast("double").alias("rev"),
+            F.round("dev", 4).alias("dev"),
+            "rk",
+        )
+        .orderBy("l_suppkey", "rk")
+    )
+
+
+TPCDS_Q89A_SQL = f"""
+WITH per AS (
+  SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS mo,
+         SUM({REVENUE_TERM}) AS rev
+  FROM lineitem WHERE l_suppkey <= 20 GROUP BY 1, 2
+), dev AS (
+  SELECT l_suppkey, mo, CAST(rev AS DOUBLE) AS rev,
+         ABS(CAST(rev AS DOUBLE)
+             - SUM(CAST(rev AS DOUBLE)) OVER (PARTITION BY l_suppkey)
+               / COUNT(*) OVER (PARTITION BY l_suppkey)) AS dev
+  FROM per
+)
+SELECT l_suppkey, mo, rev, ROUND(dev, 4) AS dev,
+       rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey
+            ORDER BY dev DESC, mo) AS rk
+  FROM dev
+)
+WHERE rk <= 2
+ORDER BY l_suppkey, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# q98a shape — percent-of-parent through TWO window levels: type share
+# within brand, then brand share within the grand total, composed in one
+# pass over the (brand, type) aggregate
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q98a_two_level_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, "part", sf_dir)
+    per = (
+        _li_orders(spark, sf_dir)
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("p_brand", "p_type")
+        .agg(F.sum(_rev()).alias("rev"))
+        .withColumn("rev_d", F.col("rev").cast("double"))
+    )
+    w_brand = Window.partitionBy("p_brand")
+    w_all = Window.partitionBy()
+    return (
+        per.select(
+            "p_brand",
+            "p_type",
+            F.col("rev_d").alias("rev"),
+            F.round(
+                F.col("rev_d") / F.sum("rev_d").over(w_brand) * 100, 6
+            ).alias("pct_of_brand"),
+            F.round(
+                F.sum("rev_d").over(w_brand)
+                / F.sum("rev_d").over(w_all) * 100,
+                6,
+            ).alias("brand_pct_of_total"),
+        )
+        .orderBy("p_brand", "p_type")
+    )
+
+
+TPCDS_Q98A_SQL = f"""
+WITH per AS (
+  SELECT p_brand, p_type, CAST(SUM({REVENUE_TERM}) AS DOUBLE) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+)
+SELECT p_brand, p_type, rev,
+       ROUND(rev / SUM(rev) OVER (PARTITION BY p_brand) * 100, 6)
+         AS pct_of_brand,
+       ROUND(SUM(rev) OVER (PARTITION BY p_brand)
+             / SUM(rev) OVER () * 100, 6) AS brand_pct_of_total
+FROM per
+ORDER BY p_brand, p_type
+"""
+
+
+QUERIES["tpcds_q47a_trailing_30d"] = (
+    tpcds_q47a_trailing_30d, TPCDS_Q47A_SQL)
+QUERIES["tpcds_q89a_rank_of_deviation"] = (
+    tpcds_q89a_rank_of_deviation, TPCDS_Q89A_SQL)
+QUERIES["tpcds_q98a_two_level_shares"] = (
+    tpcds_q98a_two_level_shares, TPCDS_Q98A_SQL)
