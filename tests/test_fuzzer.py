@@ -37,6 +37,11 @@ REGRESSION_SEEDS = [
     (40, "empty-input ROLLUP grand total: Spark 0 rows vs standard 1"),
     (83, "empty-input ROLLUP grand total via join"),
     (106, "empty-input CUBE grand total"),
+    # Round 5, found at sf0.01: the synthetic lineitem repeats
+    # (l_orderkey, l_linenumber) with different payloads, so a window
+    # ORDER BY on the nominal key left engine-dependent ties; the window
+    # grammar now orders by the full column tuple.
+    (154, "window order must be the full column tuple, keys are not unique"),
 ]
 
 N_SEEDS = 300

@@ -16,7 +16,8 @@ Determinism discipline (what makes a random query hash-comparable):
 - SUM/AVG accumulate integers only (double columns go through FLOOR→BIGINT;
   raw double accumulation is order-dependent across engines);
 - no division without NULLIF (DuckDB errors on /0, Spark yields NULL);
-- window functions order by a unique key within the partition.
+- window functions order by the FULL column tuple (rows are unique; the
+  nominal keys are NOT — the synthetic data repeats them as dedup bait).
 
 Usage:
   PYTHONPATH=. python tools/query_fuzzer.py [--seeds N] [--start S] [--sf DIR]
@@ -385,8 +386,15 @@ class Gen:
             or self._cols_of_kind(scope, "int")
         )
         wf = r.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
-        # rank on a unique key is deterministic; also exercise running sums
-        osort = key_cols
+        # Total order = the FULL column tuple, not the nominal key: the
+        # driver's synthetic lineitem repeats (l_orderkey, l_linenumber)
+        # with different payloads (dedup-bait rows), so a key-only ORDER BY
+        # leaves ties whose LEAD/ROW_NUMBER values are engine-dependent —
+        # found by seed 154 at sf0.01 (REGRESSION_SEEDS).
+        all_cols = ", ".join(
+            f"t0.{c}" for c in TABLES[tbl]["cols"] if c not in key
+        )
+        osort = f"{key_cols}, {all_cols}" if all_cols else key_cols
         inner_cols = [f"t0.{k} AS k{i}" for i, k in enumerate(key)]
         extra = ""
         if r.random() < 0.4:
