@@ -897,3 +897,307 @@ QUERIES["tpcds_q89a_rank_of_deviation"] = (
     tpcds_q89a_rank_of_deviation, TPCDS_Q89A_SQL)
 QUERIES["tpcds_q98a_two_level_shares"] = (
     tpcds_q98a_two_level_shares, TPCDS_Q98A_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q67a / q70a / q86a — the "a" rewrite family: the original query's ROLLUP
+# is replaced by an explicit UNION of per-grain aggregates over a shared
+# pre-aggregated CTE (reference: testdata/workloads/tpcds/queries/
+# tpcds-q67a.test, tpcds-q70a.test, tpcds-q86a.test — the `results` /
+# `results_rollup` pattern).  These complete the mirror: every TPC-DS
+# query id in the reference workload now has a shape here.
+#
+# 100 TB note: the fine CTE is eagerly checkpointed so the grain branches
+# fan out from a ≤|group-count|-row local table instead of re-running the
+# fact join once per branch.  The union must multiply the PARTIAL, never
+# the fact scan (same discipline as the grouping-sets pre-aggregation in
+# q18/q27/q70/q80 — SCALE.md).
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q86a_union_grain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir)
+    supp = read_table(spark, "supplier", sf_dir)
+    nation = read_table(spark, "nation", sf_dir)
+    region = read_table(spark, "region", sf_dir)
+    base = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    fine = (
+        base.groupBy("r_name", "n_name")
+        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("rev0"))
+        .localCheckpoint(eager=True)
+    )
+    b0 = fine.select(
+        F.col("rev0").alias("total"),
+        "r_name",
+        "n_name",
+        F.lit(0).alias("lochier"),
+    )
+    b1 = (
+        fine.groupBy("r_name")
+        .agg(F.sum("rev0").cast("decimal(38,4)").alias("total"))
+        .select(
+            "total",
+            "r_name",
+            F.lit(None).cast("string").alias("n_name"),
+            F.lit(1).alias("lochier"),
+        )
+    )
+    b2 = fine.agg(F.sum("rev0").cast("decimal(38,4)").alias("total")).select(
+        "total",
+        F.lit(None).cast("string").alias("r_name"),
+        F.lit(None).cast("string").alias("n_name"),
+        F.lit(2).alias("lochier"),
+    )
+    u = b0.unionByName(b1).unionByName(b2)
+    w = Window.partitionBy(
+        "lochier", F.when(F.col("lochier") == 0, F.col("r_name"))
+    ).orderBy(F.desc("total"), F.asc_nulls_first("n_name"))
+    return (
+        u.withColumn("rank_in_parent", F.rank().over(w))
+        .select(
+            F.col("total").cast("double").alias("total"),
+            "r_name",
+            "n_name",
+            "lochier",
+            "rank_in_parent",
+        )
+        .orderBy(
+            F.desc("lochier"),
+            F.asc_nulls_first("r_name"),
+            "rank_in_parent",
+            F.asc_nulls_first("n_name"),
+        )
+    )
+
+
+TPCDS_Q86A_SQL = f"""
+WITH fine AS (
+  SELECT r_name, n_name, CAST(SUM({REVENUE_TERM}) AS DECIMAL(38,4)) AS rev0
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+u AS (
+  SELECT rev0 AS total, r_name, n_name, 0 AS lochier FROM fine
+  UNION ALL
+  SELECT CAST(SUM(rev0) AS DECIMAL(38,4)), r_name, NULL, 1
+  FROM fine GROUP BY r_name
+  UNION ALL
+  SELECT CAST(SUM(rev0) AS DECIMAL(38,4)), NULL, NULL, 2 FROM fine
+)
+SELECT CAST(total AS DOUBLE) AS total, r_name, n_name, lochier,
+       RANK() OVER (PARTITION BY lochier,
+                    CASE WHEN lochier = 0 THEN r_name END
+                    ORDER BY total DESC, n_name NULLS FIRST) AS rank_in_parent
+FROM u
+ORDER BY lochier DESC, r_name NULLS FIRST, rank_in_parent,
+         n_name NULLS FIRST
+"""
+
+
+def tpcds_q70a_union_top_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, "orders", sf_dir)
+    cust = read_table(spark, "customer", sf_dir)
+    nation = read_table(spark, "nation", sf_dir)
+    region = read_table(spark, "region", sf_dir)
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    fine = (
+        base.groupBy("r_name", "n_name")
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("pt"))
+        .localCheckpoint(eager=True)
+    )
+    # q70's restriction subquery: keep only the top-3 regions by their own
+    # total, computed from the same partial (rank over a 5-row aggregate —
+    # broadcast-trivial at any scale).
+    top = (
+        fine.groupBy("r_name")
+        .agg(F.sum("pt").alias("rt"))
+        .withColumn(
+            "rk", F.rank().over(Window.orderBy(F.desc("rt"), F.asc("r_name")))
+        )
+        .filter(F.col("rk") <= 3)
+        .select("r_name")
+    )
+    kept = fine.join(top, "r_name", "left_semi")
+    b0 = kept.select(
+        F.col("pt").alias("total"), "r_name", "n_name", F.lit(0).alias("lochier")
+    )
+    b1 = (
+        kept.groupBy("r_name")
+        .agg(F.sum("pt").cast("decimal(38,2)").alias("total"))
+        .select(
+            "total",
+            "r_name",
+            F.lit(None).cast("string").alias("n_name"),
+            F.lit(1).alias("lochier"),
+        )
+    )
+    b2 = kept.agg(F.sum("pt").cast("decimal(38,2)").alias("total")).select(
+        "total",
+        F.lit(None).cast("string").alias("r_name"),
+        F.lit(None).cast("string").alias("n_name"),
+        F.lit(2).alias("lochier"),
+    )
+    u = b0.unionByName(b1).unionByName(b2)
+    w = Window.partitionBy(
+        "lochier", F.when(F.col("lochier") == 0, F.col("r_name"))
+    ).orderBy(F.desc("total"), F.asc_nulls_first("n_name"))
+    return (
+        u.withColumn("rank_in_parent", F.rank().over(w))
+        .select(
+            F.col("total").cast("double").alias("total"),
+            "r_name",
+            "n_name",
+            "lochier",
+            "rank_in_parent",
+        )
+        .orderBy(
+            F.desc("lochier"),
+            F.asc_nulls_first("r_name"),
+            "rank_in_parent",
+            F.asc_nulls_first("n_name"),
+        )
+    )
+
+
+TPCDS_Q70A_SQL = """
+WITH fine AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS pt
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+top_r AS (
+  SELECT r_name FROM (
+    SELECT r_name,
+           RANK() OVER (ORDER BY SUM(pt) DESC, r_name) AS rk
+    FROM fine GROUP BY r_name
+  ) WHERE rk <= 3
+),
+kept AS (SELECT * FROM fine WHERE r_name IN (SELECT r_name FROM top_r)),
+u AS (
+  SELECT pt AS total, r_name, n_name, 0 AS lochier FROM kept
+  UNION ALL
+  SELECT CAST(SUM(pt) AS DECIMAL(38,2)), r_name, NULL, 1
+  FROM kept GROUP BY r_name
+  UNION ALL
+  SELECT CAST(SUM(pt) AS DECIMAL(38,2)), NULL, NULL, 2 FROM kept
+)
+SELECT CAST(total AS DOUBLE) AS total, r_name, n_name, lochier,
+       RANK() OVER (PARTITION BY lochier,
+                    CASE WHEN lochier = 0 THEN r_name END
+                    ORDER BY total DESC, n_name NULLS FIRST) AS rank_in_parent
+FROM u
+ORDER BY lochier DESC, r_name NULLS FIRST, rank_in_parent,
+         n_name NULLS FIRST
+"""
+
+
+def tpcds_q67a_union_grain_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir).filter(
+        F.year("l_shipdate") == 1996
+    )
+    part = read_table(spark, "part", sf_dir)
+    fine = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand", F.month("l_shipdate").alias("mo"))
+        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("rev0"))
+        .localCheckpoint(eager=True)
+    )
+    b0 = fine.select(
+        F.col("rev0").alias("total"), "p_type", "p_brand", "mo",
+        F.lit(0).alias("grain"),
+    )
+    b1 = (
+        fine.groupBy("p_type", "p_brand")
+        .agg(F.sum("rev0").cast("decimal(38,4)").alias("total"))
+        .select(
+            "total", "p_type", "p_brand",
+            F.lit(None).cast("int").alias("mo"),
+            F.lit(1).alias("grain"),
+        )
+    )
+    b2 = (
+        fine.groupBy("p_type")
+        .agg(F.sum("rev0").cast("decimal(38,4)").alias("total"))
+        .select(
+            "total", "p_type",
+            F.lit(None).cast("string").alias("p_brand"),
+            F.lit(None).cast("int").alias("mo"),
+            F.lit(2).alias("grain"),
+        )
+    )
+    b3 = fine.agg(F.sum("rev0").cast("decimal(38,4)").alias("total")).select(
+        "total",
+        F.lit(None).cast("string").alias("p_type"),
+        F.lit(None).cast("string").alias("p_brand"),
+        F.lit(None).cast("int").alias("mo"),
+        F.lit(3).alias("grain"),
+    )
+    u = b0.unionByName(b1).unionByName(b2).unionByName(b3)
+    w = Window.partitionBy("p_type").orderBy(
+        F.desc("total"), "grain",
+        F.asc_nulls_first("p_brand"), F.asc_nulls_first("mo"),
+    )
+    return (
+        u.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("total").cast("double").alias("total"),
+            "p_type", "p_brand", "mo", "grain", "rk",
+        )
+        .orderBy(F.asc_nulls_first("p_type"), "rk")
+    )
+
+
+TPCDS_Q67A_SQL = f"""
+WITH fine AS (
+  SELECT p_type, p_brand, CAST(month(l_shipdate) AS INT) AS mo,
+         CAST(SUM({REVENUE_TERM}) AS DECIMAL(38,4)) AS rev0
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1996
+  GROUP BY 1, 2, 3
+),
+u AS (
+  SELECT rev0 AS total, p_type, p_brand, mo, 0 AS grain FROM fine
+  UNION ALL
+  SELECT CAST(SUM(rev0) AS DECIMAL(38,4)), p_type, p_brand, NULL, 1
+  FROM fine GROUP BY p_type, p_brand
+  UNION ALL
+  SELECT CAST(SUM(rev0) AS DECIMAL(38,4)), p_type, NULL, NULL, 2
+  FROM fine GROUP BY p_type
+  UNION ALL
+  SELECT CAST(SUM(rev0) AS DECIMAL(38,4)), NULL, NULL, NULL, 3 FROM fine
+)
+SELECT CAST(total AS DOUBLE) AS total, p_type, p_brand, mo, grain, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY p_type
+           ORDER BY total DESC, grain, p_brand NULLS FIRST,
+                    mo NULLS FIRST) AS rk
+  FROM u
+)
+WHERE rk <= 3
+ORDER BY p_type NULLS FIRST, rk
+"""
+
+
+QUERIES["tpcds_q86a_union_grain_rank"] = (
+    tpcds_q86a_union_grain_rank, TPCDS_Q86A_SQL)
+QUERIES["tpcds_q70a_union_top_regions"] = (
+    tpcds_q70a_union_top_regions, TPCDS_Q70A_SQL)
+QUERIES["tpcds_q67a_union_grain_topn"] = (
+    tpcds_q67a_union_grain_topn, TPCDS_Q67A_SQL)
