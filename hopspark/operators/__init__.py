@@ -45,6 +45,7 @@ _MODULES = (
     "quality",
     "mixture",
     "stream_queries",
+    "format_queries",
 )
 
 #: The driver's correctness gate checks only the FIRST 50 entries of
@@ -91,10 +92,17 @@ CURATED_FIRST = (
     "nested_zip_unnest",
     "nested_from_disk",
     "subquery_scalar_threshold",
-    # Deduplication.
+    # Deduplication. r5 rotation: avro_roundtrip_agg (below) displaces
+    # dedup_ngram_jaccard — the near-dup family keeps embedding_cosine
+    # plus the cc_clusters Jaccard-join row, and ngram-Jaccard stays
+    # sim-checked.
     "dedup_exact_groups",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    # Format scan/sink roundtrips (§2.1): the Avro container codec is the
+    # largest pure-Python reader surface — its oracle compares the
+    # write→read roundtrip against the ORIGINAL parquet view, upgrading
+    # the format family from unit-only to driver-checked.
+    "avro_roundtrip_agg",
     # Similarity graph / PageRank.
     "dedup_cc_clusters",
     "graph_pagerank_bipartite",

@@ -131,11 +131,10 @@ def read_sequencefile(
     return _parse_delimited_lines(kv.select("value"), schema, sep, escape, null_value)
 
 
-def write_sequencefile(df: DataFrame, path: str, sep: str = "|", escape: str = "\\",
-                       null_value: str = "\\N") -> None:
-    """Write rows as a SequenceFile of (row-number-less) delimited text
-    values — the layout Impala's sequence scanner reads. Bare separators
-    and escapes inside fields are escape-protected; NULL → the null marker."""
+def _escaped_lines(df: DataFrame, sep: str, escape: str, null_value: str) -> DataFrame:
+    """Serialize rows to Impala delimited-text lines (the inverse of
+    _parse_delimited_lines). Bare separators and escapes inside fields are
+    escape-protected; NULL → the null marker."""
     from pyspark.sql import functions as F
 
     parts = []
@@ -148,8 +147,22 @@ def write_sequencefile(df: DataFrame, path: str, sep: str = "|", escape: str = "
             F.lit(sep), F.lit(escape + sep),
         )
         parts.append(F.coalesce(protected, F.lit(null_value.replace("\\\\", "\\"))))
-    lines = df.select(F.concat_ws(sep, *parts).alias("value"))
+    return df.select(F.concat_ws(sep, *parts).alias("value"))
+
+
+def write_sequencefile(df: DataFrame, path: str, sep: str = "|", escape: str = "\\",
+                       null_value: str = "\\N") -> None:
+    """Write rows as a SequenceFile of (row-number-less) delimited text
+    values — the layout Impala's sequence scanner reads."""
+    lines = _escaped_lines(df, sep, escape, null_value)
     lines.rdd.map(lambda r: ("", r["value"])).saveAsSequenceFile(path)
+
+
+def write_text_escaped(df: DataFrame, path: str, sep: str = "|", escape: str = "\\",
+                       null_value: str = "\\N") -> None:
+    """Plain delimited-text sink (the layout read_text_escaped scans —
+    Impala's TEXT table format, be/src/exec/hdfs-text-table-writer.cc)."""
+    _escaped_lines(df, sep, escape, null_value).write.mode("overwrite").text(path)
 
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

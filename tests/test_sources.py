@@ -607,3 +607,36 @@ def test_sequencefile_roundtrip(spark, tmpdir_repo):
     raw = read_sequencefile(spark, path)
     assert set(raw.columns) == {"key", "value"}
     assert raw.count() == 3
+
+
+def test_text_escaped_sink_adversarial(spark, tmpdir_repo):
+    """write_text_escaped → read_text_escaped with fields containing the
+    separator, the escape char, and the LITERAL two-char string "\\N"
+    (which must round-trip as a string — only an unescaped bare \\N cell
+    is SQL NULL, be/src/exec/delimited-text-parser.cc)."""
+    from pyspark.sql import Row
+
+    from hopspark.sources.io import read_text_escaped, write_text_escaped
+
+    path = os.path.join(tmpdir_repo, "txt_adversarial")
+    df = spark.createDataFrame(
+        [
+            Row(id=1, s="a|b|c", t="pipe-y"),
+            Row(id=2, s=None, t="back\\slash"),
+            Row(id=3, s="\\N", t="literal-marker"),
+            Row(id=4, s="trail\\", t=None),
+        ]
+    )
+    write_text_escaped(df, path)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("t", T.StringType()),
+        ]
+    )
+    back = {r.id: r for r in read_text_escaped(spark, path, schema).collect()}
+    assert back[1].s == "a|b|c"
+    assert back[2].s is None and back[2].t == "back\\slash"
+    assert back[3].s == "\\N"  # escaped marker stays a literal string
+    assert back[4].s == "trail\\" and back[4].t is None
