@@ -146,3 +146,92 @@ QUERIES: dict[str, tuple] = {
     "dialect_sql_null_ordering": (dialect_null_ordering, DIALECT_NULL_ORDERING_SQL),
     "dialect_sql_scalar_parity": (dialect_scalar_parity, DIALECT_SCALAR_PARITY_SQL),
 }
+
+
+def dialect_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE AGGREGATE FUNCTION surface (§2.12, grammar
+    sql-parser.cup:693-695, UDA contract be/src/udf/udf.h:379-391),
+    oracle-checked: a pandas grouped-agg UDAF (quantity-weighted price)
+    registered through the engine's DDL equivalent and used from
+    engine.sql() in a GROUP BY — the oracle computes the same weighted
+    average in plain SQL, so a hash match proves the Arrow UDAF path
+    (not just that it runs).  The UDAF receives each group whole,
+    Arrow-batched; at scale the shuffle is the same hash-partition a
+    native aggregate uses."""
+    eng = _engine(spark, sf_dir)
+
+    import numpy as np
+    import pandas as pd
+
+    def weighted_price(price: pd.Series, qty: pd.Series) -> float:
+        q = qty.astype("float64")
+        return float(np.round((price * q).sum() / q.sum(), 6))
+
+    eng.create_aggregate_function("weighted_price", weighted_price, "double")
+    return eng.sql(
+        """
+        SELECT l_returnflag,
+               weighted_price(CAST(l_extendedprice AS DOUBLE),
+                              CAST(l_quantity AS DOUBLE)) AS w_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+DIALECT_UDAF_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(CAST(l_extendedprice AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+             / SUM(CAST(l_quantity AS DOUBLE)), 6) AS w_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def dialect_ddl_ctas_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL surface oracle-checked end-to-end: CREATE VIEW through the
+    Impala-dialect engine (view body uses dialect functions), then a
+    query over the view joined back to a base table.  The oracle inlines
+    the view definition — a hash match proves the DDL registration,
+    dialect translation inside the view body, and view expansion at
+    analysis (FeView.java) all compose."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP VIEW IF EXISTS seg_summary")
+    eng.sql(
+        """
+        CREATE VIEW seg_summary AS
+        SELECT c_nationkey,
+               COUNT(*) AS n_cust,
+               SUM(CAST(zeroifnull(c_acctbal) AS DECIMAL(14,2))) AS bal
+        FROM customer
+        GROUP BY c_nationkey
+        """
+    )
+    return eng.sql(
+        """
+        SELECT n.n_name, s.n_cust, CAST(s.bal AS DOUBLE) AS bal
+        FROM seg_summary s JOIN nation n ON s.c_nationkey = n.n_nationkey
+        ORDER BY n.n_name
+        """
+    )
+
+
+DIALECT_DDL_SQL = """
+WITH seg_summary AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+         SUM(CAST(COALESCE(c_acctbal, 0) AS DECIMAL(14,2))) AS bal
+  FROM customer
+  GROUP BY c_nationkey
+)
+SELECT n.n_name, s.n_cust, CAST(s.bal AS DOUBLE) AS bal
+FROM seg_summary s JOIN nation n ON s.c_nationkey = n.n_nationkey
+ORDER BY n.n_name
+"""
+
+
+QUERIES["dialect_sql_udaf_weighted_avg"] = (
+    dialect_udaf_weighted_avg, DIALECT_UDAF_SQL)
+QUERIES["dialect_sql_ddl_ctas_view"] = (
+    dialect_ddl_ctas_view, DIALECT_DDL_SQL)
