@@ -1392,6 +1392,7 @@ def translate(sql: str, options: dict[str, bool] | None = None) -> str:
     (UTF8_MODE — default false, i.e. byte-oriented string semantics like
     the reference)."""
     toks = tokenize(sql)
+    toks = _rewrite_values_rows(toks)
     toks = _rewrite_hints(toks)
     toks = _rewrite_cast_format(toks)
     toks = _rewrite_unnest(toks)
@@ -1464,3 +1465,51 @@ def _rewrite_null_predicates(toks: list[Tok]) -> list[Tok]:
                     continue
         i += 1
     return toks
+
+
+def _rewrite_values_rows(toks: list[Tok]) -> list[Tok]:
+    """Impala's multi-row VALUES wraps the row tuples in ONE outer paren
+    pair — ``values((1, 'a'), (2, 'b'))`` is two rows (grammar
+    sql-parser.cup values_stmt) — while Spark parses that outer pair as a
+    single row of structs.  When every top-level operand of the VALUES
+    paren group is itself a full parenthesized tuple (and not a scalar
+    subquery), drop the outer parens so Spark sees ``VALUES (1,'a'),
+    (2,'b')``.  Single-row ``values(1, 'a')`` and the standard
+    ``VALUES (...), (...)`` spelling parse identically in both dialects
+    and are left untouched."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "word" and t.upper == "VALUES"):
+            out.append(t)
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].text != "(":
+            out.append(t)
+            i += 1
+            continue
+        close = _matching_paren(toks, j)
+        args = _split_args(toks, j, close)
+        def _is_row_tuple(a: int, b: int) -> bool:
+            s, e = _next_code(toks, a), _prev_code(toks, b - 1)
+            if s > e or toks[s].text != "(" or _matching_paren(toks, s) != e:
+                return False
+            head = _next_code(toks, s + 1)
+            # a parenthesized subquery is a scalar operand, not a row
+            return not (
+                head < e
+                and toks[head].kind == "word"
+                and toks[head].upper in ("SELECT", "WITH", "VALUES")
+            )
+        if args and all(_is_row_tuple(a, b) for a, b in args):
+            out.append(t)
+            out.append(Tok("ws", " "))
+            # splice the group's interior, dropping the outer parens
+            out.extend(toks[j + 1 : close])
+            i = close + 1
+        else:
+            out.append(t)
+            i += 1
+    return out
