@@ -88,6 +88,12 @@ HEADLINE = [
     "tpcds_q86_rollup_rank_within_parent",
     "tpcds_q51a_cumulative_distinct",
     "tpcds_q63_monthly_deviation",
+    # r5 additions (late round): the union-of-grains rollup rewrite
+    # (checkpointed partial fan-out), the newly gate-curated Avro
+    # container roundtrip, and the Arrow-UDAF aggregation path
+    "tpcds_q67a_union_grain_topn",
+    "avro_roundtrip_agg",
+    "dialect_sql_udaf_weighted_avg",
 ]
 
 
