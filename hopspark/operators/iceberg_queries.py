@@ -119,7 +119,53 @@ GROUP BY n_regionkey
 ORDER BY n_regionkey
 """
 
+def iceberg_partition_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-partition pruning, oracle-checked: write `orders`
+    partitioned by o_orderstatus, scan ONLY the 'O' partition through the
+    manifest planner (files whose partition tuple contradicts the filter
+    are never opened — plan_data_files), and roll up by priority.  The
+    oracle filters the base table, so a hash match proves the pruned scan
+    returns exactly the partition's rows.  A planning assert guards that
+    pruning actually dropped the other partitions' files."""
+    from hopspark.sources.iceberg import plan_data_files
+
+    path = _fixture_path(sf_dir, "part_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = read_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    write_iceberg_table(orders, path, partition_by=["o_orderstatus"])
+    pruned = plan_data_files(path, partition_filter={"o_orderstatus": "O"})
+    alln = plan_data_files(path)
+    assert len(pruned) < len(alln), "partition pruning dropped no files"
+    scan = read_iceberg(
+        spark, path, partition_filter={"o_orderstatus": "O"}
+    )
+    return (
+        scan.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ICEBERG_PRUNE_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "iceberg_v2_mor_read": (iceberg_v2_mor_read, ICEBERG_V2_MOR_SQL),
     "iceberg_time_travel_diff": (iceberg_time_travel_diff, ICEBERG_TT_DIFF_SQL),
+    "iceberg_partition_prune_agg": (
+        iceberg_partition_prune_agg, ICEBERG_PRUNE_SQL),
 }
