@@ -1393,6 +1393,7 @@ def translate(sql: str, options: dict[str, bool] | None = None) -> str:
     the reference)."""
     toks = tokenize(sql)
     toks = _rewrite_values_rows(toks)
+    toks = _rewrite_tablesample(toks)
     toks = _rewrite_hints(toks)
     toks = _rewrite_cast_format(toks)
     toks = _rewrite_unnest(toks)
@@ -1512,4 +1513,44 @@ def _rewrite_values_rows(toks: list[Tok]) -> list[Tok]:
         else:
             out.append(t)
             i += 1
+    return out
+
+
+def _rewrite_tablesample(toks: list[Tok]) -> list[Tok]:
+    """Impala ``TABLESAMPLE SYSTEM(p) [REPEATABLE(seed)]`` (grammar
+    sql-parser.cup opt_tablesample) → Spark ``TABLESAMPLE (p PERCENT)
+    [REPEATABLE (seed)]``.  Documented delta: the reference samples whole
+    FILES until ~p% of bytes are reached
+    (HdfsScanNode.getFilesSample), Spark samples row-wise — both are
+    "approximately p% of the table, seeded-deterministic", but the
+    selected subsets differ, so results are rows-only evidence (as with
+    the DataFrame-level tablesample_system operator)."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        out.append(t)
+        if not (t.kind == "word" and t.upper == "TABLESAMPLE"):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if (
+            j >= len(toks)
+            or toks[j].kind != "word"
+            or toks[j].upper != "SYSTEM"
+        ):
+            i += 1
+            continue
+        k = _next_code(toks, j + 1)
+        if k >= len(toks) or toks[k].text != "(":
+            i += 1
+            continue
+        close = _matching_paren(toks, k)
+        # splice: ( <pct tokens> PERCENT )
+        out.append(Tok("ws", " "))
+        out.extend(toks[k : close])
+        out.append(Tok("ws", " "))
+        out.append(Tok("word", "PERCENT"))
+        out.append(toks[close])
+        i = close + 1
     return out

@@ -363,3 +363,37 @@ def test_explain_statement_surface(spark, sf_dir):
     assert df.columns == ["Explain String"]
     text = "\n".join(r[0] for r in df.collect())
     assert "Physical Plan" in text and "region" in text
+
+
+def test_values_multi_row_tuple_form(spark, sf_dir):
+    """Impala values((...),(...)) is N rows, not one row of structs
+    (sql-parser.cup values_stmt)."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    rows = eng.sql("values((1+8, 'a'), (2, 'b')) order by 1 desc").collect()
+    assert [(r[0], r[1]) for r in rows] == [(9, "a"), (2, "b")]
+    # single-row and single-row-tuple forms
+    assert eng.sql("values(1, 2)").collect() == eng.sql("values((1, 2))").collect()
+    # scalar-subquery operands are NOT row tuples — translator must leave
+    # the parens alone (Spark then rejects it, same as the reference
+    # rejects subqueries inside VALUES)
+    tr = translate("values((select 1), 'k')")
+    assert "((" in tr.replace(" ", "")
+
+
+def test_tablesample_system_sql(spark, sf_dir):
+    """TABLESAMPLE SYSTEM(p) REPEATABLE(s) parses and samples
+    deterministically per seed (opt_tablesample grammar; file-vs-row
+    sampling delta documented in the rewrite)."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    q = "select count(*) c from orders tablesample system(40) repeatable(7)"
+    a = eng.sql(q).collect()[0].c
+    b = eng.sql(q).collect()[0].c
+    total = eng.sql("select count(*) c from orders").collect()[0].c
+    assert a == b and 0 < a < total
+    assert eng.sql(
+        "select count(*) c from nation tablesample system(100)"
+    ).collect()[0].c == 25
