@@ -484,7 +484,7 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 else:
                     i += 1
                     continue
-                repl = tokenize(f"CAST(extract({field}, {src}) AS BIGINT)")
+                repl = tokenize(_extract_sql(field, src))
                 toks[i:close + 1] = repl
                 i += 1
                 continue
@@ -499,7 +499,7 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     field = m.group(1).strip()
                     src = m.group(2).strip()
                     toks[i : close + 1] = tokenize(
-                        f"CAST(extract('{field}', {src}) AS BIGINT)"
+                        _extract_sql(f"'{field}'", src)
                     )
                     i += 1
                     continue
@@ -1554,3 +1554,29 @@ def _rewrite_tablesample(toks: list[Tok]) -> list[Tok]:
         out.append(toks[close])
         i = close + 1
     return out
+
+
+def _extract_sql(field: str, src: str) -> str:
+    """Spark SQL for Impala extract/date_part(field, src) → BIGINT.
+
+    Spark's extract shares year..second with the reference but lacks two
+    of its units (udf-builtins.cc ExtractUnit):
+      * millisecond — the reference returns seconds*1000 + millis
+        (ExtractMillisecond), i.e. the whole sub-minute remainder in ms;
+        Spark's fractional-second DECIMAL second field scaled by 1000
+        reproduces it exactly.
+      * epoch — unix seconds; the session runs UTC with TIMESTAMP as
+        NTZ, so to_unix_timestamp matches the reference's
+        timezone-less ToUnixTime.
+    """
+    f = field.strip().strip("'\"").lower()
+    if f == "millisecond":
+        # date_format (not date_part/extract — those would be re-matched
+        # by this same rewrite pass and BIGINT-truncated before scaling)
+        return (
+            f"CAST(CAST(date_format({src}, 'ss') AS BIGINT) * 1000"
+            f" + CAST(date_format({src}, 'SSS') AS BIGINT) AS BIGINT)"
+        )
+    if f == "epoch":
+        return f"CAST(to_unix_timestamp({src}) AS BIGINT)"
+    return f"CAST(extract({field}, {src}) AS BIGINT)"
