@@ -1402,6 +1402,7 @@ def translate(sql: str, options: dict[str, bool] | None = None) -> str:
     toks = _rewrite_functions(toks)
     if options and options.get("appx_count_distinct"):
         toks = _rewrite_count_distinct_to_ndv(toks)
+    toks = _rewrite_interval_exprs(toks)
     toks = _rewrite_iregexp(toks)
     toks = _rewrite_null_ordering(toks)
     toks = _rewrite_null_predicates(toks)
@@ -1580,3 +1581,116 @@ def _extract_sql(field: str, src: str) -> str:
     if f == "epoch":
         return f"CAST(to_unix_timestamp({src}) AS BIGINT)"
     return f"CAST(extract({field}, {src}) AS BIGINT)"
+
+
+#: TimestampArithmeticExpr.TimeUnit (+ plural S forms) → make_interval
+#: argument position (years, months, weeks, days, hours, mins, secs).
+_INTERVAL_UNIT_POS = {
+    "year": 0, "month": 1, "week": 2, "day": 3,
+    "hour": 4, "minute": 5, "second": 6,
+}
+#: Sub-second units → divisor into the make_interval secs argument.
+#: NANOSECOND is truncated to microseconds (the documented TIMESTAMP
+#: ns→us delta, SURVEY §1.3).
+_INTERVAL_SUBSEC_DIV = {
+    "millisecond": "1000", "microsecond": "1000000",
+    "nanosecond": "1000000000",
+}
+_INTERVAL_STOP_WORDS = {
+    "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "SELECT", "JOIN", "ON",
+    "UNION", "INTERSECT", "EXCEPT", "LIMIT", "AND", "OR", "WHEN", "THEN",
+    "ELSE", "END", "AS", "BETWEEN", "IN", "LIKE", "CASE",
+}
+
+
+def _rewrite_interval_exprs(toks: list[Tok]) -> list[Tok]:
+    """Impala allows an arbitrary expression as the INTERVAL quantity —
+    ``ts + INTERVAL smallint_col DAYS`` (TimestampArithmeticExpr; the
+    grammar routes it through IDENT resolution, so any scalar expr
+    works) — while Spark's INTERVAL literal requires a constant.  Rewrite
+    the non-literal clause to ``make_interval(...)``, which accepts
+    expressions and keeps DATE→DATE / TIMESTAMP→TIMESTAMP arithmetic;
+    literal quantities stay as native Spark INTERVAL syntax.  Works in
+    both operand orders (``interval b year + a`` is also valid in the
+    reference)."""
+    out: list[Tok] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if not (t.kind == "word" and t.upper == "INTERVAL"):
+            out.append(t)
+            i += 1
+            continue
+        # scan for the unit word at paren depth 0
+        expr_start = _next_code(toks, i + 1)
+        depth = 0
+        unit_idx = None
+        k = expr_start
+        bail = False
+        while k < n:
+            tk = toks[k]
+            if not _is_code(tk):
+                k += 1
+                continue
+            if tk.text == "(":
+                depth += 1
+            elif tk.text == ")":
+                if depth == 0:
+                    bail = True
+                    break
+                depth -= 1
+            elif depth == 0:
+                if tk.text in (",", ";"):
+                    bail = True
+                    break
+                if tk.kind == "word":
+                    low = tk.text.lower().rstrip("s") if tk.text.lower().endswith("s") else tk.text.lower()
+                    base = tk.text.lower()[:-1] if tk.text.lower().endswith("s") else tk.text.lower()
+                    if (
+                        base in _INTERVAL_UNIT_POS
+                        or base in _INTERVAL_SUBSEC_DIV
+                    ) and k > expr_start:
+                        nxt = _next_code(toks, k + 1)
+                        if nxt >= n or toks[nxt].text != "(":
+                            unit_idx = k
+                            break
+                    elif tk.upper in _INTERVAL_STOP_WORDS:
+                        bail = True
+                        break
+            k += 1
+        if unit_idx is None or bail:
+            out.append(t)
+            i += 1
+            continue
+        expr_toks = toks[expr_start:unit_idx]
+        code = [x for x in expr_toks if _is_code(x)]
+        literal = (
+            (len(code) == 1 and code[0].kind in ("num", "str"))
+            or (
+                len(code) == 2
+                and code[0].text in ("+", "-")
+                and code[1].kind == "num"
+            )
+        )
+        if literal:
+            out.append(t)
+            i += 1
+            continue
+        expr = untokenize(expr_toks).strip()
+        base = toks[unit_idx].text.lower()
+        if base.endswith("s"):
+            base = base[:-1]
+        if base in _INTERVAL_UNIT_POS:
+            args = ["0"] * 7
+            args[_INTERVAL_UNIT_POS[base]] = f"({expr})"
+            repl = f"make_interval({', '.join(args)})"
+        else:
+            div = _INTERVAL_SUBSEC_DIV[base]
+            repl = (
+                "make_interval(0, 0, 0, 0, 0, 0, "
+                f"CAST(({expr}) AS DECIMAL(30,9)) / {div})"
+            )
+        out.extend(tokenize(repl))
+        i = unit_idx + 1
+    return out

@@ -397,3 +397,42 @@ def test_tablesample_system_sql(spark, sf_dir):
     assert eng.sql(
         "select count(*) c from nation tablesample system(100)"
     ).collect()[0].c == 25
+
+
+def test_interval_expression_quantity(spark, sf_dir):
+    """Impala allows arbitrary exprs as INTERVAL quantities
+    (TimestampArithmeticExpr; e.g. `ts + interval smallint_col days`) —
+    rewritten to make_interval, preserving DATE->DATE and both operand
+    orders; literal quantities stay native INTERVAL syntax."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    rows = eng.sql(
+        "select cast('1970-01-01' as timestamp) + interval n_nationkey days d "
+        "from nation order by 1 limit 3"
+    ).collect()
+    assert [r.d.day for r in rows] == [1, 2, 3]
+    # interval-first order
+    r = eng.sql(
+        "select interval n_regionkey + 1 months + cast('2020-01-31' as timestamp) d "
+        "from nation where n_nationkey = 0"
+    ).collect()[0]
+    assert (r.d.month, r.d.day) == (2, 29)  # make_interval clamps Jan 31 + 1mo
+    # DATE input stays DATE
+    r = eng.sql(
+        "select cast('2020-01-01' as date) + interval n_nationkey days d "
+        "from nation where n_nationkey = 5"
+    ).collect()[0]
+    import datetime
+
+    assert r.d == datetime.date(2020, 1, 6) and isinstance(r.d, datetime.date)
+    # sub-second expr quantity
+    r = eng.sql(
+        "select cast('2020-01-01' as timestamp) + interval n_nationkey milliseconds d "
+        "from nation where n_nationkey = 24"
+    ).collect()[0]
+    assert r.d.microsecond == 24000
+    # literal form still parses (native Spark path)
+    assert eng.sql(
+        "select cast('2020-01-01' as timestamp) + interval 3 days d"
+    ).collect()[0].d.day == 4
