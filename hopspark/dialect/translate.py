@@ -1399,6 +1399,7 @@ def translate(sql: str, options: dict[str, bool] | None = None) -> str:
     toks = _rewrite_unnest(toks)
     if not (options and options.get("utf8_mode")):
         toks = _rewrite_byte_semantics(toks)
+    toks = _rewrite_ignore_nulls(toks)
     toks = _rewrite_functions(toks)
     if options and options.get("appx_count_distinct"):
         toks = _rewrite_count_distinct_to_ndv(toks)
@@ -1694,3 +1695,43 @@ def _rewrite_interval_exprs(toks: list[Tok]) -> list[Tok]:
         out.extend(tokenize(repl))
         i = unit_idx + 1
     return out
+
+
+_IGNORE_NULLS_FNS = {"first_value", "last_value", "lag", "lead"}
+
+
+def _rewrite_ignore_nulls(toks: list[Tok]) -> list[Tok]:
+    """Impala puts IGNORE NULLS INSIDE the analytic call's parens —
+    ``last_value(x ignore nulls)`` (grammar sql-parser.cup:3729
+    ``expr_list KW_IGNORE KW_NULLS``) — where Spark wants it after:
+    ``last_value(x) IGNORE NULLS``.  Move the trailing keyword pair
+    outside the close paren for the four functions the reference's
+    analyzer accepts it on."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind != "word" or t.text.lower() not in _IGNORE_NULLS_FNS:
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].text != "(":
+            i += 1
+            continue
+        close = _matching_paren(toks, j)
+        p_nulls = _prev_code(toks, close - 1)
+        p_ignore = _prev_code(toks, p_nulls - 1) if p_nulls > j else -1
+        if (
+            p_ignore > j
+            and toks[p_nulls].upper == "NULLS"
+            and toks[p_ignore].upper == "IGNORE"
+        ):
+            del toks[p_ignore:close]
+            close = p_ignore  # ')' shifted down
+            toks[close + 1 : close + 1] = [
+                Tok("ws", " "),
+                Tok("word", "IGNORE"),
+                Tok("ws", " "),
+                Tok("word", "NULLS"),
+            ]
+        i = close + 1
+    return toks

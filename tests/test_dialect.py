@@ -436,3 +436,21 @@ def test_interval_expression_quantity(spark, sf_dir):
     assert eng.sql(
         "select cast('2020-01-01' as timestamp) + interval 3 days d"
     ).collect()[0].d.day == 4
+
+
+def test_ignore_nulls_inside_call_parens(spark, sf_dir):
+    """Impala's in-paren IGNORE NULLS (sql-parser.cup:3729
+    `expr_list KW_IGNORE KW_NULLS`) moves outside the call for Spark."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    rows = eng.sql(
+        "select first_value(nullif(n_regionkey, 0) ignore nulls) "
+        "over (order by n_nationkey) f from nation order by n_nationkey limit 3"
+    ).collect()
+    assert [r.f for r in rows] == [None, 1, 1]
+    rows = eng.sql(
+        "select lag(nullif(n_regionkey, 0), 1 ignore nulls) "
+        "over (order by n_nationkey) f from nation order by n_nationkey limit 3"
+    ).collect()
+    assert [r.f for r in rows] == [None, None, 1]
