@@ -1322,6 +1322,11 @@ def _rewrite_unnest(toks: list[Tok]) -> list[Tok]:
         if j >= len(toks) or toks[j].text != "(" or prev < 0 or toks[prev].text != ",":
             i += 1
             continue
+        if not _in_from_clause(toks, i):
+            # a comma-preceded unnest in a SELECT list is the zipping
+            # select-list form — handled by _rewrite_select_unnest
+            i += 1
+            continue
         close = _matching_paren(toks, j)
         args = _split_args(toks, j, close)
         arg_sql = [untokenize(toks[a:b]).strip() for a, b in args]
@@ -1397,6 +1402,8 @@ def translate(sql: str, options: dict[str, bool] | None = None) -> str:
     toks = _rewrite_hints(toks)
     toks = _rewrite_cast_format(toks)
     toks = _rewrite_unnest(toks)
+    toks = _rewrite_select_unnest(toks)
+    toks = _rewrite_collection_join(toks)
     if not (options and options.get("utf8_mode")):
         toks = _rewrite_byte_semantics(toks)
     toks = _rewrite_ignore_nulls(toks)
@@ -1734,4 +1741,327 @@ def _rewrite_ignore_nulls(toks: list[Tok]) -> list[Tok]:
                 Tok("word", "NULLS"),
             ]
         i = close + 1
+    return toks
+
+
+_CLAUSE_STOP = {
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
+    "INTERSECT", "EXCEPT", "WINDOW", "QUALIFY",
+}
+
+
+def _rewrite_select_unnest(toks: list[Tok]) -> list[Tok]:
+    """Select-list zipping UNNEST (IMPALA-10920; grammar
+    sql-parser.cup UNNEST in the select list): ``SELECT unnest(arr1),
+    unnest(arr2) FROM t`` explodes the arrays in lockstep, padding the
+    shorter with NULLs.  Rewritten to one ``LATERAL VIEW
+    posexplode_outer(arrays_zip(arr1, arr2))`` appended to the FROM
+    clause, with each ``unnest(path)`` select item replaced by the zip
+    struct's corresponding field — exactly the plan the FROM-clause
+    UNNEST rewrite above produces, so the two spellings share
+    semantics."""
+    while True:
+        # locate a SELECT..FROM pair (same depth) whose select list has
+        # top-level unnest() calls; restart after each rewrite because
+        # indices shift.
+        depth = 0
+        stack: list[tuple[int, int]] = []
+        found = None
+        for k, tk in enumerate(toks):
+            if not _is_code(tk):
+                continue
+            if tk.text == "(":
+                depth += 1
+            elif tk.text == ")":
+                depth -= 1
+                while stack and stack[-1][0] > depth:
+                    stack.pop()
+            elif tk.kind == "word":
+                u = tk.upper
+                if u == "SELECT":
+                    stack.append((depth, k))
+                elif u == "FROM" and stack and stack[-1][0] == depth:
+                    d, s = stack.pop()
+                    calls = _unnest_calls(toks, s, k, d)
+                    if calls:
+                        found = (d, s, k, calls)
+                        break
+        if found is None:
+            return toks
+        d, s, f, calls = found
+        # paths, in select-list order, deduped (same array unnested twice
+        # shares one zip field)
+        paths: list[str] = []
+        for _ci, _cc, path in calls:
+            if path not in paths:
+                paths.append(path)
+        leafs = [p.split(".")[-1] for p in paths]
+        # leaf-name collisions (a.arr and b.arr) would collide in the zip
+        # struct; qualify by position instead when that happens.
+        use_pos = len(set(leafs)) != len(leafs)
+        # find the end of the FROM clause at depth d
+        depth2 = 0
+        end = len(toks)
+        for k in range(f + 1, len(toks)):
+            tk = toks[k]
+            if not _is_code(tk):
+                continue
+            if tk.text == "(":
+                depth2 += 1
+            elif tk.text == ")":
+                depth2 -= 1
+                if depth2 < 0:
+                    end = k
+                    break
+            elif (
+                depth2 == 0
+                and tk.kind == "word"
+                and tk.upper in _CLAUSE_STOP
+            ):
+                end = k
+                break
+        lateral = (
+            " LATERAL VIEW posexplode_outer(arrays_zip("
+            + ", ".join(paths)
+            + ")) _sunnest AS _supos, _suz "
+        )
+        # rewrite back-to-front so indices stay valid
+        for ci, cc, path in reversed(calls):
+            if use_pos:
+                fieldref = f"_suz.`{paths.index(path)}`"
+            else:
+                fieldref = f"_suz.{path.split('.')[-1]}"
+            toks[ci : cc + 1] = tokenize(fieldref)
+        # recompute end shift: replacements above are left of `end` only
+        # when the select list precedes FROM — true by construction, but
+        # lengths changed; recompute conservatively by re-scanning.
+        delta = 0
+        # simplest correct approach: re-find the FROM token (it is the
+        # first FROM word after position s at depth d) and re-run the
+        # end-of-clause scan.
+        depth2 = 0
+        f2 = None
+        for k in range(s, len(toks)):
+            tk = toks[k]
+            if not _is_code(tk):
+                continue
+            if tk.text == "(":
+                depth2 += 1
+            elif tk.text == ")":
+                depth2 -= 1
+            elif tk.kind == "word" and tk.upper == "FROM" and depth2 == 0:
+                f2 = k
+                break
+        assert f2 is not None
+        depth2 = 0
+        end = len(toks)
+        for k in range(f2 + 1, len(toks)):
+            tk = toks[k]
+            if not _is_code(tk):
+                continue
+            if tk.text == "(":
+                depth2 += 1
+            elif tk.text == ")":
+                depth2 -= 1
+                if depth2 < 0:
+                    end = k
+                    break
+            elif (
+                depth2 == 0
+                and tk.kind == "word"
+                and tk.upper in _CLAUSE_STOP
+            ):
+                end = k
+                break
+        toks[end:end] = [Tok("word", lateral)]
+
+
+def _unnest_calls(
+    toks: list[Tok], s: int, f: int, d: int
+) -> list[tuple[int, int, str]]:
+    """unnest(<dotted path>) calls between s and f whose call token sits
+    at depth d (top level of the select list).  Returns
+    (name_idx, close_idx, path)."""
+    out = []
+    depth = 0
+    k = s
+    while k < f:
+        tk = toks[k]
+        if _is_code(tk):
+            if tk.text == "(":
+                depth += 1
+            elif tk.text == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and tk.kind == "word"
+                and tk.upper == "UNNEST"
+            ):
+                j = _next_code(toks, k + 1)
+                if j < f and toks[j].text == "(":
+                    close = _matching_paren(toks, j)
+                    inner = [
+                        x for x in toks[j + 1 : close] if _is_code(x)
+                    ]
+                    # simple dotted path only (the reference restricts
+                    # unnest operands to array column paths)
+                    if inner and all(
+                        x.kind in ("word", "bquote") or x.text == "."
+                        for x in inner
+                    ):
+                        path = "".join(x.text for x in inner)
+                        out.append((k, close, path))
+                        k = close
+        k += 1
+    return out
+
+
+def _in_from_clause(toks: list[Tok], i: int) -> bool:
+    """True when token i sits in a FROM clause: walking backward at the
+    same paren level, FROM is met before SELECT (or the enclosing open
+    paren / statement start)."""
+    bal = 0
+    for k in range(i - 1, -1, -1):
+        tk = toks[k]
+        if not _is_code(tk):
+            continue
+        if tk.text == ")":
+            bal += 1
+        elif tk.text == "(":
+            if bal == 0:
+                return False
+            bal -= 1
+        elif bal == 0 and tk.kind == "word":
+            u = tk.upper
+            if u == "FROM":
+                return True
+            if u == "SELECT":
+                return False
+    return False
+
+
+_FROM_ITEM_KEYWORDS = {
+    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "OUTER", "SEMI",
+    "ANTI", "ON", "USING", "AS", "LATERAL", "VIEW", "TABLESAMPLE",
+    "UNNEST", "STRAIGHT_JOIN",
+}
+
+
+def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
+    """Impala's implicit collection join — ``FROM tbl t, t.arr a`` joins
+    each row with its own unnested collection (HdfsScanNode collection
+    scans; the reference's primary nested-array idiom).  Rewritten to
+    ``LATERAL VIEW posexplode_outer(t.arr) <lv> AS a__pos, a``: the
+    exploded value column keeps the collection alias, so struct-element
+    access ``a.field`` works unchanged, and the scalar-array accessors
+    ``a.item`` / ``a.pos`` are mapped to ``a`` / ``a__pos``.  Only fires
+    when the path's qualifier matches an alias already bound in the same
+    FROM clause — ``FROM db.tbl x`` never matches."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.text != "," or not _in_from_clause(toks, i):
+            i += 1
+            continue
+        # earlier depth-0 words in this FROM clause = candidate aliases
+        aliases: set[str] = set()
+        bal = 0
+        for k in range(i - 1, -1, -1):
+            tk = toks[k]
+            if not _is_code(tk):
+                continue
+            if tk.text == ")":
+                bal += 1
+            elif tk.text == "(":
+                if bal == 0:
+                    break
+                bal -= 1
+            elif bal == 0 and tk.kind == "word":
+                if tk.upper == "FROM":
+                    break
+                if tk.upper not in _FROM_ITEM_KEYWORDS:
+                    aliases.add(tk.text.lower())
+        # match: , q . col [. col ...] [AS] [alias]
+        q_i = _next_code(toks, i + 1)
+        if (
+            q_i >= len(toks)
+            or toks[q_i].kind != "word"
+            or toks[q_i].text.lower() not in aliases
+        ):
+            i += 1
+            continue
+        path = [toks[q_i].text]
+        k = q_i
+        while True:
+            d_i = _next_code(toks, k + 1)
+            if d_i < len(toks) and toks[d_i].text == ".":
+                w_i = _next_code(toks, d_i + 1)
+                if w_i < len(toks) and toks[w_i].kind in ("word", "bquote"):
+                    path.append(toks[w_i].text)
+                    k = w_i
+                    continue
+            break
+        if len(path) < 2:
+            i += 1
+            continue
+        end = k  # last path token
+        # optional alias
+        a_i = _next_code(toks, end + 1)
+        alias = None
+        if a_i < len(toks) and toks[a_i].kind == "word":
+            u = toks[a_i].upper
+            if u == "AS":
+                a2 = _next_code(toks, a_i + 1)
+                if a2 < len(toks) and toks[a2].kind == "word":
+                    alias = toks[a2].text
+                    end = a2
+            elif u not in _FROM_ITEM_KEYWORDS and u not in _CLAUSE_STOP:
+                nxt = _next_code(toks, a_i + 1)
+                # a word followed by '.' or '(' is not an alias
+                if not (
+                    nxt < len(toks) and toks[nxt].text in (".", "(")
+                ):
+                    alias = toks[a_i].text
+                    end = a_i
+        if alias is None:
+            alias = path[-1]
+        dotted = ".".join(path)
+        lateral = (
+            f" LATERAL VIEW posexplode_outer({dotted}) _cj_{alias} "
+            f"AS {alias}__pos, {alias} "
+        )
+        toks[i : end + 1] = [Tok("word", lateral)]
+        # rewrite the collection refs, fully qualified through the lateral
+        # view alias so a no-alias join (`FROM t, t.arr` → exploded column
+        # also named `arr`) cannot be ambiguous against the source column:
+        #   alias.item  → _cj_alias.alias
+        #   alias.pos   → _cj_alias.alias__pos
+        #   alias.field → _cj_alias.alias.field   (struct elements)
+        m = 0
+        while m < len(toks) - 2:
+            a = toks[m]
+            p = _prev_code(toks, m - 1)
+            if (
+                a.kind == "word"
+                and a.text.lower() == alias.lower()
+                and (p < 0 or toks[p].text != ".")
+            ):
+                d = _next_code(toks, m + 1)
+                if d < len(toks) and toks[d].text == ".":
+                    w = _next_code(toks, d + 1)
+                    if w < len(toks) and toks[w].kind == "word":
+                        if toks[w].text.lower() == "item":
+                            toks[m] = Tok("word", f"_cj_{alias}.{alias}")
+                            toks[d] = Tok("op", "")
+                            toks[w] = Tok("word", "")
+                        elif toks[w].text.lower() == "pos":
+                            toks[m] = Tok(
+                                "word", f"_cj_{alias}.{alias}__pos"
+                            )
+                            toks[d] = Tok("op", "")
+                            toks[w] = Tok("word", "")
+                        else:
+                            toks[m] = Tok("word", f"_cj_{alias}.{alias}")
+            m += 1
+        i += 1
     return toks

@@ -454,3 +454,50 @@ def test_ignore_nulls_inside_call_parens(spark, sf_dir):
         "over (order by n_nationkey) f from nation order by n_nationkey limit 3"
     ).collect()
     assert [r.f for r in rows] == [None, None, 1]
+
+
+def test_select_list_unnest_zipping(spark, sf_dir):
+    """IMPALA-10920 select-list zipping UNNEST: arrays explode in
+    lockstep, shorter padded with NULLs; shares semantics with the
+    FROM-clause form."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    rows = eng.sql(
+        "select unnest(a1) x, unnest(a2) y "
+        "from (select array(1,2,3) a1, array('a','b') a2) t"
+    ).collect()
+    assert [(r.x, r.y) for r in rows] == [(1, "a"), (2, "b"), (3, None)]
+    # nested inside a subquery
+    assert eng.sql(
+        "select count(*) c from "
+        "(select unnest(arr) x from (select array(1,2,3) arr) t) q"
+    ).collect()[0].c == 3
+
+
+def test_implicit_collection_join(spark, sf_dir):
+    """Impala's `FROM tbl t, t.arr a` collection join: scalar arrays via
+    a.item/a.pos, struct arrays via direct field access, no-alias form
+    resolves against the source column without ambiguity."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    rows = eng.sql(
+        "select a.item, a.pos from (select array(7,8) arr) t, t.arr a "
+        "order by a.pos"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(7, 0), (8, 1)]
+    rows = eng.sql(
+        "select arr.item from (select array(5,6) arr) t, t.arr"
+    ).collect()
+    assert sorted(r[0] for r in rows) == [5, 6]
+    rows = eng.sql(
+        "select s.x, s.y from (select array(named_struct('x',1,'y','a'), "
+        "named_struct('x',2,'y','b')) arr) t, t.arr s order by s.x"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, "a"), (2, "b")]
+    # plain multi-table FROM commas are untouched
+    assert eng.sql(
+        "select count(*) c from region r, nation n "
+        "where r.r_regionkey = n.n_regionkey"
+    ).collect()[0].c == 25
