@@ -2026,11 +2026,66 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
         if alias is None:
             alias = path[-1]
         dotted = ".".join(path)
-        lateral = (
-            f" LATERAL VIEW posexplode_outer({dotted}) _cj_{alias} "
-            f"AS {alias}__pos, {alias} "
+        # array vs map collection: the column's type is unknowable at
+        # translate time, but the reference's resolution rules make the
+        # REFERENCES unambiguous — a map join exposes exactly key/value
+        # (MapType.java), an array join item/pos or struct fields.  Treat
+        # the alias as a map iff the query touches alias.key/alias.value
+        # and never alias.item/alias.pos.
+        suffixes = set()
+        m = 0
+        while m < len(toks) - 2:
+            a = toks[m]
+            p = _prev_code(toks, m - 1)
+            if (
+                a.kind == "word"
+                and a.text.lower() == alias.lower()
+                and (p < 0 or toks[p].text != ".")
+            ):
+                d = _next_code(toks, m + 1)
+                if d < len(toks) and toks[d].text == ".":
+                    w = _next_code(toks, d + 1)
+                    if w < len(toks) and toks[w].kind == "word":
+                        suffixes.add(toks[w].text.lower())
+            m += 1
+        is_map = bool(
+            {"key", "value"} & suffixes and not {"item", "pos"} & suffixes
         )
+        if is_map:
+            lateral = (
+                f" LATERAL VIEW explode_outer({dotted}) _cj_{alias} "
+                f"AS {alias}__key, {alias}__value "
+            )
+        else:
+            lateral = (
+                f" LATERAL VIEW posexplode_outer({dotted}) _cj_{alias} "
+                f"AS {alias}__pos, {alias} "
+            )
         toks[i : end + 1] = [Tok("word", lateral)]
+        if is_map:
+            m = 0
+            while m < len(toks) - 2:
+                a = toks[m]
+                p = _prev_code(toks, m - 1)
+                if (
+                    a.kind == "word"
+                    and a.text.lower() == alias.lower()
+                    and (p < 0 or toks[p].text != ".")
+                ):
+                    d = _next_code(toks, m + 1)
+                    if d < len(toks) and toks[d].text == ".":
+                        w = _next_code(toks, d + 1)
+                        if w < len(toks) and toks[w].kind == "word" and \
+                                toks[w].text.lower() in ("key", "value"):
+                            suf = toks[w].text.lower()
+                            toks[m] = Tok(
+                                "word", f"_cj_{alias}.{alias}__{suf}"
+                            )
+                            toks[d] = Tok("op", "")
+                            toks[w] = Tok("word", "")
+                m += 1
+            i += 1
+            continue
         # rewrite the collection refs, fully qualified through the lateral
         # view alias so a no-alias join (`FROM t, t.arr` → exploded column
         # also named `arr`) cannot be ambiguous against the source column:
