@@ -235,3 +235,53 @@ QUERIES["dialect_sql_udaf_weighted_avg"] = (
     dialect_udaf_weighted_avg, DIALECT_UDAF_SQL)
 QUERIES["dialect_sql_ddl_ctas_view"] = (
     dialect_ddl_ctas_view, DIALECT_DDL_SQL)
+
+
+def dialect_collection_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The implicit collection join through the SQL surface, oracle-checked
+    on real data: build a nested array<struct> view (per-customer order
+    list), then run `FROM cust_orders c, c.orders o` in the Impala
+    dialect — the reference's flagship nested idiom
+    (testdata/.../nested-types-*.test) — and re-aggregate.  The oracle
+    computes the same rollup from the flat base table, so a hash match
+    proves the nest → collection-join → unnest round trip is lossless."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    orders = eng.spark.table("orders")
+    nested = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("okey"),
+                    F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+                )
+            ).alias("orders")
+        )
+    )
+    nested.createOrReplaceTempView("cust_orders")
+    return eng.sql(
+        """
+        SELECT c.o_custkey AS c_custkey,
+               COUNT(o.okey) AS n_orders,
+               CAST(MAX(o.price) AS DOUBLE) AS max_price
+        FROM cust_orders c, c.orders o
+        GROUP BY c.o_custkey
+        ORDER BY c_custkey
+        """
+    )
+
+
+DIALECT_COLLECTION_JOIN_SQL = """
+SELECT o_custkey AS c_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_custkey
+ORDER BY c_custkey
+"""
+
+
+QUERIES["dialect_sql_collection_join"] = (
+    dialect_collection_join, DIALECT_COLLECTION_JOIN_SQL)
