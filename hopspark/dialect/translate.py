@@ -23,7 +23,7 @@ _TOKEN_RE = re.compile(
     | (?P<bquote>`[^`]*`)
     | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
     | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op><=>|<>|!=|<=|>=|\|\||::|[-+*/%(),.<>=!\[\]{};?&^~|])
+    | (?P<op><=>|<>|!=|<=|>=|\|\||&&|::|[-+*/%(),.<>=!\[\]{};?&^~|])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -1398,6 +1398,8 @@ def translate(sql: str, options: dict[str, bool] | None = None) -> str:
     the reference)."""
     toks = tokenize(sql)
     toks = _rewrite_values_rows(toks)
+    toks = _rewrite_logical_ops(toks)
+    toks = _rewrite_postfix_factorial(toks)
     toks = _rewrite_tablesample(toks)
     toks = _rewrite_hints(toks)
     toks = _rewrite_cast_format(toks)
@@ -2119,4 +2121,142 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                             toks[m] = Tok("word", f"_cj_{alias}.{alias}")
             m += 1
         i += 1
+    return toks
+
+
+_BOOL_INDICATOR_OPS = {"=", "<", ">", "<=", ">=", "!=", "<>", "<=>"}
+_BOOL_INDICATOR_KWS = {
+    "IS", "LIKE", "ILIKE", "RLIKE", "IREGEXP", "REGEXP", "IN", "BETWEEN",
+    "EXISTS", "NOT", "TRUE", "FALSE", "AND", "OR",
+}
+_OPERAND_BOUNDARY_KWS = {
+    "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "BY", "ON",
+    "WHEN", "THEN", "ELSE", "END", "CASE", "AND", "OR", "JOIN", "AS",
+    "LIMIT", "UNION", "INTERSECT", "EXCEPT", "VALUES", "SET", "DISTINCT",
+}
+
+
+def _rewrite_logical_ops(toks: list[Tok]) -> list[Tok]:
+    """Impala's C-style logical operators (sql-scanner.flex): ``&&`` is
+    AND, ``!`` is NOT, and ``||`` is CompoundVerticalBarExpr — boolean
+    operands mean OR, string operands mean concat (the same token, type-
+    dispatched at analysis).  ``&&`` maps unconditionally.  For ``||``,
+    the reference parses it at OR precedence, so any comparison operator
+    or predicate keyword in an operand span means the operands are
+    boolean — in that case emit OR; otherwise leave ``||`` for Spark,
+    whose concat matches the string branch.  (A bare boolean column/
+    literal pair with no predicate marker is indistinguishable at token
+    level; TRUE/FALSE/NOT/IS count as markers, so only the boolean-COLUMN
+    || boolean-COLUMN corner stays on the concat path — documented.)"""
+    for idx, t in enumerate(toks):
+        if t.kind == "op" and t.text == "&&":
+            toks[idx] = Tok("word", " AND ")
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "op" and t.text == "||"):
+            i += 1
+            continue
+        boolish = False
+        # left span: walk back at balance 0 to a boundary
+        bal = 0
+        for k in range(i - 1, -1, -1):
+            tk = toks[k]
+            if not _is_code(tk):
+                continue
+            if tk.text == ")":
+                bal += 1
+            elif tk.text == "(":
+                if bal == 0:
+                    break
+                bal -= 1
+            elif bal == 0:
+                if tk.text == ",":
+                    break
+                if tk.kind == "word" and tk.upper in _OPERAND_BOUNDARY_KWS:
+                    break
+                if tk.text in _BOOL_INDICATOR_OPS or (
+                    tk.kind == "word"
+                    and tk.upper in _BOOL_INDICATOR_KWS
+                ):
+                    boolish = True
+                    break
+        # right span
+        if not boolish:
+            bal = 0
+            for k in range(i + 1, len(toks)):
+                tk = toks[k]
+                if not _is_code(tk):
+                    continue
+                if tk.text == "(":
+                    bal += 1
+                elif tk.text == ")":
+                    if bal == 0:
+                        break
+                    bal -= 1
+                elif bal == 0:
+                    if tk.text == ",":
+                        break
+                    if tk.kind == "word" and tk.upper in _OPERAND_BOUNDARY_KWS:
+                        break
+                    if tk.text in _BOOL_INDICATOR_OPS or (
+                        tk.kind == "word"
+                        and tk.upper in _BOOL_INDICATOR_KWS
+                    ):
+                        boolish = True
+                        break
+        if boolish:
+            toks[i] = Tok("word", " OR ")
+        i += 1
+    return toks
+
+
+def _rewrite_postfix_factorial(toks: list[Tok]) -> list[Tok]:
+    """Impala's postfix factorial — ``5!`` (ArithmeticExpr FACTORIAL,
+    sql-parser.cup:3635).  A bare ``!`` whose previous code token ends an
+    operand (number, identifier, or close paren) is postfix; wrap the
+    operand in factorial().  A ``!`` before an operand is prefix NOT,
+    which Spark already accepts."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "op" and t.text == "!"):
+            i += 1
+            continue
+        p = _prev_code(toks, i - 1)
+        if p < 0:
+            i += 1
+            continue
+        pt = toks[p]
+        start = None
+        if pt.kind == "num":
+            start = p
+        elif pt.kind in ("word", "bquote") and pt.upper not in (
+            _OPERAND_BOUNDARY_KWS | _BOOL_INDICATOR_KWS
+        ):
+            start = p
+        elif pt.text == ")":
+            # matching open paren, plus a directly-preceding fn name
+            bal = 0
+            for k in range(p, -1, -1):
+                tk = toks[k]
+                if not _is_code(tk):
+                    continue
+                if tk.text == ")":
+                    bal += 1
+                elif tk.text == "(":
+                    bal -= 1
+                    if bal == 0:
+                        start = k
+                        w = _prev_code(toks, k - 1)
+                        if w >= 0 and toks[w].kind == "word" and \
+                                toks[w].upper not in _OPERAND_BOUNDARY_KWS:
+                            start = w
+                        break
+        if start is None:
+            i += 1
+            continue
+        operand = untokenize(toks[start:i]).strip()
+        toks[start : i + 1] = tokenize(f"factorial({operand})")
+        i = start + 1
     return toks

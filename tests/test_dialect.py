@@ -501,3 +501,35 @@ def test_implicit_collection_join(spark, sf_dir):
         "select count(*) c from region r, nation n "
         "where r.r_regionkey = n.n_regionkey"
     ).collect()[0].c == 25
+
+
+def test_c_style_logical_operators(spark, sf_dir):
+    """sql-scanner.flex: && is AND, ! is NOT, || is CompoundVerticalBar —
+    boolean operands mean OR, string operands mean concat (type-dispatch
+    mirrored by predicate-marker detection at OR precedence)."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    assert eng.sql(
+        "select count(*) c from nation where n_regionkey = 0 && n_nationkey < 10"
+    ).collect()[0].c == 2
+    assert eng.sql(
+        "select count(*) c from nation where n_regionkey = 4 || n_nationkey = 0"
+    ).collect()[0].c == 6
+    assert eng.sql("select 'a' || 'b' x").collect()[0].x == "ab"
+    # bitwise single-char ops untouched
+    assert tuple(eng.sql("select 12 & 10 a, 12 | 10 b").collect()[0]) == (8, 14)
+
+
+def test_postfix_factorial_operator(spark, sf_dir):
+    """5! postfix factorial (ArithmeticExpr FACTORIAL, sql-parser.cup:3635);
+    prefix ! stays NOT."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    assert eng.sql("select 5! f").collect()[0].f == 120
+    assert eng.sql("select 3 + 5! * 2 f").collect()[0].f == 243
+    assert eng.sql("select (2+3)! f").collect()[0].f == 120
+    assert eng.sql(
+        "select count(*) c from nation where !(n_regionkey = 0)"
+    ).collect()[0].c == 20
