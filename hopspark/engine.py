@@ -64,6 +64,9 @@ class Engine:
         r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
     )
     _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(.*?);?\s*$", re.I | re.S)
+    _SHOW_CREATE_RE = re.compile(
+        r"^\s*SHOW\s+CREATE\s+(TABLE|VIEW)\s+(\w+)\s*;?\s*$", re.I
+    )
 
     def sql(self, impala_sql: str) -> DataFrame:
         """Run an Impala-dialect SQL statement; returns a lazy DataFrame.
@@ -136,6 +139,19 @@ class Engine:
             if not dropped and not if_exists:
                 raise ValueError(f"view does not exist: {name}")
             return self.spark.sql("SELECT 1 AS ok WHERE false")
+        m = self._SHOW_CREATE_RE.match(impala_sql)
+        if m:
+            # SHOW CREATE TABLE/VIEW (ShowCreateTableStmt): reconstruct the
+            # DDL from catalog schema — one row, 'result' column (the HS2
+            # shape the reference returns). Temp-view-backed tables get a
+            # CREATE EXTERNAL TABLE rendering with Impala type names.
+            name = m.group(2)
+            fields = self.spark.table(name).schema.fields
+            cols = ",\n".join(
+                f"  {f.name} {_impala_type_name(f.dataType)}" for f in fields
+            )
+            ddl = f"CREATE EXTERNAL TABLE {name} (\n{cols}\n) STORED AS PARQUET"
+            return self.spark.createDataFrame([(ddl,)], "`result` string")
         m = self._EXPLAIN_RE.match(impala_sql)
         if m:
             # Impala EXPLAIN returns the plan as rows of 'Explain String'
@@ -378,3 +394,32 @@ class Engine:
             for r in self.spark.sql(f"DESCRIBE TABLE {table}").collect()
             if r.col_name and not r.col_name.startswith("#")
         ]
+
+
+def _impala_type_name(dt) -> str:
+    """Spark type → Impala DDL type name (PrimitiveType.java:25-58)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "BIGINT"
+    if isinstance(dt, T.IntegerType):
+        return "INT"
+    if isinstance(dt, T.ShortType):
+        return "SMALLINT"
+    if isinstance(dt, T.ByteType):
+        return "TINYINT"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "TIMESTAMP"
+    if isinstance(dt, T.ArrayType):
+        return f"ARRAY<{_impala_type_name(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return (
+            f"MAP<{_impala_type_name(dt.keyType)},"
+            f"{_impala_type_name(dt.valueType)}>"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name}:{_impala_type_name(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT<{inner}>"
+    return dt.simpleString().upper()

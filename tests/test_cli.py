@@ -39,3 +39,15 @@ def test_cli_explain_flag():
     r = _run("--explain", "-q", "SELECT count(*) FROM lineitem")
     assert r.returncode == 0, r.stderr[-500:]
     assert "Physical Plan" in r.stdout and "Scan parquet" in r.stdout
+
+
+def test_show_create_table(spark, sf_dir):
+    """SHOW CREATE TABLE (ShowCreateTableStmt): one 'result' row with
+    Impala type names reconstructed from the catalog schema."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    ddl = eng.sql("show create table nation").collect()[0].result
+    assert "CREATE EXTERNAL TABLE nation" in ddl
+    assert "n_nationkey INT" in ddl and "n_name STRING" in ddl
+    assert "STORED AS PARQUET" in ddl
