@@ -40,6 +40,11 @@ PROBE_QUERIES = [
     "agg_multi_distinct",
     "window_rank_topn",
     "tpcds_q51_cumulative_channels",
+    # r5: union-of-grains rollup rewrites (checkpointed partial fan-out) —
+    # the checkpoint must keep the grain branches reading the partial, so
+    # wall time should scale with the ONE fact scan, not 3-4x of it
+    "tpcds_q67a_union_grain_topn",
+    "tpcds_q86a_union_grain_rank",
 ]
 
 BASE = "/root/testdata/sf0.1"
