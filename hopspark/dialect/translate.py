@@ -2053,14 +2053,26 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
         is_map = bool(
             {"key", "value"} & suffixes and not {"item", "pos"} & suffixes
         )
-        if is_map:
+        # INNER collection semantics: the reference's implicit join omits
+        # rows whose collection is empty or NULL (nested-types-scanner-
+        # basic.test: 8-row table, 10 items — no padding rows), while
+        # NULL *elements* inside an array do surface.  explode/posexplode
+        # (non-outer) is exactly that contract.
+        if not suffixes:
+            # no element references at all (e.g. bare COUNT(*)): the AS
+            # arity would have to match the unknown array-vs-map column
+            # count, so omit it — Spark's default generator output names
+            # are never referenced, and explode() multiplies cardinality
+            # identically for both types.
+            lateral = f" LATERAL VIEW explode({dotted}) _cj_{alias} "
+        elif is_map:
             lateral = (
-                f" LATERAL VIEW explode_outer({dotted}) _cj_{alias} "
+                f" LATERAL VIEW explode({dotted}) _cj_{alias} "
                 f"AS {alias}__key, {alias}__value "
             )
         else:
             lateral = (
-                f" LATERAL VIEW posexplode_outer({dotted}) _cj_{alias} "
+                f" LATERAL VIEW posexplode({dotted}) _cj_{alias} "
                 f"AS {alias}__pos, {alias} "
             )
         toks[i : end + 1] = [Tok("word", lateral)]

@@ -533,3 +533,26 @@ def test_postfix_factorial_operator(spark, sf_dir):
     assert eng.sql(
         "select count(*) c from nation where !(n_regionkey = 0)"
     ).collect()[0].c == 20
+
+
+def test_collection_join_inner_semantics(spark, sf_dir):
+    """The reference's implicit collection join is INNER: rows with empty
+    or NULL collections are omitted while NULL elements surface
+    (nested-types-scanner-basic.test: 8-row table yields 10 items, no
+    padding). Bare COUNT(*) works for arrays AND maps (no AS clause when
+    nothing references the elements)."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    rows = eng.sql(
+        "select a.item from (select array(1,2) arr union all select array() "
+        "union all select cast(null as array<int>)) t, t.arr a"
+    ).collect()
+    assert sorted(r[0] for r in rows) == [1, 2]
+    assert eng.sql(
+        "select count(*) c from (select array(1, null, 3) arr) t, t.arr a"
+    ).collect()[0].c == 3
+    assert eng.sql(
+        "select count(*) c from (select map('a',1,'b',2) mp union all "
+        "select cast(null as map<string,int>) mp) t, t.mp m"
+    ).collect()[0].c == 2
