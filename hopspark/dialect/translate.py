@@ -1331,8 +1331,13 @@ def _rewrite_unnest(toks: list[Tok]) -> list[Tok]:
         args = _split_args(toks, j, close)
         arg_sql = [untokenize(toks[a:b]).strip() for a, b in args]
         leafs = [a.split(".")[-1] for a in arg_sql]
+        # non-outer: the reference's zipping unnest drops rows whose
+        # arrays are ALL empty/NULL (zipping-unnest-in-select-list.test
+        # "Unnest a single array that is empty" → zero rows); padding
+        # applies only BETWEEN unequal-length arrays, which arrays_zip
+        # already does.
         lateral = (
-            " LATERAL VIEW posexplode_outer(arrays_zip("
+            " LATERAL VIEW posexplode(arrays_zip("
             + ", ".join(arg_sql)
             + ")) _unnest AS pos, _z "
         )
@@ -1822,8 +1827,10 @@ def _rewrite_select_unnest(toks: list[Tok]) -> list[Tok]:
             ):
                 end = k
                 break
+        # non-outer for the same drop-empty-rows reference semantics as
+        # the FROM-clause form above
         lateral = (
-            " LATERAL VIEW posexplode_outer(arrays_zip("
+            " LATERAL VIEW posexplode(arrays_zip("
             + ", ".join(paths)
             + ")) _sunnest AS _supos, _suz "
         )

@@ -556,3 +556,26 @@ def test_collection_join_inner_semantics(spark, sf_dir):
         "select count(*) c from (select map('a',1,'b',2) mp union all "
         "select cast(null as map<string,int>) mp) t, t.mp m"
     ).collect()[0].c == 2
+
+
+def test_unnest_drops_fully_empty_rows(spark, sf_dir):
+    """zipping-unnest-in-select-list.test: unnesting an empty (or NULL)
+    array yields ZERO rows — padding applies only between unequal-length
+    arrays, never as whole-row NULL padding."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    rows = eng.sql(
+        "select unnest(arr) x from "
+        "(select array() arr union all select array(1) arr) t"
+    ).collect()
+    assert [r.x for r in rows] == [1]
+    assert eng.sql(
+        "select count(*) c from (select cast(null as array<int>) arr) t, "
+        "unnest(t.arr)"
+    ).collect()[0].c == 0
+    rows = eng.sql(
+        "select unnest(a1) x, unnest(a2) y "
+        "from (select array(1,2,3) a1, array('a') a2) t"
+    ).collect()
+    assert len(rows) == 3 and rows[2].y is None
