@@ -1264,10 +1264,99 @@ class SubqGen:
         return sql, sql
 
 
+class CollectionGen:
+    """Round-5 dialect surfaces: implicit collection joins
+    (FROM t, t.arr a — INNER semantics, a.item/a.pos, m.key/m.value) and
+    select-list zipping UNNEST, generated as IMPALA SQL and passed
+    through translate(), differentially checked against DuckDB's unnest.
+    One array branch is conditionally EMPTY so the inner-join row-drop
+    contract is exercised, not just the happy path."""
+
+    TABLES = ["nation", "customer", "supplier", "part", "orders"]
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(7_000_003 * (seed + 1))
+        self.g = Gen(seed)
+        self.g.rng = self.rng
+
+    def _elem(self, scope) -> str:
+        return f"COALESCE({self.g.int_expr(scope)}, 0)"
+
+    def gen(self) -> tuple[str, str]:
+        from hopspark.dialect import translate
+
+        r = self.rng
+        tbl = r.choice(self.TABLES)
+        scope = [("t0", tbl)]
+        key = TABLES[tbl]["key"][0]
+        es = [self._elem(scope) for _ in range(5)]
+        pred = self.g.pred(scope)
+        pred2 = self.g.pred(scope)
+        # `a` empties out on pred2 (inner semantics must drop those rows)
+        a_imp = (
+            f"CASE WHEN {pred2} THEN array({es[0]}, {es[1]}, {es[2]}) "
+            f"ELSE array() END"
+        )
+        b_imp = f"array({es[3]}, {es[4]})"
+        cte_imp = (
+            f"WITH t AS (SELECT t0.{key} AS k, {a_imp} AS a, {b_imp} AS b "
+            f"FROM {tbl} t0 WHERE {pred})"
+        )
+        a_d = (
+            f"CASE WHEN {pred2} THEN [{es[0]}, {es[1]}, {es[2]}] "
+            f"ELSE [] END"
+        )
+        cte_d = (
+            f"WITH t AS (SELECT t0.{key} AS k, CAST({a_d} AS INT[]) AS a, "
+            f"[{es[3]}, {es[4]}] AS b "
+            f"FROM {tbl} t0 WHERE {pred})"
+        )
+        kind = r.choice(["cjoin", "cjoin_agg", "sunnest", "mapjoin"])
+        if kind == "cjoin":
+            imp = (
+                f"{cte_imp} SELECT k, va.item AS x, va.pos AS p "
+                f"FROM t, t.a va"
+            )
+            duck = (
+                f"{cte_d} SELECT k, unnest(a) AS x, "
+                f"CAST(generate_subscripts(a, 1) - 1 AS INT) AS p FROM t"
+            )
+            return translate(imp), duck
+        if kind == "cjoin_agg":
+            imp = (
+                f"{cte_imp} SELECT k, COUNT(va.item) AS n, "
+                f"CAST(SUM(va.item) AS BIGINT) AS s "
+                f"FROM t, t.a va GROUP BY k"
+            )
+            duck = (
+                f"{cte_d} SELECT k, COUNT(x) AS n, "
+                f"CAST(SUM(x) AS BIGINT) AS s FROM "
+                f"(SELECT k, unnest(a) AS x FROM t) GROUP BY k"
+            )
+            return translate(imp), duck
+        if kind == "sunnest":
+            imp = f"{cte_imp} SELECT k, unnest(a) AS x, unnest(b) AS y FROM t"
+            duck = f"{cte_d} SELECT k, unnest(a) AS x, unnest(b) AS y FROM t"
+            return translate(imp), duck
+        # mapjoin: 2-entry map from the first b elements
+        imp = (
+            f"{cte_imp} SELECT k, m.key AS mk, m.value AS mv "
+            f"FROM (SELECT k, map(1, b[0], 2, b[1]) AS mp FROM t) t2, "
+            f"t2.mp m"
+        )
+        duck = (
+            f"{cte_d} SELECT k, e.key AS mk, e.value AS mv FROM "
+            f"(SELECT k, unnest(map_entries(map([1, 2], [b[1], b[2]]))) AS e "
+            f"FROM t)"
+        )
+        return translate(imp), duck
+
+
 REGION_GENS = {
     "nested": NestedGen,
     "decimal": DecimalGen,
     "subquery": SubqGen,
+    "collection": CollectionGen,
 }
 
 
