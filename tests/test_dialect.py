@@ -579,3 +579,45 @@ def test_unnest_drops_fully_empty_rows(spark, sf_dir):
         "from (select array(1,2,3) a1, array('a') a2) t"
     ).collect()
     assert len(rows) == 3 and rows[2].y is None
+
+
+def test_collection_join_on_disk_parquet(spark, sf_dir, tmp_path):
+    """The collection-join SQL over a REAL nested parquet table (not an
+    inline fixture): array<struct> written to disk, registered, queried
+    via FROM t, t.orders o with struct-field access + parent filter —
+    mirroring nested-types-scanner-basic.test's access pattern."""
+    from pyspark.sql import functions as F
+
+    from hopspark.catalog import read_table
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    nested = orders.groupBy("o_custkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        ).alias("orders")
+    )
+    out = str(tmp_path / "cust_nested.parquet")
+    nested.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).createOrReplaceTempView("cust_nested")
+    rows = eng.sql(
+        """
+        SELECT c.o_custkey, COUNT(o.okey) AS n_open
+        FROM cust_nested c, c.orders o
+        WHERE o.status = 'O' AND c.o_custkey < 50
+        GROUP BY c.o_custkey
+        ORDER BY c.o_custkey
+        """
+    ).collect()
+    flat = {
+        r.o_custkey: r.n
+        for r in orders.filter("o_orderstatus = 'O' AND o_custkey < 50")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.o_custkey: r.n_open for r in rows} == flat and rows
