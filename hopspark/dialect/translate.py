@@ -1405,6 +1405,7 @@ def translate(sql: str, options: dict[str, bool] | None = None) -> str:
     toks = _rewrite_values_rows(toks)
     toks = _rewrite_logical_ops(toks)
     toks = _rewrite_postfix_factorial(toks)
+    toks = _rewrite_char_casts(toks)
     toks = _rewrite_tablesample(toks)
     toks = _rewrite_hints(toks)
     toks = _rewrite_cast_format(toks)
@@ -2278,4 +2279,60 @@ def _rewrite_postfix_factorial(toks: list[Tok]) -> list[Tok]:
         operand = untokenize(toks[start:i]).strip()
         toks[start : i + 1] = tokenize(f"factorial({operand})")
         i = start + 1
+    return toks
+
+
+def _rewrite_char_casts(toks: list[Tok]) -> list[Tok]:
+    """Impala CAST to CHAR(n)/VARCHAR(n) truncates to n and, for CHAR,
+    space-pads to exactly n (chars.test: cast('6a' as CHAR(5)) = '6a   ');
+    Spark's cast leaves expression values unmodified.  Rewrite to
+    substr/rpad over STRING — the rendering Impala's own HS2 surface uses
+    for CHAR results."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "word" and t.upper == "CAST"):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].text != "(":
+            i += 1
+            continue
+        close = _matching_paren(toks, j)
+        # find top-level AS inside
+        depth = 0
+        as_i = None
+        for k in range(j + 1, close):
+            tk = toks[k]
+            if not _is_code(tk):
+                continue
+            if tk.text == "(":
+                depth += 1
+            elif tk.text == ")":
+                depth -= 1
+            elif depth == 0 and tk.kind == "word" and tk.upper == "AS":
+                as_i = k
+        if as_i is None:
+            i += 1
+            continue
+        ty_i = _next_code(toks, as_i + 1)
+        if ty_i >= close or toks[ty_i].upper not in ("CHAR", "VARCHAR"):
+            i += 1
+            continue
+        p_i = _next_code(toks, ty_i + 1)
+        if p_i >= close or toks[p_i].text != "(":
+            i += 1
+            continue
+        n_i = _next_code(toks, p_i + 1)
+        if toks[n_i].kind != "num":
+            i += 1
+            continue
+        n = toks[n_i].text
+        expr = untokenize(toks[j + 1 : as_i]).strip()
+        if toks[ty_i].upper == "CHAR":
+            repl = f"rpad(substr(CAST(({expr}) AS STRING), 1, {n}), {n}, ' ')"
+        else:
+            repl = f"substr(CAST(({expr}) AS STRING), 1, {n})"
+        toks[i : close + 1] = tokenize(repl)
+        i += 1
     return toks
