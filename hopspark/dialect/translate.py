@@ -2078,10 +2078,22 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                 f" LATERAL VIEW explode({dotted}) _cj_{alias} "
                 f"AS {alias}__key, {alias}__value "
             )
-        else:
+        elif "pos" in suffixes:
             lateral = (
                 f" LATERAL VIEW posexplode({dotted}) _cj_{alias} "
                 f"AS {alias}__pos, {alias} "
+            )
+        else:
+            # plain explode unless .pos is referenced: nested-column
+            # aliasing through posexplode is plan-shape-sensitive (the
+            # DataFrame posexplode chain reads the full struct where
+            # explode prunes to the accessed fields), so prefer the
+            # reliably-pruned generator — on a wide array<struct> at
+            # 100 TB that is the difference between scanning one field
+            # and the whole struct.
+            lateral = (
+                f" LATERAL VIEW explode({dotted}) _cj_{alias} "
+                f"AS {alias} "
             )
         toks[i : end + 1] = [Tok("word", lateral)]
         if is_map:

@@ -583,3 +583,37 @@ def test_lateral_topk_plans_per_group_limit(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan or "WindowGroupLimit" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_collection_join_nested_schema_pruning(spark, sf_dir, tmp_path):
+    """The collection-join SQL must keep nested-schema pruning: accessing
+    one field of an array<struct> through `FROM t, t.orders o` reads ONLY
+    that field from parquet (plan assert on ReadSchema), the 100 TB
+    difference between one column and the whole struct."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hopspark.catalog import read_table
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    nested = orders.groupBy("o_custkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("prio"),
+            )
+        ).alias("orders")
+    )
+    out = str(tmp_path / "cj_prune.parquet")
+    nested.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).createOrReplaceTempView("cj_prune")
+    df = eng.sql("SELECT c.o_custkey, o.okey FROM cj_prune c, c.orders o")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m, plan
+    assert "okey" in m.group(1) and "status" not in m.group(1), m.group(1)
