@@ -2189,58 +2189,129 @@ def _rewrite_logical_ops(toks: list[Tok]) -> list[Tok]:
         if not (t.kind == "op" and t.text == "||"):
             i += 1
             continue
-        boolish = False
-        # left span: walk back at balance 0 to a boundary
-        bal = 0
-        for k in range(i - 1, -1, -1):
-            tk = toks[k]
-            if not _is_code(tk):
-                continue
-            if tk.text == ")":
-                bal += 1
-            elif tk.text == "(":
-                if bal == 0:
-                    break
-                bal -= 1
-            elif bal == 0:
-                if tk.text == ",":
-                    break
-                if tk.kind == "word" and tk.upper in _OPERAND_BOUNDARY_KWS:
-                    break
-                if tk.text in _BOOL_INDICATOR_OPS or (
-                    tk.kind == "word"
-                    and tk.upper in _BOOL_INDICATOR_KWS
-                ):
-                    boolish = True
-                    break
-        # right span
-        if not boolish:
-            bal = 0
-            for k in range(i + 1, len(toks)):
-                tk = toks[k]
-                if not _is_code(tk):
-                    continue
-                if tk.text == "(":
-                    bal += 1
-                elif tk.text == ")":
-                    if bal == 0:
-                        break
-                    bal -= 1
-                elif bal == 0:
-                    if tk.text == ",":
-                        break
-                    if tk.kind == "word" and tk.upper in _OPERAND_BOUNDARY_KWS:
-                        break
-                    if tk.text in _BOOL_INDICATOR_OPS or (
-                        tk.kind == "word"
-                        and tk.upper in _BOOL_INDICATOR_KWS
-                    ):
-                        boolish = True
-                        break
-        if boolish:
+        if _bars_operand_boolish(toks, i, -1) or _bars_operand_boolish(
+            toks, i, +1
+        ):
             toks[i] = Tok("word", " OR ")
         i += 1
     return toks
+
+
+#: Boundary keywords that can only introduce a PREDICATE — meeting one at
+#: the end of the left-walk (or AND/OR/THEN on the right) proves the ||
+#: sits in boolean context even when the operand itself carries no
+#: comparison (fuzzer-found: `x BETWEEN a AND b || p`, `WHERE p1 || p2`).
+_LEFT_BOOL_BOUNDARIES = {"WHERE", "HAVING", "ON", "WHEN", "AND", "OR"}
+#: Functions that always return BOOLEAN — an operand that is a call to
+#: one of these proves boolean || even with no comparison in sight.
+_BOOL_FUNCTIONS = {
+    "istrue", "isfalse", "isnottrue", "isnotfalse", "regexp_like",
+    "starts_with", "ends_with", "contains", "array_contains", "is_inf",
+    "is_nan", "isnull_pred", "exists",
+}
+_RIGHT_BOOL_BOUNDARIES = {"AND", "OR", "THEN"}
+
+
+def _bars_operand_boolish(toks: list[Tok], i: int, step: int) -> bool:
+    """Walk one operand span of the ``||`` at index i (step=-1 left,
+    +1 right) looking for predicate markers.  A BARE parenthesized group
+    adjacent to the operator (not a function call) is grouping — descend
+    into it (fuzzer-found: `(a > 1 || b > 2) || (c > 3 AND d > 4)`);
+    function-call parens stay opaque so comparisons inside unrelated call
+    arguments cannot false-positive a string concat into an OR."""
+    bal = 0
+    first = True
+    rng = range(i - 1, -1, -1) if step < 0 else range(i + 1, len(toks))
+    for k in rng:
+        tk = toks[k]
+        if not _is_code(tk):
+            continue
+        closing = ")" if step < 0 else "("
+        opening = "(" if step < 0 else ")"
+        if tk.text == closing:
+            # entering a paren group from the operator side
+            if bal == 0 and first:
+                inner_open = (
+                    _matching_paren_rev(toks, k)
+                    if step < 0
+                    else _matching_paren(toks, k)
+                )
+                head = (
+                    _prev_code(toks, inner_open - 1)
+                    if step < 0
+                    else _prev_code(toks, k - 1)
+                )
+                is_call = (
+                    head >= 0
+                    and toks[head].kind == "word"
+                    and toks[head].upper not in _OPERAND_BOUNDARY_KWS
+                )
+                if is_call and toks[head].text.lower() in _BOOL_FUNCTIONS:
+                    return True
+                if not is_call:
+                    lo, hi = (
+                        (inner_open, k) if step < 0 else (k, inner_open)
+                    )
+                    if _span_has_predicate_marker(toks, lo + 1, hi):
+                        return True
+            bal += 1
+        elif tk.text == opening:
+            if bal == 0:
+                return False
+            bal -= 1
+        elif bal == 0:
+            if tk.text == ",":
+                return False
+            if tk.kind == "word" and tk.upper in _OPERAND_BOUNDARY_KWS:
+                bounds = (
+                    _LEFT_BOOL_BOUNDARIES
+                    if step < 0
+                    else _RIGHT_BOOL_BOUNDARIES
+                )
+                return tk.upper in bounds
+            if tk.text in _BOOL_INDICATOR_OPS or (
+                tk.kind == "word" and tk.upper in _BOOL_INDICATOR_KWS
+            ):
+                return True
+        first = False
+    return False
+
+
+def _matching_paren_rev(toks: list[Tok], close_i: int) -> int:
+    """Given index of ')', return index of its '('."""
+    depth = 0
+    for j in range(close_i, -1, -1):
+        if toks[j].text == ")":
+            depth += 1
+        elif toks[j].text == "(":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+def _span_has_predicate_marker(toks: list[Tok], lo: int, hi: int) -> bool:
+    """Any comparison op or predicate keyword at the TOP level of
+    toks[lo:hi] (nested call parens stay opaque)."""
+    depth = 0
+    for k in range(lo, hi):
+        tk = toks[k]
+        if not _is_code(tk):
+            continue
+        if tk.text == "(":
+            depth += 1
+        elif tk.text == ")":
+            depth -= 1
+        elif depth == 0:
+            if tk.text in _BOOL_INDICATOR_OPS or (
+                tk.kind == "word" and tk.upper in _BOOL_INDICATOR_KWS
+            ):
+                return True
+            if tk.kind == "op" and tk.text == "||":
+                # nested || inside a bare group: recurse one level via
+                # the same marker scan (its operands are in this span)
+                continue
+    return False
 
 
 def _rewrite_postfix_factorial(toks: list[Tok]) -> list[Tok]:

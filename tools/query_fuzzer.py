@@ -700,9 +700,14 @@ class DialectGen:
         c = r.choice(ics)
         kind = r.choice(
             ["col", "nvl", "zeroifnull", "nullifzero", "isnull", "quotient",
-             "bitand", "bitor", "bitxor", "if_", "length_", "ts_"]
+             "bitand", "bitor", "bitxor", "if_", "length_", "ts_", "fact"]
             if depth < 2 else ["col"]
         )
+        if kind == "fact":
+            # round-5 postfix factorial operator (sql-parser.cup FACTORIAL)
+            k = r.randint(2, 6)
+            return (f"CAST(({c} % {k})! AS INT)",
+                    f"CAST(factorial(CAST({c} % {k} AS INT)) AS INT)")
         if kind == "ts_":
             return self.ts_int_pair(tbl, depth + 1)
         if kind == "col":
@@ -802,8 +807,22 @@ class DialectGen:
         c = r.choice(tcs)
         kind = r.choice(
             ["year", "month", "day", "quarter", "dateadd_y", "datediff_",
-             "lastday", "trunc_dd", "trunc_q", "trunc_day", "trunc_hh"]
+             "lastday", "trunc_dd", "trunc_q", "trunc_day", "trunc_hh",
+             "extract_ms", "extract_epoch", "interval_expr"]
         )
+        # round-5: extract millisecond = seconds*1000+ms (Postgres-style,
+        # both engines), epoch = truncated unix seconds, and expression
+        # INTERVAL quantities (make_interval rewrite)
+        if kind == "extract_ms":
+            return (f"extract({c}, 'millisecond')",
+                    f"CAST(extract(milliseconds FROM {c}) AS BIGINT)")
+        if kind == "extract_epoch":
+            return (f"extract({c}, 'epoch')",
+                    f"CAST(floor(extract(epoch FROM {c})) AS BIGINT)")
+        if kind == "interval_expr":
+            k = r.randint(2, 9)
+            return (f"day({c} + interval month({c}) % {k} days)",
+                    f"day({c} + (month({c}) % {k}) * INTERVAL 1 DAY)")
         # round-5 datetime-trunc unit table (udf-builtins.cc
         # StrToTruncUnit -> date_trunc): DD/Q/HH24 plus DAY = Monday week
         if kind == "trunc_dd":
@@ -847,7 +866,7 @@ class DialectGen:
         r = self.rng
         kind = r.choice(
             ["cmp", "ilike", "istrue", "isnotfalse", "ndsf", "between",
-             "in_", "and_or", "ts_cmp"] if depth < 2 else ["cmp"]
+             "in_", "and_or", "c_ops", "ts_cmp"] if depth < 2 else ["cmp"]
         )
         if kind == "ts_cmp":
             ii, id_ = self.ts_int_pair(tbl, depth + 1)
@@ -859,6 +878,13 @@ class DialectGen:
             a_i, a_d = self.pred_pair(tbl, depth + 1)
             b_i, b_d = self.pred_pair(tbl, depth + 1)
             return f"({a_i} {op} {b_i})", f"({a_d} {op} {b_d})"
+        if kind == "c_ops":
+            # round-5 C-style logical operators: && = AND, || = OR when
+            # the operands carry predicate markers (sql-scanner.flex)
+            op_i, op_d = r.choice([("&&", "AND"), ("||", "OR")])
+            a_i, a_d = self.pred_pair(tbl, depth + 1)
+            b_i, b_d = self.pred_pair(tbl, depth + 1)
+            return f"({a_i} {op_i} {b_i})", f"({a_d} {op_d} {b_d})"
         if kind == "cmp":
             ii, id_ = self.int_pair(tbl, depth + 1)
             op = r.choice(["<", "<=", ">", ">=", "=", "!="])
