@@ -2399,6 +2399,31 @@ def _rewrite_char_casts(toks: list[Tok]) -> list[Tok]:
             i += 1
             continue
         ty_i = _next_code(toks, as_i + 1)
+        if ty_i < close and toks[ty_i].upper == "STRING":
+            # Impala renders CAST(boolean AS STRING) as '1'/'0' — the
+            # boolean goes through the exact-numeric print path
+            # (cast-functions-ir.cc CAST_EXACT_NUMERIC_TO_STRING with
+            # MAX_BOOLEAN_CHARS=1) — while Spark prints true/false.
+            # When the cast operand is PROVABLY boolean (top-level
+            # predicate marker), route through INT first.  No FORMAT
+            # clause may follow (that path belongs to the format rewrite).
+            nxt = _next_code(toks, ty_i + 1)
+            has_format = (
+                nxt < close
+                and toks[nxt].kind == "word"
+                and toks[nxt].upper == "FORMAT"
+            )
+            if not has_format and _span_has_predicate_marker(
+                toks, j + 1, as_i
+            ):
+                expr = untokenize(toks[j + 1 : as_i]).strip()
+                toks[i : close + 1] = tokenize(
+                    f"CAST(CAST(({expr}) AS INT) AS STRING)"
+                )
+                i += 1
+                continue
+            i += 1
+            continue
         if ty_i >= close or toks[ty_i].upper not in ("CHAR", "VARCHAR"):
             i += 1
             continue
