@@ -2437,6 +2437,11 @@ def _rewrite_char_casts(toks: list[Tok]) -> list[Tok]:
             continue
         n = toks[n_i].text
         expr = untokenize(toks[j + 1 : as_i]).strip()
+        if _span_has_predicate_marker(toks, j + 1, as_i):
+            # boolean operand: render through INT first so the CHAR/
+            # VARCHAR value is '1'/'0' (the same numeric print path the
+            # STRING cast uses)
+            expr = f"CAST(({expr}) AS INT)"
         if toks[ty_i].upper == "CHAR":
             repl = f"rpad(substr(CAST(({expr}) AS STRING), 1, {n}), {n}, ' ')"
         else:
