@@ -2442,10 +2442,17 @@ def _rewrite_char_casts(toks: list[Tok]) -> list[Tok]:
             # VARCHAR value is '1'/'0' (the same numeric print path the
             # STRING cast uses)
             expr = f"CAST(({expr}) AS INT)"
+        cut = f"substr(CAST(({expr}) AS STRING), 1, {n})"
         if toks[ty_i].upper == "CHAR":
-            repl = f"rpad(substr(CAST(({expr}) AS STRING), 1, {n}), {n}, ' ')"
+            # pad by OCTET length — CHAR(n) is n BYTES (ScalarType CHAR);
+            # a char-count rpad would over-pad multibyte values in the
+            # default byte mode
+            repl = (
+                f"concat({cut}, repeat(' ', "
+                f"greatest({n} - octet_length({cut}), 0)))"
+            )
         else:
-            repl = f"substr(CAST(({expr}) AS STRING), 1, {n})"
+            repl = cut
         toks[i : close + 1] = tokenize(repl)
         i += 1
     return toks
