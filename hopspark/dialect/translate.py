@@ -1668,6 +1668,13 @@ def _rewrite_interval_exprs(toks: list[Tok]) -> list[Tok]:
                         or base in _INTERVAL_SUBSEC_DIV
                     ) and k > expr_start:
                         nxt = _next_code(toks, k + 1)
+                        prv = _prev_code(toks, k - 1)
+                        # `t.day` is a column path, not the INTERVAL unit
+                        # (quantity columns named day/month/... are common
+                        # identifiers) — skip dotted path components
+                        if prv >= 0 and toks[prv].text == ".":
+                            k += 1
+                            continue
                         if nxt >= n or toks[nxt].text != "(":
                             unit_idx = k
                             break
@@ -2437,6 +2444,36 @@ def _rewrite_char_casts(toks: list[Tok]) -> list[Tok]:
             continue
         n = toks[n_i].text
         expr = untokenize(toks[j + 1 : as_i]).strip()
+        # CAST(x AS CHAR/VARCHAR(n) FORMAT '...') — the FORMAT clause
+        # belongs to the datetime-format path (cast-format-expr.cc): the
+        # value is FORMATTED first, and only then length-adjusted to n.
+        # Re-emit the format as a STRING-typed cast (this pass runs before
+        # _rewrite_cast_format, which translates it to date_format) and
+        # apply the truncate/pad to the formatted result. Without this
+        # guard the FORMAT clause was silently dropped.
+        p_close = _matching_paren(toks, p_i)
+        fmt_i = _next_code(toks, p_close + 1)
+        if (
+            fmt_i < close
+            and toks[fmt_i].kind == "word"
+            and toks[fmt_i].upper == "FORMAT"
+        ):
+            s_i = _next_code(toks, fmt_i + 1)
+            if s_i < close and toks[s_i].kind == "str":
+                inner = f"CAST(({expr}) AS STRING FORMAT {toks[s_i].text})"
+                cut = f"substr({inner}, 1, {n})"
+                if toks[ty_i].upper == "CHAR":
+                    repl = (
+                        f"concat({cut}, repeat(' ', "
+                        f"greatest({n} - octet_length({cut}), 0)))"
+                    )
+                else:
+                    repl = cut
+                toks[i : close + 1] = tokenize(repl)
+                i += 1
+                continue
+            i += 1
+            continue
         if _span_has_predicate_marker(toks, j + 1, as_i):
             # boolean operand: render through INT first so the CHAR/
             # VARCHAR value is '1'/'0' (the same numeric print path the

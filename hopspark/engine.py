@@ -38,6 +38,11 @@ class Engine:
         self.spark = spark or get_spark()
         self.sf_dir = sf_dir
         self.options = dict(options or {})
+        # original (untranslated) CREATE VIEW definitions, keyed by
+        # lowercased view name — SHOW CREATE VIEW must render the view's
+        # own definition (ShowCreateTableStmt / ToSqlUtils.getCreateViewSql),
+        # not a table-shaped DDL reconstruction
+        self._view_defs: dict[str, str] = {}
         register_all(self.spark)
         if register_tables:
             catalog.register(self.spark, sf_dir)
@@ -131,11 +136,18 @@ class Engine:
             self.spark.sql(
                 f"CREATE OR REPLACE TEMPORARY VIEW {name} AS " + translated
             )
+            body_sql = body.strip()
+            if col_list:
+                body_sql = f"{col_list.strip()} AS {body_sql}"
+            else:
+                body_sql = f"AS {body_sql}"
+            self._view_defs[name.lower()] = f"CREATE VIEW {name} {body_sql}"
             return self.spark.sql("SELECT 1 AS ok WHERE false")
         m = self._DROP_VIEW_RE.match(impala_sql)
         if m:
             if_exists, name = m.groups()
             dropped = self.spark.catalog.dropTempView(name)
+            self._view_defs.pop(name.lower(), None)
             if not dropped and not if_exists:
                 raise ValueError(f"view does not exist: {name}")
             return self.spark.sql("SELECT 1 AS ok WHERE false")
@@ -144,8 +156,20 @@ class Engine:
             # SHOW CREATE TABLE/VIEW (ShowCreateTableStmt): reconstruct the
             # DDL from catalog schema — one row, 'result' column (the HS2
             # shape the reference returns). Temp-view-backed tables get a
-            # CREATE EXTERNAL TABLE rendering with Impala type names.
+            # CREATE EXTERNAL TABLE rendering with Impala type names; views
+            # created through this engine get their ORIGINAL CREATE VIEW
+            # definition (ToSqlUtils.getCreateViewSql emits the view's own
+            # SQL, never a table-shaped DDL).
             name = m.group(2)
+            view_def = self._view_defs.get(name.lower())
+            if view_def is not None:
+                return self.spark.createDataFrame(
+                    [(view_def,)], "`result` string"
+                )
+            if m.group(1).upper() == "VIEW":
+                # SHOW CREATE VIEW over a name we did not create as a view:
+                # the reference raises for non-view targets
+                raise ValueError(f"{name} is not a view")
             fields = self.spark.table(name).schema.fields
             cols = ",\n".join(
                 f"  {f.name} {_impala_type_name(f.dataType)}" for f in fields

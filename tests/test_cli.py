@@ -51,3 +51,24 @@ def test_show_create_table(spark, sf_dir):
     assert "CREATE EXTERNAL TABLE nation" in ddl
     assert "n_nationkey INT" in ddl and "n_name STRING" in ddl
     assert "STORED AS PARQUET" in ddl
+
+
+def test_show_create_view(spark, sf_dir):
+    """SHOW CREATE VIEW renders the view's ORIGINAL definition
+    (ToSqlUtils.getCreateViewSql), not a table-shaped DDL — round-6
+    ADVICE item."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql("CREATE VIEW v_nations AS SELECT n_name FROM nation WHERE n_regionkey = 1")
+    try:
+        ddl = eng.sql("show create view v_nations").collect()[0].result
+        assert ddl.startswith("CREATE VIEW v_nations AS SELECT n_name")
+        assert "STORED AS PARQUET" not in ddl
+        # non-view target must raise, as the reference's analyzer does
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            eng.sql("show create view nation")
+    finally:
+        eng.sql("DROP VIEW IF EXISTS v_nations")
