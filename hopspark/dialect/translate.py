@@ -1394,16 +1394,23 @@ def _rewrite_count_distinct_to_ndv(toks: list[Tok]) -> list[Tok]:
 # ---------------------------------------------------------------------------
 
 
-def translate(sql: str, options: dict[str, bool] | None = None) -> str:
+def translate(
+    sql: str,
+    options: dict[str, bool] | None = None,
+    bool_columns: frozenset[str] | None = None,
+) -> str:
     """Rewrite an Impala-dialect SQL string into Spark-SQL.
 
     `options` mirrors the reference's query options (query-options.h);
     supported: appx_count_distinct (CountDistinctToNdvRule), utf8_mode
     (UTF8_MODE — default false, i.e. byte-oriented string semantics like
-    the reference)."""
+    the reference).  `bool_columns` is the caller's catalog knowledge:
+    column names that are unambiguously BOOLEAN across registered
+    tables, used to type-dispatch ``||`` on bare column operands the way
+    the reference's analyzer does."""
     toks = tokenize(sql)
     toks = _rewrite_values_rows(toks)
-    toks = _rewrite_logical_ops(toks)
+    toks = _rewrite_logical_ops(toks, bool_columns)
     toks = _rewrite_postfix_factorial(toks)
     toks = _rewrite_char_casts(toks)
     toks = _rewrite_tablesample(toks)
@@ -2175,7 +2182,9 @@ _OPERAND_BOUNDARY_KWS = {
 }
 
 
-def _rewrite_logical_ops(toks: list[Tok]) -> list[Tok]:
+def _rewrite_logical_ops(
+    toks: list[Tok], bool_columns: frozenset[str] | None = None
+) -> list[Tok]:
     """Impala's C-style logical operators (sql-scanner.flex): ``&&`` is
     AND, ``!`` is NOT, and ``||`` is CompoundVerticalBarExpr — boolean
     operands mean OR, string operands mean concat (the same token, type-
@@ -2183,25 +2192,89 @@ def _rewrite_logical_ops(toks: list[Tok]) -> list[Tok]:
     the reference parses it at OR precedence, so any comparison operator
     or predicate keyword in an operand span means the operands are
     boolean — in that case emit OR; otherwise leave ``||`` for Spark,
-    whose concat matches the string branch.  (A bare boolean column/
-    literal pair with no predicate marker is indistinguishable at token
-    level; TRUE/FALSE/NOT/IS count as markers, so only the boolean-COLUMN
-    || boolean-COLUMN corner stays on the concat path — documented.)"""
-    for idx, t in enumerate(toks):
-        if t.kind == "op" and t.text == "&&":
-            toks[idx] = Tok("word", " AND ")
+    whose concat matches the string branch.  A bare COLUMN operand with
+    no predicate marker is resolved through ``bool_columns`` — the
+    caller's catalog knowledge (Engine passes the set of column names
+    that are unambiguously BOOLEAN across registered tables), the same
+    type dispatch the reference's analyzer does.  Without catalog
+    knowledge that corner stays on the concat path — documented."""
+    i = 0
+    while i < len(toks):
+        if toks[i].kind == "op" and toks[i].text == "&&":
+            # clean word token (padded " AND " text would defeat the
+            # keyword checks downstream passes run over these tokens)
+            toks[i : i + 1] = [Tok("ws", " "), Tok("word", "AND"), Tok("ws", " ")]
+        i += 1
     i = 0
     while i < len(toks):
         t = toks[i]
         if not (t.kind == "op" and t.text == "||"):
             i += 1
             continue
-        if _bars_operand_boolish(toks, i, -1) or _bars_operand_boolish(
-            toks, i, +1
+        if (
+            _bars_operand_boolish(toks, i, -1)
+            or _bars_operand_boolish(toks, i, +1)
+            or _bars_operand_bool_column(toks, i, -1, bool_columns)
+            or _bars_operand_bool_column(toks, i, +1, bool_columns)
         ):
-            toks[i] = Tok("word", " OR ")
+            toks[i : i + 1] = [Tok("ws", " "), Tok("word", "OR"), Tok("ws", " ")]
+            i += 2
         i += 1
     return toks
+
+
+def _bars_operand_bool_column(
+    toks: list[Tok], i: int, step: int, bool_columns: frozenset[str] | None
+) -> bool:
+    """Catalog-informed type dispatch for the one ``||`` shape the token
+    scan cannot decide: a BARE column operand (identifier or dotted path,
+    no comparison/predicate marker anywhere in the span).  True iff the
+    operand is exactly such a path and its leaf column name is known
+    BOOLEAN in the caller's catalog."""
+    if not bool_columns:
+        return False
+    rng = range(i - 1, -1, -1) if step < 0 else range(i + 1, len(toks))
+    path: list[Tok] = []
+    bound: Tok | None = None
+    for k in rng:
+        tk = toks[k]
+        if not _is_code(tk):
+            continue
+        if (
+            tk.kind == "word"
+            and tk.upper not in _OPERAND_BOUNDARY_KWS
+            and tk.upper not in _BOOL_INDICATOR_KWS
+        ):
+            if path and path[-1].kind == "word":
+                return False  # two adjacent words: not a bare path
+            path.append(tk)
+        elif tk.text == "." and path and path[-1].kind == "word":
+            path.append(tk)
+        else:
+            bound = tk
+            break
+    if not path or path[-1].text == ".":
+        return False
+    # the operand must END at a clean boundary on the far side (start/end
+    # of statement, comma, paren, or clause keyword) — an arithmetic or
+    # concat operator chaining onward means this is a larger expression,
+    # not a bare column
+    if bound is not None:
+        if step > 0 and bound.text == "(":
+            return False  # word followed by '(' is a function call
+        # another || is a valid boundary: the reference parses || chains
+        # at OR precedence, so one boolean operand makes the whole chain
+        # boolean (each || in the chain gets its own dispatch pass)
+        ok_boundary = bound.text in ("(", ")", ",", "||") or (
+            bound.kind == "word" and bound.upper in _OPERAND_BOUNDARY_KWS
+        )
+        if not ok_boundary:
+            return False
+    # the leaf (column) component is the one in source order closest to
+    # the || on the left walk, farthest on the right walk
+    words = [p for p in path if p.kind == "word"]
+    leaf = words[0] if step < 0 else words[-1]
+    return leaf.text.lower() in bool_columns
 
 
 #: Boundary keywords that can only introduce a PREDICATE — meeting one at

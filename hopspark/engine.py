@@ -43,6 +43,10 @@ class Engine:
         # own definition (ShowCreateTableStmt / ToSqlUtils.getCreateViewSql),
         # not a table-shaped DDL reconstruction
         self._view_defs: dict[str, str] = {}
+        # lazily-built catalog knowledge for the translator's ||
+        # type dispatch (bare-boolean-column operands); invalidated on
+        # view DDL
+        self._bool_cols_cache: frozenset[str] | None = None
         register_all(self.spark)
         if register_tables:
             catalog.register(self.spark, sf_dir)
@@ -124,7 +128,11 @@ class Engine:
                 # (fe CreateViewStmt analysis) — plain CREATE must not
                 # silently replace.
                 raise ValueError(f"view already exists: {name}")
-            translated = translate(body, options=self.options)
+            translated = translate(
+                body,
+                options=self.options,
+                bool_columns=self._bool_columns_for(body),
+            )
             if col_list:
                 cols = [c.strip() for c in col_list.strip("()").split(",")]
                 if any(not c.isidentifier() for c in cols):
@@ -142,12 +150,14 @@ class Engine:
             else:
                 body_sql = f"AS {body_sql}"
             self._view_defs[name.lower()] = f"CREATE VIEW {name} {body_sql}"
+            self._bool_cols_cache = None
             return self.spark.sql("SELECT 1 AS ok WHERE false")
         m = self._DROP_VIEW_RE.match(impala_sql)
         if m:
             if_exists, name = m.groups()
             dropped = self.spark.catalog.dropTempView(name)
             self._view_defs.pop(name.lower(), None)
+            self._bool_cols_cache = None
             if not dropped and not if_exists:
                 raise ValueError(f"view does not exist: {name}")
             return self.spark.sql("SELECT 1 AS ok WHERE false")
@@ -185,7 +195,38 @@ class Engine:
             return self.spark.createDataFrame(
                 [(ln,) for ln in lines], "`Explain String` string"
             )
-        return self.spark.sql(translate(impala_sql, options=self.options))
+        return self.spark.sql(
+            translate(
+                impala_sql,
+                options=self.options,
+                bool_columns=self._bool_columns_for(impala_sql),
+            )
+        )
+
+    def _bool_columns_for(self, impala_sql: str) -> frozenset[str] | None:
+        """Catalog knowledge for the translator's ``||`` type dispatch
+        (CompoundVerticalBarExpr: boolean operands mean OR).  Only
+        computed when the statement contains ``||`` — a full catalog
+        schema scan is not free.  Column names that appear with MIXED
+        types across tables are excluded (ambiguous, like the analyzer's
+        unresolved-column path)."""
+        if "||" not in impala_sql:
+            return None
+        if self._bool_cols_cache is None:
+            seen: dict[str, set[str]] = {}
+            for t in self.spark.catalog.listTables():
+                try:
+                    fields = self.spark.table(t.name).schema.fields
+                except Exception:  # noqa: BLE001 - unreadable table: skip
+                    continue
+                for f in fields:
+                    seen.setdefault(f.name.lower(), set()).add(
+                        f.dataType.typeName()
+                    )
+            self._bool_cols_cache = frozenset(
+                n for n, types in seen.items() if types == {"boolean"}
+            )
+        return self._bool_cols_cache
 
     def set_option(self, name: str, value: bool) -> None:
         """SET <query option> equivalent."""

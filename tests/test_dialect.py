@@ -521,6 +521,41 @@ def test_c_style_logical_operators(spark, sf_dir):
     assert tuple(eng.sql("select 12 & 10 a, 12 | 10 b").collect()[0]) == (8, 14)
 
 
+def test_bars_bool_column_catalog_dispatch(spark, sf_dir):
+    """`||` on BARE boolean columns — no predicate marker in either
+    operand — is resolved through catalog schema knowledge, the same
+    type dispatch the reference's analyzer does for
+    CompoundVerticalBarExpr (round-6: previously a documented
+    concat-path delta)."""
+    from hopspark.dialect.translate import translate
+    from hopspark.engine import Engine
+
+    bc = frozenset({"is_big", "is_disc"})
+    assert " OR " in translate("select is_big || is_disc from f", bool_columns=bc)
+    assert " OR " in translate("select a || is_disc || c from f", bool_columns=bc)
+    # string columns / unknown names keep concat; function calls opaque
+    assert "||" in translate("select s1 || s2 from f", bool_columns=bc)
+    assert "||" in translate("select is_big(x) || s from f", bool_columns=bc)
+    # no catalog knowledge: unchanged legacy behavior
+    assert "||" in translate("select is_big || is_disc from f")
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql(
+        "CREATE VIEW bars_flags AS SELECT n_regionkey = 0 AS is_big, "
+        "n_nationkey < 10 AS is_disc, n_nationkey FROM nation"
+    )
+    try:
+        n_bars = eng.sql(
+            "select count(*) c from bars_flags where is_big || is_disc"
+        ).collect()[0].c
+        n_or = eng.sql(
+            "select count(*) c from bars_flags where is_big OR is_disc"
+        ).collect()[0].c
+        assert n_bars == n_or and n_bars > 0
+    finally:
+        eng.sql("DROP VIEW IF EXISTS bars_flags")
+
+
 def test_postfix_factorial_operator(spark, sf_dir):
     """5! postfix factorial (ArithmeticExpr FACTORIAL, sql-parser.cup:3635);
     prefix ! stays NOT."""
