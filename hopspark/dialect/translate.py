@@ -1355,7 +1355,32 @@ def _rewrite_unnest(toks: list[Tok]) -> list[Tok]:
                             toks[k] = Tok("word", "_z")
                             toks[m] = Tok("word", a.text)
                         elif toks[m].text.lower() == "pos":
-                            toks[k] = Tok("word", "pos")
+                            # the reference types `pos` BIGINT
+                            # (CollectionTableRef posItemType); Spark's
+                            # posexplode emits INT — cast, and alias when
+                            # the reference is a bare select item so the
+                            # output column keeps the name `pos`
+                            nxt2 = _next_code(toks, m + 1)
+                            prv2 = _prev_code(toks, k - 1)
+                            bare_item = (
+                                not _in_from_clause(toks, k)
+                                and _select_clause_here(toks, k)
+                                and (
+                                    prv2 < 0
+                                    or toks[prv2].text == ","
+                                    or toks[prv2].upper
+                                    in ("SELECT", "DISTINCT")
+                                )
+                                and (
+                                    nxt2 >= len(toks)
+                                    or toks[nxt2].text == ","
+                                    or toks[nxt2].upper == "FROM"
+                                )
+                            )
+                            repl_sql = "CAST(pos AS BIGINT)"
+                            if bare_item:
+                                repl_sql += " AS pos"
+                            toks[k] = Tok("word", repl_sql)
                             toks[d] = Tok("op", "")
                             toks[m] = Tok("word", "")
             k += 1
@@ -1940,6 +1965,30 @@ def _unnest_calls(
     return out
 
 
+def _select_clause_here(toks: list[Tok], i: int) -> bool:
+    """True when token i sits directly in a SELECT list: walking backward
+    at the same paren level, SELECT is met before any other clause
+    keyword."""
+    bal = 0
+    for k in range(i - 1, -1, -1):
+        tk = toks[k]
+        if not _is_code(tk):
+            continue
+        if tk.text == ")":
+            bal += 1
+        elif tk.text == "(":
+            if bal == 0:
+                return False
+            bal -= 1
+        elif bal == 0 and tk.kind == "word":
+            u = tk.upper
+            if u == "SELECT":
+                return True
+            if u in ("FROM", "WHERE", "GROUP", "HAVING", "ORDER", "ON"):
+                return False
+    return False
+
+
 def _in_from_clause(toks: list[Tok], i: int) -> bool:
     """True when token i sits in a FROM clause: walking backward at the
     same paren level, FROM is met before SELECT (or the enclosing open
@@ -2158,9 +2207,30 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                             toks[d] = Tok("op", "")
                             toks[w] = Tok("word", "")
                         elif toks[w].text.lower() == "pos":
-                            toks[m] = Tok(
-                                "word", f"_cj_{alias}.{alias}__pos"
+                            # BIGINT like the reference's pos item type;
+                            # alias bare select items so the output
+                            # column keeps the name `pos`
+                            repl_sql = (
+                                f"CAST(_cj_{alias}.{alias}__pos AS BIGINT)"
                             )
+                            nxt2 = _next_code(toks, w + 1)
+                            prv2 = _prev_code(toks, m - 1)
+                            if (
+                                _select_clause_here(toks, m)
+                                and (
+                                    prv2 < 0
+                                    or toks[prv2].text == ","
+                                    or toks[prv2].upper
+                                    in ("SELECT", "DISTINCT")
+                                )
+                                and (
+                                    nxt2 >= len(toks)
+                                    or toks[nxt2].text == ","
+                                    or toks[nxt2].upper == "FROM"
+                                )
+                            ):
+                                repl_sql += " AS pos"
+                            toks[m] = Tok("word", repl_sql)
                             toks[d] = Tok("op", "")
                             toks[w] = Tok("word", "")
                         else:
