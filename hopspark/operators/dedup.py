@@ -565,8 +565,66 @@ ORDER BY vec_a
 """
 
 
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW ingest batch (top fifth of the doc_id
+    range) is deduped against the HISTORICAL corpus (the rest) by exact
+    content hash — the shape every continuously-fed training pipeline
+    needs, where re-deduping 100 TB of history per ingest is not an
+    option.
+
+    100 TB design: the history side is reduced to DISTINCT hashes before
+    the join (one shuffle over ~16-byte keys, not documents); the
+    left-anti equi-join then shuffles only hashes. When history >> batch,
+    AQE turns the batch side into the build side; a persisted
+    hash-bucketed history table makes the anti-join shuffle-free on the
+    history side. Within-batch dups collapse first (min doc_id keeper),
+    so the join input is already distinct."""
+    docs = read_table(spark, "documents", sf_dir)
+    h = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    hashed = docs.select("doc_id", h.alias("h"))
+    cutoff = (
+        hashed.agg(
+            (F.max("doc_id") * F.lit(4) / F.lit(5)).cast("bigint").alias("c")
+        )
+    )
+    hist = (
+        hashed.join(cutoff, F.col("doc_id") < F.col("c"))
+        .select("h")
+        .distinct()
+    )
+    newb = (
+        hashed.join(cutoff, F.col("doc_id") >= F.col("c"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        newb.join(hist, "h", "left_anti")
+        .select("doc_id", "h")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_BATCH_SQL = r"""
+WITH d AS (
+  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+cut AS (SELECT CAST(MAX(doc_id) * 4 / 5 AS BIGINT) AS c FROM d),
+hist AS (SELECT DISTINCT h FROM d, cut WHERE doc_id < c),
+newb AS (SELECT h, MIN(doc_id) AS doc_id FROM d, cut WHERE doc_id >= c GROUP BY h)
+SELECT n.doc_id, n.h
+FROM newb n
+WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = n.h)
+ORDER BY n.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_GROUPS_SQL),
+    "dedup_incremental_batch": (
+        dedup_incremental_batch,
+        DEDUP_INCREMENTAL_BATCH_SQL,
+    ),
     "dedup_exact_keep_first": (dedup_exact_keep_first, DEDUP_EXACT_KEEP_FIRST_SQL),
     "dedup_minhash_candidates": (dedup_minhash_candidates, None),
     "dedup_simhash": (dedup_simhash, None),

@@ -310,8 +310,59 @@ ORDER BY bg.cnt DESC, bg.w1, bg.w2 LIMIT 30
 """
 
 
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal: fraction of duplicate word
+    3-grams per document (the Gopher/MassiveText-style quality rule —
+    high duplicate-n-gram fraction flags boilerplate and degenerate
+    repetition).
+
+    100 TB design: pure per-row Catalyst expressions over one pruned
+    scan (`doc_id`, `text`), zero shuffle except the final order —
+    embarrassingly parallel at any scale."""
+    docs = read_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    base = docs.where(F.size(toks) >= 3).select(
+        "doc_id", grams.alias("grams")
+    )
+    n = F.size("grams")
+    nd = F.size(F.array_distinct("grams"))
+    return base.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct_grams"),
+        F.round(
+            F.lit(1.0) - nd.cast("double") / n.cast("double"), 6
+        ).alias("dup_frac"),
+    ).orderBy("doc_id")
+
+
+TEXT_DUP_NGRAM_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)]),
+           x -> x[1] || ' ' || x[2] || ' ' || x[3]
+         ) AS grams
+  FROM t WHERE len(l) >= 3
+)
+SELECT doc_id,
+       len(grams) AS n_grams,
+       len(list_distinct(grams)) AS n_distinct_grams,
+       ROUND(1 - len(list_distinct(grams))::DOUBLE / len(grams), 6) AS dup_frac
+FROM g ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "text_dup_ngram_fraction": (text_dup_ngram_fraction, TEXT_DUP_NGRAM_SQL),
     "text_vocab_coverage": (text_vocab_coverage, TEXT_VOCAB_COVERAGE_SQL),
     "text_bigram_lm": (text_bigram_lm, TEXT_BIGRAM_LM_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),
