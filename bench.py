@@ -94,6 +94,10 @@ HEADLINE = [
     "tpcds_q67a_union_grain_topn",
     "avro_roundtrip_agg",
     "dialect_sql_udaf_weighted_avg",
+    # r6 additions: the two new pipeline operators (anti-join incremental
+    # dedup; per-doc duplicate-ngram quality signal)
+    "dedup_incremental_batch",
+    "text_dup_ngram_fraction",
 ]
 
 

@@ -320,17 +320,20 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (`doc_id`, `text`), zero shuffle except the final order —
     embarrassingly parallel at any scale."""
     docs = read_table(spark, "documents", sf_dir)
-    toks = _tokens()
+    # name the token array in its own projection so the gram lambda
+    # slices a column reference — inlining the split into the lambda
+    # would re-split the text once per gram (O(n_tokens²) per document)
+    base = docs.select("doc_id", _tokens().alias("toks")).where(
+        F.size("toks") >= 3
+    )
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
     )
-    base = docs.where(F.size(toks) >= 3).select(
-        "doc_id", grams.alias("grams")
-    )
+    sel = base.select("doc_id", grams.alias("grams"))
     n = F.size("grams")
     nd = F.size(F.array_distinct("grams"))
-    return base.select(
+    return sel.select(
         "doc_id",
         n.alias("n_grams"),
         nd.alias("n_distinct_grams"),
