@@ -756,13 +756,30 @@ class DialectGen:
         c = r.choice(scs)
         kind = r.choice(
             ["col", "decode", "nvl", "strleft", "strright", "case_up",
-             "fmt", "fmt_y"]
+             "fmt", "fmt_y", "fmt_vchar", "fmt_char"]
             if depth < 2 else ["col"]
         )
-        if kind in ("fmt", "fmt_y"):
+        if kind in ("fmt", "fmt_y", "fmt_vchar", "fmt_char"):
             tcs = self._cols(tbl, "ts")
             if tcs:
                 t = r.choice(tcs)
+                if kind == "fmt_vchar":
+                    # round-6: FORMAT through a VARCHAR(n) target — format
+                    # first, then truncate to n (octet == char: ASCII)
+                    n = r.randint(4, 10)
+                    return (
+                        f"cast({t} as varchar({n}) format 'YYYY-MM-DD')",
+                        f"substr(strftime({t}, '%Y-%m-%d'), 1, {n})",
+                    )
+                if kind == "fmt_char":
+                    # round-6: FORMAT through CHAR(n) — format, truncate,
+                    # space-pad to exactly n
+                    n = r.randint(3, 8)
+                    return (
+                        f"cast({t} as char({n}) format 'DD/MM')",
+                        f"rpad(substr(strftime({t}, '%d/%m'), 1, {n}),"
+                        f" {n}, ' ')",
+                    )
                 if kind == "fmt":
                     # CAST ... FORMAT string direction vs strftime twin
                     return (f"cast({t} as string format 'YYYY-MM')",
@@ -821,6 +838,14 @@ class DialectGen:
                     f"CAST(floor(extract(epoch FROM {c})) AS BIGINT)")
         if kind == "interval_expr":
             k = r.randint(2, 9)
+            if r.random() < 0.4:
+                # round-6: table-qualified (dotted) interval QUANTITY —
+                # the unit scanner must treat `tbl.col` as a path, not
+                # eat a unit-looking leaf (ADVICE regression)
+                return (
+                    f"day({tbl}.{c} + interval month({tbl}.{c}) % {k} days)",
+                    f"day({c} + (month({c}) % {k}) * INTERVAL 1 DAY)",
+                )
             return (f"day({c} + interval month({c}) % {k} days)",
                     f"day({c} + (month({c}) % {k}) * INTERVAL 1 DAY)")
         # round-5 datetime-trunc unit table (udf-builtins.cc
