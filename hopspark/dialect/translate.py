@@ -193,7 +193,8 @@ _FN_RENAME = {
     "chr": "char",
     "is_nan": "isnan",
     "week": "weekofyear",
-    "fmod": "mod",
+    # fmod gets an arg-casting rewrite in _rewrite_functions (FLOAT/DOUBLE
+    # only signatures) — not a plain rename
     "user": "current_user",
     "effective_user": "current_user",
     "logged_in_user": "current_user",
@@ -321,6 +322,50 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     toks[comma] = Tok("op", f" {op} ")
                     i += 1
                     continue
+        # log family: the reference applies C log() with NO domain guard
+        # (math-functions-ir.cc ONE_ARG_MATH_FN(Ln, ..., log) and
+        # Log10/Log2), so log of 0 is -Infinity and log of a negative is
+        # NaN; Spark returns NULL for both. Re-create the C contract.
+        if name in ("ln", "dlog1", "log10", "dlog10", "log2"):
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 1:
+                fn = {"dlog1": "ln", "dlog10": "log10"}.get(name, name)
+                # pre-translate the argument (it is spliced in verbatim
+                # and the scan then skips the splice, so inner dialect
+                # functions must be rewritten here, recursively)
+                a = untokenize(
+                    _rewrite_functions(toks[args[0][0]:args[0][1]])
+                ).strip()
+                repl = (
+                    f"(CASE WHEN ({a}) IS NULL THEN CAST(NULL AS DOUBLE) "
+                    f"WHEN ({a}) > 0 THEN {fn}(CAST(({a}) AS DOUBLE)) "
+                    f"WHEN ({a}) = 0 THEN CAST('-Infinity' AS DOUBLE) "
+                    f"ELSE CAST('NaN' AS DOUBLE) END)"
+                )
+                new_toks = tokenize(repl)
+                toks[i:close + 1] = new_toks
+                # skip past the splice — it contains the same fn name
+                # (the argument expression inside was already processed)
+                i += len(new_toks)
+                continue
+        # fmod is the FLOAT/DOUBLE modulo kernel (math-functions-ir.cc
+        # FmodFloat/FmodDouble; impala_functions.py:380-381 — only
+        # floating signatures exist), so the result type is always
+        # floating: cast both args to DOUBLE before Spark's mod, which
+        # would otherwise return DECIMAL for decimal literals.
+        if name == "fmod":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                a = untokenize(toks[args[0][0]:args[0][1]]).strip()
+                b = untokenize(toks[args[1][0]:args[1][1]]).strip()
+                repl = (
+                    f"mod(CAST(({a}) AS DOUBLE), CAST(({b}) AS DOUBLE))"
+                )
+                toks[i:close + 1] = tokenize(repl)
+                i += 1
+                continue
         # month arithmetic with the keep-last-day contract (see
         # _MONTHS_KEEP_LAST_DAY)
         if name in _MONTHS_KEEP_LAST_DAY:

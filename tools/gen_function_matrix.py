@@ -44,10 +44,10 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "greatest": ("native", "greatest(1, 2, 3)", ""),
     "hex": ("native", "hex(255)", ""),
     "least": ("native", "least(1, 2, 3)", ""),
-    "ln": ("native", "ln(e())", ""),
+    "ln": ("rewritten", "ln(e())", "C log() domain: ln(0)=-inf, ln(neg)=NaN (no guard in math-functions-ir.cc)"),
     "log": ("native", "log(2, 8)", "base-first, same as reference"),
-    "log10": ("native", "log10(100)", ""),
-    "log2": ("native", "log2(8)", ""),
+    "log10": ("rewritten", "log10(100)", "C log10() domain: -inf at 0, NaN below"),
+    "log2": ("rewritten", "log2(8)", "C log2() domain: -inf at 0, NaN below"),
     "mod": ("native", "mod(7, 3)", ""),
     "negative": ("native", "negative(5)", ""),
     "pi": ("native", "pi()", ""),
@@ -72,12 +72,12 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "dround": ("renamed", "dround(2.5)", "→ round"),
     "dtrunc": ("rewritten", "dtrunc(9.9)", "numeric truncate-toward-zero; string 2nd arg dispatches to the date form"),
     "dexp": ("renamed", "dexp(1.0)", "→ exp"),
-    "dlog1": ("renamed", "dlog1(e())", "→ ln"),
-    "dlog10": ("renamed", "dlog10(100)", "→ log10"),
+    "dlog1": ("rewritten", "dlog1(e())", "→ ln with the C log() domain contract"),
+    "dlog10": ("rewritten", "dlog10(100)", "→ log10 with the C log10() domain contract"),
     "dsqrt": ("renamed", "dsqrt(4.0)", "→ sqrt"),
     "dpow": ("renamed", "dpow(2, 10)", "→ pow"),
     "fpow": ("renamed", "fpow(2, 10)", "→ pow"),
-    "fmod": ("renamed", "fmod(7.5, 2.0)", "→ mod"),
+    "fmod": ("rewritten", "fmod(7.5, 2.0)", "→ mod over DOUBLE args (floating-only signatures)"),
     "quotient": ("registered", "quotient(11, 3)", "integer division"),
     "truncate": ("registered", "truncate(3.456, 2)", "numeric truncate toward zero"),
     "is_inf": ("registered", "is_inf(1.0 / 0.0)", "NOTE x/0→NULL non-ANSI; literal inf works"),
