@@ -1468,6 +1468,7 @@ def translate(
     sql: str,
     options: dict[str, bool] | None = None,
     bool_columns: frozenset[str] | None = None,
+    string_columns: frozenset[str] | None = None,
 ) -> str:
     """Rewrite an Impala-dialect SQL string into Spark-SQL.
 
@@ -1482,6 +1483,7 @@ def translate(
     toks = _rewrite_values_rows(toks)
     toks = _rewrite_logical_ops(toks, bool_columns)
     toks = _rewrite_postfix_factorial(toks)
+    toks = _rewrite_string_int_casts(toks, string_columns)
     toks = _rewrite_char_casts(toks)
     toks = _rewrite_tablesample(toks)
     toks = _rewrite_hints(toks)
@@ -2557,6 +2559,91 @@ def _rewrite_postfix_factorial(toks: list[Tok]) -> list[Tok]:
         operand = untokenize(toks[start:i]).strip()
         toks[start : i + 1] = tokenize(f"factorial({operand})")
         i = start + 1
+    return toks
+
+
+_INT_CAST_TYPES = {"TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT"}
+#: the reference's integer parse (util/string-parser.h StringToIntInternal:
+#: 295-345): optional sign, digits only, trailing whitespace allowed,
+#: leading whitespace allowed via the SkipLeadingWhitespace retry — any
+#: other character (including '.') is PARSE_FAILURE -> NULL
+_REF_INT_RE = re.compile(r"^\s*[+-]?[0-9]+\s*$")
+
+
+def _rewrite_string_int_casts(
+    toks: list[Tok], string_columns: frozenset[str] | None = None
+) -> list[Tok]:
+    """CAST(string AS integer type): the reference parses with
+    StringToInt (digits + sign + surrounding whitespace ONLY; '3.9' is
+    PARSE_FAILURE -> NULL, cast-functions-ir.cc CAST_FROM_STRING:113-127)
+    while Spark's non-ANSI cast truncates through the decimal point.
+    String LITERALS are folded here; bare STRING-typed column operands
+    (catalog knowledge, like the || dispatch) get a digits-only guard."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "word" and t.upper == "CAST"):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].text != "(":
+            i += 1
+            continue
+        close = _matching_paren(toks, j)
+        depth = 0
+        as_i = None
+        for k in range(j + 1, close):
+            tk = toks[k]
+            if not _is_code(tk):
+                continue
+            if tk.text == "(":
+                depth += 1
+            elif tk.text == ")":
+                depth -= 1
+            elif depth == 0 and tk.kind == "word" and tk.upper == "AS":
+                as_i = k
+        if as_i is None:
+            i += 1
+            continue
+        ty_i = _next_code(toks, as_i + 1)
+        if ty_i >= close or toks[ty_i].upper not in _INT_CAST_TYPES:
+            i += 1
+            continue
+        operand = [
+            toks[k] for k in range(j + 1, as_i) if _is_code(toks[k])
+        ]
+        ty = toks[ty_i].upper
+        if ty == "INTEGER":
+            ty = "INT"
+        if len(operand) == 1 and operand[0].kind == "str":
+            # literal: fold with the reference parser contract
+            lit = operand[0].text[1:-1]
+            if _REF_INT_RE.match(lit):
+                i += 1  # digits-only literal: Spark parses identically
+                continue
+            toks[i : close + 1] = tokenize(f"CAST(NULL AS {ty})")
+            i += 1
+            continue
+        if string_columns and operand:
+            words = [p for p in operand if p.kind == "word"]
+            is_path = all(
+                (p.kind == "word") or (p.text == ".") for p in operand
+            ) and words
+            if (
+                is_path
+                and len(words) <= 2
+                and words[-1].text.lower() in string_columns
+            ):
+                col = untokenize(operand).strip()
+                repl = (
+                    f"CAST(CASE WHEN ({col}) rlike "
+                    f"'^\\\\s*[+-]?[0-9]+\\\\s*$' THEN ({col}) "
+                    f"ELSE NULL END AS {ty})"
+                )
+                toks[i : close + 1] = tokenize(repl)
+                i += 1
+                continue
+        i += 1
     return toks
 
 

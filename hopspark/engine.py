@@ -43,10 +43,12 @@ class Engine:
         # own definition (ShowCreateTableStmt / ToSqlUtils.getCreateViewSql),
         # not a table-shaped DDL reconstruction
         self._view_defs: dict[str, str] = {}
-        # lazily-built catalog knowledge for the translator's ||
-        # type dispatch (bare-boolean-column operands); invalidated on
-        # view DDL
-        self._bool_cols_cache: frozenset[str] | None = None
+        # lazily-built catalog knowledge for the translator's type
+        # dispatches (|| on bare boolean columns; string->int cast
+        # parse guards); invalidated on view DDL
+        self._schema_cols_cache: (
+            tuple[frozenset[str], frozenset[str]] | None
+        ) = None
         register_all(self.spark)
         if register_tables:
             catalog.register(self.spark, sf_dir)
@@ -128,10 +130,12 @@ class Engine:
                 # (fe CreateViewStmt analysis) — plain CREATE must not
                 # silently replace.
                 raise ValueError(f"view already exists: {name}")
+            _b, _s = self._schema_columns_for(body)
             translated = translate(
                 body,
                 options=self.options,
-                bool_columns=self._bool_columns_for(body),
+                bool_columns=_b,
+                string_columns=_s,
             )
             if col_list:
                 cols = [c.strip() for c in col_list.strip("()").split(",")]
@@ -150,14 +154,14 @@ class Engine:
             else:
                 body_sql = f"AS {body_sql}"
             self._view_defs[name.lower()] = f"CREATE VIEW {name} {body_sql}"
-            self._bool_cols_cache = None
+            self._schema_cols_cache = None
             return self.spark.sql("SELECT 1 AS ok WHERE false")
         m = self._DROP_VIEW_RE.match(impala_sql)
         if m:
             if_exists, name = m.groups()
             dropped = self.spark.catalog.dropTempView(name)
             self._view_defs.pop(name.lower(), None)
-            self._bool_cols_cache = None
+            self._schema_cols_cache = None
             if not dropped and not if_exists:
                 raise ValueError(f"view does not exist: {name}")
             return self.spark.sql("SELECT 1 AS ok WHERE false")
@@ -195,24 +199,32 @@ class Engine:
             return self.spark.createDataFrame(
                 [(ln,) for ln in lines], "`Explain String` string"
             )
+        bools, strs = self._schema_columns_for(impala_sql)
         return self.spark.sql(
             translate(
                 impala_sql,
                 options=self.options,
-                bool_columns=self._bool_columns_for(impala_sql),
+                bool_columns=bools,
+                string_columns=strs,
             )
         )
 
-    def _bool_columns_for(self, impala_sql: str) -> frozenset[str] | None:
-        """Catalog knowledge for the translator's ``||`` type dispatch
-        (CompoundVerticalBarExpr: boolean operands mean OR).  Only
-        computed when the statement contains ``||`` — a full catalog
-        schema scan is not free.  Column names that appear with MIXED
-        types across tables are excluded (ambiguous, like the analyzer's
+    def _schema_columns_for(
+        self, impala_sql: str
+    ) -> tuple[frozenset[str] | None, frozenset[str] | None]:
+        """Catalog knowledge for the translator's type dispatches: the
+        set of unambiguously-BOOLEAN column names (`||` → OR, the
+        analyzer's CompoundVerticalBarExpr dispatch) and of
+        unambiguously-STRING names (string→int cast parse guard).  Only
+        computed when the statement can need it — a full catalog schema
+        scan is not free.  Column names that appear with MIXED types
+        across tables are excluded (ambiguous, like the analyzer's
         unresolved-column path)."""
-        if "||" not in impala_sql:
-            return None
-        if self._bool_cols_cache is None:
+        up = impala_sql.upper()
+        need = "||" in impala_sql or "CAST" in up
+        if not need:
+            return None, None
+        if self._schema_cols_cache is None:
             seen: dict[str, set[str]] = {}
             for t in self.spark.catalog.listTables():
                 try:
@@ -223,10 +235,13 @@ class Engine:
                     seen.setdefault(f.name.lower(), set()).add(
                         f.dataType.typeName()
                     )
-            self._bool_cols_cache = frozenset(
-                n for n, types in seen.items() if types == {"boolean"}
+            self._schema_cols_cache = (
+                frozenset(
+                    n for n, ts in seen.items() if ts == {"boolean"}
+                ),
+                frozenset(n for n, ts in seen.items() if ts == {"string"}),
             )
-        return self._bool_cols_cache
+        return self._schema_cols_cache
 
     def set_option(self, name: str, value: bool) -> None:
         """SET <query option> equivalent."""
