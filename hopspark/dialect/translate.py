@@ -838,7 +838,8 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
 # tokens must precede their prefixes (the converter is first-match).
 # Unmapped-by-design: D / ID (day-of-week numbering differs between the
 # reference and Java's week fields — a silent off-by-one is worse than a
-# passthrough error), FM/FX (padding/strictness modifiers; dropped).
+# passthrough error), FX (strictness modifier; dropped). FM maps the NEXT
+# token to its unpadded single-letter Java variant (_FM_UNPADDED).
 # Also unmapped: IYYY/IYY/IY/IW/WW/W (week-based fields — Spark's CORRECTED
 # datetime formatter prohibits Java's Y/w/W patterns outright).
 # Datetime-trunc unit table (udf-builtins.cc StrToTruncUnit → Spark
@@ -953,6 +954,23 @@ def _iso_format_to_java(
             if up.startswith(iso, i):
                 if for_format and iso in _FORMAT_DIR_OVERRIDES:
                     java = _FORMAT_DIR_OVERRIDES[iso]
+                if iso == "FM":
+                    # fill mode applies to the NEXT token
+                    # (iso-sql-format-tokenizer FM): print without zero
+                    # padding / parse variable width — Java's
+                    # single-letter patterns do exactly that
+                    i += 2
+                    for iso2, java2 in _ISO_TO_JAVA:
+                        if up.startswith(iso2, i):
+                            fm = _FM_UNPADDED.get(iso2)
+                            if for_format and iso2 in _FORMAT_DIR_OVERRIDES:
+                                fm = _FORMAT_DIR_OVERRIDES[iso2]
+                            if consumed is not None:
+                                consumed.append(iso2)
+                            out.append(fm if fm is not None else java2)
+                            i += len(iso2)
+                            break
+                    break
                 if consumed is not None:
                     consumed.append(iso)
                 out.append(java)
@@ -962,6 +980,15 @@ def _iso_format_to_java(
             out.append(fmt[i])
             i += 1
     return "".join(out)
+
+
+#: FM (fill mode) variants: Java's single-letter pattern prints the
+#: minimum digits and parses variable width — the reference's no-pad
+#: contract. Tokens without an entry keep their normal mapping.
+_FM_UNPADDED = {
+    "YYYY": "y", "DD": "d", "MM": "M", "HH24": "H", "HH12": "h",
+    "HH": "h", "MI": "m", "SS": "s", "DDD": "D",
+}
 
 
 _RR_TOKEN = re.compile(r"(?<![Rr])[Rr]{2}(?![Rr])")

@@ -28,6 +28,9 @@ PROBE_QUERIES = [
     "dedup_exact_groups",
     "dedup_minhash_candidates",
     "dedup_simhash",
+    # r6: incremental anti-join dedup and the per-doc repetition signal
+    "dedup_incremental_batch",
+    "text_dup_ngram_fraction",
     "pack_sequences",
     "pipeline_corpus_stats",
     # fact-table (lineitem/orders) shapes: scan+agg, star join + top-n,
