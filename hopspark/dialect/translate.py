@@ -917,6 +917,9 @@ _ISO_TO_JAVA = [
 # Parse direction agrees between the dialects, so it keeps y/yyy.
 _Y1_PH = "\ue001"
 _Y3_PH = "\ue003"
+_SOD_PH = "\ue005"  # SSSSS second-of-day (timestamp-parse-util.cc
+# SECOND_IN_DAY:294-297): h*3600+m*60+s, zero-padded to 5 — no Java
+# pattern exists; resolved via placeholder + arithmetic replace.
 _MER_PH = "\ue004"  # A.M./P.M. long meridiem: the reference prints WITH
 # periods (timestamp-parse-util.cc MERIDIEM_INDICATOR, AM_LONG/PM_LONG);
 # Java 'a' prints AM/PM \u2014 resolved via placeholder + CASE on the hour.
@@ -949,6 +952,14 @@ def _iso_format_to_java(
             text = fmt[i + 1 : j]
             out.append("'" + text.replace("'", "''") + "'")
             i = j + 1
+            continue
+        if for_format and up.startswith("SSSSS", i):
+            # second-of-day: no Java token; placeholder, resolved by
+            # _rewrite_cast_format with hour/minute/second arithmetic
+            if consumed is not None:
+                consumed.append("SSSSS")
+            out.append(_SOD_PH)
+            i += 5
             continue
         for iso, java in _ISO_TO_JAVA:
             if up.startswith(iso, i):
@@ -1102,7 +1113,7 @@ def _rewrite_cast_format(toks: list[Tok]) -> list[Tok]:
             i += 1
             continue
         if fn == "date_format" and any(
-            ph in java_fmt for ph in (_Y1_PH, _Y3_PH, _MER_PH)
+            ph in java_fmt for ph in (_Y1_PH, _Y3_PH, _MER_PH, _SOD_PH)
         ):
             # Placeholder post-processing: the converter emitted literal
             # (non-letter) chars; swap them for the last 1/3 digits of the
@@ -1120,6 +1131,13 @@ def _rewrite_cast_format(toks: list[Tok]) -> list[Tok]:
                     f"THEN 'P.M.' ELSE 'A.M.' END)"
                 )
                 inner = f"replace({inner}, '{_MER_PH}', {mer})"
+            if _SOD_PH in java_fmt:
+                sod = (
+                    f"lpad(CAST(hour({expr_sql}) * 3600 + "
+                    f"minute({expr_sql}) * 60 + second({expr_sql}) "
+                    f"AS STRING), 5, '0')"
+                )
+                inner = f"replace({inner}, '{_SOD_PH}', {sod})"
             toks[i : close + 1] = tokenize(inner)
             i += 1
             continue
