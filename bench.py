@@ -98,6 +98,7 @@ HEADLINE = [
     # dedup; per-doc duplicate-ngram quality signal)
     "dedup_incremental_batch",
     "text_dup_ngram_fraction",
+    "text_bigram_score",
 ]
 
 

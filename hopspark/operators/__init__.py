@@ -140,10 +140,12 @@ CURATED_FIRST = (
     # agg_grouping_sets (subsumed by the richer q18 shape) and tpch_q22
     # (0-row result at gate SF — weak hash evidence).
     "tpcds_q18_grouping_sets_channels",
-    # r5 rotation: ROLLUP + RANK-within-grouping-parent composition
-    # (tpcds_patterns9, q86 shape) replaces q16 — patterns6 stays covered
-    # by q18, and the EXISTS/NOT-EXISTS family by q94 below.
-    "tpcds_q86_rollup_rank_within_parent",
+    # r6 rotation: the composed bigram-LM document scorer (train the LM
+    # on the corpus, broadcast it, score every doc — integer-PPM
+    # deterministic) replaces q86; tpcds_patterns9 stays covered by
+    # q51a, and the rollup+rank composition by q36/q67 above. q86 keeps
+    # its sim check.
+    "text_bigram_score",
     # r4: engine-neutral weekday pivot (tpcds_patterns7); replaces
     # window_value_fns_ignore_nulls (analytic keeps 3 curated rows).
     "tpcds_q43_weekday_pivot",

@@ -363,9 +363,101 @@ FROM g ORDER BY doc_id
 """
 
 
+def text_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: train an add-one-smoothed bigram LM
+    on the corpus, then score every document by its mean conditional
+    bigram probability — the distributed shape of perplexity-style
+    quality filters (train on corpus, score each doc, gate on score).
+
+    Determinism: the per-bigram score is an integer PPM —
+    round(1e6·(c+1)/(ctx+V)) — built only from IEEE-exact integer→double
+    divisions (no libm), so Spark and the oracle agree bit-for-bit and
+    the per-doc SUM is order-independent integer arithmetic.
+
+    100 TB design: bigrams are built scan-side (zip of the token array
+    with its tail, no self-join); the LM is bigram-TYPE-sized (≪ corpus)
+    and broadcast to the scoring join; ctx totals and vocab size are
+    tiny aggregates over the LM, never a second corpus pass."""
+    docs = read_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_bg = docs.select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bg = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = bg.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"))
+    vocab = docs.select(F.explode(toks).alias("w")).agg(
+        F.countDistinct("w").alias("vs")
+    )
+    lm = (
+        bg.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.lit(1000000.0)
+                * (F.col("cnt") + 1)
+                / (F.col("ctx_cnt") + F.col("vs"))
+            )
+            .cast("bigint")
+            .alias("p_ppm"),
+        )
+    )
+    return (
+        doc_bg.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_ppm").alias("sum_ppm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_ppm",
+            F.round(
+                F.col("sum_ppm") * F.lit(1.0) / F.col("n_bigrams"), 3
+            ).alias("mean_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_BIGRAM_SCORE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+),
+dbg AS (
+  SELECT doc_id, u.bg[1] AS w1, u.bg[2] AS w2
+  FROM (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS bg
+        FROM t) u
+),
+bg AS (SELECT w1, w2, COUNT(*) AS cnt FROM dbg GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(cnt) AS ctx_cnt FROM bg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT u.w) AS vs FROM (SELECT unnest(l) AS w FROM t) u),
+lm AS (
+  SELECT bg.w1, bg.w2,
+         CAST(ROUND(1000000.0 * (bg.cnt + 1) / (ctx.ctx_cnt + v.vs))
+              AS BIGINT) AS p_ppm
+  FROM bg JOIN ctx ON bg.w1 = ctx.w1, v
+)
+SELECT d.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(lm.p_ppm) AS BIGINT) AS sum_ppm,
+       ROUND(CAST(SUM(lm.p_ppm) AS BIGINT) * 1.0 / COUNT(*), 3) AS mean_ppm
+FROM dbg d JOIN lm ON d.w1 = lm.w1 AND d.w2 = lm.w2
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_dup_ngram_fraction": (text_dup_ngram_fraction, TEXT_DUP_NGRAM_SQL),
+    "text_bigram_score": (text_bigram_score, TEXT_BIGRAM_SCORE_SQL),
     "text_vocab_coverage": (text_vocab_coverage, TEXT_VOCAB_COVERAGE_SQL),
     "text_bigram_lm": (text_bigram_lm, TEXT_BIGRAM_LM_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),

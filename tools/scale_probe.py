@@ -31,6 +31,7 @@ PROBE_QUERIES = [
     # r6: incremental anti-join dedup and the per-doc repetition signal
     "dedup_incremental_batch",
     "text_dup_ngram_fraction",
+    "text_bigram_score",
     "pack_sequences",
     "pipeline_corpus_stats",
     # fact-table (lineitem/orders) shapes: scan+agg, star join + top-n,
