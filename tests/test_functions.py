@@ -171,7 +171,8 @@ def test_dialect_interval_and_renames(spark):
     out = translate("SELECT date_add(t, INTERVAL 3 days), week(t), fmod(a, b) FROM x")
     assert "+  INTERVAL 3 days" in out.replace("( t", "(t") or "+" in out
     assert "weekofyear(t)" in out
-    assert "mod(a, b)" in out
+    # fmod is C floating fmod: operands promoted to DOUBLE before mod.
+    assert "mod(CAST((a) AS DOUBLE), CAST((b) AS DOUBLE))" in out
     import datetime as dt
 
     assert _one(
