@@ -1015,6 +1015,130 @@ def _has_round_year(fmt: str) -> bool:
 _DATETIME_TYPES = {"TIMESTAMP", "DATE"}
 _STRING_TYPES = {"STRING", "VARCHAR", "CHAR"}
 
+#: Tokens that may not appear in a DATE-typed FORMAT clause
+#: (datetime-iso-sql-format-parser.cc: time-of-day, fraction, meridiem and
+#: timezone fields are timestamp-only).
+_TIME_TOKENS = frozenset(
+    {"HH", "HH12", "HH24", "MI", "SS", "AM", "PM", "A.M.", "P.M.",
+     "TZH", "TZH:TZM", "FF"} | {f"FF{d}" for d in "123456789"}
+)
+
+#: Tokens that parse a DIGIT run from the input (everything except word
+#: fields, meridiem/zone markers and literal designators) — used to locate
+#: the year's digit run positionally.
+_WORD_TOKENS = frozenset(
+    {"DAY", "DY", "MON", "MONTH", "AM", "PM", "A.M.", "P.M.", "T", "Z",
+     "FM", "FX", "TZH", "TZH:TZM"}
+)
+
+_YEAR_TOKENS = frozenset({"YYYY", "YYY", "YY", "Y", "RRRR", "RR"})
+
+#: The reference's separator set (datetime-iso-sql-format-tokenizer.cc
+#: IsSeparator): any RUN of these in the input matches any separator
+#: position in the pattern.
+_SEP_INPUT_CLASS = "[-/,.;: ']"
+_SEP_RE = re.compile(r"[-/,.;: ]+")
+
+
+def _flexible_parse_sql(
+    expr_sql: str, java_fmt: str, consumed: list, fn: str
+) -> tuple[bool, str]:
+    """Reference-flexible string→date/timestamp parse
+    (datetime-iso-sql-format-parser.cc):
+
+    * separator interchangeability — any run of `- / , . ; : space '` in
+      the input matches a single separator position in the pattern
+      (ParseSeparatorToken); realized by collapsing separator runs to '-'
+      on BOTH sides before the Java parse;
+    * short year inputs — a year digit run SHORTER than the token fills
+      its missing high-order digits from the current year
+      (PrefixYearFromCurrentYear:393-400), except a 2-digit run under a
+      round-year token, which lands in the half-century nearest the
+      current year (RoundYearFromCurrentYear:402-408). Realized by
+      rewriting the input's year run to an explicit 4-digit year and
+      parsing with 'yyyy'.
+
+    Returns (handled, replacement_sql). Falls back (False) for patterns
+    with literal-text sections, timezone fields or meridiem periods, where
+    the collapse would corrupt matched text.
+    """
+    if "'" in java_fmt:
+        return False, ""
+    if any(c in ("TZH", "TZH:TZM", "A.M.", "P.M.") for c in consumed):
+        return False, ""
+    norm = bool(_SEP_RE.search(java_fmt))
+    year_toks = [c for c in consumed if c in _YEAR_TOKENS]
+    digit_toks = [c for c in consumed if c not in _WORD_TOKENS]
+    year_pos = None  # "first" | "last" when the year run is locatable
+    # The year token must be separator-bounded (or at a pattern edge) —
+    # in adjacent (separator-free) positions the field parses by exact
+    # token width and the year run is not positionally extractable.
+    ym = re.search(r"y+", java_fmt)
+    y_bounded = ym is not None and (
+        (ym.start() == 0 or _SEP_RE.match(java_fmt[ym.start() - 1]))
+        and (ym.end() == len(java_fmt) or _SEP_RE.match(java_fmt[ym.end()]))
+    )
+    if len(year_toks) == 1 and digit_toks and y_bounded:
+        if digit_toks[0] == year_toks[0]:
+            year_pos = "first"
+        elif digit_toks[-1] == year_toks[0]:
+            year_pos = "last"
+    if not norm and year_pos is None:
+        return False, ""
+    if year_pos is None and any(
+        t in ("Y", "YYY", "RR", "RRRR") for t in year_toks
+    ):
+        # A short-year / round-year token we can't positionally rewrite:
+        # leave the whole cast to the dedicated fallback paths (which
+        # adjust AFTER the Java parse) rather than normalize separators
+        # and silently skip the year adjustment.
+        return False, ""
+    pre = expr_sql
+    jf = java_fmt
+    if norm:
+        jf = _SEP_RE.sub("-", jf)
+        pre = f"regexp_replace({pre}, \"{_SEP_INPUT_CLASS}+\", '-')"
+    if year_pos is not None:
+        is_rr = year_toks[0] in ("RRRR", "RR")
+        run = (
+            f"regexp_extract({pre}, '^[^0-9]*([0-9]+)', 1)"
+            if year_pos == "first"
+            else f"regexp_extract({pre}, '([0-9]+)[^0-9]*$', 1)"
+        )
+        cur = "year(current_date())"
+        p10 = f"(CASE length({run}) WHEN 1 THEN 10 WHEN 2 THEN 100 ELSE 1000 END)"
+        prefix_fill = (
+            f"lpad(CAST(({cur} div {p10}) * {p10} + CAST({run} AS INT) "
+            f"AS STRING), 4, '0')"
+        )
+        if is_rr:
+            round_fill = (
+                f"lpad(CAST(({cur} div 100 + (CASE "
+                f"WHEN CAST({run} AS INT) < 50 AND {cur} % 100 > 49 THEN 1 "
+                f"WHEN CAST({run} AS INT) > 49 AND {cur} % 100 < 50 THEN -1 "
+                f"ELSE 0 END)) * 100 + CAST({run} AS INT) AS STRING), 4, '0')"
+            )
+            two_digit = round_fill
+        else:
+            two_digit = prefix_fill
+        filled = (
+            f"(CASE WHEN length({run}) >= 4 OR length({run}) = 0 THEN {run} "
+            f"WHEN length({run}) = 2 THEN {two_digit} "
+            f"ELSE {prefix_fill} END)"
+        )
+        if year_pos == "first":
+            pre = (
+                f"regexp_replace({pre}, '^([^0-9]*)[0-9]+', "
+                f"concat('$1', {filled}))"
+            )
+        else:
+            pre = (
+                f"regexp_replace({pre}, '([0-9]+)([^0-9]*)$', "
+                f"concat({filled}, '$2'))"
+            )
+        jf = re.sub(r"y+", "yyyy", jf, count=1)
+    return True, f'{fn}({pre}, "{jf}")'
+
 
 def _rewrite_cast_format(toks: list[Tok]) -> list[Tok]:
     i = 0
@@ -1069,6 +1193,18 @@ def _rewrite_cast_format(toks: list[Tok]) -> list[Tok]:
         # double-quoted SQL literal: the Java pattern may itself contain
         # single-quoted literal sections ('T', 'Z', converted "text")
         iso_fmt = toks[s_idx].text[1:-1]
+        if fn == "to_date" and any(c in _TIME_TOKENS for c in consumed):
+            # Time tokens are rejected for the DATE type at parse time
+            # (cast-format-expr.cc / datetime-iso-sql-format-parser.cc).
+            raise ValueError("PARSE ERROR: Time tokens provided with date type.")
+        if fn in ("to_timestamp", "to_date"):
+            done, repl_sql = _flexible_parse_sql(
+                untokenize(expr).strip(), java_fmt, consumed, fn
+            )
+            if done:
+                toks[i : close + 1] = tokenize(repl_sql)
+                i += 1
+                continue
         if fn in ("to_timestamp", "to_date") and (
             "Y" in consumed or "YYY" in consumed
         ):

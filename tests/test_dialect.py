@@ -115,10 +115,11 @@ def test_group_concat_default_separator():
 def test_cast_format_case_insensitive():
     """FORMAT patterns are case-insensitive in the reference
     (cast-format-expr.cc); lowercase 'mm' is the month, not minutes."""
-    assert (
-        translate("SELECT CAST('2020-01-02' AS DATE FORMAT 'yyyy-mm-dd')")
-        == 'SELECT to_date(\'2020-01-02\' , "yyyy-MM-dd")'
-    )
+    out = translate("SELECT CAST('2020-01-02' AS DATE FORMAT 'yyyy-mm-dd')")
+    # the flexible-parse wrapper normalizes separators / fills short years,
+    # but the Java pattern must still be the month (MM), not minutes (mm)
+    assert out.startswith("SELECT to_date(")
+    assert '"yyyy-MM-dd"' in out
 
 
 def test_function_rename_inside_expression():
@@ -144,10 +145,9 @@ def test_ds_hll_mapping():
 def test_cast_format_clause():
     from hopspark.dialect import translate
 
-    assert (
-        translate("SELECT CAST('2020-01-02' AS TIMESTAMP FORMAT 'YYYY-MM-DD')")
-        == 'SELECT to_timestamp(\'2020-01-02\' , "yyyy-MM-dd")'
-    )
+    out = translate("SELECT CAST('2020-01-02' AS TIMESTAMP FORMAT 'YYYY-MM-DD')")
+    assert out.startswith("SELECT to_timestamp(")
+    assert '"yyyy-MM-dd"' in out
     assert 'date_format(ts , "yyyy-MM-dd HH:mm:ss")' in translate(
         "SELECT CAST(ts AS STRING FORMAT 'YYYY-MM-DD HH24:MI:SS') FROM t"
     )
