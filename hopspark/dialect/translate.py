@@ -812,11 +812,11 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
             # (UTF8_MODE, impala_functions.py); Spark string functions are
             # UTF-8-native, so the base function IS the utf8 variant.
             base = name[:-5]
-            toks[i] = Tok("word", _FN_RENAME.get(base, base))
+            toks[i] = Tok("word", _rewrite_utf8_base(toks, i, j, base))
         elif name.startswith("utf8_") and len(name) > 5:
             # prefix form (utf8_length/utf8_reverse/utf8_substr[ing])
             base = name[5:]
-            toks[i] = Tok("word", _FN_RENAME.get(base, base))
+            toks[i] = Tok("word", _rewrite_utf8_base(toks, i, j, base))
         elif name.endswith("_ascii") and len(name) > 6:
             # *_ascii fast-path variants — identical results on ASCII input,
             # and Spark's UTF-8 natives are a strict superset.
@@ -1413,6 +1413,23 @@ def _rewrite_null_ordering(toks: list[Tok]) -> list[Tok]:
 
 _BYTE_LEN_FNS = {"length", "char_length", "character_length"}
 
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _rewrite_utf8_base(toks: list[Tok], i: int, j: int, base: str) -> str:
+    """Resolve a *_utf8 / utf8_* variant to its char-native Spark name.
+    instr's 3/4-arg forms need the pos/occ window kernel (instr4) — the
+    plain rename would hit Spark's 2-arg-only builtin."""
+    if base == "instr":
+        close = _matching_paren(toks, j)
+        nargs = len(_split_args(toks, j, close))
+        if nargs in (3, 4):
+            if nargs == 3:
+                toks.insert(close, Tok("op", ", 1"))
+            return "instr4"
+    return _FN_RENAME.get(base, base)
+
 
 def _rewrite_byte_semantics(toks: list[Tok]) -> list[Tok]:
     i = 0
@@ -1451,6 +1468,16 @@ def _rewrite_byte_semantics(toks: list[Tok]) -> list[Tok]:
                         s_toks + [Tok("op", ", ")] + sub_toks
                     )
                 toks[i] = Tok("word", "byteinstr")
+            elif name == "instr" and len(args) in (3, 4):
+                # byte-exact pos/occ window over the UTF-8 byte buffer
+                # (string-functions-ir.cc Instr:788-846)
+                toks[i] = Tok("word", "byteinstr4")
+                if len(args) == 3:
+                    toks.insert(close, Tok("op", ", 1"))
+            elif name == "locate" and len(args) == 3:
+                # LocatePos byte guard + forward search
+                # (string-functions-ir.cc:863-871); arg order matches
+                toks[i] = Tok("word", "bytelocate3")
         elif name in ("substr", "substring"):
             close = _matching_paren(toks, j)
             args = _split_args(toks, j, close)
@@ -1465,6 +1492,25 @@ def _rewrite_byte_semantics(toks: list[Tok]) -> list[Tok]:
                 toks.insert(comma1, Tok("op", ", 'utf-8')"))
                 toks.insert(j + 1, Tok("word", "substring(encode("))
                 toks[i] = Tok("word", "cast")
+        elif name in ("upper", "ucase", "lower", "lcase"):
+            # Byte-mode case mapping is ASCII-only (toupper/tolower over
+            # raw bytes; multibyte UTF-8 bytes are >= 0x80 and untouched —
+            # string-functions-ir.cc Upper/Lower). translate() maps exactly
+            # the 26 ASCII letters, leaving everything else verbatim.
+            close = _matching_paren(toks, j)
+            if len(_split_args(toks, j, close)) == 1:
+                src, dst = _ASCII_LOWER, _ASCII_UPPER
+                if name in ("lower", "lcase"):
+                    src, dst = _ASCII_UPPER, _ASCII_LOWER
+                toks.insert(close, Tok("op", f", '{src}', '{dst}'"))
+                toks[i] = Tok("word", "translate")
+        elif name == "initcap":
+            # Byte-mode initcap: ASCII word-start byte after whitespace →
+            # toupper, other ASCII bytes → tolower, non-ASCII untouched
+            # (string-functions-ir.cc InitCap) — the byteinitcap kernel.
+            close = _matching_paren(toks, j)
+            if len(_split_args(toks, j, close)) == 1:
+                toks[i] = Tok("word", "byteinitcap")
         elif name in ("strleft", "left", "strright", "right"):
             # strleft/strright (and their left/right aliases) take BYTE
             # counts under UTF8_MODE=false (string-functions-ir.cc Left/

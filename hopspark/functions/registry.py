@@ -336,6 +336,57 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "  -CAST(occ AS INT)), 0) "
         "END",
     ),
+    # -- BYTE-position instr 3/4-arg (UTF8_MODE off): the same pos/occ
+    # window kernel, but run over the UTF-8 byte buffer (encode → binary
+    # slices), so positions count bytes exactly like the reference's
+    # non-utf8 Instr (string-functions-ir.cc:788-846, match_pos on the
+    # raw StringValue). The dialect rewrites instr(s, sub, pos[, occ])
+    # and locate(sub, s, pos) here when utf8_mode is off.
+    "byteinstr4": (
+        "s0 STRING, sub0 STRING, pos BIGINT, occ BIGINT",
+        "INT",
+        "CASE "
+        "WHEN s0 IS NULL OR sub0 IS NULL OR pos IS NULL OR occ IS NULL THEN CAST(NULL AS INT) "
+        "WHEN occ <= 0 THEN CAST(raise_error(concat('Invalid occurrence parameter to instr function: ', CAST(occ AS STRING))) AS INT) "
+        "WHEN pos = 0 OR octet_length(s0) = 0 OR octet_length(s0) < octet_length(sub0) THEN 0 "
+        "WHEN pos > 0 THEN coalesce(element_at("
+        "  filter(filter(sequence(1, octet_length(s0) - octet_length(sub0) + 1),"
+        "                i -> substring(encode(s0, 'utf-8'), i, octet_length(sub0)) = encode(sub0, 'utf-8')),"
+        "         p -> p >= pos), CAST(occ AS INT)), 0) "
+        "ELSE coalesce(element_at("
+        "  filter(filter(sequence(1, octet_length(s0) - octet_length(sub0) + 1),"
+        "                i -> substring(encode(s0, 'utf-8'), i, octet_length(sub0)) = encode(sub0, 'utf-8')),"
+        "         p -> p <= least(octet_length(s0) + pos, octet_length(s0) - octet_length(sub0)) + 1),"
+        "  -CAST(occ AS INT)), 0) "
+        "END",
+    ),
+    # locate(sub, s, pos) under byte semantics: Hive-style guard (pos out
+    # of the BYTE range → 0), then the forward byteinstr window
+    # (string-functions-ir.cc LocatePos:863-871). Defined after
+    # byteinstr4 — SQL UDF bodies resolve at creation time in dict order.
+    "bytelocate3": (
+        "sub0 STRING, s0 STRING, pos BIGINT",
+        "INT",
+        "CASE WHEN s0 IS NULL OR sub0 IS NULL OR pos IS NULL THEN CAST(NULL AS INT) "
+        "WHEN pos <= 0 OR pos > octet_length(s0) THEN 0 "
+        "ELSE byteinstr4(s0, sub0, pos, 1) END",
+    ),
+    # initcap under byte semantics (string-functions-ir.cc InitCap): the
+    # ASCII byte after a whitespace byte (or string start) is uppercased,
+    # every other ASCII byte is lowercased, and non-ASCII bytes (all
+    # >= 0x80 in UTF-8) pass through untouched. Split AFTER each
+    # whitespace char (zero-width lookbehind) so every piece starts at a
+    # word start; translate() maps only the 26 ASCII letters.
+    "byteinitcap": (
+        "s0 STRING",
+        "STRING",
+        r"array_join(transform(split(s0, '(?<=\\s)'), "
+        r"p -> concat("
+        r"translate(left(p, 1), 'abcdefghijklmnopqrstuvwxyz',"
+        r" 'ABCDEFGHIJKLMNOPQRSTUVWXYZ'),"
+        r"translate(substring(p, 2), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        r" 'abcdefghijklmnopqrstuvwxyz'))), '')",
+    ),
 }
 
 # Interval arithmetic family (SURVEY §2.11): {unit}_{add,sub}(TIMESTAMP, n).

@@ -20,7 +20,15 @@ def test_function_renames():
     assert translate(
         "SELECT strleft(s, 3) FROM t", options={"utf8_mode": True}
     ) == "SELECT left(s, 3) FROM t"
-    assert translate("SELECT lcase(s) FROM t") == "SELECT lower(s) FROM t"
+    # byte-mode lcase/lower map only the 26 ASCII letters (reference
+    # toupper/tolower over raw bytes); utf8 mode keeps the Unicode native
+    assert translate("SELECT lcase(s) FROM t") == (
+        "SELECT translate(s, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        " 'abcdefghijklmnopqrstuvwxyz') FROM t"
+    )
+    assert translate(
+        "SELECT lcase(s) FROM t", options={"utf8_mode": True}
+    ) == "SELECT lower(s) FROM t"
 
 
 def test_isnull_two_arg_becomes_nvl():
