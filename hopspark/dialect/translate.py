@@ -744,6 +744,22 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 toks[i] = Tok("word", "rlike")
                 i += 1
                 continue
+        # mask_*_n with explicit mask chars → the 6-arg kernels, padding
+        # the missing char args with the reference defaults
+        # (mask-functions-ir.cc: upper 'X', lower 'x', digit 'n',
+        # other kept → NULL for Spark's mask())
+        if name in ("mask_first_n", "mask_last_n",
+                    "mask_show_first_n", "mask_show_last_n"):
+            close = _matching_paren(toks, j)
+            nargs = len(_split_args(toks, j, close))
+            if 3 <= nargs <= 6:
+                defaults = ["'X'", "'x'", "'n'", "CAST(NULL AS STRING)"]
+                pad = ", ".join(defaults[nargs - 2 :])
+                if pad:
+                    toks.insert(close, Tok("op", f", {pad}"))
+                toks[i] = Tok("word", name + "6")
+                i += 1
+                continue
         # instr 3/4-arg → the registered instr4 kernel (2-arg stays native;
         # string-functions-ir.cc Instr:788-846)
         if name == "instr":

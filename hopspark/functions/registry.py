@@ -268,6 +268,44 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "concat(mask(substring(s, 1, greatest(0, length(s) - n))), "
         "substring(s, greatest(0, length(s) - n) + 1))",
     ),
+    # full-signature forms (mask-functions-ir.cc: char args for the
+    # upper/lower/digit/other masks); the dialect pads shorter calls with
+    # the reference defaults ('X', 'x', 'n', keep-other) and routes here.
+    # Masked spans are CHAR-positional (the reference's utf8-mode
+    # contract; byte==char on ASCII). Spark's native mask() demands
+    # foldable char args, so the kernel masks per-char itself: NULL other
+    # keeps the character.
+    "maskchars": (
+        "s STRING, u STRING, l STRING, d STRING, o STRING",
+        "STRING",
+        "array_join(transform(split(s, ''), c -> "
+        "CASE WHEN c RLIKE '^[A-Z]$' THEN u "
+        "WHEN c RLIKE '^[a-z]$' THEN l "
+        "WHEN c RLIKE '^[0-9]$' THEN d "
+        "ELSE coalesce(o, c) END), '')",
+    ),
+    "mask_first_n6": (
+        "s STRING, n INT, u STRING, l STRING, d STRING, o STRING",
+        "STRING",
+        "concat(maskchars(substring(s, 1, n), u, l, d, o), substring(s, n + 1))",
+    ),
+    "mask_last_n6": (
+        "s STRING, n INT, u STRING, l STRING, d STRING, o STRING",
+        "STRING",
+        "concat(substring(s, 1, greatest(0, length(s) - n)), "
+        "maskchars(substring(s, greatest(0, length(s) - n) + 1), u, l, d, o))",
+    ),
+    "mask_show_first_n6": (
+        "s STRING, n INT, u STRING, l STRING, d STRING, o STRING",
+        "STRING",
+        "concat(substring(s, 1, n), maskchars(substring(s, n + 1), u, l, d, o))",
+    ),
+    "mask_show_last_n6": (
+        "s STRING, n INT, u STRING, l STRING, d STRING, o STRING",
+        "STRING",
+        "concat(maskchars(substring(s, 1, greatest(0, length(s) - n)), u, l, d, o), "
+        "substring(s, greatest(0, length(s) - n) + 1))",
+    ),
     "mask_hash": ("s STRING", "STRING", "sha2(s, 256)"),
     # -- conditional aliases not shipped by this Spark --------------------
     "zeroifnull": ("x DOUBLE", "DOUBLE", "coalesce(x, 0)"),

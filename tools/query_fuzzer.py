@@ -756,9 +756,43 @@ class DialectGen:
         c = r.choice(scs)
         kind = r.choice(
             ["col", "decode", "nvl", "strleft", "strright", "case_up",
-             "fmt", "fmt_y", "fmt_vchar", "fmt_char"]
+             "fmt", "fmt_y", "fmt_vchar", "fmt_char",
+             "flexparse", "flexparse_rr", "flexparse_fill"]
             if depth < 2 else ["col"]
         )
+        if kind.startswith("flexparse"):
+            # round-6 flexible FORMAT parse: separator interchangeability
+            # and short-year filling (datetime-iso-sql-format-parser.cc);
+            # the DuckDB twin is the expected canonical literal, with the
+            # fill/round rules computed here the way the reference anchors
+            # them on the current session year.
+            import datetime as _dt
+
+            mo, dy = r.randint(1, 12), r.randint(1, 28)
+            s1, s2 = r.choice("-/.,;: "), r.choice("-/.,;: ")
+            cur = _dt.date.today().year
+            if kind == "flexparse":
+                y = r.randint(1402, 2035)
+                inp, fmtc = f"{y:04d}{s1}{mo:02d}{s2}{dy:02d}", "YYYY-MM-DD"
+            elif kind == "flexparse_rr":
+                yy = r.randint(0, 99)
+                cent = cur // 100
+                if yy < 50 and cur % 100 > 49:
+                    cent += 1
+                elif yy > 49 and cur % 100 < 50:
+                    cent -= 1
+                y = cent * 100 + yy
+                inp, fmtc = f"{yy:02d}{s1}{mo:02d}{s2}{dy:02d}", "RR-MM-DD"
+            else:
+                ln = r.randint(1, 3)
+                run = r.randint(0, 10 ** ln - 1)
+                y = (cur // 10 ** ln) * 10 ** ln + run
+                inp = f"{run:0{ln}d}{s1}{mo:02d}{s2}{dy:02d}"
+                fmtc = "YYYY-MM-DD"
+            return (
+                f"cast(cast('{inp}' as date format '{fmtc}') as string)",
+                f"'{y:04d}-{mo:02d}-{dy:02d}'",
+            )
         if kind in ("fmt", "fmt_y", "fmt_vchar", "fmt_char"):
             tcs = self._cols(tbl, "ts")
             if tcs:
