@@ -75,6 +75,12 @@ class Engine:
         r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
     )
     _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(.*?);?\s*$", re.I | re.S)
+    _SHOW_FILES_RE = re.compile(
+        r"^\s*SHOW\s+FILES\s+IN\s+([\w.]+)\s*;?\s*$", re.I
+    )
+    _SHOW_PARTITIONS_RE = re.compile(
+        r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$", re.I
+    )
     _SHOW_CREATE_RE = re.compile(
         r"^\s*SHOW\s+CREATE\s+(TABLE|VIEW)\s+(\w+)\s*;?\s*$", re.I
     )
@@ -190,6 +196,12 @@ class Engine:
             )
             ddl = f"CREATE EXTERNAL TABLE {name} (\n{cols}\n) STORED AS PARQUET"
             return self.spark.createDataFrame([(ddl,)], "`result` string")
+        m = self._SHOW_FILES_RE.match(impala_sql)
+        if m:
+            return self.show_files(m.group(1))
+        m = self._SHOW_PARTITIONS_RE.match(impala_sql)
+        if m:
+            return self.show_partitions(m.group(1))
         m = self._EXPLAIN_RE.match(impala_sql)
         if m:
             # Impala EXPLAIN returns the plan as rows of 'Explain String'
@@ -368,6 +380,94 @@ class Engine:
 
         walk(plan)
         return out
+
+    # -- file/partition metadata surface (SHOW FILES / SHOW PARTITIONS —
+    #    fe/.../analysis/ShowFilesStmt.java, ShowPartitionsStmt.java) ------
+
+    @staticmethod
+    def _pretty_size(n: float) -> str:
+        """The reference's PrettyPrinter byte rendering (util/pretty-
+        printer.h): two decimals with a B/KB/MB/GB/TB unit."""
+        for unit in ("B", "KB", "MB", "GB"):
+            if n < 1024:
+                return f"{n:.2f}{unit}"
+            n /= 1024.0
+        return f"{n:.2f}TB"
+
+    def _table_root(self, table: str) -> str:
+        import os
+
+        path = catalog.table_path(self.sf_dir, table.lower())
+        if not os.path.exists(path):
+            raise ValueError(f"Could not resolve path for table: {table}")
+        return path
+
+    def show_files(self, table: str) -> DataFrame:
+        """SHOW FILES IN <table> → (Path, Size, Partition) per data file,
+        like the reference's ShowFilesStmt result set. Hidden and
+        bookkeeping files (dot / underscore prefixes) are skipped; for a
+        partitioned directory tree the Partition column carries the
+        key=value spec relative to the table root."""
+        import os
+
+        root = self._table_root(table)
+        rows: list[tuple[str, str, str]] = []
+        if os.path.isfile(root):
+            rows.append((root, self._pretty_size(os.path.getsize(root)), ""))
+        else:
+            for dirpath, dirs, files in os.walk(root):
+                dirs.sort()
+                rel = os.path.relpath(dirpath, root)
+                part = "" if rel == "." else rel.replace(os.sep, "/")
+                for fn in sorted(files):
+                    if fn.startswith((".", "_")):
+                        continue
+                    full = os.path.join(dirpath, fn)
+                    rows.append(
+                        (full, self._pretty_size(os.path.getsize(full)), part)
+                    )
+        return self.spark.createDataFrame(
+            rows, "Path string, Size string, Partition string"
+        )
+
+    def show_partitions(self, table: str) -> DataFrame:
+        """SHOW PARTITIONS <table> → one row per key=value partition
+        directory with the partition key values, #Rows (-1 unless
+        COMPUTE STATS ran — the reference's convention), #Files and Size.
+        Raises on unpartitioned tables like the reference's
+        ShowPartitionsStmt analysis."""
+        import os
+
+        root = self._table_root(table)
+        parts: dict[tuple, list[float]] = {}
+        if os.path.isdir(root):
+            for dirpath, dirs, files in os.walk(root):
+                dirs.sort()
+                data = [f for f in files if not f.startswith((".", "_"))]
+                rel = os.path.relpath(dirpath, root)
+                if not data or rel == ".":
+                    continue
+                segs = rel.split(os.sep)
+                if not all("=" in s for s in segs):
+                    continue
+                key = tuple(tuple(s.split("=", 1)) for s in segs)
+                acc = parts.setdefault(key, [0, 0.0])
+                acc[0] += len(data)
+                acc[1] += sum(
+                    os.path.getsize(os.path.join(dirpath, f)) for f in data
+                )
+        if not parts:
+            raise ValueError(f"Table is not partitioned: {table}")
+        key_cols = [k for k, _ in next(iter(parts))]
+        rows = [
+            tuple(v for _, v in key) + (-1, n, self._pretty_size(size))
+            for key, (n, size) in sorted(parts.items())
+        ]
+        schema = (
+            ", ".join(f"`{k}` string" for k in key_cols)
+            + ", `#Rows` long, `#Files` long, Size string"
+        )
+        return self.spark.createDataFrame(rows, schema)
 
     # -- stats surface (COMPUTE STATS / SHOW TABLE|COLUMN STATS —
     #    fe/.../analysis/ComputeStatsStmt.java builds exactly these child

@@ -72,3 +72,32 @@ def test_show_create_view(spark, sf_dir):
             eng.sql("show create view nation")
     finally:
         eng.sql("DROP VIEW IF EXISTS v_nations")
+
+
+def test_show_files_and_partitions(spark, sf_dir, tmp_path):
+    """SHOW FILES IN / SHOW PARTITIONS (ShowFilesStmt / ShowPartitionsStmt):
+    per-file Path/Size/Partition rows; per-partition key values + #Files
+    + Size with the reference's -1 #Rows convention; unpartitioned tables
+    raise like the reference's analysis."""
+    import pytest
+
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    rows = eng.sql("SHOW FILES IN region").collect()
+    assert rows and rows[0].Path.endswith("region.parquet")
+    assert rows[0].Size.endswith(("B", "KB", "MB"))
+    assert rows[0].Partition == ""
+    with pytest.raises(Exception, match="not partitioned"):
+        eng.sql("SHOW PARTITIONS region").collect()
+
+    part_dir = str(tmp_path)
+    spark.range(60).selectExpr("id", "id % 2 as half").write.partitionBy(
+        "half"
+    ).parquet(f"{part_dir}/facts.parquet")
+    eng2 = Engine(spark=spark, sf_dir=part_dir, register_tables=False)
+    files = eng2.sql("SHOW FILES IN facts").collect()
+    assert all(f.Partition.startswith("half=") for f in files)
+    parts = {r.half: r for r in eng2.sql("SHOW PARTITIONS facts").collect()}
+    assert set(parts) == {"0", "1"}
+    assert all(r["#Rows"] == -1 and r["#Files"] >= 1 for r in parts.values())
