@@ -140,8 +140,63 @@ ORDER BY n_nationkey
 """
 
 
+def dialect_mask_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 kernels through the SQL front door: the char-argument mask
+    family (mask-functions-ir.cc — upper/lower/digit/other chars with
+    X/x/n defaults) and the byte-position instr/locate windows
+    (string-functions-ir.cc Instr:788-846, LocatePos:863-871; byte ==
+    char on this ASCII data, so the windows are oracle-checkable)."""
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT c_custkey,
+               mask(c_name) AS masked_name,
+               mask_show_first_n(c_mktsegment, 3) AS seg_prefix,
+               mask_last_n(c_name, 4, '#', '#', '#', '#') AS name_tail,
+               instr(c_name, '0', 1, 2) AS second_zero,
+               instr(c_name, '0', -1, 1) AS last_zero,
+               locate('_', c_name, 5) AS underscore_from_5
+        FROM customer
+        WHERE c_custkey <= 200
+        ORDER BY c_custkey
+        """
+    )
+
+
+DIALECT_MASK_BYTES_SQL = r"""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS masked_name,
+       substr(c_mktsegment, 1, 3) ||
+       regexp_replace(regexp_replace(regexp_replace(substr(c_mktsegment, 4),
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS seg_prefix,
+       substr(c_name, 1, GREATEST(0, length(c_name) - 4)) ||
+       regexp_replace(substr(c_name, GREATEST(0, length(c_name) - 4) + 1),
+           '.', '#', 'g')
+         AS name_tail,
+       CAST(CASE WHEN strpos(c_name, '0') = 0 THEN 0
+            WHEN strpos(substr(c_name, strpos(c_name, '0') + 1), '0') = 0
+              THEN 0
+            ELSE strpos(c_name, '0')
+                 + strpos(substr(c_name, strpos(c_name, '0') + 1), '0')
+            END AS INT) AS second_zero,
+       CAST(CASE WHEN strpos(reverse(c_name), '0') = 0 THEN 0
+            ELSE length(c_name) - strpos(reverse(c_name), '0') + 1
+            END AS INT) AS last_zero,
+       CAST(CASE WHEN length(c_name) < 5
+                   OR strpos(substr(c_name, 5), '_') = 0 THEN 0
+            ELSE 4 + strpos(substr(c_name, 5), '_')
+            END AS INT) AS underscore_from_5
+FROM customer
+WHERE c_custkey <= 200
+ORDER BY c_custkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dialect_sql_filters": (dialect_filters, DIALECT_FILTERS_SQL),
+    "dialect_sql_mask_bytes": (dialect_mask_bytes, DIALECT_MASK_BYTES_SQL),
     "dialect_sql_interval_dates": (dialect_interval_dates, DIALECT_INTERVAL_SQL),
     "dialect_sql_null_ordering": (dialect_null_ordering, DIALECT_NULL_ORDERING_SQL),
     "dialect_sql_scalar_parity": (dialect_scalar_parity, DIALECT_SCALAR_PARITY_SQL),
