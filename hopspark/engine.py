@@ -78,6 +78,12 @@ class Engine:
     _SHOW_FILES_RE = re.compile(
         r"^\s*SHOW\s+FILES\s+IN\s+([\w.]+)\s*;?\s*$", re.I
     )
+    _CREATE_JAVA_FN_RE = re.compile(
+        r"^\s*CREATE\s+FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+        r"(?:\(([^)]*)\)\s*RETURNS\s+([\w(),]+)\s*)?"
+        r"LOCATION\s+'([^']+)'\s+SYMBOL\s*=\s*'([^']+)'\s*;?\s*$",
+        re.I,
+    )
     _SHOW_PARTITIONS_RE = re.compile(
         r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$", re.I
     )
@@ -196,6 +202,11 @@ class Engine:
             )
             ddl = f"CREATE EXTERNAL TABLE {name} (\n{cols}\n) STORED AS PARQUET"
             return self.spark.createDataFrame([(ddl,)], "`result` string")
+        m = self._CREATE_JAVA_FN_RE.match(impala_sql)
+        if m:
+            name, _params, returns, jar, symbol = m.groups()
+            self.create_java_function(name, jar, symbol, returns)
+            return self.spark.sql("SELECT 1 AS ok WHERE false")
         m = self._SHOW_FILES_RE.match(impala_sql)
         if m:
             return self.show_files(m.group(1))
@@ -294,6 +305,53 @@ class Engine:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sql_params or ''}) "
             f"RETURNS {sql_returns or 'STRING'} RETURN {sql_body}"
         )
+
+    #: Impala type name → Spark DDL type for Java-UDF RETURNS clauses
+    _JAVA_FN_TYPES = {
+        "string": "string", "varchar": "string", "char": "string",
+        "tinyint": "tinyint", "smallint": "smallint", "int": "int",
+        "bigint": "bigint", "float": "float", "double": "double",
+        "boolean": "boolean", "timestamp": "timestamp", "date": "date",
+        "binary": "binary",
+    }
+
+    def create_java_function(
+        self, name: str, jar: str, symbol: str, returns: str | None = None
+    ) -> None:
+        """CREATE FUNCTION <name> [...] LOCATION '<jar>' SYMBOL='<class>' —
+        the reference's Java-UDF-from-JAR form (CreateUdfStmt,
+        fe/.../analysis/CreateUdfStmt.java; hive-udf-call.h). The jar is
+        added to the session classpath and the class registered through
+        Spark's Java UDF bridge. The class must implement
+        org.apache.spark.sql.api.java.UDF1..22 — Hive-interface UDF
+        classes need a Hive-enabled session catalog, which the session
+        (in-memory) catalog is not; the error says so explicitly."""
+        import os
+
+        if not os.path.exists(jar):
+            raise ValueError(f"Could not load binary: {jar}")
+        self.spark.sql(f"ADD JAR {jar}")
+        rtype = None
+        if returns:
+            base = returns.split("(")[0].strip().lower()
+            rtype = (
+                returns.lower()
+                if base == "decimal"
+                else self._JAVA_FN_TYPES.get(base)
+            )
+            if rtype is None:
+                raise ValueError(f"unsupported RETURNS type: {returns}")
+        try:
+            self.spark.udf.registerJavaFunction(name, symbol, rtype)
+        except Exception as exc:  # noqa: BLE001 - reclassify for the user
+            raise ValueError(
+                f"CREATE FUNCTION {name}: class {symbol!r} could not be "
+                "registered. It must implement "
+                "org.apache.spark.sql.api.java.UDF1..UDF22; classes "
+                "extending org.apache.hadoop.hive.ql.exec.UDF require a "
+                "Hive-enabled session catalog (documented delta). "
+                f"Underlying error: {exc}"
+            ) from exc
 
     def create_aggregate_function(
         self,

@@ -101,3 +101,67 @@ def test_show_files_and_partitions(spark, sf_dir, tmp_path):
     parts = {r.half: r for r in eng2.sql("SHOW PARTITIONS facts").collect()}
     assert set(parts) == {"0", "1"}
     assert all(r["#Rows"] == -1 and r["#Files"] >= 1 for r in parts.values())
+
+
+def test_create_java_function_from_jar(spark, sf_dir, tmp_path):
+    """CREATE FUNCTION ... LOCATION '<jar>' SYMBOL='<class>' — the
+    reference's Java-UDF-from-JAR form (CreateUdfStmt). The test compiles
+    a UDF1 implementation with the session JDK and registers it through
+    the SQL surface; classes with the Hive UDF interface raise the
+    documented catalog error instead of failing opaquely."""
+    import glob
+    import os
+    import shutil
+    import subprocess
+
+    import pyspark
+    import pytest
+
+    if not (shutil.which("javac") and shutil.which("jar")):
+        pytest.skip("no JDK in image")
+    sql_api = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "spark-sql-api_*.jar")
+    )
+    assert sql_api, "pyspark bundles the sql-api jar"
+    src = tmp_path / "VowelCount.java"
+    src.write_text(
+        "import org.apache.spark.sql.api.java.UDF1;\n"
+        "public class VowelCount implements UDF1<String, Integer> {\n"
+        "  @Override public Integer call(String s) {\n"
+        "    if (s == null) return null;\n"
+        "    int n = 0;\n"
+        "    for (char c : s.toLowerCase().toCharArray())\n"
+        "      if (\"aeiou\".indexOf(c) >= 0) n++;\n"
+        "    return n;\n"
+        "  }\n"
+        "}\n"
+    )
+    subprocess.run(
+        ["javac", "-cp", sql_api[0], str(src)], check=True, cwd=tmp_path
+    )
+    jar = tmp_path / "vowelcount.jar"
+    subprocess.run(
+        ["jar", "cf", str(jar), "VowelCount.class"], check=True, cwd=tmp_path
+    )
+
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql(
+        f"CREATE FUNCTION vowel_count(string) RETURNS int "
+        f"LOCATION '{jar}' SYMBOL='VowelCount'"
+    )
+    rows = eng.sql(
+        "SELECT vowel_count(n_name) AS v FROM nation "
+        "WHERE n_nationkey = 0"
+    ).collect()
+    assert rows[0].v == len([c for c in "NATION_0" if c.lower() in "aeiou"])
+    with pytest.raises(ValueError, match="Hive-enabled session"):
+        eng.sql(
+            f"CREATE FUNCTION bad_fn LOCATION '{jar}' SYMBOL='NoSuchClass'"
+        )
+    with pytest.raises(ValueError, match="Could not load binary"):
+        eng.sql(
+            "CREATE FUNCTION bad_fn LOCATION '/nope/missing.jar' "
+            "SYMBOL='VowelCount'"
+        )
