@@ -59,6 +59,9 @@ class Engine:
     _COMPUTE_STATS_RE = re.compile(
         r"^\s*COMPUTE\s+STATS\s+(\w+)\s*;?\s*$", re.I
     )
+    _COMPUTE_INC_STATS_RE = re.compile(
+        r"^\s*COMPUTE\s+INCREMENTAL\s+STATS\s+(\w+)\s*;?\s*$", re.I
+    )
     _SHOW_STATS_RE = re.compile(
         r"^\s*SHOW\s+(TABLE|COLUMN)\s+STATS\s+(\w+)\s*;?\s*$", re.I
     )
@@ -103,6 +106,9 @@ class Engine:
             name, raw = m.group(1).lower(), m.group(2).strip().strip("'\"")
             self.set_option(name, raw.lower() in ("1", "true", "yes", "on"))
             return self.spark.sql("SELECT 1 AS ok WHERE false")
+        m = self._COMPUTE_INC_STATS_RE.match(impala_sql)
+        if m:
+            return self.compute_incremental_stats(m.group(1))
         m = self._COMPUTE_STATS_RE.match(impala_sql)
         if m:
             return self.compute_stats(m.group(1))
@@ -488,12 +494,10 @@ class Engine:
             rows, "Path string, Size string, Partition string"
         )
 
-    def show_partitions(self, table: str) -> DataFrame:
-        """SHOW PARTITIONS <table> → one row per key=value partition
-        directory with the partition key values, #Rows (-1 unless
-        COMPUTE STATS ran — the reference's convention), #Files and Size.
-        Raises on unpartitioned tables like the reference's
-        ShowPartitionsStmt analysis."""
+    def _partition_layout(self, table: str) -> dict[tuple, list[float]]:
+        """Walk the table's directory tree → {((key, value), ...): [n_files,
+        bytes]} for every key=value partition directory; empty dict when
+        the table is a single file / unpartitioned directory."""
         import os
 
         root = self._table_root(table)
@@ -514,6 +518,15 @@ class Engine:
                 acc[1] += sum(
                     os.path.getsize(os.path.join(dirpath, f)) for f in data
                 )
+        return parts
+
+    def show_partitions(self, table: str) -> DataFrame:
+        """SHOW PARTITIONS <table> → one row per key=value partition
+        directory with the partition key values, #Rows (-1 unless
+        COMPUTE STATS ran — the reference's convention), #Files and Size.
+        Raises on unpartitioned tables like the reference's
+        ShowPartitionsStmt analysis."""
+        parts = self._partition_layout(table)
         if not parts:
             raise ValueError(f"Table is not partitioned: {table}")
         key_cols = [k for k, _ in next(iter(parts))]
@@ -582,9 +595,144 @@ class Engine:
             "summary string",
         )
 
+    def compute_incremental_stats(self, table: str) -> DataFrame:
+        """COMPUTE INCREMENTAL STATS <table> — the reference's
+        per-partition stats path (ComputeStatsStmt incremental mode,
+        compute-stats-incremental.test): partitions that already have
+        cached stats are NOT rescanned; only new partitions are read, with
+        the partition predicate pruning every other directory at the scan.
+
+        Per-partition intermediate state is an HLL sketch per column
+        (Spark's hll_sketch_agg — the same mergeable-NDV design the
+        reference persists per partition), so table-level NDVs come from
+        hll_union over partition sketches without ever re-reading old
+        data. At 100 TB with daily partitions, a refresh costs one
+        partition's scan, not the table's."""
+        from pyspark.sql import functions as F
+
+        layout = self._partition_layout(table)
+        if not layout:
+            # unpartitioned: incremental degenerates to a full compute
+            return self.compute_stats(table)
+        cache = getattr(self, "_inc_stats", None)
+        if cache is None:
+            cache = self._inc_stats = {}
+        tstate = cache.setdefault(table.lower(), {})
+        missing = [k for k in layout if k not in tstate]
+        pcols = [k for k, _ in next(iter(layout))]
+        if missing:
+            df = self.spark.read.parquet(self._table_root(table))
+            pred = None
+            for key in missing:
+                clause = None
+                for col, val in key:
+                    c = F.col(col).cast("string") == F.lit(val)
+                    clause = c if clause is None else (clause & c)
+                pred = clause if pred is None else (pred | clause)
+            df = df.where(pred)
+            data_cols = [f for f in df.schema.fields if f.name not in pcols]
+            aggs = [F.count(F.lit(1)).alias("__rows")]
+            for f in data_cols:
+                t = f.dataType.simpleString()
+                if t in ("tinyint", "smallint", "int", "bigint"):
+                    sk = F.expr(f"hll_sketch_agg(CAST(`{f.name}` AS BIGINT))")
+                elif t in ("string", "binary"):
+                    sk = F.expr(f"hll_sketch_agg(`{f.name}`)")
+                else:
+                    sk = F.expr(f"hll_sketch_agg(CAST(`{f.name}` AS STRING))")
+                aggs.append(sk.alias(f"__sk__{f.name}"))
+                aggs.append(
+                    F.sum(F.col(f.name).isNull().cast("long")).alias(
+                        f"__nulls__{f.name}"
+                    )
+                )
+            for row in df.groupBy(*pcols).agg(*aggs).collect():
+                key = tuple((c, str(row[c])) for c in pcols)
+                tstate[key] = {
+                    "rows": int(row["__rows"]),
+                    "cols": {
+                        f.name: {
+                            "sketch": bytes(row[f"__sk__{f.name}"])
+                            if row[f"__sk__{f.name}"] is not None
+                            else None,
+                            "nulls": int(row[f"__nulls__{f.name}"]),
+                            "type": f.dataType.simpleString(),
+                        }
+                        for f in data_cols
+                    },
+                }
+        # fold the per-partition state into the table-level stats cache so
+        # SHOW TABLE|COLUMN STATS read merged numbers
+        total_rows = sum(s["rows"] for s in tstate.values())
+        col_names: list[str] = []
+        for s in tstate.values():
+            for c in s["cols"]:
+                if c not in col_names:
+                    col_names.append(c)
+        merged_cols = []
+        for c in col_names:
+            sketches = [
+                (s["cols"][c]["sketch"],)
+                for s in tstate.values()
+                if s["cols"].get(c, {}).get("sketch") is not None
+            ]
+            if sketches:
+                ndv = int(
+                    self.spark.createDataFrame(sketches, "sk binary")
+                    .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))"))
+                    .collect()[0][0]
+                )
+            else:
+                ndv = 0
+            nulls = sum(
+                s["cols"][c]["nulls"] for s in tstate.values() if c in s["cols"]
+            )
+            ctype = next(
+                s["cols"][c]["type"] for s in tstate.values() if c in s["cols"]
+            )
+            merged_cols.append((c, ctype, ndv, nulls, -1, -1.0))
+        self._stats = getattr(self, "_stats", {})
+        self._stats[table.lower()] = {"rows": total_rows, "cols": merged_cols}
+        return self.spark.createDataFrame(
+            [
+                (
+                    f"Updated {len(missing)} partition(s) and "
+                    f"{len(col_names)} column(s).",
+                )
+            ],
+            "summary string",
+        )
+
     def show_table_stats(self, table: str) -> DataFrame:
         """SHOW TABLE STATS <table> — #Rows per the cached COMPUTE STATS
-        (-1 when stats were never computed, the reference's convention)."""
+        (-1 when stats were never computed, the reference's convention).
+        After COMPUTE INCREMENTAL STATS on a partitioned table, one row
+        per partition plus the Total row, like the reference's
+        partitioned-table result shape."""
+        inc = getattr(self, "_inc_stats", {}).get(table.lower())
+        if inc:
+            layout = self._partition_layout(table)
+            key_cols = [k for k, _ in next(iter(inc))]
+            rows = []
+            for key, st in sorted(inc.items()):
+                n_files, size = layout.get(key, [0, 0.0])
+                rows.append(
+                    tuple(v for _, v in key)
+                    + (st["rows"], int(n_files), self._pretty_size(size))
+                )
+            rows.append(
+                ("Total",) * len(key_cols)
+                + (
+                    sum(s["rows"] for s in inc.values()),
+                    int(sum(v[0] for v in layout.values())),
+                    self._pretty_size(sum(v[1] for v in layout.values())),
+                )
+            )
+            schema = (
+                ", ".join(f"`{k}` string" for k in key_cols)
+                + ", `#Rows` long, `#Files` long, Size string"
+            )
+            return self.spark.createDataFrame(rows, schema)
         st = getattr(self, "_stats", {}).get(table.lower())
         rows = st["rows"] if st else -1
         return self.spark.createDataFrame([(rows,)], "`#Rows` long")

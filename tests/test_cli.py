@@ -165,3 +165,44 @@ def test_create_java_function_from_jar(spark, sf_dir, tmp_path):
             "CREATE FUNCTION bad_fn LOCATION '/nope/missing.jar' "
             "SYMBOL='VowelCount'"
         )
+
+
+def test_compute_incremental_stats(spark, sf_dir, tmp_path):
+    """COMPUTE INCREMENTAL STATS (ComputeStatsStmt incremental mode,
+    compute-stats-incremental.test): only NEW partitions are scanned on a
+    refresh (the partition predicate lands in PartitionFilters), table
+    NDVs merge from per-partition HLL sketches, and SHOW TABLE STATS
+    gains the per-partition + Total shape."""
+    from hopspark.engine import Engine
+
+    root = str(tmp_path)
+    spark.range(300).selectExpr(
+        "id", "cast(id % 7 as string) s", "id % 3 as day"
+    ).write.partitionBy("day").parquet(f"{root}/sales.parquet")
+    eng = Engine(spark=spark, sf_dir=root, register_tables=False)
+    assert "Updated 3 partition(s)" in (
+        eng.sql("COMPUTE INCREMENTAL STATS sales").collect()[0].summary
+    )
+    # second run with nothing new: zero partitions rescanned
+    assert "Updated 0 partition(s)" in (
+        eng.sql("COMPUTE INCREMENTAL STATS sales").collect()[0].summary
+    )
+    # a new partition arrives: exactly one partition scanned
+    spark.range(300, 400).selectExpr(
+        "id", "cast(id % 7 as string) s", "3 as day"
+    ).write.mode("append").partitionBy("day").parquet(f"{root}/sales.parquet")
+    assert "Updated 1 partition(s)" in (
+        eng.sql("COMPUTE INCREMENTAL STATS sales").collect()[0].summary
+    )
+    stats = {r.day: r for r in eng.sql("SHOW TABLE STATS sales").collect()}
+    assert stats["Total"]["#Rows"] == 400
+    assert stats["3"]["#Rows"] == 100
+    cols = {r.column: r for r in eng.sql("SHOW COLUMN STATS sales").collect()}
+    # HLL-merged NDVs: exact-ish for 400 distinct ids, exact for 7
+    assert abs(cols["id"]["#Distinct Values"] - 400) <= 12
+    assert cols["s"]["#Distinct Values"] == 7
+    # unpartitioned tables degenerate to the full COMPUTE STATS path
+    eng2 = Engine(spark=spark, sf_dir=sf_dir)
+    assert "column(s)" in (
+        eng2.sql("COMPUTE INCREMENTAL STATS region").collect()[0].summary
+    )
