@@ -62,6 +62,9 @@ class Engine:
     _COMPUTE_INC_STATS_RE = re.compile(
         r"^\s*COMPUTE\s+INCREMENTAL\s+STATS\s+(\w+)\s*;?\s*$", re.I
     )
+    _DROP_STATS_RE = re.compile(
+        r"^\s*DROP\s+(INCREMENTAL\s+)?STATS\s+(\w+)\s*;?\s*$", re.I
+    )
     _SHOW_STATS_RE = re.compile(
         r"^\s*SHOW\s+(TABLE|COLUMN)\s+STATS\s+(\w+)\s*;?\s*$", re.I
     )
@@ -109,6 +112,14 @@ class Engine:
         m = self._COMPUTE_INC_STATS_RE.match(impala_sql)
         if m:
             return self.compute_incremental_stats(m.group(1))
+        m = self._DROP_STATS_RE.match(impala_sql)
+        if m:
+            # DROP [INCREMENTAL] STATS (DropStatsStmt): discard cached
+            # table/partition statistics so the next COMPUTE starts clean
+            t = m.group(2).lower()
+            getattr(self, "_stats", {}).pop(t, None)
+            getattr(self, "_inc_stats", {}).pop(t, None)
+            return self.spark.sql("SELECT 1 AS ok WHERE false")
         m = self._COMPUTE_STATS_RE.match(impala_sql)
         if m:
             return self.compute_stats(m.group(1))

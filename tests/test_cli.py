@@ -206,3 +206,16 @@ def test_compute_incremental_stats(spark, sf_dir, tmp_path):
     assert "column(s)" in (
         eng2.sql("COMPUTE INCREMENTAL STATS region").collect()[0].summary
     )
+
+
+def test_drop_stats(spark, sf_dir):
+    """DROP STATS / DROP INCREMENTAL STATS (DropStatsStmt): cached stats
+    are discarded, so SHOW TABLE STATS reverts to -1."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql("COMPUTE STATS region").collect()
+    assert eng.sql("SHOW TABLE STATS region").collect()[0]["#Rows"] == 5
+    eng.sql("DROP STATS region")
+    assert eng.sql("SHOW TABLE STATS region").collect()[0]["#Rows"] == -1
+    eng.sql("DROP INCREMENTAL STATS region")  # no-op when nothing cached
