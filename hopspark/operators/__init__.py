@@ -128,7 +128,11 @@ CURATED_FIRST = (
     # ops stay covered by sim + the curated union-composite TPC-DS rows).
     "dialect_sql_filters",
     "dialect_sql_null_ordering",
-    "dialect_sql_scalar_parity",
+    # r6 rotation: the char-argument mask family + byte-position
+    # instr/locate windows under the driver gate (scalar_parity's
+    # greatest/least/pmod/regexp/extract kernels stay sim-checked —
+    # the mask/byte row exercises this round's new dialect surface).
+    "dialect_sql_mask_bytes",
     # TPC-DS patterns.
     "tpcds_q36_margin_rollup_rank",
     "tpcds_q33_manufacturer_union",
