@@ -3006,8 +3006,117 @@ def _rewrite_char_casts(toks: list[Tok]) -> list[Tok]:
                 f"concat({cut}, repeat(' ', "
                 f"greatest({n} - octet_length({cut}), 0)))"
             )
+            # CHAR comparisons are pad-INSENSITIVE (both operands pad to
+            # the longer length before comparing — chars.test
+            # `cs = cast('6a' as CHAR(2))` matches a CHAR(5) column).
+            # When this cast is a direct comparison operand, compare
+            # rtrim'd values on BOTH sides — equivalent to the pad-to-
+            # common-length rule, since CHAR values differ only by
+            # trailing spaces.
+            shift = _wrap_char_comparison(toks, i, close)
+            if shift is not None:
+                repl = f"rtrim({repl})"
+                i += shift
+                close += shift
         else:
             repl = cut
         toks[i : close + 1] = tokenize(repl)
         i += 1
     return toks
+
+
+_COMPARISON_OPS = {"=", "==", "!=", "<>", "<", ">", "<=", ">=", "<=>"}
+
+
+def _simple_term_fwd(toks: list[Tok], start: int) -> int | None:
+    """End index (exclusive) of a simple term starting at `start`: a
+    literal, or a (dotted) identifier chain optionally ending in a call's
+    parenthesized args. None when the shape is more complex."""
+    k = start
+    if k >= len(toks):
+        return None
+    if toks[k].kind in ("str", "num"):
+        return k + 1
+    if toks[k].kind != "word":
+        return None
+    k += 1
+    while True:
+        nxt = _next_code(toks, k)
+        if nxt < len(toks) and toks[nxt].text == ".":
+            after = _next_code(toks, nxt + 1)
+            if after < len(toks) and toks[after].kind == "word":
+                k = after + 1
+                continue
+            return None
+        break
+    nxt = _next_code(toks, k)
+    if nxt < len(toks) and toks[nxt].text == "(":
+        return _matching_paren(toks, nxt) + 1
+    return k
+
+
+def _simple_term_back(toks: list[Tok], end: int) -> int | None:
+    """Start index of a simple term ENDING at `end` (inclusive): a
+    literal, a dotted identifier chain, or a call (close-paren walking
+    back to the function name). None when the shape is more complex."""
+    k = end
+    if k < 0:
+        return None
+    if toks[k].kind in ("str", "num"):
+        return k
+    if toks[k].text == ")" and toks[k].kind == "op":
+        depth = 0
+        while k >= 0:
+            if toks[k].text == ")":
+                depth += 1
+            elif toks[k].text == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0:
+            return None
+        prev = _prev_code(toks, k - 1)
+        if prev >= 0 and toks[prev].kind == "word":
+            return prev
+        return None
+    if toks[k].kind != "word":
+        return None
+    while True:
+        prev = _prev_code(toks, k - 1)
+        if prev >= 0 and toks[prev].text == ".":
+            before = _prev_code(toks, prev - 1)
+            if before >= 0 and toks[before].kind == "word":
+                k = before
+                continue
+            return None
+        break
+    return k
+
+
+def _wrap_char_comparison(toks: list[Tok], i: int, close: int) -> int | None:
+    """If toks[i:close+1] (a CHAR cast) is a direct operand of a
+    comparison, wrap the OPPOSITE simple-term operand in rtrim() and
+    return the index shift the insertions caused for positions at/after
+    `i` (the caller rtrims the cast side). None = not a comparison
+    operand."""
+    nxt = _next_code(toks, close + 1)
+    if nxt < len(toks) and toks[nxt].kind == "op" and toks[nxt].text in _COMPARISON_OPS:
+        start = _next_code(toks, nxt + 1)
+        end = _simple_term_fwd(toks, start)
+        if end is not None:
+            # insertions are past `close`; no shift for the cast span
+            toks.insert(end, Tok("op", ")"))
+            toks.insert(start, Tok("word", "rtrim("))
+        return 0
+    prev = _prev_code(toks, i - 1)
+    if prev >= 0 and toks[prev].kind == "op" and toks[prev].text in _COMPARISON_OPS:
+        opnd_end = _prev_code(toks, prev - 1)
+        opnd_start = _simple_term_back(toks, opnd_end)
+        if opnd_start is not None:
+            # both insertions land BEFORE the cast span: shift by 2
+            toks.insert(opnd_end + 1, Tok("op", ")"))
+            toks.insert(opnd_start, Tok("word", "rtrim("))
+            return 2
+        return 0
+    return None

@@ -219,3 +219,54 @@ def test_drop_stats(spark, sf_dir):
     eng.sql("DROP STATS region")
     assert eng.sql("SHOW TABLE STATS region").collect()[0]["#Rows"] == -1
     eng.sql("DROP INCREMENTAL STATS region")  # no-op when nothing cached
+
+
+def test_char_typed_table_columns(spark, sf_dir, tmp_path):
+    """CHAR(n)-typed table COLUMNS through the SQL surface (reference
+    QueryTest/chars.test): read-side padding, pad-insensitive
+    comparisons against CHAR literals of any length and bare strings,
+    padded GROUP BY keys, and CAST-down-to-CHAR(1) truncation feeding a
+    column-vs-column join — previously a documented untested surface."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    spark.sql("DROP TABLE IF EXISTS chars_t")
+    spark.sql(
+        "CREATE TABLE chars_t (cs CHAR(5), vc VARCHAR(10)) USING parquet "
+        f"LOCATION '{tmp_path}/chars_t'"
+    )
+    try:
+        spark.sql(
+            "INSERT INTO chars_t VALUES ('1aaaa','1cccc'), ('5a','5c'), "
+            "('6a','6c'), ('6a','6c'), (NULL, NULL)"
+        )
+        # read-side padding + full-width length (chars.test rows)
+        rows = eng.sql(
+            "select cs, length(cs) n from chars_t where cs is not null order by cs"
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("1aaaa", 5), ("5a   ", 5), ("6a   ", 5), ("6a   ", 5),
+        ]
+        # pad-insensitive comparisons: shorter CHAR, bare string, longer CHAR
+        for pred in (
+            "cs = cast('6a' as char(2))",
+            "cs = '6a'",
+            "cs = cast('6a' as char(10))",
+        ):
+            assert eng.sql(
+                f"select count(*) n from chars_t where {pred}"
+            ).collect()[0].n == 2
+        # padded group-by keys
+        g = eng.sql(
+            "select cs, count(*) n from chars_t group by cs having count(vc) > 1"
+        ).collect()
+        assert [tuple(r) for r in g] == [("6a   ", 2)]
+        # CAST down to CHAR(1) truncates (dialect char-cast rewrite), so
+        # the column-vs-column first-char join matches like the reference
+        n = eng.sql(
+            "select count(*) n from chars_t a, chars_t b "
+            "where cast(a.cs as char(1)) = cast(b.vc as char(1))"
+        ).collect()[0].n
+        assert n == 6  # '1'x1, '5'x1, '6'x2 by '6'x2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS chars_t")
