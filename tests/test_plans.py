@@ -617,3 +617,27 @@ def test_collection_join_nested_schema_pruning(spark, sf_dir, tmp_path):
     m = re.search(r"ReadSchema: ([^\n]+)", plan)
     assert m, plan
     assert "okey" in m.group(1) and "status" not in m.group(1), m.group(1)
+
+
+def test_incremental_stats_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """COMPUTE INCREMENTAL STATS must not rescan partitions with cached
+    state: the missing-partition predicate has to land in the scan's
+    PartitionFilters (file-index pruning), not in post-scan DataFilters —
+    the property that makes a 100 TB daily-partitioned refresh cost one
+    day's scan."""
+    import re
+
+    root = str(tmp_path)
+    spark.range(200).selectExpr("id", "id % 4 as day").write.partitionBy(
+        "day"
+    ).parquet(f"{root}/t.parquet")
+    # the predicate shape compute_incremental_stats builds for one
+    # missing partition
+    df = spark.read.parquet(f"{root}/t.parquet").where(
+        F.col("day").cast("string") == F.lit("3")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan
+    d = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+    assert d is None or "day" not in d.group(1), plan

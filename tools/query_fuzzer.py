@@ -925,8 +925,33 @@ class DialectGen:
         r = self.rng
         kind = r.choice(
             ["cmp", "ilike", "istrue", "isnotfalse", "ndsf", "between",
-             "in_", "and_or", "c_ops", "ts_cmp"] if depth < 2 else ["cmp"]
+             "in_", "and_or", "c_ops", "ts_cmp", "char_cmp"]
+            if depth < 2 else ["cmp"]
         )
+        if kind == "char_cmp":
+            # round-6 CHAR pad-insensitive comparison: a CHAR(n) cast as a
+            # comparison operand pads/truncates, then compares modulo
+            # trailing spaces (chars.test; _rewrite_char_casts comparison
+            # wrap). DuckDB twin: byte-truncate both sides, rtrim, compare.
+            scs = self._cols(tbl, "str")
+            c = r.choice(scs)
+            n = r.randint(1, 12)
+            m = r.randint(1, 12)
+            side = r.random() < 0.5
+            imp_cast = f"cast({c} as char({n}))"
+            duck_cast = f"rtrim(substr({c}, 1, {n}))"
+            imp_col = f"cast({c} as char({m}))"
+            duck_col = f"rtrim(substr({c}, 1, {m}))"
+            op = r.choice(["=", "!=", "<", ">="])
+            if side:
+                return (
+                    f"{imp_cast} {op} {imp_col}",
+                    f"{duck_cast} {op} {duck_col}",
+                )
+            return (
+                f"{imp_cast} {op} {c}",
+                f"{duck_cast} {op} rtrim({c})",
+            )
         if kind == "ts_cmp":
             ii, id_ = self.ts_int_pair(tbl, depth + 1)
             op = r.choice(["<", ">=", "="])
