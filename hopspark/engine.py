@@ -16,12 +16,13 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from hopspark import catalog
+from hopspark.ddl import AlterTableMixin
 from hopspark.dialect import translate
 from hopspark.functions import register_all
 from hopspark.session import get_spark
 
 
-class Engine:
+class Engine(AlterTableMixin):
     """A bound analytics-engine session: catalog + functions + dialect."""
 
     def __init__(
@@ -230,6 +231,11 @@ class Engine:
         m = self._SHOW_PARTITIONS_RE.match(impala_sql)
         if m:
             return self.show_partitions(m.group(1))
+        up0 = impala_sql.lstrip()[:8].upper()
+        if up0.startswith(("ALTER", "DESCRIBE", "DESC")):
+            out = self.try_alter_or_describe(impala_sql)
+            if out is not None:
+                return out
         m = self._EXPLAIN_RE.match(impala_sql)
         if m:
             # Impala EXPLAIN returns the plan as rows of 'Explain String'
