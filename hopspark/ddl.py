@@ -204,7 +204,59 @@ class AlterTableMixin:
         )
         if m:
             return self._describe(m.group(2), formatted=bool(m.group(1)))
+        m = re.match(
+            r"^\s*COMMENT\s+ON\s+TABLE\s+([\w.]+)\s+IS\s+"
+            r"(?:'((?:[^']|'')*)'|(NULL))\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if m:
+            # COMMENT ON TABLE (AlterTableOrViewSetTblProperties via the
+            # CommentOnTableStmt path) — stored as the HMS 'comment' prop
+            props = self._meta("_tbl_props", m.group(1))
+            if m.group(3):
+                props.pop("comment", None)
+            else:
+                props["comment"] = m.group(2)
+            return self._msg("Updated table.")
+        m = re.match(
+            r"^\s*COMMENT\s+ON\s+COLUMN\s+([\w.]+)\.(\w+)\s+IS\s+"
+            r"(?:'((?:[^']|'')*)'|(NULL))\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if m:
+            table, col, text, null = m.groups()
+            comments = self._meta("_col_comments", table)
+            if null:
+                comments.pop(col.lower(), None)
+            else:
+                comments[col.lower()] = text
+            return self._msg("Column has been altered.")
+        m = re.match(
+            r"^\s*TRUNCATE\s+(?:TABLE\s+)?(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if m:
+            return self._truncate(m.group(2), bool(m.group(1)))
         return None
+
+    def _truncate(self, table: str, if_exists: bool) -> DataFrame:
+        """TRUNCATE TABLE (TruncateStmt, fe/.../analysis/TruncateStmt.java):
+        the reference deletes every data file, leaving schema + zero rows.
+        The temp-view equivalent replaces the view with a LIMIT-0 projection
+        of itself — same schema, no rows, no data touched."""
+        try:
+            df = self.spark.table(table)
+        except Exception:
+            if if_exists:
+                return self._msg("Table does not exist.")
+            raise ValueError(f"Table does not exist: {table}") from None
+        self._replace_view(table, df.limit(0))
+        getattr(self, "_stats", {}).pop(table.lower(), None)
+        getattr(self, "_inc_stats", {}).pop(table.lower(), None)
+        return self._msg("Table has been truncated.")
 
     # -- column DDL -------------------------------------------------------
 

@@ -232,7 +232,7 @@ class Engine(AlterTableMixin):
         if m:
             return self.show_partitions(m.group(1))
         up0 = impala_sql.lstrip()[:8].upper()
-        if up0.startswith(("ALTER", "DESCRIBE", "DESC")):
+        if up0.startswith(("ALTER", "DESCRIBE", "DESC", "COMMENT", "TRUNCATE")):
             out = self.try_alter_or_describe(impala_sql)
             if out is not None:
                 return out

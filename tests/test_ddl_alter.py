@@ -165,3 +165,25 @@ def test_describe_catalog_table(eng):
     rows = _describe(eng, "nation")
     assert rows[0] == ("n_nationkey", "int", "")
     assert [n for n, _, _ in rows] == ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_comment_on_table_and_column(eng):
+    eng.sql("COMMENT ON TABLE t1_alter IS 'the table'")
+    rows = eng.sql("DESCRIBE FORMATTED t1_alter").collect()
+    assert ("comment", "the table") in {
+        (r.type, r.comment) for r in rows if r.name == ""
+    }
+    eng.sql("COMMENT ON COLUMN t1_alter.i IS 'int col'")
+    assert ("i", "int", "int col") in _describe(eng, "t1_alter")
+    eng.sql("COMMENT ON COLUMN t1_alter.i IS NULL")
+    assert ("i", "int", "") in _describe(eng, "t1_alter")
+
+
+def test_truncate_table(eng):
+    eng.sql("TRUNCATE TABLE t1_alter")
+    assert eng.sql("SELECT COUNT(*) AS n FROM t1_alter").collect()[0][0] == 0
+    # schema survives
+    assert [n for n, _, _ in _describe(eng, "t1_alter")] == ["i", "s"]
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("TRUNCATE TABLE no_such_table_xyz")
+    eng.sql("TRUNCATE TABLE IF EXISTS no_such_table_xyz")
