@@ -1722,6 +1722,7 @@ def translate(
     column names that are unambiguously BOOLEAN across registered
     tables, used to type-dispatch ``||`` on bare column operands the way
     the reference's analyzer does."""
+    sql = _rewrite_create_table_ddl(sql)
     toks = tokenize(sql)
     toks = _rewrite_values_rows(toks)
     toks = _rewrite_logical_ops(toks, bool_columns)
@@ -1745,6 +1746,119 @@ def translate(
     toks = _rewrite_null_ordering(toks)
     toks = _rewrite_null_predicates(toks)
     return untokenize(toks)
+
+
+#: Impala STORED AS file format → Spark data-source provider
+#: (grammar sql-parser.cup file_format_val; HdfsFileFormat.java)
+_STORED_AS_MAP = {
+    "parquet": "parquet",
+    "parquetfile": "parquet",
+    "orc": "orc",
+    "avro": "avro",
+    "avrofile": "avro",
+    "textfile": "csv",
+    "jsonfile": "json",
+}
+
+_CREATE_TABLE_HEAD_RE = re.compile(
+    r"^(\s*CREATE\s+)(EXTERNAL\s+)?(TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+)",
+    re.I,
+)
+_STORED_AS_RE = re.compile(r"\bSTORED\s+AS\s+(\w+)", re.I)
+_ROW_FORMAT_RE = re.compile(
+    r"\bROW\s+FORMAT\s+DELIMITED"
+    r"(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<sep>(?:[^']|'')*)')?"
+    r"(?:\s+ESCAPED\s+BY\s+'(?P<esc>(?:[^']|'')*)')?"
+    r"(?:\s+LINES\s+TERMINATED\s+BY\s+'(?P<line>(?:[^']|'')*)')?",
+    re.I,
+)
+_CACHED_RE = re.compile(r"\b(?:CACHED\s+IN\s+'[^']*'(?:\s+WITH\s+REPLICATION\s*=\s*\d+)?|UNCACHED)\b", re.I)
+
+
+def _rewrite_create_table_ddl(sql: str) -> str:
+    """Impala CREATE TABLE storage clauses → Spark data-source DDL
+    (SURVEY §3 entry point C; reference grammar sql-parser.cup
+    create_tbl_stmt, HdfsFileFormat.java): ``CREATE EXTERNAL TABLE`` drops
+    the keyword (Spark infers external from LOCATION), ``STORED AS <fmt>``
+    becomes ``USING <provider>`` placed directly after the column list /
+    table name (Spark requires the provider before other clauses), and
+    ``ROW FORMAT DELIMITED ...`` folds into csv OPTIONS. Text tables keep
+    the reference's default ctrl-A field separator. Statements without any
+    of these clauses pass through untouched (Spark-native DDL stays
+    Spark-native)."""
+    head = _CREATE_TABLE_HEAD_RE.match(sql)
+    if not head:
+        return sql
+    m_stored = _STORED_AS_RE.search(sql)
+    m_rowfmt = _ROW_FORMAT_RE.search(sql)
+    if not (head.group(2) or m_stored or m_rowfmt):
+        return sql
+    fmt = (m_stored.group(1).lower() if m_stored else "textfile")
+    if fmt in ("sequencefile", "rcfile", "kudu", "iceberg"):
+        # Python-DataSource formats (rcfile) can't back catalog-table DDL;
+        # their read/write path is the hopspark.sources API
+        hint = {
+            "sequencefile": "hopspark.sources.io read/write helpers",
+            "rcfile": "spark.read.format('hopspark_rcfile') / sources.rcfile",
+            "kudu": "out of scope (SURVEY §2.1)",
+            "iceberg": "hopspark.sources.iceberg",
+        }[fmt]
+        raise ValueError(
+            f"STORED AS {fmt.upper()} is not available through SQL DDL "
+            f"({hint})"
+        )
+    provider = _STORED_AS_MAP.get(fmt)
+    if provider is None:
+        raise ValueError(f"unsupported file format: {fmt}")
+    opts: list[tuple[str, str]] = []
+    if provider == "csv":
+        sep = esc = line = None
+        if m_rowfmt:
+            sep, esc, line = (
+                m_rowfmt.group("sep"),
+                m_rowfmt.group("esc"),
+                m_rowfmt.group("line"),
+            )
+        opts.append(("sep", sep if sep is not None else "\\u0001"))
+        if esc:
+            opts.append(("escape", esc))
+        if line:
+            opts.append(("lineSep", line))
+    body = sql
+    if m_rowfmt:
+        body = body[: m_rowfmt.start()] + body[m_rowfmt.end():]
+    m_stored2 = _STORED_AS_RE.search(body)
+    if m_stored2:
+        body = body[: m_stored2.start()] + body[m_stored2.end():]
+    body = _CACHED_RE.sub("", body)
+    # insertion point: after the column list's matching close paren when
+    # the header is followed by one, else right after the table name
+    head2 = _CREATE_TABLE_HEAD_RE.match(body)
+    i = head2.end()
+    j = i
+    while j < len(body) and body[j].isspace():
+        j += 1
+    if j < len(body) and body[j] == "(" and not re.match(
+        r"\(\s*SELECT\b", body[j:], re.I
+    ):
+        depth, k = 0, j
+        while k < len(body):
+            if body[k] == "(":
+                depth += 1
+            elif body[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        i = k + 1
+    using = f" USING {provider}"
+    if opts:
+        rendered = ", ".join(f"{k} '{v}'" for k, v in opts)
+        using += f" OPTIONS ({rendered})"
+    out = body[:i] + using + body[i:]
+    if head.group(2):
+        out = _CREATE_TABLE_HEAD_RE.sub(r"\1\3", out, count=1)
+    return out
 
 
 def _rewrite_null_predicates(toks: list[Tok]) -> list[Tok]:

@@ -543,7 +543,12 @@ class Engine(AlterTableMixin):
         COMPUTE STATS ran — the reference's convention), #Files and Size.
         Raises on unpartitioned tables like the reference's
         ShowPartitionsStmt analysis."""
-        parts = self._partition_layout(table)
+        try:
+            parts = self._partition_layout(table)
+        except ValueError:
+            # not an sf_dir-registered table: catalog (warehouse) tables
+            # go through Spark's native SHOW PARTITIONS
+            return self.spark.sql(f"SHOW PARTITIONS {table}")
         if not parts:
             raise ValueError(f"Table is not partitioned: {table}")
         key_cols = [k for k, _ in next(iter(parts))]
