@@ -240,7 +240,92 @@ class AlterTableMixin:
         )
         if m:
             return self._truncate(m.group(2), bool(m.group(1)))
+        m = re.match(
+            r"^\s*LOAD\s+DATA\s+INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?"
+            r"INTO\s+TABLE\s+([\w.]+)\s*"
+            r"(?:PARTITION\s*\(([^)]*)\))?\s*;?\s*$",
+            sql,
+            re.I,
+        )
+        if m:
+            return self._load_data(
+                m.group(1), bool(m.group(2)), m.group(3), m.group(4)
+            )
         return None
+
+    def _load_data(
+        self, src: str, overwrite: bool, table: str, part_spec: str | None
+    ) -> DataFrame:
+        """LOAD DATA INPATH (LoadDataStmt,
+        fe/.../analysis/LoadDataStmt.java:39-44): MOVE the source file or a
+        directory's files into the table's storage directory — a pure
+        file-system metadata operation, zero data read/rewritten (the
+        property that makes bulk ingest O(files) at any scale) — then
+        refresh the table's file listing. OVERWRITE clears existing data
+        files first. PARTITION(...) targets the key=value subdirectory."""
+        import os
+        import shutil
+
+        if not os.path.exists(src):
+            raise ValueError(f"INPATH location does not exist: {src}")
+        dest = self._storage_location(table)
+        if part_spec:
+            for kv in part_spec.split(","):
+                k, v = kv.split("=", 1)
+                dest = os.path.join(
+                    dest, f"{k.strip()}={v.strip().strip(chr(39))}"
+                )
+            os.makedirs(dest, exist_ok=True)
+        if not os.path.isdir(dest):
+            raise ValueError(
+                f"table {table} is not backed by a writable directory: {dest}"
+            )
+        moved = []
+        srcs = (
+            [os.path.join(src, f) for f in sorted(os.listdir(src))
+             if not f.startswith((".", "_"))
+             and os.path.isfile(os.path.join(src, f))]
+            if os.path.isdir(src)
+            else [src]
+        )
+        if overwrite:
+            for f in os.listdir(dest):
+                full = os.path.join(dest, f)
+                if os.path.isfile(full) and not f.startswith((".", "_")):
+                    os.remove(full)
+        for f in srcs:
+            shutil.move(f, os.path.join(dest, os.path.basename(f)))
+            moved.append(f)
+        self.spark.catalog.refreshTable(table)
+        return self._msg(
+            f"Loaded {len(moved)} file(s). Total files in destination "
+            f"location: "
+            + str(
+                len(
+                    [
+                        f
+                        for f in os.listdir(dest)
+                        if not f.startswith((".", "_"))
+                        and os.path.isfile(os.path.join(dest, f))
+                    ]
+                )
+            )
+        )
+
+    def _storage_location(self, table: str) -> str:
+        """A table's data directory: catalog (warehouse / LOCATION) tables
+        via Spark's metadata, sf_dir-registered tables via the engine
+        catalog."""
+        try:
+            rows = self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED {table}"
+            ).collect()
+            for r in rows:
+                if r.col_name == "Location":
+                    return re.sub(r"^file:(//)?", "", r.data_type)
+        except Exception:  # noqa: BLE001 - fall through to engine catalog
+            pass
+        return self._table_root(table)
 
     def _truncate(self, table: str, if_exists: bool) -> DataFrame:
         """TRUNCATE TABLE (TruncateStmt, fe/.../analysis/TruncateStmt.java):

@@ -57,6 +57,11 @@ class Engine(AlterTableMixin):
     # -- query surface ------------------------------------------------------
 
     _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(\S+)\s*;?\s*$", re.I)
+    #: options with engine-side semantics — SET coerces these to bool;
+    #: everything else is stored verbatim (accepted no-ops, query-options.h)
+    _BOOL_OPTIONS = frozenset(
+        {"appx_count_distinct", "utf8_mode", "decimal_v2", "explain_verbose"}
+    )
     _COMPUTE_STATS_RE = re.compile(
         r"^\s*COMPUTE\s+STATS\s+(\w+)\s*;?\s*$", re.I
     )
@@ -105,10 +110,26 @@ class Engine(AlterTableMixin):
         (query-options.h parity); `COMPUTE STATS` / `SHOW TABLE|COLUMN
         STATS` run the stats surface; everything else is translated and
         handed to Catalyst."""
+        m = re.match(r"^\s*SET\s*;?\s*$", impala_sql, re.I)
+        if m:
+            # bare SET lists the session's query options (the reference
+            # prints every option with its current value)
+            rows = [(k, str(v)) for k, v in sorted(self.options.items())]
+            return self.spark.createDataFrame(
+                rows or [("", "")], "option string, value string"
+            ).filter("option <> ''")
         m = self._SET_RE.match(impala_sql)
         if m:
             name, raw = m.group(1).lower(), m.group(2).strip().strip("'\"")
-            self.set_option(name, raw.lower() in ("1", "true", "yes", "on"))
+            if name in self._BOOL_OPTIONS:
+                self.set_option(
+                    name, raw.lower() in ("1", "true", "yes", "on")
+                )
+            else:
+                # non-semantic options (MEM_LIMIT, BATCH_SIZE, …) are
+                # accepted and recorded so reference scripts run unchanged;
+                # they have no Spark-side effect (documented delta)
+                self.options[name] = raw
             return self.spark.sql("SELECT 1 AS ok WHERE false")
         m = self._COMPUTE_INC_STATS_RE.match(impala_sql)
         if m:
@@ -232,7 +253,9 @@ class Engine(AlterTableMixin):
         if m:
             return self.show_partitions(m.group(1))
         up0 = impala_sql.lstrip()[:8].upper()
-        if up0.startswith(("ALTER", "DESCRIBE", "DESC", "COMMENT", "TRUNCATE")):
+        if up0.startswith(
+            ("ALTER", "DESCRIBE", "DESC", "COMMENT", "TRUNCATE", "LOAD")
+        ):
             out = self.try_alter_or_describe(impala_sql)
             if out is not None:
                 return out

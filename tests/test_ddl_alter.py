@@ -187,3 +187,51 @@ def test_truncate_table(eng):
     with pytest.raises(ValueError, match="does not exist"):
         eng.sql("TRUNCATE TABLE no_such_table_xyz")
     eng.sql("TRUNCATE TABLE IF EXISTS no_such_table_xyz")
+
+
+def test_load_data_inpath(eng, tmp_path):
+    eng.sql("DROP TABLE IF EXISTS load_t")
+    eng.sql("CREATE TABLE load_t (i INT) STORED AS PARQUET")
+    try:
+        eng.sql("INSERT INTO load_t VALUES (1)")
+        # stage files by writing the same schema elsewhere, then LOAD them
+        src = str(tmp_path / "stage")
+        eng.spark.range(2, 4).selectExpr("CAST(id AS INT) AS i").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        out = eng.sql(f"LOAD DATA INPATH '{src}' INTO TABLE load_t").collect()
+        assert out[0][0].startswith("Loaded 1 file(s)")
+        vals = sorted(
+            r[0] for r in eng.sql("SELECT i FROM load_t").collect()
+        )
+        assert vals == [1, 2, 3]
+        # source files were MOVED, not copied (LoadDataStmt semantics)
+        import os
+
+        assert not any(f.endswith(".parquet") for f in os.listdir(src))
+        # OVERWRITE replaces the existing files
+        src2 = str(tmp_path / "stage2")
+        eng.spark.range(9, 10).selectExpr("CAST(id AS INT) AS i").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src2)
+        eng.sql(f"LOAD DATA INPATH '{src2}' OVERWRITE INTO TABLE load_t")
+        assert [
+            r[0] for r in eng.sql("SELECT i FROM load_t").collect()
+        ] == [9]
+    finally:
+        eng.sql("DROP TABLE IF EXISTS load_t")
+
+
+def test_load_data_missing_inpath(eng):
+    with pytest.raises(ValueError, match="INPATH location does not exist"):
+        eng.sql("LOAD DATA INPATH '/no/such/dir' INTO TABLE nation")
+
+
+def test_set_accepts_non_boolean_options(eng):
+    eng.sql("SET mem_limit=2g")
+    eng.sql("SET batch_size=1024")
+    eng.sql("SET appx_count_distinct=true")
+    opts = {r.option: r.value for r in eng.sql("SET").collect()}
+    assert opts["mem_limit"] == "2g"
+    assert opts["batch_size"] == "1024"
+    assert opts["appx_count_distinct"] == "True"
