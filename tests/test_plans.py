@@ -641,3 +641,30 @@ def test_incremental_stats_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert m and "day" in m.group(1), plan
     d = re.search(r"DataFilters: \[([^\]]*)\]", plan)
     assert d is None or "day" not in d.group(1), plan
+
+
+def test_altered_view_keeps_pushdown_and_pruning(spark, sf_dir):
+    """ALTER TABLE is a projection re-registration (hopspark/ddl.py) — it
+    must stay transparent to Catalyst: a predicate on an original column
+    still reaches the parquet scan as a PushedFilter, and ReadSchema prunes
+    to the consumed columns only (the NULL-literal added column costs
+    nothing at the scan). At 100 TB this is what makes schema evolution
+    O(metadata)."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.sql("ALTER TABLE orders ADD COLUMNS (note_plan_t STRING)")
+    try:
+        df = eng.sql(
+            "SELECT o_orderkey, note_plan_t FROM orders WHERE o_custkey = 42"
+        )
+        plan = explain_formatted(df)
+        assert "EqualTo(o_custkey,42)" in plan
+        read_schema = next(
+            ln for ln in plan.splitlines() if "ReadSchema" in ln
+        )
+        assert "o_orderkey" in read_schema and "o_custkey" in read_schema
+        assert "o_totalprice" not in read_schema
+    finally:
+        # restore the shared catalog view for other tests
+        eng.refresh(None)
