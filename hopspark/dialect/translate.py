@@ -1725,6 +1725,7 @@ def translate(
     sql = _rewrite_create_table_ddl(sql)
     toks = tokenize(sql)
     toks = _rewrite_values_rows(toks)
+    toks = _rewrite_null_lhs_not_in(toks)
     toks = _rewrite_logical_ops(toks, bool_columns)
     toks = _rewrite_postfix_factorial(toks)
     toks = _rewrite_string_int_casts(toks, string_columns)
@@ -1859,6 +1860,72 @@ def _rewrite_create_table_ddl(sql: str) -> str:
     if head.group(2):
         out = _CREATE_TABLE_HEAD_RE.sub(r"\1\3", out, count=1)
     return out
+
+
+def _rewrite_null_lhs_not_in(toks: list[Tok]) -> list[Tok]:
+    """``NULL NOT IN (<subquery>)`` → ``NOT EXISTS (<subquery>)``.
+
+    The reference plans NOT-IN subqueries as a null-aware anti join
+    (be/src/exec/partitioned-hash-join-node.h NAAJ; planner
+    SubqueryRewriter.java), which returns every probe row when the build
+    side is empty — so ``NULL NOT IN (empty set)`` is TRUE, per the SQL
+    standard.  Catalyst's NullPropagation constant-folds
+    ``In(null, subquery)`` to NULL *before* planning the anti join, so
+    vanilla Spark silently filters every row even when the subquery is
+    empty.  For a literal-NULL LHS the predicate is exactly
+    ``NOT EXISTS (subquery)`` in filter context (TRUE iff the subquery
+    is empty, else NULL≡FALSE under a WHERE/HAVING filter — the only
+    contexts the reference admits IN-subqueries in).  LHS forms
+    recognized: the bare ``NULL`` literal and ``CAST(NULL AS <type>)``.
+    Runtime-null column values are unaffected (Spark's NAAJ handles
+    those correctly, SPARK-32290)."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind != "word" or t.upper != "NOT":
+            i += 1
+            continue
+        in_i = _next_code(toks, i + 1)
+        if in_i >= len(toks) or toks[in_i].upper != "IN":
+            i += 1
+            continue
+        open_i = _next_code(toks, in_i + 1)
+        if open_i >= len(toks) or toks[open_i].text != "(":
+            i += 1
+            continue
+        head = _next_code(toks, open_i + 1)
+        if head >= len(toks) or toks[head].upper not in ("SELECT", "WITH"):
+            i += 1
+            continue
+        # LHS term: bare NULL, or CAST(NULL AS <type>) closing paren
+        p = _prev_code(toks, i - 1)
+        lhs_lo = None
+        if p >= 0 and toks[p].kind == "word" and toks[p].upper == "NULL":
+            # reject IS NULL / dotted paths (x.null impossible, but cheap)
+            pp = _prev_code(toks, p - 1)
+            if pp < 0 or toks[pp].upper not in ("IS", "."):
+                lhs_lo = p
+        elif p >= 0 and toks[p].text == ")":
+            o = _matching_paren_rev(toks, p)
+            if o is not None:
+                c_i = _prev_code(toks, o - 1)
+                arg = _next_code(toks, o + 1)
+                as_i = _next_code(toks, arg + 1) if arg < len(toks) else -1
+                if (
+                    c_i >= 0
+                    and toks[c_i].upper == "CAST"
+                    and arg < len(toks)
+                    and toks[arg].upper == "NULL"
+                    and 0 <= as_i < p
+                    and toks[as_i].upper == "AS"
+                ):
+                    lhs_lo = c_i
+        if lhs_lo is None:
+            i += 1
+            continue
+        toks[lhs_lo:in_i + 1] = tokenize("NOT EXISTS")
+        i = lhs_lo + 1
+    return toks
 
 
 def _rewrite_null_predicates(toks: list[Tok]) -> list[Tok]:

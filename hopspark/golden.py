@@ -85,6 +85,11 @@ def parse_test_file(path: str) -> list[GoldenCase]:
             if cur is None or not section:
                 continue
             if section == "QUERY":
+                # the reference's parser treats full-line `#` comments as
+                # annotations anywhere in a section (test_file_parser.py),
+                # and its corpora use them inside QUERY bodies
+                if line.lstrip().startswith("#"):
+                    continue
                 cur.query += line + "\n"
             elif section == "RESULTS":
                 if line.strip():

@@ -694,3 +694,26 @@ def test_string_int_cast_parse_guard(spark, sf_dir):
         assert n == total > 0
     finally:
         eng.sql("DROP VIEW IF EXISTS numstr")
+
+
+def test_null_lhs_not_in_subquery_is_not_exists():
+    """NULL NOT IN (<subquery>) must behave like the reference's
+    null-aware anti join: TRUE when the subquery is empty (NAAJ returns
+    every probe row on an empty build side), filtered otherwise.
+    Catalyst's NullPropagation folds In(null, subquery) to NULL before
+    planning, so the dialect layer rewrites the literal-NULL-LHS form to
+    NOT EXISTS (exactly equivalent in filter context)."""
+    from hopspark.dialect.translate import translate
+
+    out = translate(
+        "select * from t where null not in (select x from t2 where y > 0)"
+    )
+    assert "NOT EXISTS (select x from t2 where y > 0)" in out
+    out = translate("select * from t where cast(null as int) not in (select x from t2)")
+    assert "NOT EXISTS (select x from t2)" in out
+    # column LHS, literal IN-list, and NOT IN list forms are untouched
+    assert "not in" in translate("select * from t where a not in (select x from t2)")
+    assert "not in" in translate("select * from t where null not in (1, 2)")
+    # IS NOT NULL before an unrelated NOT IN is untouched
+    kept = translate("select * from t where x is not null and y not in (select z from t2)")
+    assert "is not null" in kept and "not in (select z" in kept
