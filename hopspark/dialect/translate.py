@@ -1725,6 +1725,7 @@ def translate(
     sql = _rewrite_create_table_ddl(sql)
     toks = tokenize(sql)
     toks = _rewrite_values_rows(toks)
+    toks = _rewrite_values_aliases(toks)
     toks = _rewrite_null_lhs_not_in(toks)
     toks = _rewrite_logical_ops(toks, bool_columns)
     toks = _rewrite_postfix_factorial(toks)
@@ -2034,6 +2035,94 @@ def _rewrite_values_rows(toks: list[Tok]) -> list[Tok]:
             out.append(t)
             i += 1
     return out
+
+
+#: words that end a VALUES row-tuple list
+_VALUES_STOP = frozenset({"ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT"})
+
+
+def _rewrite_values_aliases(toks: list[Tok]) -> list[Tok]:
+    """Impala names VALUES columns with select-list aliases in the first
+    row — ``values(2 x, 20 y), (3, 30)`` yields columns x, y (grammar
+    sql-parser.cup values_stmt → select_list; ValuesStmt labels from the
+    first row).  Spark has no per-item aliases in VALUES; rewrite the
+    aliased form to ``SELECT * FROM VALUES (2, 20), (3, 30) AS _v(x, y)``
+    (works standalone, as an inline view, and with trailing ORDER
+    BY/LIMIT binding to the wrapping select).  Runs after
+    _rewrite_values_rows, so Impala's one-outer-paren multi-row form is
+    already flattened to ``VALUES (..), (..)``.  VALUES without aliases
+    is untouched."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "word" and t.upper == "VALUES"):
+            i += 1
+            continue
+        # collect the row tuples
+        rows: list[tuple[int, int]] = []
+        j = _next_code(toks, i + 1)
+        while j < len(toks) and toks[j].text == "(":
+            close = _matching_paren(toks, j)
+            head = _next_code(toks, j + 1)
+            if head < close and toks[head].upper in ("SELECT", "WITH", "VALUES"):
+                break  # scalar subquery, not a row tuple
+            rows.append((j, close))
+            nxt = _next_code(toks, close + 1)
+            if nxt < len(toks) and toks[nxt].text == ",":
+                j = _next_code(toks, nxt + 1)
+            else:
+                break
+        if not rows:
+            i += 1
+            continue
+        end = rows[-1][1]
+
+        def _item_alias(a: int, b: int) -> tuple[int, str] | None:
+            """(expr_end_tok, alias_text) if the item ends in an alias."""
+            last = _prev_code(toks, b - 1)
+            first = _next_code(toks, a)
+            if last <= first or toks[last].kind not in ("word", "bquote"):
+                return None
+            if toks[last].kind == "word" and toks[last].upper in _VALUES_STOP:
+                return None
+            pa = _prev_code(toks, last - 1)
+            if toks[pa].kind == "word" and toks[pa].upper == "AS":
+                return (_prev_code(toks, pa - 1), toks[last].text)
+            # `expr alias` — the expression must end in a value-like token
+            if toks[pa].kind in ("num", "str") or toks[pa].text == ")" or (
+                toks[pa].kind in ("word", "bquote")
+                and toks[pa].upper not in ("AND", "OR", "NOT", "IS", "LIKE", "IN")
+            ):
+                return (pa, toks[last].text)
+            return None
+
+        first_items = _split_args(toks, rows[0][0], rows[0][1])
+        aliases = [_item_alias(a, b) for a, b in first_items]
+        if not any(aliases):
+            i = end + 1
+            continue
+        names = [
+            (al[1] if al else f"col{k + 1}") for k, al in enumerate(aliases)
+        ]
+        # rebuild each row with aliases stripped (any row may carry them)
+        row_texts = []
+        for open_i, close_i in rows:
+            parts = []
+            for a, b in _split_args(toks, open_i, close_i):
+                al = _item_alias(a, b)
+                e = al[0] if al else _prev_code(toks, b - 1)
+                parts.append(untokenize(toks[_next_code(toks, a) : e + 1]))
+            row_texts.append("(" + ", ".join(parts) + ")")
+        repl = (
+            "SELECT * FROM VALUES "
+            + ", ".join(row_texts)
+            + " AS _v("
+            + ", ".join(names)
+            + ")"
+        )
+        toks[i : end + 1] = tokenize(repl)
+        i += 1
+    return toks
 
 
 def _rewrite_tablesample(toks: list[Tok]) -> list[Tok]:

@@ -717,3 +717,21 @@ def test_null_lhs_not_in_subquery_is_not_exists():
     # IS NOT NULL before an unrelated NOT IN is untouched
     kept = translate("select * from t where x is not null and y not in (select z from t2)")
     assert "is not null" in kept and "not in (select z" in kept
+
+
+def test_values_first_row_aliases(spark, sf_dir):
+    """Impala names VALUES columns via first-row select-list aliases
+    (sql-parser.cup values_stmt); Spark needs SELECT * FROM VALUES ...
+    AS _v(names). Standalone, inline-view, and AS-alias forms."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    rows = eng.sql("values(2 x, 20 y), (1, 10) order by x").collect()
+    assert [r.asDict() for r in rows] == [
+        {"x": 1, "y": 10},
+        {"x": 2, "y": 20},
+    ]
+    assert eng.sql("select sum(x) s from (values(1 x), (2), (3)) t").collect()[0].s == 6
+    assert eng.sql("values(1 as x, 2 as y)").columns == ["x", "y"]
+    # unaliased VALUES stays on the untouched fast path
+    assert eng.sql("values(1 + 1, 'a')").collect()[0][0] == 2
