@@ -464,7 +464,91 @@ ORDER BY split
 """
 
 
+# --- per-source corpus cap --------------------------------------------------
+
+#: max documents any one source may contribute after capping
+SOURCE_CAP = 15
+
+
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source's contribution at SOURCE_CAP quality-ranked docs —
+    the web-corpus governance step that stops one crawl domain from
+    dominating the training mixture. Rank = longest-first (n_chars DESC,
+    doc_id tiebreak); reports per source how many docs survived, how many
+    were cut, and the source's share of the capped corpus.
+
+    100 TB design: row_number + `rk <= K` compiles to WindowGroupLimit —
+    each scan task keeps only its local top-K per source before the
+    shuffle, so a billion-doc domain ships K rows per task, not its whole
+    partition (same partitioned-top-n contract the reference's analytic
+    TopN limit pushdown provides, be/src/exec/topn-node.h). The share
+    denominator is one broadcastable scalar aggregate; the share itself
+    is a single integer division rounded at 6 — no float summation
+    anywhere."""
+    docs = read_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    kept = (
+        docs.select("source", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= SOURCE_CAP)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = kept.agg(F.sum("n_kept").alias("total_kept"))
+    return (
+        totals.join(kept, "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            F.col("kept_chars").cast("bigint").alias("kept_chars"),
+            F.round(
+                F.col("n_kept").cast("double") / F.col("total_kept").cast("double"),
+                6,
+            ).alias("share_after"),
+        )
+        .orderBy("source")
+    )
+
+
+CURATION_SOURCE_CAP_SQL = f"""
+WITH kept AS (
+  SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars
+  FROM (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM documents
+  ) r WHERE rk <= {SOURCE_CAP}
+  GROUP BY source
+),
+totals AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT t.source,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(k.n_kept AS BIGINT) AS n_kept,
+       CAST(t.n_docs - k.n_kept AS BIGINT) AS n_dropped,
+       CAST(k.kept_chars AS BIGINT) AS kept_chars,
+       ROUND(CAST(k.n_kept AS DOUBLE)
+             / CAST((SELECT SUM(n_kept) FROM kept) AS DOUBLE),
+             6) AS share_after
+FROM totals t JOIN kept k ON t.source = k.source
+ORDER BY t.source
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "curation_source_cap": (curation_source_cap, CURATION_SOURCE_CAP_SQL),
     "text_train_split": (text_train_split, TEXT_TRAIN_SPLIT_SQL),
     "text_pii_redact": (text_pii_redact, TEXT_PII_REDACT_SQL),
     "text_contamination": (text_contamination, TEXT_CONTAMINATION_SQL),

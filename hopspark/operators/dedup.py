@@ -619,7 +619,68 @@ ORDER BY n.doc_id
 """
 
 
+# --- prefix-cluster dedup ---------------------------------------------------
+
+#: tokens of document head that define a prefix cluster
+PREFIX_LEN = 4
+
+
+def dedup_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster documents by their first PREFIX_LEN tokens — the cheap
+    head-prefix heuristic crawl pipelines run before MinHash: template
+    pages, mirrored articles, and boilerplate-led duplicates share an
+    exact head even when tails diverge. Emits the cluster-size histogram
+    plus per-bucket doc count and representative count (min doc_id per
+    cluster is the keeper).
+
+    100 TB design: the prefix key is a scan-side md5 of a bounded slice
+    (no full-text shuffle — only the 16-byte key and doc_id move);
+    clustering is one hash aggregation with map-side partials, and the
+    histogram is a second tiny aggregation over one row per cluster.
+    Unlike MinHash banding there is no candidate explosion: a hot
+    template cluster costs one (key, count) partial per scan task."""
+    docs = read_table(spark, "documents", sf_dir)
+    prefix = F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, PREFIX_LEN), " "
+    )
+    clusters = (
+        docs.select(F.md5(prefix).alias("pkey"), "doc_id")
+        .groupBy("pkey")
+        .agg(
+            F.count(F.lit(1)).alias("csize"),
+            F.min("doc_id").alias("rep_id"),
+        )
+    )
+    return (
+        clusters.groupBy("csize")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("csize").alias("n_docs"),
+            F.min("rep_id").alias("min_rep_id"),
+        )
+        .orderBy("csize")
+    )
+
+
+DEDUP_PREFIX_CLUSTERS_SQL = f"""
+WITH clusters AS (
+  SELECT md5(array_to_string(
+           list_slice(string_split_regex(trim(text), '\\s+'), 1, {PREFIX_LEN}),
+           ' ')) AS pkey,
+         COUNT(*) AS csize,
+         MIN(doc_id) AS rep_id
+  FROM documents GROUP BY 1
+)
+SELECT CAST(csize AS BIGINT) AS csize,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(csize) AS BIGINT) AS n_docs,
+       MIN(rep_id) AS min_rep_id
+FROM clusters GROUP BY csize ORDER BY csize
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "dedup_prefix_clusters": (dedup_prefix_clusters, DEDUP_PREFIX_CLUSTERS_SQL),
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_GROUPS_SQL),
     "dedup_incremental_batch": (
         dedup_incremental_batch,

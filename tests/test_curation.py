@@ -116,3 +116,34 @@ def test_gapfill_fills_missing_hours(spark):
     counts = [r["n_events"] for r in rows]
     assert counts == [1, 0, 0, 1]
     assert rows[1]["avg_value"] is None and rows[2]["avg_value"] is None
+
+
+def test_source_cap_semantics(spark, sf_dir):
+    """No source exceeds SOURCE_CAP kept docs; dropped = docs - kept;
+    shares are kept/total and sum to ~1 over all sources."""
+    from hopspark.operators.curation import SOURCE_CAP, curation_source_cap
+
+    rows = [r.asDict() for r in curation_source_cap(spark, sf_dir).collect()]
+    assert rows, "expected at least one source"
+    total_kept = sum(r["n_kept"] for r in rows)
+    for r in rows:
+        assert r["n_kept"] <= SOURCE_CAP
+        assert r["n_kept"] <= r["n_docs"]
+        assert r["n_dropped"] == r["n_docs"] - r["n_kept"]
+        assert abs(r["share_after"] - r["n_kept"] / total_kept) < 1e-6
+    assert abs(sum(r["share_after"] for r in rows) - 1.0) < 1e-4
+
+
+def test_source_cap_is_partitioned_topn(spark, sf_dir):
+    """The per-source rank filter must compile to WindowGroupLimit so a
+    billion-doc source ships top-K per scan task, not its whole
+    partition (InferWindowGroupLimit; reference topn-node.h)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from hopspark.operators.curation import curation_source_cap
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        curation_source_cap(spark, sf_dir).explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
