@@ -1462,11 +1462,75 @@ class CollectionGen:
         return translate(imp), duck
 
 
+class ValuesGen:
+    """Round-6 dialect surface: Impala VALUES statements — one-outer-paren
+    multi-row form, first-row column aliases (bare and AS), trailing
+    ORDER BY/LIMIT — generated as IMPALA SQL and passed through
+    translate(), differentially checked against DuckDB's
+    (VALUES ...) t(names) spelling."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(9_000_017 * (seed + 1))
+
+    def gen(self) -> tuple[str, str]:
+        from hopspark.dialect import translate
+
+        r = self.rng
+        ncol = r.randint(1, 3)
+        nrow = r.randint(1, 4)
+        names = [f"c{i}" for i in range(ncol)]
+
+        # one type per COLUMN (mixed types per column diverge between
+        # engines' coercion rules and can error in Spark: int vs boolean)
+        coltypes = [r.choice(["int", "str", "bool"]) for _ in range(ncol)]
+
+        def lit(ty: str) -> str:
+            if r.random() < 0.15:
+                return "NULL"
+            if ty == "int":
+                return str(r.randint(-99, 999))
+            if ty == "str":
+                s = r.choice(["a", "bee", "see d", "x''y"])
+                return f"'{s}'"
+            return r.choice(["true", "false"])
+
+        rows = [[lit(t) for t in coltypes] for _ in range(nrow)]
+        # when sorting+limiting, column 0 must be distinct non-null ints —
+        # LIMIT over tied order keys picks engine-dependent rows
+        order = r.random() < 0.7
+        if order:
+            keys = r.sample(range(-99, 999), nrow)
+            for row, k in zip(rows, keys):
+                row[0] = str(k)
+        first = ", ".join(
+            f"{v}{' AS ' if r.random() < 0.5 else ' '}{n}"
+            for v, n in zip(rows[0], names)
+        )
+        rest = ", ".join("(" + ", ".join(row) + ")" for row in rows[1:])
+        body = f"({first})" + (f", {rest}" if rest else "")
+        # Impala's one-outer-paren multi-row spelling half the time
+        imp = (
+            f"values({body})" if (nrow > 1 and r.random() < 0.5)
+            else f"values{body}"
+        )
+        duck_rows = ", ".join("(" + ", ".join(row) + ")" for row in rows)
+        duck = f"SELECT * FROM (VALUES {duck_rows}) t({', '.join(names)})"
+        if order:
+            imp += f" order by {names[0]}"
+            duck += f" ORDER BY {names[0]}"
+        lim = r.randint(1, nrow + 1) if r.random() < 0.4 and order else None
+        if lim is not None:
+            imp += f" limit {lim}"
+            duck += f" LIMIT {lim}"
+        return translate(imp), duck
+
+
 REGION_GENS = {
     "nested": NestedGen,
     "decimal": DecimalGen,
     "subquery": SubqGen,
     "collection": CollectionGen,
+    "values": ValuesGen,
 }
 
 
