@@ -32,6 +32,9 @@ PROBE_QUERIES = [
     "dedup_incremental_batch",
     "text_dup_ngram_fraction",
     "text_bigram_score",
+    # r6 session 2: head-prefix clustering and per-source capping
+    "dedup_prefix_clusters",
+    "curation_source_cap",
     "pack_sequences",
     "pipeline_corpus_stats",
     # fact-table (lineitem/orders) shapes: scan+agg, star join + top-n,
