@@ -113,8 +113,11 @@ CURATED_FIRST = (
     "sim_knn_bruteforce_cosine",
     # Sketches.
     "sketch_theta_grouped",
-    # Text analysis.
-    "text_token_stats",
+    # r6 session-2 rotation: per-source corpus capping (WindowGroupLimit
+    # plan-asserted, kept_chars ranking-dependent) replaces
+    # text_token_stats — text keeps the composed bigram-LM scorer row
+    # below; token_stats stays sim-checked and unit-tested.
+    "curation_source_cap",
     # Curation.
     "pack_sequences",
     "text_contamination",
