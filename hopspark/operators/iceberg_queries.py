@@ -163,8 +163,63 @@ ORDER BY o_orderpriority
 """
 
 
+def iceberg_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN partitioning (spec partition transforms), oracle-checked:
+    write `orders` partitioned by month(o_orderdate) — the transformed
+    month ordinal lives only in the manifests, never as a table column —
+    then scan with a filter on the SOURCE column. The planner pushes the
+    literal through the spec's month transform and prunes every other
+    month's files (asserted); the oracle filters the flat base table by
+    the same month, so a hash match proves transform-pruned planning
+    returns exactly the month's rows. This is the 100 TB partition-
+    pruning contract: predicates on natural columns skip data files
+    without users knowing the partition layout."""
+    import datetime as dt
+
+    from hopspark.sources.iceberg import plan_data_files
+
+    path = _fixture_path(sf_dir, "hidden_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = read_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    write_iceberg_table(
+        orders, path, partition_by=[("o_orderdate", "month")]
+    )
+    probe = dt.date(1995, 3, 1)  # any date in the probed month works
+    pruned = plan_data_files(path, partition_filter={"o_orderdate": probe})
+    alln = plan_data_files(path)
+    assert len(pruned) < len(alln), "hidden-partition pruning dropped no files"
+    scan = read_iceberg(spark, path, partition_filter={"o_orderdate": probe})
+    # the partition tuple prunes to the month; same-month rows with other
+    # days remain by design (hidden partitioning prunes, the residual
+    # predicate refines) — keep the month-level grain for the oracle
+    return (
+        scan.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ICEBERG_HIDDEN_PRUNE_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM orders
+WHERE date_trunc('month', o_orderdate) = DATE '1995-03-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "iceberg_v2_mor_read": (iceberg_v2_mor_read, ICEBERG_V2_MOR_SQL),
+    "iceberg_hidden_partition_prune": (
+        iceberg_hidden_partition_prune, ICEBERG_HIDDEN_PRUNE_SQL),
     "iceberg_time_travel_diff": (iceberg_time_travel_diff, ICEBERG_TT_DIFF_SQL),
     "iceberg_partition_prune_agg": (
         iceberg_partition_prune_agg, ICEBERG_PRUNE_SQL),

@@ -33,10 +33,14 @@ environment, so this module implements the PUBLISHED Iceberg table spec
 
 The avro containers are written/read by the pure-Python codec in
 avro_codec.py (nested record/array/map support). Supported subset:
-format-versions 1 and 2, identity partition transforms, create + append
-snapshots, snapshot time travel, manifest-level identity-partition pruning,
-and v2 merge-on-read row-level deletes (position + equality). Schema
-evolution and hidden partition transforms are out of scope and raise.
+format-versions 1 and 2, the spec's partition transforms (identity,
+bucket[N] with the spec's murmur3_x86_32 over spec-serialized bytes,
+truncate[W], year/month/day/hour), create + append snapshots, snapshot time
+travel, manifest-level partition pruning — including HIDDEN partitioning:
+a filter on the SOURCE column is pushed through the spec's transforms, so
+`{"ts": <literal>}` prunes a day-partitioned table — and v2 merge-on-read
+row-level deletes (position + equality). Schema evolution is out of scope
+and raises.
 
 Delete semantics follow the spec's sequence-number rules:
   - a POSITION delete applies to a data file when
@@ -130,19 +134,209 @@ def _table_schema(md: dict) -> dict:
     return md["schema"]
 
 
-def _partition_avro_type(schema: T.StructType, partition_by: list[str]) -> dict:
-    """Avro record for the manifest `partition` tuple (spec: one field per
-    partition field, field-ids from the spec)."""
-    fields = []
-    for i, name in enumerate(partition_by):
-        sf = schema[name]
-        from hopspark.sources.avro_codec import _spark_type_to_avro
+# --- partition transforms (spec §Partition Transforms) ----------------------
 
+import datetime as _dt
+import re as _re
+
+_TRANSFORM_RE = _re.compile(
+    r"^(identity|year|month|day|hour)$|^(bucket|truncate)\[(\d+)\]$"
+)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_TS = _dt.datetime(1970, 1, 1)
+
+
+def _parse_transform(t: str) -> tuple[str, int | None]:
+    m = _TRANSFORM_RE.match(t)
+    if not m:
+        raise NotImplementedError(f"unsupported partition transform {t!r}")
+    if m.group(1):
+        return m.group(1), None
+    return m.group(2), int(m.group(3))
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 — the hash the spec's bucket[N] transform mandates
+    (spec Appendix B). Returns the SIGNED 32-bit value the spec's test
+    vectors are written in."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h if h < 0x80000000 else h - 0x100000000
+
+
+def _ts_micros(v) -> int:
+    """Epoch-micros of a naive datetime, integer arithmetic only."""
+    d = v - _EPOCH_TS
+    return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+
+def _bucket_bytes(v, dtype: T.DataType) -> bytes:
+    """The spec's single-value serialization for bucket hashing: ints and
+    longs (and date/timestamp ordinals) hash as 8-byte little-endian
+    longs; strings hash their UTF-8 bytes."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(v).to_bytes(8, "little", signed=True)
+    if isinstance(dtype, T.StringType):
+        return v.encode("utf-8")
+    if isinstance(dtype, T.DateType):
+        return (v - _EPOCH_DATE).days.to_bytes(8, "little", signed=True)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return _ts_micros(v).to_bytes(8, "little", signed=True)
+    raise NotImplementedError(f"bucket transform over {dtype}")
+
+
+def transform_value(transform: str, v, dtype: T.DataType):
+    """Apply a partition transform to one Python value (spec semantics:
+    NULL→NULL; truncate is floor-toward -inf on ints, codepoint prefix on
+    strings; date/time transforms count whole units from the 1970 epoch)."""
+    base, n = _parse_transform(transform)
+    if v is None:
+        return None
+    if base == "identity":
+        return v
+    if base == "bucket":
+        return (_murmur3_32(_bucket_bytes(v, dtype)) & 0x7FFFFFFF) % n
+    if base == "truncate":
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(v) - (int(v) % n)  # Python % floors → spec behavior
+        if isinstance(dtype, T.StringType):
+            return v[:n]
+        raise NotImplementedError(f"truncate transform over {dtype}")
+    if isinstance(v, _dt.datetime):
+        date, micros = v.date(), _ts_micros(v)
+    elif isinstance(v, _dt.date):
+        date, micros = v, None
+    else:
+        raise NotImplementedError(f"{base} transform over {dtype}")
+    if base == "year":
+        return date.year - 1970
+    if base == "month":
+        return (date.year - 1970) * 12 + (date.month - 1)
+    if base == "day":
+        return (date - _EPOCH_DATE).days
+    if base == "hour":
+        if micros is None:
+            raise NotImplementedError("hour transform needs a timestamp")
+        return micros // 3_600_000_000
+
+
+def _transform_spark_col(transform: str, col: str, dtype: T.DataType):
+    """The same transform as a Catalyst expression (used to partition the
+    writer's one distributed pass). Every transform except bucket is a
+    built-in expression chain (JVM-side, codegen'd); bucket needs the
+    spec's murmur3_x86_32 over spec-serialized bytes, which no Spark
+    built-in computes (F.hash is murmur3 with different seeding and
+    per-type mixing), so it runs as an Arrow-batched pandas UDF — at
+    production scale you would register Iceberg's own bucket UDF from the
+    iceberg-spark runtime jar instead."""
+    base, n = _parse_transform(transform)
+    c = F.col(col)
+    if base == "identity":
+        return c
+    if base == "truncate":
+        if isinstance(dtype, T.StringType):
+            return F.substring(c, 1, n)
+        return (F.floor(c.cast("long") / n) * n).cast(dtype)
+    if base == "year":
+        return F.year(c.cast("date")) - 1970
+    if base == "month":
+        return (F.year(c.cast("date")) - 1970) * 12 + F.month(c.cast("date")) - 1
+    if base == "day":
+        return F.datediff(c.cast("date"), F.lit("1970-01-01"))
+    if base == "hour":
+        return F.expr(f"unix_micros({col}) div 3600000000")
+    # bucket
+    import pandas as pd
+
+    def _one(v):
+        if v is None:
+            return None
+        if isinstance(v, pd.Timestamp):
+            v = v.to_pydatetime()
+        return (_murmur3_32(_bucket_bytes(v, dtype)) & 0x7FFFFFFF) % n
+
+    def _bucket(s):
+        return s.map(_one).astype("Int32")
+
+    return F.pandas_udf(_bucket, "int")(c)
+
+
+def _normalize_partition_by(
+    partition_by: list, schema: T.StructType
+) -> list[dict]:
+    """Writer input → spec field dicts. Entries are either a bare column
+    name (identity) or a (column, transform) pair with transform in
+    {identity, bucket[N], truncate[W], year, month, day, hour}."""
+    names = [f.name for f in schema.fields]
+    specs = []
+    for i, entry in enumerate(partition_by):
+        col, transform = (entry, "identity") if isinstance(entry, str) else entry
+        _parse_transform(transform)  # validate early
+        base, _n = _parse_transform(transform)
+        field_name = col if base == "identity" else f"{col}_{base}"
+        specs.append(
+            {
+                "name": field_name,
+                "transform": transform,
+                "source-id": names.index(col) + 1,
+                "field-id": 1000 + i,
+            }
+        )
+    return specs
+
+
+def _spec_source_name(spec_field: dict, schema: T.StructType) -> str:
+    return schema.fields[spec_field["source-id"] - 1].name
+
+
+def _partition_avro_type(schema: T.StructType, spec_fields: list[dict]) -> dict:
+    """Avro record for the manifest `partition` tuple (spec: one field per
+    partition field, field-ids from the spec). Result types follow the
+    transform: bucket/year/month/day/hour produce ints; identity/truncate
+    keep the source type."""
+    from hopspark.sources.avro_codec import _spark_type_to_avro
+
+    fields = []
+    for p in spec_fields:
+        src = schema.fields[p["source-id"] - 1]
+        base, _n = _parse_transform(p["transform"])
+        if base in ("bucket", "year", "month", "day", "hour"):
+            avro_t = "int"
+        else:
+            avro_t = _spark_type_to_avro(src.dataType, f"p_{p['name']}")
         fields.append(
             {
-                "name": name,
-                "type": ["null", _spark_type_to_avro(sf.dataType, f"p_{name}")],
-                "field-id": 1000 + i,
+                "name": p["name"],
+                "type": ["null", avro_t],
+                "field-id": p["field-id"],
             }
         )
     return {"type": "record", "name": "r102", "fields": fields}
@@ -360,15 +554,7 @@ def write_iceberg_table(
         if format_version not in (1, 2):
             raise ValueError(f"format-version must be 1 or 2, got {format_version}")
         ice_schema = _spark_to_iceberg_schema(schema)
-        spec_fields = [
-            {
-                "name": c,
-                "transform": "identity",
-                "source-id": [f.name for f in schema.fields].index(c) + 1,
-                "field-id": 1000 + i,
-            }
-            for i, c in enumerate(partition_by)
-        ]
+        spec_fields = _normalize_partition_by(partition_by, schema)
         md = {
             "format-version": format_version,
             "table-uuid": str(uuid.uuid4()),
@@ -389,7 +575,7 @@ def write_iceberg_table(
         version = 0
     elif mode == "append":
         md, version = _load_metadata(path)
-        partition_by = [p["name"] for p in md["partition-spec"]]
+        spec_fields = md["partition-spec"]
     else:
         raise ValueError("mode must be create or append")
     fv = md.get("format-version", 1)
@@ -403,23 +589,31 @@ def write_iceberg_table(
     # duplicated under temp names so Spark's partitionBy consumes the copies
     # as directories while the ORIGINAL columns stay inside the data files,
     # as identity-partitioned Iceberg data files require.
-    if partition_by:
+    if spec_fields:
         staged = df
-        for c in partition_by:
-            staged = staged.withColumn(f"_ice_p_{c}", F.col(c))
+        for p in spec_fields:
+            src = _spec_source_name(p, schema)
+            staged = staged.withColumn(
+                f"_ice_p_{p['name']}",
+                _transform_spark_col(
+                    p["transform"], src, schema[src].dataType
+                ),
+            )
         staged.write.mode("errorifexists").partitionBy(
-            *[f"_ice_p_{c}" for c in partition_by]
+            *[f"_ice_p_{p['name']}" for p in spec_fields]
         ).parquet(snap_dir)
     else:
         df.write.mode("errorifexists").parquet(snap_dir)
 
     # one manifest for the snapshot's added files; per-file partition values
-    # are recovered TYPED from the first row of each file's retained
-    # partition columns (identity invariant: all rows in a file agree) — a
+    # are recovered TYPED by transforming the first row of each file's
+    # retained SOURCE columns (partitionBy on the transformed column
+    # guarantees all rows in a file agree on the transformed value) — a
     # footer + single-row-group read, no string-unescaping of dir names.
-    part_type = _partition_avro_type(schema, partition_by)
+    part_type = _partition_avro_type(schema, spec_fields)
     entry_schema = _manifest_entry_schema(part_type, fv)
     seq = md.get("last-sequence-number", 0) + 1 if fv >= 2 else None
+    src_cols = [_spec_source_name(p, schema) for p in spec_fields]
     entries = []
     n_rows = 0
     import pyarrow.parquet as pq
@@ -428,9 +622,16 @@ def write_iceberg_table(
         pf = pq.ParquetFile(fpath)
         count = pf.metadata.num_rows
         n_rows += count
-        if partition_by and count:
-            first = pf.read_row_group(0, columns=partition_by)
-            pvals = {c: first.column(c)[0].as_py() for c in partition_by}
+        if spec_fields and count:
+            first = pf.read_row_group(0, columns=sorted(set(src_cols)))
+            pvals = {
+                p["name"]: transform_value(
+                    p["transform"],
+                    first.column(src)[0].as_py(),
+                    schema[src].dataType,
+                )
+                for p, src in zip(spec_fields, src_cols)
+            }
         else:
             pvals = {}
         data_file = {
@@ -476,8 +677,7 @@ def _commit_delete_files(
     deletes.write.mode("errorifexists").parquet(out)
 
     schema = _iceberg_to_spark_schema(_table_schema(md))
-    partition_by = [p["name"] for p in md["partition-spec"]]
-    part_type = _partition_avro_type(schema, partition_by)
+    part_type = _partition_avro_type(schema, md["partition-spec"])
     entry_schema = _manifest_entry_schema(part_type, 2)
     seq = md["last-sequence-number"] + 1
 
@@ -591,6 +791,34 @@ def _iter_entries(md: dict, snapshot_id: int | None):
             yield status, entry_seq, data_file
 
 
+def _resolve_partition_filter(md: dict, filt: dict | None) -> dict | None:
+    """Keys of `partition_filter` may be partition FIELD names (values
+    compared as stored) or SOURCE column names (hidden partitioning: the
+    equality literal is pushed through every spec transform derived from
+    that column — `{"ts": date(2020,1,5)}` prunes a day-transformed spec
+    on day ordinal 18266). Equality survives every spec transform, which
+    is exactly the hidden-partitioning contract."""
+    if not filt:
+        return filt
+    spec = md.get("partition-spec") or []
+    field_names = {p["name"] for p in spec}
+    schema = _iceberg_to_spark_schema(_table_schema(md))
+    out = {}
+    for k, v in filt.items():
+        if k in field_names:
+            out[k] = v
+            continue
+        derived = [p for p in spec if _spec_source_name(p, schema) == k]
+        if not derived:
+            out[k] = v  # unknown key: kept (matches nothing in any tuple)
+            continue
+        for p in derived:
+            out[p["name"]] = transform_value(
+                p["transform"], v, schema[k].dataType
+            )
+    return out
+
+
 def plan_data_files(
     path: str,
     snapshot_id: int | None = None,
@@ -598,10 +826,12 @@ def plan_data_files(
 ) -> list[dict]:
     """Manifest-driven scan planning: resolve the snapshot, read its
     manifest list, read each manifest, keep live DATA entries (status != 2
-    DELETED; content == 0), and apply identity-partition pruning — files
-    whose partition tuple contradicts `partition_filter` are never
-    touched."""
+    DELETED; content == 0), and apply partition pruning — files whose
+    partition tuple contradicts `partition_filter` are never touched.
+    Filter keys may be partition field names or source columns (hidden
+    partitioning, see _resolve_partition_filter)."""
     md, _ = _load_metadata(path)
+    partition_filter = _resolve_partition_filter(md, partition_filter)
     files: list[dict] = []
     for status, _seq, data_file in _iter_entries(md, snapshot_id):
         if status == 2:  # DELETED
@@ -627,6 +857,7 @@ def _plan_scan(
     Delete files are never partition-pruned in this subset (they are
     table-global)."""
     md, _ = _load_metadata(path)
+    partition_filter = _resolve_partition_filter(md, partition_filter)
     schema = _iceberg_to_spark_schema(_table_schema(md))
     id_to_name = {f["id"]: f["name"] for f in _table_schema(md)["fields"]}
     data: list[tuple[str, int]] = []

@@ -209,3 +209,119 @@ def test_v2_equality_ids_validated(spark, v2_table):
     path, _, nation = v2_table
     with pytest.raises(ValueError, match="not in table schema"):
         equality_delete_from_iceberg(spark, path, nation, ["nope"])
+
+
+# --- partition transforms (spec §Partition Transforms, Appendix B) ----------
+
+
+def test_transform_spec_vectors():
+    """The published spec's bucket hash test vectors (Appendix B) and the
+    documented truncate/date transform examples."""
+    from pyspark.sql import types as T
+
+    from hopspark.sources.iceberg import _murmur3_32, _bucket_bytes, transform_value
+    import datetime as dt
+
+    # Appendix B hash values
+    assert _murmur3_32(_bucket_bytes(34, T.IntegerType())) == 2017239379
+    assert _murmur3_32(_bucket_bytes(34, T.LongType())) == 2017239379
+    assert _murmur3_32(_bucket_bytes("iceberg", T.StringType())) == 1210000089
+    assert _murmur3_32(_bucket_bytes(dt.date(2017, 11, 16), T.DateType())) == -653330422
+    assert (
+        _murmur3_32(
+            _bucket_bytes(dt.datetime(2017, 11, 16, 22, 31, 8), T.TimestampType())
+        )
+        == -2047944441
+    )
+    # bucket index = (hash & Integer.MAX_VALUE) % N
+    assert transform_value("bucket[16]", 34, T.IntegerType()) == (2017239379 & 0x7FFFFFFF) % 16
+    # truncate floors toward -inf on ints, codepoint prefix on strings
+    assert transform_value("truncate[10]", 1, T.IntegerType()) == 0
+    assert transform_value("truncate[10]", -1, T.IntegerType()) == -10
+    assert transform_value("truncate[3]", "iceberg", T.StringType()) == "ice"
+    # date/time transforms: ordinals from the 1970 epoch
+    assert transform_value("year", dt.date(2017, 11, 16), T.DateType()) == 47
+    assert transform_value("month", dt.date(2017, 11, 16), T.DateType()) == 574
+    assert transform_value("day", dt.date(2017, 11, 16), T.DateType()) == 17486
+    assert (
+        transform_value("hour", dt.datetime(2017, 11, 16, 22, 0), T.TimestampType())
+        == 419686  # 17486 days * 24 + 22
+    )
+    # NULL maps to NULL under every transform
+    assert transform_value("bucket[16]", None, T.IntegerType()) is None
+
+
+def test_hidden_partitioning_roundtrip_and_prune(spark, tmp_path):
+    """Write with bucket[4](o_custkey) + day(o_orderdate) hidden
+    partitioning; a filter on the SOURCE columns must prune files via the
+    transformed manifests and return exactly the matching rows."""
+    import datetime as dt
+
+    from hopspark.sources.iceberg import (
+        plan_data_files,
+        read_iceberg,
+        transform_value,
+        write_iceberg_table,
+    )
+    from pyspark.sql import types as T
+
+    rows = [
+        (i, dt.date(2020, 1, 1 + i % 3), f"c{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "o_custkey int, o_orderdate date, tag string")
+    path = str(tmp_path / "hidden_part")
+    write_iceberg_table(
+        df,
+        path,
+        partition_by=[("o_custkey", "bucket[4]"), ("o_orderdate", "day")],
+        format_version=2,
+    )
+    all_files = plan_data_files(path)
+    probe_date = dt.date(2020, 1, 2)
+    pruned = plan_data_files(path, partition_filter={"o_orderdate": probe_date})
+    assert 0 < len(pruned) < len(all_files)
+    day_ord = transform_value("day", probe_date, T.DateType())
+    assert all(f["partition"]["o_orderdate_day"] == day_ord for f in pruned)
+
+    got = read_iceberg(
+        spark, path, partition_filter={"o_orderdate": probe_date}
+    ).collect()
+    want = [r for r in rows if r[1] == probe_date]
+    assert sorted((r.o_custkey, r.tag) for r in got) == sorted(
+        (i, t) for i, d, t in want
+    )
+    # bucket pruning on the int source column
+    key = 7
+    got2 = read_iceberg(spark, path, partition_filter={"o_custkey": key}).collect()
+    assert {r.o_custkey for r in got2} >= {key}
+    b = transform_value("bucket[4]", key, T.IntegerType())
+    pruned2 = plan_data_files(path, partition_filter={"o_custkey": key})
+    assert all(f["partition"]["o_custkey_bucket"] == b for f in pruned2)
+
+
+def test_hidden_partitioning_append_and_delete(spark, tmp_path):
+    """Append mode re-derives the transform spec from metadata; position
+    deletes commit against a transform-partitioned v2 table."""
+    import datetime as dt
+
+    from hopspark.sources.iceberg import (
+        delete_from_iceberg,
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    rows1 = [(i, dt.date(2021, 6, 1), i * 10) for i in range(10)]
+    rows2 = [(i, dt.date(2021, 6, 2), i * 10) for i in range(10, 20)]
+    schema = "k int, d date, v int"
+    path = str(tmp_path / "hidden_append")
+    write_iceberg_table(
+        spark.createDataFrame(rows1, schema),
+        path,
+        partition_by=[("d", "month")],
+        format_version=2,
+    )
+    write_iceberg_table(spark.createDataFrame(rows2, schema), path, mode="append")
+    assert read_iceberg(spark, path).count() == 20
+    delete_from_iceberg(spark, path, "k < 5")
+    got = sorted(r.k for r in read_iceberg(spark, path).collect())
+    assert got == list(range(5, 20))
