@@ -39,8 +39,15 @@ truncate[W], year/month/day/hour), create + append snapshots, snapshot time
 travel, manifest-level partition pruning — including HIDDEN partitioning:
 a filter on the SOURCE column is pushed through the spec's transforms, so
 `{"ts": <literal>}` prunes a day-partitioned table — and v2 merge-on-read
-row-level deletes (position + equality). Schema evolution is out of scope
-and raises.
+row-level deletes (position + equality), and safe schema evolution (ADD
+COLUMN under a fresh monotone field-id with NULL-filled reads of older
+files; DROP COLUMN by de-selecting — old data files keep the physical
+bytes). Because these parquet files carry no iceberg field-ids, scans
+resolve columns BY NAME — the same fallback the reference applies to
+migrated tables without field-ids (IMPALA iceberg-missing-field-ids
+behavior). Consequence: column RENAME is out of scope (raises), and
+re-adding a previously dropped column name surfaces the old files'
+physical values rather than NULLs.
 
 Delete semantics follow the spec's sequence-number rules:
   - a POSITION delete applies to a data file when
@@ -652,6 +659,64 @@ def write_iceberg_table(
         path, md, version, entries, entry_schema, snapshot_id, n_rows, "append"
     )
     return snapshot_id
+
+
+# --- schema evolution (spec §Schema Evolution: safe add / drop) -------------
+
+
+def add_iceberg_column(path: str, name: str, ice_type: str) -> None:
+    """ADD COLUMN evolution: commit a new current schema with the column
+    appended under a FRESH field-id (last-column-id is monotone — ids are
+    never reused, which is what keeps historical equality-delete
+    equality_ids and manifest field references stable). Data files written
+    before the evolution simply lack the column; the scan applies the
+    current schema explicitly, so Spark's parquet reader fills the missing
+    column with NULL — the spec's read-time contract for added optional
+    columns. `ice_type` is an Iceberg primitive type name (int, long,
+    string, date, ...)."""
+    md, version = _load_metadata(path)
+    cur = _table_schema(md)
+    if any(f["name"] == name for f in cur["fields"]):
+        raise ValueError(f"column {name} already exists")
+    new_id = md["last-column-id"] + 1
+    fields = list(cur["fields"]) + [
+        {"id": new_id, "name": name, "required": False, "type": ice_type}
+    ]
+    md["last-column-id"] = new_id
+    _commit_evolved_schema(md, fields)
+    _commit_metadata(path, md, version + 1)
+
+
+def drop_iceberg_column(path: str, name: str) -> None:
+    """DROP COLUMN evolution: commit a new current schema without the
+    column. Old data files keep the physical column; the explicit-schema
+    scan simply stops selecting it. Partition source columns cannot be
+    dropped (the spec forbids dropping a field a partition spec derives
+    from)."""
+    md, version = _load_metadata(path)
+    cur = _table_schema(md)
+    if not any(f["name"] == name for f in cur["fields"]):
+        raise ValueError(f"no column {name}")
+    schema = _iceberg_to_spark_schema(cur)
+    for p in md.get("partition-spec") or []:
+        if _spec_source_name(p, schema) == name:
+            raise ValueError(
+                f"cannot drop {name}: partition field {p['name']} derives from it"
+            )
+    fields = [f for f in cur["fields"] if f["name"] != name]
+    _commit_evolved_schema(md, fields)
+    _commit_metadata(path, md, version + 1)
+
+
+def _commit_evolved_schema(md: dict, fields: list[dict]) -> None:
+    if "schemas" in md:  # v2: append a schema, advance current-schema-id
+        new_sid = max(s.get("schema-id", 0) for s in md["schemas"]) + 1
+        md["schemas"].append(
+            {"type": "struct", "schema-id": new_sid, "fields": fields}
+        )
+        md["current-schema-id"] = new_sid
+    else:  # v1: replace the single schema
+        md["schema"] = {"type": "struct", "schema-id": 0, "fields": fields}
 
 
 def _require_v2(md: dict, what: str) -> None:

@@ -325,3 +325,42 @@ def test_hidden_partitioning_append_and_delete(spark, tmp_path):
     delete_from_iceberg(spark, path, "k < 5")
     got = sorted(r.k for r in read_iceberg(spark, path).collect())
     assert got == list(range(5, 20))
+
+
+def test_schema_evolution_add_and_drop(spark, tmp_path):
+    """ADD COLUMN: older files read NULL for the new column, newer appends
+    carry values; field-ids stay monotone across evolutions. DROP COLUMN:
+    the column disappears from scans; partition sources refuse to drop."""
+    import pytest as _pytest
+
+    from hopspark.sources.iceberg import (
+        _load_metadata,
+        _table_schema,
+        add_iceberg_column,
+        drop_iceberg_column,
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "evolve")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    write_iceberg_table(df1, path, partition_by=["k"], format_version=2)
+    add_iceberg_column(path, "score", "long")
+    md, _ = _load_metadata(path)
+    ids = [f["id"] for f in _table_schema(md)["fields"]]
+    assert ids == [1, 2, 3] and md["last-column-id"] == 3
+
+    df2 = spark.createDataFrame([(3, "c", 30)], "k int, s string, score long")
+    write_iceberg_table(df2, path, mode="append")
+    got = {r.k: (r.s, r.score) for r in read_iceberg(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+
+    drop_iceberg_column(path, "s")
+    cols = read_iceberg(spark, path).columns
+    assert cols == ["k", "score"]
+    with _pytest.raises(ValueError, match="partition field"):
+        drop_iceberg_column(path, "k")
+    # dropped-then-re-added name gets a FRESH id (no reuse)
+    add_iceberg_column(path, "s", "string")
+    md, _ = _load_metadata(path)
+    assert [f["id"] for f in _table_schema(md)["fields"]] == [1, 3, 4]
