@@ -392,6 +392,63 @@ ORDER BY doc_a
 """
 
 
+# --- Edit-distance verify stage ---------------------------------------------
+
+LEV_PREFIX_CHARS = 96  # cap the O(n*m) DP: compare fixed-length prefixes
+LEV_NEAR_MAX = 24  # near-dup label threshold on the capped prefix
+
+
+def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify stage over deterministic candidate pairs
+    (doc_id vs doc_id+1, the same SQL-checkable pairing as
+    dedup_ngram_jaccard): Levenshtein distance between capped text
+    prefixes, with a near-dup flag.
+
+    This is the *verify* half of a fuzzy-dedup pipeline — candidates come
+    from a cheap generator (MinHash bands, SimHash buckets, prefix
+    clusters), and each surviving pair pays one bounded edit-distance
+    check.  The DP cost is O(LEV_PREFIX_CHARS²) per pair regardless of
+    document length, so the stage scales with the candidate count, never
+    with corpus text size; `levenshtein` is a JVM built-in, so the whole
+    plan stays codegen'd (no Python in the pair loop).  The reference has
+    le_dst/levenshtein as scalar UDFs only
+    (be/src/exprs/string-functions-ir.cc) — users compose the same shape.
+    """
+    docs = read_table(spark, "documents", sf_dir)
+    pre = docs.select(
+        "doc_id", F.substring(F.trim(F.col("text")), 1, LEV_PREFIX_CHARS).alias("pre")
+    )
+    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("pre").alias("pre_a"))
+    b = pre.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pre").alias("pre_b"),
+    )
+    dist = F.levenshtein(F.col("pre_a"), F.col("pre_b"))
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("lev_dist"),
+            (dist <= LEV_NEAR_MAX).cast("int").alias("is_near"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+DEDUP_LEVENSHTEIN_VERIFY_SQL = rf"""
+WITH pre AS (
+  SELECT doc_id, substr(trim(text), 1, {LEV_PREFIX_CHARS}) AS pre FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.pre, b.pre) AS INT) AS lev_dist,
+       CAST(levenshtein(a.pre, b.pre) <= {LEV_NEAR_MAX} AS INT) AS is_near
+FROM pre a JOIN pre b ON b.doc_id = a.doc_id + 1
+ORDER BY doc_a
+"""
+
+
 # --- SimHash near-dedup ----------------------------------------------------
 
 SIMHASH_BITS = 64
@@ -690,5 +747,9 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_candidates": (dedup_minhash_candidates, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_levenshtein_verify": (
+        dedup_levenshtein_verify,
+        DEDUP_LEVENSHTEIN_VERIFY_SQL,
+    ),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
 }

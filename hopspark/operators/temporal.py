@@ -267,8 +267,100 @@ ORDER BY event_type, hour
 """
 
 
+# --- Ordered funnel ----------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase): how many users
+    reach each step, where each step must occur STRICTLY AFTER the previous
+    step's first occurrence (the chained-min semantics every funnel engine
+    uses).
+
+    Spark-first design: instead of the textbook three self-join chain
+    (3 shuffles on user_id, each re-scanning events), the per-user event
+    stream is collected once, time-sorted, and folded with a higher-order
+    `aggregate` whose accumulator is (stage, reached_at) — one shuffle, one
+    scan, pure Catalyst codegen.  Per-user state is bounded by that user's
+    funnel-step events (not total corpus size); for a pathological hot user
+    the chained-min formulation (equivalent, 3 shuffles) is the fallback —
+    which is exactly what the DuckDB oracle runs, making the equivalence
+    machine-checked.  The strict `ts >` guard in the fold makes the result
+    independent of sort tie-breaking between same-timestamp events.
+    """
+    events = read_table(spark, "events", sf_dir)
+    per_user = (
+        events.where(F.col("event_type").isin(*FUNNEL_STEPS))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+            ).alias("evs")
+        )
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("at")
+    )
+
+    def _advance(acc, e):
+        adv = (
+            ((acc["stage"] == 0) & (e["event_type"] == FUNNEL_STEPS[0]))
+            | (
+                (acc["stage"] == 1)
+                & (e["event_type"] == FUNNEL_STEPS[1])
+                & (e["ts"] > acc["at"])
+            )
+            | (
+                (acc["stage"] == 2)
+                & (e["event_type"] == FUNNEL_STEPS[2])
+                & (e["ts"] > acc["at"])
+            )
+        )
+        return F.when(
+            adv,
+            F.struct((acc["stage"] + 1).alias("stage"), e["ts"].alias("at")),
+        ).otherwise(acc)
+
+    staged = per_user.select(
+        F.aggregate(F.col("evs"), init, _advance)["stage"].alias("stage")
+    )
+    funnel = staged.agg(
+        F.count(F.when(F.col("stage") >= 1, 1)).alias("n_view"),
+        F.count(F.when(F.col("stage") >= 2, 1)).alias("n_view_click"),
+        F.count(F.when(F.col("stage") >= 3, 1)).alias("n_full_funnel"),
+    )
+    totals = events.agg(F.countDistinct("user_id").alias("n_users"))
+    return totals.crossJoin(funnel).select(
+        "n_users", "n_view", "n_view_click", "n_full_funnel"
+    )
+
+
+EVENTS_SESSION_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_view_click,
+       (SELECT COUNT(*) FROM s3) AS n_full_funnel
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "temporal_asof_attribution": (asof_join_attribution, ASOF_JOIN_ATTRIBUTION_SQL),
+    "events_session_funnel": (events_session_funnel, EVENTS_SESSION_FUNNEL_SQL),
     "events_hourly_anomalies": (events_hourly_anomalies, EVENTS_HOURLY_ANOMALIES_SQL),
     "temporal_range_join_context": (
         range_join_error_context,

@@ -454,8 +454,68 @@ GROUP BY d.doc_id ORDER BY d.doc_id
 """
 
 
+# --- TF-IDF distinctive terms -------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document most-distinctive terms, TF-IDF style: rank each doc's
+    terms by term frequency descending, document frequency ascending
+    (rarer = more distinctive), term ascending — the float-free ordering
+    equivalent of tf·idf for ranking purposes (idf is monotone-decreasing
+    in df), so the result is bit-exact across engines with no ln() in the
+    compared columns.
+
+    Scale shape: explode → (doc, term) count is a map-side-combinable
+    aggregation; the df table is vocabulary-sized (≪ corpus), and the
+    tf⋈df join shuffles two PRE-AGGREGATED relations on term — never raw
+    token rows.  The per-doc top-k window partitions by doc_id with
+    per-partition state bounded by one doc's vocabulary, and Spark plans
+    it as WindowGroupLimit (rank pushdown) so no doc's full term list
+    survives the shuffle."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, "documents", sf_dir)
+    terms = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "df")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TEXT_TFIDF_TOP_TERMS_SQL = rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
+         ) AS rank
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, rank, term, tf, df FROM ranked
+WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "text_tfidf_top_terms": (text_tfidf_top_terms, TEXT_TFIDF_TOP_TERMS_SQL),
     "text_dup_ngram_fraction": (text_dup_ngram_fraction, TEXT_DUP_NGRAM_SQL),
     "text_bigram_score": (text_bigram_score, TEXT_BIGRAM_SCORE_SQL),
     "text_vocab_coverage": (text_vocab_coverage, TEXT_VOCAB_COVERAGE_SQL),

@@ -104,7 +104,10 @@ def test_fuzz_300_seeds(fuzz_env):
 N_REGION_SEEDS = 300
 
 
-@pytest.mark.parametrize("region", ["nested", "decimal", "subquery", "collection", "values"])
+@pytest.mark.parametrize(
+    "region",
+    ["nested", "decimal", "subquery", "collection", "values", "frames"],
+)
 def test_region_fuzz_300_seeds(fuzz_env, region):
     """Round-5 grammar regions (round-4 verdict item 3): (a) nested types —
     synthesized arrays/maps through explode, zipping unnest, lambdas;

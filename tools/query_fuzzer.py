@@ -1525,12 +1525,94 @@ class ValuesGen:
         return translate(imp), duck
 
 
+class FramesGen:
+    """Round-6 region: explicit window FRAMES — ROWS/RANGE BETWEEN with
+    numeric offsets (including frames ending before the current row and
+    empty frames), UNBOUNDED ends, and IGNORE NULLS value functions
+    (first/last/nth_value).  These are the analytic-fns.test semantics the
+    main grammar's q_window doesn't reach; the two engines spell
+    IGNORE NULLS differently (Spark: after the close paren; DuckDB: inside
+    the argument list), so this is a pair generator over an inline VALUES
+    relation with a unique int order key (total order ⇒ deterministic)."""
+
+    AGGS = ["SUM", "MIN", "MAX", "COUNT"]
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(11_000_083 * (seed + 1))
+
+    def _frame(self) -> str:
+        r = self.rng
+        kind = r.choice(["ROWS", "RANGE"])
+        starts = ["UNBOUNDED PRECEDING", f"{r.randint(0, 4)} PRECEDING",
+                  "CURRENT ROW"]
+        ends = ["CURRENT ROW", f"{r.randint(0, 4)} FOLLOWING",
+                "UNBOUNDED FOLLOWING"]
+        lo = r.choice(starts)
+        hi = r.choice(ends)
+        if kind == "ROWS" and r.random() < 0.3:
+            # frame entirely before the current row — legal and a classic
+            # empty-frame edge (start must not be after end)
+            a, b = sorted([r.randint(1, 4), r.randint(1, 4)], reverse=True)
+            lo, hi = f"{a} PRECEDING", f"{b} PRECEDING"
+        return f"{kind} BETWEEN {lo} AND {hi}"
+
+    def gen(self) -> tuple[str, str]:
+        r = self.rng
+        nrow = r.randint(4, 9)
+        ks = r.sample(range(0, 50), nrow)
+        rows = []
+        for k in ks:
+            g = r.randint(0, 2)
+            v = "NULL" if r.random() < 0.25 else str(r.randint(-20, 99))
+            rows.append(f"({k}, {g}, {v})")
+        rel = f"(VALUES {', '.join(rows)}) t(k, g, v)"
+        part = "PARTITION BY g " if r.random() < 0.6 else ""
+        over_base = f"{part}ORDER BY k"
+
+        spark_exprs, duck_exprs = [], []
+        for i in range(r.randint(1, 3)):
+            frame = self._frame()
+            over = f"({over_base} {frame})"
+            pick = r.random()
+            if pick < 0.45:
+                agg = r.choice(self.AGGS)
+                e = f"{agg}(v) OVER {over} AS c{i}"
+                spark_exprs.append(e)
+                duck_exprs.append(e)
+            elif pick < 0.75:
+                fn = r.choice(["FIRST_VALUE", "LAST_VALUE"])
+                if r.random() < 0.5:
+                    spark_exprs.append(
+                        f"{fn}(v) IGNORE NULLS OVER {over} AS c{i}"
+                    )
+                    duck_exprs.append(
+                        f"{fn}(v IGNORE NULLS) OVER {over} AS c{i}"
+                    )
+                else:
+                    e = f"{fn}(v) OVER {over} AS c{i}"
+                    spark_exprs.append(e)
+                    duck_exprs.append(e)
+            else:
+                n = r.randint(1, 3)
+                e = f"NTH_VALUE(v, {n}) OVER {over} AS c{i}"
+                spark_exprs.append(e)
+                duck_exprs.append(e)
+        sel_s = ", ".join(["k", "g"] + spark_exprs)
+        sel_d = ", ".join(["k", "g"] + duck_exprs)
+        tail = " ORDER BY k"
+        return (
+            f"SELECT {sel_s} FROM {rel}{tail}",
+            f"SELECT {sel_d} FROM {rel}{tail}",
+        )
+
+
 REGION_GENS = {
     "nested": NestedGen,
     "decimal": DecimalGen,
     "subquery": SubqGen,
     "collection": CollectionGen,
     "values": ValuesGen,
+    "frames": FramesGen,
 }
 
 
