@@ -35,6 +35,9 @@ PROBE_QUERIES = [
     # r6 session 2: head-prefix clustering and per-source capping
     "dedup_prefix_clusters",
     "curation_source_cap",
+    # r6 session 3: bounded edit-distance verify and per-doc tf-idf top-k
+    "dedup_levenshtein_verify",
+    "text_tfidf_top_terms",
     "pack_sequences",
     "pipeline_corpus_stats",
     # fact-table (lineitem/orders) shapes: scan+agg, star join + top-n,
