@@ -106,9 +106,13 @@ CURATED_FIRST = (
     # Similarity graph / PageRank.
     "dedup_cc_clusters",
     "graph_pagerank_bipartite",
-    # Temporal.
+    # Temporal. r6 session-3 rotation: the ordered three-step funnel
+    # (sort_array fold with chained-min oracle — a shape no other gate row
+    # exercises) replaces events_cohort_retention, which stays sim-checked;
+    # the cohort family's user-level window semantics remain covered by
+    # window_sessionize above.
     "temporal_asof_attribution",
-    "events_cohort_retention",
+    "events_session_funnel",
     # Similarity search.
     "sim_knn_bruteforce_cosine",
     # Sketches.
