@@ -94,6 +94,11 @@ HEADLINE = [
     "tpcds_q67a_union_grain_topn",
     "avro_roundtrip_agg",
     "dialect_sql_udaf_weighted_avg",
+    # r6 session 3: bounded edit-distance verify, per-doc tf-idf top-k,
+    # ordered funnel fold
+    "dedup_levenshtein_verify",
+    "text_tfidf_top_terms",
+    "events_session_funnel",
     # r6 additions: the two new pipeline operators (anti-join incremental
     # dedup; per-doc duplicate-ngram quality signal)
     "dedup_incremental_batch",

@@ -668,3 +668,20 @@ def test_altered_view_keeps_pushdown_and_pruning(spark, sf_dir):
     finally:
         # restore the shared catalog view for other tests
         eng.refresh(None)
+
+
+def test_tfidf_topk_plans_group_limit_over_preagg(spark, sf_dir):
+    """text_tfidf_top_terms: the per-doc top-k must plan as WindowGroupLimit
+    (rank pushdown), and the tf⋈df join must consume two PRE-AGGREGATED
+    relations — the raw exploded token stream never crosses the join
+    shuffle (the property that survives a 100 TB corpus)."""
+    from hopspark.operators.text import text_tfidf_top_terms
+
+    df = text_tfidf_top_terms(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "WindowGroupLimit" in plan
+    # both join inputs are HashAggregate outputs: the Generate (explode)
+    # feeds aggregation, not the join directly
+    gen_pos = plan.find("Generate")
+    assert gen_pos != -1
+    assert plan.count("HashAggregate") >= 4  # partial+final for tf and df
