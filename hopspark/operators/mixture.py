@@ -270,8 +270,58 @@ FROM exploded GROUP BY source ORDER BY source
 """
 
 
+# --- Temperature-scaled mixture weights ---------------------------------------
+
+MIX_ALPHA = 0.7  # temperature exponent (the multilingual-LM standard)
+MIX_BUDGET = 100_000  # target corpus size the weights allocate
+
+
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source: w_s ∝ n_s^α with
+    α = 0.7 — the standard low-resource-upweighting rule for multilingual /
+    multi-source LM mixtures — plus each source's integer document
+    allocation out of a fixed budget.  The allocation derives from the
+    ALREADY-ROUNDED weight so the floor/round boundary cannot flip on a
+    1-ulp pow() difference between engines.
+
+    Scale shape: one map-side-combinable count per source (tiny result),
+    one single-row total joined back by broadcast — the corpus is scanned
+    once and only (source) rows ever shuffle."""
+    docs = read_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(
+        F.sum(F.pow(F.col("n_docs"), F.lit(MIX_ALPHA))).alias("z")
+    )
+    weight = F.round(F.pow(F.col("n_docs"), F.lit(MIX_ALPHA)) / F.col("z"), 6)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            weight.alias("weight"),
+            F.round(weight * MIX_BUDGET, 0).cast("bigint").alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_TEMPERATURE_SQL = f"""
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+t AS (SELECT SUM(POW(n_docs, {MIX_ALPHA})) AS z FROM c)
+SELECT source, n_docs,
+       ROUND(POW(n_docs, {MIX_ALPHA}) / z, 6) AS weight,
+       CAST(ROUND(ROUND(POW(n_docs, {MIX_ALPHA}) / z, 6) * {MIX_BUDGET}, 0)
+            AS BIGINT) AS alloc
+FROM c, t ORDER BY source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "mixture_stratified_sample": (mixture_stratified_sample, MIXTURE_STRATIFIED_SQL),
+    "mixture_temperature_weights": (
+        mixture_temperature_weights,
+        MIXTURE_TEMPERATURE_SQL,
+    ),
     "mixture_rebalance_uniform": (mixture_rebalance_uniform, MIXTURE_REBALANCE_SQL),
     "mixture_quality_gate": (mixture_quality_gate, MIXTURE_QUALITY_GATE_SQL),
     "mixture_epoch_upsample": (mixture_epoch_upsample, MIXTURE_EPOCH_SQL),

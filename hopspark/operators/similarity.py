@@ -288,8 +288,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- int8 quantization --------------------------------------------------------
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column — the
+    standard 4× storage/bandwidth reduction step before an ANN index build
+    at 100 TB scale.  scale = max |x|; q_i = floor(x_i/scale·127 + 0.5)
+    (half-up spelled as an exact floor, so both engines compute the same
+    integer from the same double — no round() rounding-mode dependence).
+    Everything is scan-side Catalyst array expressions: no shuffle at all
+    except the final presentation sort, and the int8 payload is 4× smaller
+    than the float input at the exchange.  n_clip counts saturated lanes
+    (|q| = 127) — the per-vector quality signal a pipeline monitors."""
+    emb = read_table(spark, "embeddings", sf_dir)
+    da = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(da, F.abs))
+    q = F.transform(da, lambda x: F.floor(x / scale * 127 + 0.5).cast("int"))
+    return (
+        emb.select(
+            "vec_id",
+            F.round(scale, 6).alias("scale"),
+            q.alias("q"),
+            F.size(F.filter(q, lambda v: F.abs(v) == 127)).alias("n_clip"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMB_QUANTIZE_INT8_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) AS scale
+  FROM e
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       list_transform(emb, x -> CAST(FLOOR(x / scale * 127 + 0.5) AS INT)) AS q,
+       CAST(len(list_filter(
+         list_transform(emb, x -> CAST(FLOOR(x / scale * 127 + 0.5) AS INT)),
+         v -> abs(v) = 127)) AS INT) AS n_clip
+FROM s ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sim_knn_bruteforce_cosine": (knn_bruteforce_cosine, KNN_BRUTEFORCE_SQL),
+    "emb_quantize_int8": (emb_quantize_int8, EMB_QUANTIZE_INT8_SQL),
     "sim_embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "sim_ann_lsh_topk": (ann_lsh_topk, None),
     "sim_ann_ivf_topk": (ann_ivf_topk, None),
