@@ -358,9 +358,68 @@ SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
 """
 
 
+# --- Event-transition matrix ---------------------------------------------------
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams:
+    for each (event_type → next event_type) pair, how many consecutive
+    occurrences exist corpus-wide, plus the per-source-state probability
+    (rounded) — the behavioural-model / anomaly-baseline primitive.
+
+    One shuffle on user_id for the lag window (per-task state = one row),
+    then a tiny (|types|² ≤ 25-row) aggregate.  The (ts, event_id) window
+    order is total — event_id is unique — so the successor relation is
+    deterministic even under timestamp ties."""
+    events = read_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (
+        pairs.join(F.broadcast(totals), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_src"), 6).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+EVENTS_MARKOV_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+counted AS (
+  SELECT src, dst, COUNT(*) AS n FROM pairs WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),
+totals AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM counted GROUP BY src)
+SELECT c.src, c.dst, c.n, ROUND(CAST(c.n AS DOUBLE) / t.n_src, 6) AS p
+FROM counted c JOIN totals t ON c.src = t.src
+ORDER BY c.src, c.dst
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "temporal_asof_attribution": (asof_join_attribution, ASOF_JOIN_ATTRIBUTION_SQL),
     "events_session_funnel": (events_session_funnel, EVENTS_SESSION_FUNNEL_SQL),
+    "events_markov_transitions": (
+        events_markov_transitions,
+        EVENTS_MARKOV_TRANSITIONS_SQL,
+    ),
     "events_hourly_anomalies": (events_hourly_anomalies, EVENTS_HOURLY_ANOMALIES_SQL),
     "temporal_range_join_context": (
         range_join_error_context,
