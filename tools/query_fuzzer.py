@@ -325,6 +325,10 @@ class Gen:
                 for i in range(n)
             )
             sql += f" ORDER BY {order} LIMIT {r.randint(1, 40)}"
+            if r.random() < 0.4:
+                # OFFSET (Impala: only valid with ORDER BY ... LIMIT) —
+                # deterministic under the total order above
+                sql += f" OFFSET {r.randint(0, 20)}"
         return sql
 
     def _agg_exprs(self, scope, n):
