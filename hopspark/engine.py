@@ -320,9 +320,14 @@ class Engine(AlterTableMixin):
         return catalog.read_table(self.spark, name, self.sf_dir)
 
     def explain(self, impala_sql: str) -> str:
+        """EXPLAIN output; `SET explain_verbose=true` switches to Spark's
+        extended mode (logical + physical plans) — the analogue of the
+        reference's EXPLAIN_LEVEL=verbose (query-options.h EXPLAIN_LEVEL;
+        higher levels add per-node detail the same way)."""
         df = self.sql(impala_sql)
+        mode = "extended" if self.options.get("explain_verbose") else "formatted"
         return df._jdf.queryExecution().explainString(
-            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
         )
 
     # -- UDF surface (SURVEY.md §2.12: CREATE FUNCTION / SHOW FUNCTIONS;

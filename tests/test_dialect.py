@@ -735,3 +735,20 @@ def test_values_first_row_aliases(spark, sf_dir):
     assert eng.sql("values(1 as x, 2 as y)").columns == ["x", "y"]
     # unaliased VALUES stays on the untouched fast path
     assert eng.sql("values(1 + 1, 'a')").collect()[0][0] == 2
+
+
+def test_explain_verbose_option_switches_mode(spark, sf_dir):
+    from hopspark.engine import Engine
+
+    engine = Engine(spark=spark, sf_dir=sf_dir)
+    """SET explain_verbose toggles EXPLAIN between the formatted physical
+    plan and the extended (logical + physical) rendering — the
+    EXPLAIN_LEVEL analogue (reference query-options.h)."""
+    engine.sql("SET explain_verbose=true")
+    try:
+        verbose = engine.explain("SELECT n_name FROM nation WHERE n_regionkey = 0")
+        assert "Optimized Logical Plan" in verbose
+    finally:
+        engine.sql("SET explain_verbose=false")
+    plain = engine.explain("SELECT n_name FROM nation WHERE n_regionkey = 0")
+    assert "Physical Plan" in plain and "Optimized Logical Plan" not in plain
