@@ -123,7 +123,104 @@ ORDER BY source, lang
 """
 
 
+# --- Full training-mix composition ---------------------------------------------
+
+MIX_ALPHA = 0.7
+MIX_BUDGET = 300
+
+
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE corpus-to-training-mix flow as one declarative plan:
+    quality gate → exact keep-first dedup → per-source temperature
+    allocation (w_s ∝ n_s^0.7 over a fixed budget) → quality-ranked take of
+    each source's allocation → per-source report (candidates, allocation,
+    selected, selected token volume).
+
+    Scale shape: stages 1-2 are `_cleaned` (scan-side expressions + one
+    16-byte-key shuffle); the allocation is a |sources|-row aggregate
+    broadcast back; the ranked take is one rank window per source.  The
+    window's per-task state is a running rank (constant), but — unlike
+    curation_source_cap's constant K, which plans as WindowGroupLimit — a
+    DATA-DEPENDENT allocation cannot be pushed into the sort, so each
+    source pays a full per-partition sort; for a pathologically hot source
+    the two-pass threshold form (compute the alloc-th quality value, then
+    filter scan-side — mixture_quality_gate's shape) is the documented
+    fallback.  Allocation integers derive from 6-decimal-rounded weights
+    so a 1-ulp pow() difference cannot flip them (mixture.py discipline).
+    """
+    cleaned = _cleaned(spark, sf_dir)
+    counts = cleaned.groupBy("source").agg(F.count(F.lit(1)).alias("n_cand"))
+    total = counts.agg(
+        F.sum(F.pow(F.col("n_cand"), F.lit(MIX_ALPHA))).alias("z")
+    )
+    weight = F.round(F.pow(F.col("n_cand"), F.lit(MIX_ALPHA)) / F.col("z"), 6)
+    alloc = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_cand",
+        F.round(weight * MIX_BUDGET, 0).cast("bigint").alias("alloc"),
+    )
+    w = W.partitionBy("source").orderBy(
+        F.desc("distinct_ratio"), F.asc("doc_id")
+    )
+    ranked = cleaned.withColumn("rk", F.row_number().over(w))
+    picked = ranked.join(F.broadcast(alloc), "source").where(
+        F.col("rk") <= F.col("alloc")
+    )
+    return (
+        picked.groupBy("source", "n_cand", "alloc")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").cast("bigint").alias("tok_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_TRAINING_MIX_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, source, lang,
+         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+           / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+           AS distinct_ratio
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= {MIN_TOKENS} AND distinct_ratio >= {MIN_DISTINCT_RATIO}
+),
+cleaned AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+),
+counts AS (SELECT source, COUNT(*) AS n_cand FROM cleaned GROUP BY source),
+tot AS (SELECT SUM(POW(n_cand, {MIX_ALPHA})) AS z FROM counts),
+alloc AS (
+  SELECT source, n_cand,
+         CAST(ROUND(ROUND(POW(n_cand, {MIX_ALPHA}) / z, 6) * {MIX_BUDGET}, 0)
+              AS BIGINT) AS alloc
+  FROM counts, tot
+),
+ranked AS (
+  SELECT c.*, ROW_NUMBER() OVER (
+    PARTITION BY c.source ORDER BY c.distinct_ratio DESC, c.doc_id ASC) AS rk
+  FROM cleaned c
+)
+SELECT r.source, a.n_cand, a.alloc,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(SUM(r.n_tokens) AS BIGINT) AS tok_selected
+FROM ranked r JOIN alloc a ON r.source = a.source
+WHERE r.rk <= a.alloc
+GROUP BY r.source, a.n_cand, a.alloc
+ORDER BY r.source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_CLEAN_SQL),
     "pipeline_corpus_stats": (pipeline_corpus_stats, PIPELINE_STATS_SQL),
+    "pipeline_training_mix": (pipeline_training_mix, PIPELINE_TRAINING_MIX_SQL),
 }
