@@ -99,6 +99,9 @@ HEADLINE = [
     "dedup_levenshtein_verify",
     "text_tfidf_top_terms",
     "events_session_funnel",
+    "events_markov_transitions",
+    "emb_quantize_int8",
+    "pipeline_training_mix",
     # r6 additions: the two new pipeline operators (anti-join incremental
     # dedup; per-doc duplicate-ngram quality signal)
     "dedup_incremental_batch",

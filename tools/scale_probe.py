@@ -38,6 +38,7 @@ PROBE_QUERIES = [
     # r6 session 3: bounded edit-distance verify and per-doc tf-idf top-k
     "dedup_levenshtein_verify",
     "text_tfidf_top_terms",
+    "pipeline_training_mix",
     "pack_sequences",
     "pipeline_corpus_stats",
     # fact-table (lineitem/orders) shapes: scan+agg, star join + top-n,
