@@ -1444,7 +1444,36 @@ def _rewrite_utf8_base(toks: list[Tok], i: int, j: int, base: str) -> str:
             if nargs == 3:
                 toks.insert(close, Tok("op", ", 1"))
             return "instr4"
+    if base in ("substr", "substring"):
+        # character-semantics substr keeps the reference's position
+        # contract (pos = 0 / resolved-past-start → empty — Utf8Substring)
+        close = _matching_paren(toks, j)
+        nargs = len(_split_args(toks, j, close))
+        if nargs in (2, 3):
+            return "charsubstr" if nargs == 2 else "charsubstr3"
     return _FN_RENAME.get(base, base)
+
+
+def _rewrite_char_mode_substr(toks: list[Tok]) -> list[Tok]:
+    """UTF8_MODE=true: substr/substring keep character semantics but still
+    follow the reference's position contract (pos = 0 or a negative pos
+    resolving past the string start → empty — Utf8Substring:98-101, which
+    Spark's clamp-to-start substring violates)."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "word" and t.text.lower() in ("substr", "substring"):
+            j = _next_code(toks, i + 1)
+            if j < len(toks) and toks[j].text == "(":
+                close = _matching_paren(toks, j)
+                nargs = len(_split_args(toks, j, close))
+                if nargs in (2, 3):
+                    toks[i] = Tok(
+                        "word",
+                        "charsubstr" if nargs == 2 else "charsubstr3",
+                    )
+        i += 1
+    return toks
 
 
 def _rewrite_byte_semantics(toks: list[Tok]) -> list[Tok]:
@@ -1498,16 +1527,18 @@ def _rewrite_byte_semantics(toks: list[Tok]) -> list[Tok]:
             close = _matching_paren(toks, j)
             args = _split_args(toks, j, close)
             if len(args) in (2, 3):
-                # substr(s, p[, l]) →
-                #   cast(substring(encode(s, 'utf-8'), p[, l]) AS STRING)
-                # The binary→string cast reinterprets the sliced bytes
-                # without validation — matching the reference, which emits
-                # the raw bytes even when a cut lands mid-character.
-                comma1 = _prev_code(toks, args[1][0] - 1)
-                toks.insert(close, Tok("op", ") AS STRING"))
-                toks.insert(comma1, Tok("op", ", 'utf-8')"))
-                toks.insert(j + 1, Tok("word", "substring(encode("))
-                toks[i] = Tok("word", "cast")
+                # substr(s, p[, l]) → bytesubstr[3](s, p[, l]): a binary
+                # slice decoded back to UTF-8, with the reference's
+                # position contract (pos = 0 or a negative pos resolving
+                # past the string start → empty string — Substring:56-71;
+                # Spark's substring clamps both to the whole prefix). The
+                # binary→string cast inside the kernel reinterprets the
+                # sliced bytes without validation — matching the
+                # reference, which emits raw bytes even when a cut lands
+                # mid-character.
+                toks[i] = Tok(
+                    "word", "bytesubstr" if len(args) == 2 else "bytesubstr3"
+                )
         elif name in ("upper", "ucase", "lower", "lcase"):
             # Byte-mode case mapping is ASCII-only (toupper/tolower over
             # raw bytes; multibyte UTF-8 bytes are >= 0x80 and untouched —
@@ -1739,6 +1770,8 @@ def translate(
     toks = _rewrite_collection_join(toks)
     if not (options and options.get("utf8_mode")):
         toks = _rewrite_byte_semantics(toks)
+    else:
+        toks = _rewrite_char_mode_substr(toks)
     toks = _rewrite_ignore_nulls(toks)
     toks = _rewrite_functions(toks)
     if options and options.get("appx_count_distinct"):

@@ -356,6 +356,41 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN instr(s, sub) = 0 THEN 0 "
         "ELSE octet_length(left(s, instr(s, sub) - 1)) + 1 END",
     ),
+    # -- substr position contract (string-functions-ir.cc Substring:56-71):
+    # pos = 0 → empty string; negative pos resolves to len+pos+1 and a
+    # resolved position ≤ 0 is ALSO empty. Spark's substring clamps both
+    # to the string start (returns the whole prefix) — these kernels pin
+    # the reference contract. byte* slices the UTF-8 byte buffer
+    # (UTF8_MODE off, the default); char* is the character-semantics form
+    # (Utf8Substring:98-101 has the same pos-0/out-of-range contract).
+    "bytesubstr": (
+        "s STRING, p BIGINT",
+        "STRING",
+        "CASE WHEN s IS NULL OR p IS NULL THEN CAST(NULL AS STRING) "
+        "WHEN p = 0 OR (p < 0 AND octet_length(s) + p + 1 <= 0) THEN '' "
+        "ELSE CAST(substring(encode(s, 'utf-8'), p) AS STRING) END",
+    ),
+    "bytesubstr3": (
+        "s STRING, p BIGINT, l BIGINT",
+        "STRING",
+        "CASE WHEN s IS NULL OR p IS NULL OR l IS NULL THEN CAST(NULL AS STRING) "
+        "WHEN p = 0 OR (p < 0 AND octet_length(s) + p + 1 <= 0) THEN '' "
+        "ELSE CAST(substring(encode(s, 'utf-8'), p, l) AS STRING) END",
+    ),
+    "charsubstr": (
+        "s STRING, p BIGINT",
+        "STRING",
+        "CASE WHEN s IS NULL OR p IS NULL THEN CAST(NULL AS STRING) "
+        "WHEN p = 0 OR (p < 0 AND length(s) + p + 1 <= 0) THEN '' "
+        "ELSE substring(s, p) END",
+    ),
+    "charsubstr3": (
+        "s STRING, p BIGINT, l BIGINT",
+        "STRING",
+        "CASE WHEN s IS NULL OR p IS NULL OR l IS NULL THEN CAST(NULL AS STRING) "
+        "WHEN p = 0 OR (p < 0 AND length(s) + p + 1 <= 0) THEN '' "
+        "ELSE substring(s, p, l) END",
+    ),
     "instr4": (
         "s STRING, sub STRING, pos BIGINT, occ BIGINT",
         "INT",
