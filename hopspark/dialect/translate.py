@@ -821,6 +821,19 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 del toks[comma:close]
             i += 1
             continue
+        elif name in ("lpad", "rpad"):
+            # negative target length → NULL (string-functions-ir.cc
+            # Lpad/Rpad:192-225: `len.val < 0` returns null; Spark's
+            # lpad/rpad return '' instead)
+            close = _matching_paren(toks, j)
+            if len(_split_args(toks, j, close)) == 3:
+                toks[i] = Tok("word", f"{name}3")
+        elif name == "split_part":
+            # empty delimiter → the whole string (SplitPart:1374; Spark
+            # returns ''); field 0 still errors in both engines
+            close = _matching_paren(toks, j)
+            if len(_split_args(toks, j, close)) == 3:
+                toks[i] = Tok("word", "split_part3")
         elif name in _FN_RENAME:
             toks[i] = Tok("word", _FN_RENAME[name])
         elif name.endswith("_utf8") and len(name) > 5:

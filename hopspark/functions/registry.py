@@ -384,6 +384,27 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "WHEN p = 0 OR (p < 0 AND length(s) + p + 1 <= 0) THEN '' "
         "ELSE substring(s, p) END",
     ),
+    # -- lpad/rpad negative-length and split_part empty-delimiter contracts
+    # (string-functions-ir.cc Lpad/Rpad:192-225, SplitPart:1363-1374)
+    "lpad3": (
+        "s STRING, n BIGINT, p STRING",
+        "STRING",
+        "CASE WHEN n < 0 THEN CAST(NULL AS STRING) "
+        "ELSE lpad(s, CAST(n AS INT), p) END",
+    ),
+    "rpad3": (
+        "s STRING, n BIGINT, p STRING",
+        "STRING",
+        "CASE WHEN n < 0 THEN CAST(NULL AS STRING) "
+        "ELSE rpad(s, CAST(n AS INT), p) END",
+    ),
+    "split_part3": (
+        "s STRING, d STRING, f BIGINT",
+        "STRING",
+        "CASE WHEN f = 0 THEN split_part(s, d, 0) "
+        "WHEN d = '' THEN s "
+        "ELSE split_part(s, d, CAST(f AS INT)) END",
+    ),
     "charsubstr3": (
         "s STRING, p BIGINT, l BIGINT",
         "STRING",
