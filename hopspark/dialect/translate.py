@@ -821,6 +821,53 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 del toks[comma:close]
             i += 1
             continue
+        elif name == "chr":
+            # out-of-[0,255] → empty string (Chr:1338-1343; Spark wraps
+            # the codepoint mod 256 instead)
+            close = _matching_paren(toks, j)
+            if len(_split_args(toks, j, close)) == 1:
+                toks[i] = Tok("word", "chr1")
+        elif name == "regexp_extract":
+            # group index past the pattern's capture count (or negative) →
+            # empty string (RegexpExtract:976-998; Spark raises
+            # INVALID_PARAMETER_VALUE). Foldable at translate time when
+            # pattern and index are literals — the common form; dynamic
+            # patterns keep Spark's native behavior (documented delta).
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 3:
+                pat_toks = [
+                    tk for tk in toks[args[1][0] : args[1][1]] if _is_code(tk)
+                ]
+                idx_toks = [
+                    tk for tk in toks[args[2][0] : args[2][1]] if _is_code(tk)
+                ]
+                neg = (
+                    len(idx_toks) == 2
+                    and idx_toks[0].text == "-"
+                    and idx_toks[1].kind == "num"
+                )
+                if len(pat_toks) == 1 and pat_toks[0].kind == "str" and (
+                    neg or (len(idx_toks) == 1 and idx_toks[0].kind == "num")
+                ):
+                    try:
+                        idx = -int(idx_toks[1].text) if neg else int(
+                            idx_toks[0].text
+                        )
+                    except ValueError:
+                        idx = None
+                    if idx is not None:
+                        groups = _count_capture_groups(pat_toks[0].text[1:-1])
+                        if idx < 0 or idx > groups:
+                            subj = untokenize(
+                                toks[args[0][0] : args[0][1]]
+                            ).strip()
+                            toks[i : close + 1] = tokenize(
+                                f"CASE WHEN ({subj}) IS NULL "
+                                f"THEN CAST(NULL AS STRING) ELSE '' END"
+                            )
+                            i += 1
+                            continue
         elif name in ("lpad", "rpad"):
             # negative target length → NULL (string-functions-ir.cc
             # Lpad/Rpad:192-225: `len.val < 0` returns null; Spark's
@@ -1465,6 +1512,29 @@ def _rewrite_utf8_base(toks: list[Tok], i: int, j: int, base: str) -> str:
         if nargs in (2, 3):
             return "charsubstr" if nargs == 2 else "charsubstr3"
     return _FN_RENAME.get(base, base)
+
+
+def _count_capture_groups(pattern: str) -> int:
+    """Capturing groups in an RE2/Java-regex pattern literal: unescaped
+    '(' not starting a (?...) construct and not inside a character class."""
+    n = 0
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            if i + 1 >= len(pattern) or pattern[i + 1] != "?":
+                n += 1
+        i += 1
+    return n
 
 
 def _rewrite_char_mode_substr(toks: list[Tok]) -> list[Tok]:

@@ -384,6 +384,17 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "WHEN p = 0 OR (p < 0 AND length(s) + p + 1 <= 0) THEN '' "
         "ELSE substring(s, p) END",
     ),
+    # -- chr range contract (string-functions-ir.cc Chr:1338-1343): values
+    # outside [0, 255] return the EMPTY string — Spark's chr wraps mod 256.
+    # (128-255 render as the Unicode codepoint's UTF-8 bytes where the
+    # reference emits the raw single byte — the same documented
+    # invalid-UTF-8 delta as mid-character substr cuts.)
+    "chr1": (
+        "n BIGINT",
+        "STRING",
+        "CASE WHEN n IS NULL THEN CAST(NULL AS STRING) "
+        "WHEN n < 0 OR n > 255 THEN '' ELSE chr(n) END",
+    ),
     # -- lpad/rpad negative-length and split_part empty-delimiter contracts
     # (string-functions-ir.cc Lpad/Rpad:192-225, SplitPart:1363-1374)
     "lpad3": (
