@@ -1514,6 +1514,67 @@ def _rewrite_utf8_base(toks: list[Tok], i: int, j: int, base: str) -> str:
     return _FN_RENAME.get(base, base)
 
 
+def _rewrite_datetime_type_contracts(toks: list[Tok]) -> list[Tok]:
+    """Reference return-type contracts for three datetime functions
+    (impala_functions.py:125-126,139): to_date(ts) returns STRING
+    'yyyy-MM-dd' (Spark: DATE); next_day/last_day return TIMESTAMP —
+    next_day preserving the time of day (NextDay:560-585), last_day at
+    midnight (LastDay:587-596) — where Spark's natives demote to DATE.
+    Runs FIRST in the pipeline so it only sees user-written calls, never
+    the to_date/last_day tokens later rewrites emit internally."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind != "word":
+            i += 1
+            continue
+        name = t.text.lower()
+        if name not in ("to_date", "next_day", "last_day"):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].text != "(":
+            i += 1
+            continue
+        close = _matching_paren(toks, j)
+        args = _split_args(toks, j, close)
+        nargs = len(args)
+        if name == "to_date" and nargs == 1:
+            toks[i] = Tok("word", "date_format")
+            toks.insert(close, Tok("op", ", 'yyyy-MM-dd'"))
+        elif name == "next_day" and nargs == 2 and not _is_date_typed(
+            toks, args[0]
+        ):
+            toks[i] = Tok("word", "next_day2")
+        elif name == "last_day" and nargs == 1 and not _is_date_typed(
+            toks, args[0]
+        ):
+            toks[i] = Tok("word", "last_day1")
+        i += 1
+    return toks
+
+
+def _is_date_typed(toks: list[Tok], arg: tuple[int, int]) -> bool:
+    """Statically-provable DATE argument: a DATE '...' literal or a
+    top-level CAST(... AS DATE). The reference's DATE overloads of
+    next_day/last_day return DATE (impala_functions.py:273-274), so those
+    calls keep Spark's native DATE-returning form; everything else is
+    treated as the TIMESTAMP overload."""
+    code = [k for k in range(arg[0], arg[1]) if _is_code(toks[k])]
+    if not code:
+        return False
+    first = toks[code[0]]
+    if first.kind == "word" and first.upper == "DATE":
+        return len(code) == 2 and toks[code[1]].kind == "str"
+    if first.kind == "word" and first.upper == "CAST" and len(code) >= 2:
+        if toks[code[1]].text == "(" and _matching_paren(
+            toks, code[1]
+        ) == code[-1]:
+            ty = toks[code[-2]]
+            return ty.kind == "word" and ty.upper == "DATE"
+    return False
+
+
 def _count_capture_groups(pattern: str) -> int:
     """Capturing groups in an RE2/Java-regex pattern literal: unescaped
     '(' not starting a (?...) construct and not inside a character class."""
@@ -1844,6 +1905,7 @@ def translate(
     toks = _rewrite_logical_ops(toks, bool_columns)
     toks = _rewrite_postfix_factorial(toks)
     toks = _rewrite_string_int_casts(toks, string_columns)
+    toks = _rewrite_datetime_type_contracts(toks)
     toks = _rewrite_char_casts(toks)
     toks = _rewrite_tablesample(toks)
     toks = _rewrite_hints(toks)

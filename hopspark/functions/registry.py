@@ -384,6 +384,23 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "WHEN p = 0 OR (p < 0 AND length(s) + p + 1 <= 0) THEN '' "
         "ELSE substring(s, p) END",
     ),
+    # -- TIMESTAMP-preserving next_day/last_day (timestamp-functions-ir.cc
+    # NextDay:560-585 adds whole days to the full timestamp, keeping the
+    # time of day; LastDay:587-596 returns end-of-month at midnight — both
+    # TIMESTAMP where Spark's natives demote to DATE). DATE arguments
+    # implicitly widen to TIMESTAMP here (documented delta vs the
+    # reference's DATE overloads, which return DATE).
+    "next_day2": (
+        "t TIMESTAMP, d STRING",
+        "TIMESTAMP",
+        "CAST(next_day(CAST(t AS DATE), d) AS TIMESTAMP)"
+        " + (t - CAST(CAST(t AS DATE) AS TIMESTAMP))",
+    ),
+    "last_day1": (
+        "t TIMESTAMP",
+        "TIMESTAMP",
+        "CAST(last_day(CAST(t AS DATE)) AS TIMESTAMP)",
+    ),
     # -- chr range contract (string-functions-ir.cc Chr:1338-1343): values
     # outside [0, 255] return the EMPTY string — Spark's chr wraps mod 256.
     # (128-255 render as the Unicode codepoint's UTF-8 bytes where the

@@ -142,7 +142,9 @@ def test_datetime_functions(spark):
     assert _one(spark, "date_trunc('month', timestamp'2020-06-15 10:30:00')") == dt.datetime(
         2020, 6, 1
     )
-    assert _one(spark, "last_day(timestamp'2020-02-10')") == dt.date(2020, 2, 29)
+    assert _one(spark, "last_day(timestamp'2020-02-10')") == dt.datetime(
+        2020, 2, 29, 0, 0
+    )  # TIMESTAMP overload returns TIMESTAMP at midnight (LastDay:587-596)
     assert _one(spark, "months_between(timestamp'2020-03-01', timestamp'2020-01-01')") == 2.0
     # type-preserving + keep-last-day month contract (AddMonths,
     # timestamp-functions-ir.cc:619-647)
