@@ -687,6 +687,39 @@ if __name__ == "__main__":
 _DIALECT_TABLES = ["region", "nation", "customer", "supplier", "part", "orders"]
 
 
+def _ref_substr(s: str, p: int, l: int = 2**31 - 1) -> str:
+    """Reference Substring contract (string-functions-ir.cc:56-71):
+    1-indexed; pos 0 or a negative pos resolving past the start → ''."""
+    n = len(s)
+    fp = p if p >= 0 else n + p + 1
+    fl = min(l, n - fp + 1)
+    if fp > 0 and fp <= n and fl > 0:
+        return s[fp - 1 : fp - 1 + fl]
+    return ""
+
+
+def _ref_pad(s: str, n: int, p: str, left: bool) -> str | None:
+    """Reference Lpad/Rpad contract (:192-225): n < 0 → NULL; n ≤ len or
+    empty pad → truncate to n; else pad to exactly n."""
+    if n < 0:
+        return None
+    if n <= len(s) or p == "":
+        return s[:n]
+    fill = (p * n)[: n - len(s)]
+    return (fill + s) if left else (s + fill)
+
+
+def _ref_split_part(s: str, d: str, f: int) -> str:
+    """Reference SplitPart contract (:1363-1401): empty delim → whole
+    string; 1-indexed, negative counts from the end; out of range → ''."""
+    assert f != 0
+    if d == "":
+        return s
+    parts = s.split(d)
+    idx = f - 1 if f > 0 else len(parts) + f
+    return parts[idx] if 0 <= idx < len(parts) else ""
+
+
 class DialectGen:
     """One seeded random Impala-dialect query + its DuckDB twin."""
 
@@ -761,9 +794,49 @@ class DialectGen:
         kind = r.choice(
             ["col", "decode", "nvl", "strleft", "strright", "case_up",
              "fmt", "fmt_y", "fmt_vchar", "fmt_char",
-             "flexparse", "flexparse_rr", "flexparse_fill"]
+             "flexparse", "flexparse_rr", "flexparse_fill",
+             "substr_pos", "pad_len", "split_part", "chr_edge"]
             if depth < 2 else ["col"]
         )
+        if kind in ("substr_pos", "pad_len", "split_part", "chr_edge"):
+            # session-3 position/return contracts, differentially checked
+            # against a THIRD implementation (the _ref_* Python twins of
+            # the reference kernels) — the expected value is computed here
+            # and emitted as a literal on the DuckDB side.
+            if kind == "substr_pos":
+                s = "".join(r.choice("abcdeXY z") for _ in range(r.randint(0, 8)))
+                p = r.randint(-len(s) - 2, len(s) + 2)
+                if r.random() < 0.5:
+                    l = r.randint(0, len(s) + 2)
+                    exp = _ref_substr(s, p, l)
+                    return f"substr('{s}', {p}, {l})", f"'{exp}'"
+                exp = _ref_substr(s, p)
+                return f"substr('{s}', {p})", f"'{exp}'"
+            if kind == "pad_len":
+                s = "".join(r.choice("abcd") for _ in range(r.randint(0, 5)))
+                n = r.randint(-3, 9)
+                p = r.choice(["", "x", "yz"])
+                left = r.random() < 0.5
+                exp = _ref_pad(s, n, p, left)
+                fn = "lpad" if left else "rpad"
+                duck = "CAST(NULL AS VARCHAR)" if exp is None else f"'{exp}'"
+                return f"{fn}('{s}', {n}, '{p}')", duck
+            if kind == "split_part":
+                nparts = r.randint(1, 4)
+                d = r.choice([",", "::", ""])
+                s = (d or ",").join(
+                    "".join(r.choice("abc") for _ in range(r.randint(0, 3)))
+                    for _ in range(nparts)
+                ) if d else "".join(r.choice("abc,") for _ in range(5))
+                f = r.choice([x for x in range(-nparts - 1, nparts + 2) if x])
+                exp = _ref_split_part(s, d, f)
+                return f"split_part('{s}', '{d}', {f})", f"'{exp}'"
+            # chr_edge: printable-ASCII identity plus the out-of-range rule
+            n = r.choice([r.randint(-9, -1), r.randint(32, 126),
+                          r.randint(256, 400)])
+            exp = chr(n) if 32 <= n <= 126 else ""
+            exp_sql = "''" if exp == "" else f"'{exp}'" if exp != "'" else "''''"
+            return f"chr({n})", exp_sql
         if kind.startswith("flexparse"):
             # round-6 flexible FORMAT parse: separator interchangeability
             # and short-year filling (datetime-iso-sql-format-parser.cc);
