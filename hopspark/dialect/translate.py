@@ -1554,6 +1554,82 @@ def _rewrite_datetime_type_contracts(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+def _rewrite_timestamp_avg(
+    toks: list[Tok], timestamp_columns: frozenset[str] | None
+) -> list[Tok]:
+    """avg(TIMESTAMP) returns TIMESTAMP in the reference (BuiltinsDb.java:
+    1359, aggregate-functions-ir.cc TimestampAvg*) — Spark's non-ANSI mode
+    silently implicit-casts to DOUBLE epoch seconds instead.  Rewrite
+    avg(x) → timestamp_micros(CAST(avg(unix_micros(x)) AS BIGINT)) when x
+    is provably TIMESTAMP: a timestamp literal, CAST(... AS TIMESTAMP), or
+    a (possibly dotted) column whose name is unambiguously TIMESTAMP in
+    the caller's catalog (same knowledge channel as bool_columns).  The
+    window form avg(ts) OVER (...) wraps the whole windowed expression."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "word" and t.text.lower() == "avg"):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].text != "(":
+            i += 1
+            continue
+        close = _matching_paren(toks, j)
+        args = _split_args(toks, j, close)
+        if len(args) != 1 or not _is_timestamp_typed(
+            toks, args[0], timestamp_columns
+        ):
+            i += 1
+            continue
+        x = untokenize(toks[args[0][0] : args[0][1]]).strip()
+        wrap_end = close
+        after = _next_code(toks, close + 1)
+        if (
+            after < len(toks)
+            and toks[after].kind == "word"
+            and toks[after].upper == "OVER"
+        ):
+            op = _next_code(toks, after + 1)
+            if op < len(toks) and toks[op].text == "(":
+                wrap_end = _matching_paren(toks, op)
+        over = untokenize(toks[close + 1 : wrap_end + 1])
+        toks[i : wrap_end + 1] = tokenize(
+            f"timestamp_micros(CAST(avg(unix_micros({x})){over} AS BIGINT))"
+        )
+        i += 1
+    return toks
+
+
+def _is_timestamp_typed(
+    toks: list[Tok],
+    arg: tuple[int, int],
+    timestamp_columns: frozenset[str] | None,
+) -> bool:
+    code = [k for k in range(arg[0], arg[1]) if _is_code(toks[k])]
+    if not code:
+        return False
+    first = toks[code[0]]
+    if first.kind == "word" and first.upper == "TIMESTAMP":
+        return len(code) == 2 and toks[code[1]].kind == "str"
+    if first.kind == "word" and first.upper == "CAST" and len(code) >= 2:
+        if toks[code[1]].text == "(" and _matching_paren(
+            toks, code[1]
+        ) == code[-1]:
+            ty = toks[code[-2]]
+            return ty.kind == "word" and ty.upper == "TIMESTAMP"
+    if timestamp_columns and first.kind == "word":
+        # bare or dotted identifier chain: every token a word or '.'
+        if all(
+            toks[k].kind == "word" or toks[k].text == "." for k in code
+        ):
+            leaf = toks[code[-1]]
+            return (
+                leaf.kind == "word" and leaf.text.lower() in timestamp_columns
+            )
+    return False
+
+
 def _is_date_typed(toks: list[Tok], arg: tuple[int, int]) -> bool:
     """Statically-provable DATE argument: a DATE '...' literal or a
     top-level CAST(... AS DATE). The reference's DATE overloads of
@@ -1887,6 +1963,7 @@ def translate(
     options: dict[str, bool] | None = None,
     bool_columns: frozenset[str] | None = None,
     string_columns: frozenset[str] | None = None,
+    timestamp_columns: frozenset[str] | None = None,
 ) -> str:
     """Rewrite an Impala-dialect SQL string into Spark-SQL.
 
@@ -1906,6 +1983,7 @@ def translate(
     toks = _rewrite_postfix_factorial(toks)
     toks = _rewrite_string_int_casts(toks, string_columns)
     toks = _rewrite_datetime_type_contracts(toks)
+    toks = _rewrite_timestamp_avg(toks, timestamp_columns)
     toks = _rewrite_char_casts(toks)
     toks = _rewrite_tablesample(toks)
     toks = _rewrite_hints(toks)

@@ -48,7 +48,7 @@ class Engine(AlterTableMixin):
         # dispatches (|| on bare boolean columns; string->int cast
         # parse guards); invalidated on view DDL
         self._schema_cols_cache: (
-            tuple[frozenset[str], frozenset[str]] | None
+            tuple[frozenset[str], frozenset[str], frozenset[str]] | None
         ) = None
         register_all(self.spark)
         if register_tables:
@@ -181,12 +181,13 @@ class Engine(AlterTableMixin):
                 # (fe CreateViewStmt analysis) — plain CREATE must not
                 # silently replace.
                 raise ValueError(f"view already exists: {name}")
-            _b, _s = self._schema_columns_for(body)
+            _b, _s, _t = self._schema_columns_for(body)
             translated = translate(
                 body,
                 options=self.options,
                 bool_columns=_b,
                 string_columns=_s,
+                timestamp_columns=_t,
             )
             if col_list:
                 cols = [c.strip() for c in col_list.strip("()").split(",")]
@@ -268,19 +269,22 @@ class Engine(AlterTableMixin):
             return self.spark.createDataFrame(
                 [(ln,) for ln in lines], "`Explain String` string"
             )
-        bools, strs = self._schema_columns_for(impala_sql)
+        bools, strs, tss = self._schema_columns_for(impala_sql)
         return self.spark.sql(
             translate(
                 impala_sql,
                 options=self.options,
                 bool_columns=bools,
                 string_columns=strs,
+                timestamp_columns=tss,
             )
         )
 
     def _schema_columns_for(
         self, impala_sql: str
-    ) -> tuple[frozenset[str] | None, frozenset[str] | None]:
+    ) -> tuple[
+        frozenset[str] | None, frozenset[str] | None, frozenset[str] | None
+    ]:
         """Catalog knowledge for the translator's type dispatches: the
         set of unambiguously-BOOLEAN column names (`||` → OR, the
         analyzer's CompoundVerticalBarExpr dispatch) and of
@@ -290,9 +294,9 @@ class Engine(AlterTableMixin):
         across tables are excluded (ambiguous, like the analyzer's
         unresolved-column path)."""
         up = impala_sql.upper()
-        need = "||" in impala_sql or "CAST" in up
+        need = "||" in impala_sql or "CAST" in up or "AVG" in up
         if not need:
-            return None, None
+            return None, None, None
         if self._schema_cols_cache is None:
             seen: dict[str, set[str]] = {}
             for t in self.spark.catalog.listTables():
@@ -309,6 +313,9 @@ class Engine(AlterTableMixin):
                     n for n, ts in seen.items() if ts == {"boolean"}
                 ),
                 frozenset(n for n, ts in seen.items() if ts == {"string"}),
+                frozenset(
+                    n for n, ts in seen.items() if ts == {"timestamp"}
+                ),
             )
         return self._schema_cols_cache
 

@@ -752,3 +752,28 @@ def test_explain_verbose_option_switches_mode(spark, sf_dir):
         engine.sql("SET explain_verbose=false")
     plain = engine.explain("SELECT n_name FROM nation WHERE n_regionkey = 0")
     assert "Physical Plan" in plain and "Optimized Logical Plan" not in plain
+
+
+def test_avg_timestamp_returns_timestamp(spark, sf_dir):
+    """avg(TIMESTAMP) -> TIMESTAMP (BuiltinsDb.java:1359, TimestampAvg*);
+    Spark non-ANSI would silently implicit-cast to DOUBLE epoch seconds.
+    Covers the literal, catalog-column, dotted, and window forms."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    assert eng.sql("select avg(ts) a from events").dtypes == [("a", "timestamp")]
+    assert eng.sql("select avg(e.ts) a from events e").dtypes == [
+        ("a", "timestamp")
+    ]
+    r = eng.sql(
+        "select avg(cast('2024-01-01' as timestamp)) a"
+    ).collect()[0].a
+    import datetime as dt
+
+    assert r == dt.datetime(2024, 1, 1)
+    win = eng.sql(
+        "select avg(ts) over (partition by event_type) a from events limit 1"
+    )
+    assert win.dtypes == [("a", "timestamp")]
+    # numeric avg is untouched
+    assert eng.sql("select avg(value) a from events").dtypes == [("a", "double")]
