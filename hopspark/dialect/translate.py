@@ -1606,28 +1606,76 @@ def _is_timestamp_typed(
     arg: tuple[int, int],
     timestamp_columns: frozenset[str] | None,
 ) -> bool:
+    return _arg_provably_typed(toks, arg, ("TIMESTAMP",), timestamp_columns)
+
+
+def _arg_provably_typed(
+    toks: list[Tok],
+    arg: tuple[int, int],
+    type_names: tuple[str, ...],
+    columns: frozenset[str] | None,
+) -> bool:
+    """True when the argument span is PROVABLY one of `type_names`: a
+    typed literal (`TIMESTAMP '...'`), a top-level CAST to the type, or a
+    bare/dotted column whose leaf name is in the caller's catalog set."""
     code = [k for k in range(arg[0], arg[1]) if _is_code(toks[k])]
     if not code:
         return False
     first = toks[code[0]]
-    if first.kind == "word" and first.upper == "TIMESTAMP":
+    if first.kind == "word" and first.upper in type_names:
         return len(code) == 2 and toks[code[1]].kind == "str"
     if first.kind == "word" and first.upper == "CAST" and len(code) >= 2:
         if toks[code[1]].text == "(" and _matching_paren(
             toks, code[1]
         ) == code[-1]:
             ty = toks[code[-2]]
-            return ty.kind == "word" and ty.upper == "TIMESTAMP"
-    if timestamp_columns and first.kind == "word":
+            return ty.kind == "word" and ty.upper in type_names
+    if columns and first.kind == "word":
         # bare or dotted identifier chain: every token a word or '.'
         if all(
             toks[k].kind == "word" or toks[k].text == "." for k in code
         ):
             leaf = toks[code[-1]]
-            return (
-                leaf.kind == "word" and leaf.text.lower() in timestamp_columns
-            )
+            return leaf.kind == "word" and leaf.text.lower() in columns
     return False
+
+
+_CEIL_FLOOR_FNS = ("ceil", "ceiling", "dceil", "floor", "dfloor")
+
+
+def _rewrite_double_ceil_floor(
+    toks: list[Tok], double_columns: frozenset[str] | None
+) -> list[Tok]:
+    """ceil/floor over DOUBLE return DOUBLE in the reference
+    (impala_functions.py:348-349 — DOUBLE→DOUBLE; the DECIMAL overloads
+    return DECIMAL, which Spark matches); Spark's ceil/floor of a double
+    return BIGINT.  Wrap provably-double arguments (CAST to
+    DOUBLE/FLOAT, or a catalog column unambiguously double) with a cast
+    back to DOUBLE."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "word" and t.text.lower() in _CEIL_FLOOR_FNS):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].text != "(":
+            i += 1
+            continue
+        close = _matching_paren(toks, j)
+        args = _split_args(toks, j, close)
+        if len(args) == 1 and _arg_provably_typed(
+            toks, args[0], ("DOUBLE", "FLOAT", "REAL"), double_columns
+        ):
+            inner = untokenize(toks[i : close + 1])
+            repl = tokenize(f"CAST({inner} AS DOUBLE)")
+            toks[i : close + 1] = repl
+            # jump past the replacement — its inner ceil(x) would
+            # otherwise re-match and wrap forever
+            i += len(repl)
+            continue
+        i += 1
+    return toks
 
 
 def _is_date_typed(toks: list[Tok], arg: tuple[int, int]) -> bool:
@@ -1964,6 +2012,7 @@ def translate(
     bool_columns: frozenset[str] | None = None,
     string_columns: frozenset[str] | None = None,
     timestamp_columns: frozenset[str] | None = None,
+    double_columns: frozenset[str] | None = None,
 ) -> str:
     """Rewrite an Impala-dialect SQL string into Spark-SQL.
 
@@ -1984,6 +2033,7 @@ def translate(
     toks = _rewrite_string_int_casts(toks, string_columns)
     toks = _rewrite_datetime_type_contracts(toks)
     toks = _rewrite_timestamp_avg(toks, timestamp_columns)
+    toks = _rewrite_double_ceil_floor(toks, double_columns)
     toks = _rewrite_char_casts(toks)
     toks = _rewrite_tablesample(toks)
     toks = _rewrite_hints(toks)

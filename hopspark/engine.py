@@ -48,7 +48,13 @@ class Engine(AlterTableMixin):
         # dispatches (|| on bare boolean columns; string->int cast
         # parse guards); invalidated on view DDL
         self._schema_cols_cache: (
-            tuple[frozenset[str], frozenset[str], frozenset[str]] | None
+            tuple[
+                frozenset[str],
+                frozenset[str],
+                frozenset[str],
+                frozenset[str],
+            ]
+            | None
         ) = None
         register_all(self.spark)
         if register_tables:
@@ -181,13 +187,14 @@ class Engine(AlterTableMixin):
                 # (fe CreateViewStmt analysis) — plain CREATE must not
                 # silently replace.
                 raise ValueError(f"view already exists: {name}")
-            _b, _s, _t = self._schema_columns_for(body)
+            _b, _s, _t, _d = self._schema_columns_for(body)
             translated = translate(
                 body,
                 options=self.options,
                 bool_columns=_b,
                 string_columns=_s,
                 timestamp_columns=_t,
+                double_columns=_d,
             )
             if col_list:
                 cols = [c.strip() for c in col_list.strip("()").split(",")]
@@ -269,7 +276,7 @@ class Engine(AlterTableMixin):
             return self.spark.createDataFrame(
                 [(ln,) for ln in lines], "`Explain String` string"
             )
-        bools, strs, tss = self._schema_columns_for(impala_sql)
+        bools, strs, tss, dbls = self._schema_columns_for(impala_sql)
         return self.spark.sql(
             translate(
                 impala_sql,
@@ -277,13 +284,17 @@ class Engine(AlterTableMixin):
                 bool_columns=bools,
                 string_columns=strs,
                 timestamp_columns=tss,
+                double_columns=dbls,
             )
         )
 
     def _schema_columns_for(
         self, impala_sql: str
     ) -> tuple[
-        frozenset[str] | None, frozenset[str] | None, frozenset[str] | None
+        frozenset[str] | None,
+        frozenset[str] | None,
+        frozenset[str] | None,
+        frozenset[str] | None,
     ]:
         """Catalog knowledge for the translator's type dispatches: the
         set of unambiguously-BOOLEAN column names (`||` → OR, the
@@ -294,9 +305,15 @@ class Engine(AlterTableMixin):
         across tables are excluded (ambiguous, like the analyzer's
         unresolved-column path)."""
         up = impala_sql.upper()
-        need = "||" in impala_sql or "CAST" in up or "AVG" in up
+        need = (
+            "||" in impala_sql
+            or "CAST" in up
+            or "AVG" in up
+            or "CEIL" in up
+            or "FLOOR" in up
+        )
         if not need:
-            return None, None, None
+            return None, None, None, None
         if self._schema_cols_cache is None:
             seen: dict[str, set[str]] = {}
             for t in self.spark.catalog.listTables():
@@ -315,6 +332,10 @@ class Engine(AlterTableMixin):
                 frozenset(n for n, ts in seen.items() if ts == {"string"}),
                 frozenset(
                     n for n, ts in seen.items() if ts == {"timestamp"}
+                ),
+                frozenset(
+                    n for n, ts in seen.items()
+                    if ts and ts <= {"double", "float"}
                 ),
             )
         return self._schema_cols_cache

@@ -777,3 +777,21 @@ def test_avg_timestamp_returns_timestamp(spark, sf_dir):
     assert win.dtypes == [("a", "timestamp")]
     # numeric avg is untouched
     assert eng.sql("select avg(value) a from events").dtypes == [("a", "double")]
+
+
+def test_ceil_floor_double_returns_double(spark, sf_dir):
+    """ceil/floor over DOUBLE return DOUBLE (impala_functions.py:348-349);
+    Spark natives return BIGINT. DECIMAL inputs keep Spark's DECIMAL."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    assert eng.sql("select ceil(cast(2.3 as double)) a").dtypes == [
+        ("a", "double")
+    ]
+    assert eng.sql("select floor(value) a from events").dtypes == [
+        ("a", "double")
+    ]
+    assert eng.sql("select dceil(e.value) a from events e").dtypes == [
+        ("a", "double")
+    ]
+    assert eng.sql("select ceil(2.3) a").dtypes[0][1].startswith("decimal")
