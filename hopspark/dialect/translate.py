@@ -868,6 +868,16 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                             )
                             i += 1
                             continue
+        elif name == "typeof":
+            # Impala renders type names UPPERCASE ('DECIMAL(2,1)', 'STRING'
+            # — fe ScalarType.toSql); Spark's typeof prints lowercase
+            close = _matching_paren(toks, j)
+            if len(_split_args(toks, j, close)) == 1:
+                inner = untokenize(toks[i : close + 1])
+                repl = tokenize(f"upper({inner})")
+                toks[i : close + 1] = repl
+                i += len(repl)  # don't re-match the inner typeof
+                continue
         elif name in ("lpad", "rpad"):
             # negative target length → NULL (string-functions-ir.cc
             # Lpad/Rpad:192-225: `len.val < 0` returns null; Spark's

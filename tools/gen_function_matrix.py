@@ -598,7 +598,7 @@ EXPECTED: dict[str, str] = {
     'mask_hash': 'ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad',
     'get_json_object': '1',
     'sleep': 'true',
-    'typeof': 'int',
+    'typeof': 'INT',  # uppercase per ScalarType.toSql
     'ds_hll_estimate': '1',
     'ds_hll_union_f': '1',
     'ds_hll_stringify': '0201070C030001082BF2FB0600000000000000000000000000000000000000000000000000000000',
