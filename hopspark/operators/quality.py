@@ -209,8 +209,59 @@ ORDER BY source
 """
 
 
+# --- Benford first-digit audit -------------------------------------------------
+
+
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs the Benford
+    expectation log10(1 + 1/d) — the classic bulk-data fabrication /
+    corruption screen.  One scan, map-side-combinable 9-group aggregate;
+    the deviation column is rounded so the comparison is engine-stable.
+
+    The first digit comes from the decimal rendering of the exact integer
+    cent count (o_totalprice is a 2-dp money value > 1): no float
+    formatting or log10 in the digit path, so both engines produce the
+    identical digit for every row."""
+    orders = read_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice").cast("double") * 100, 0).cast("bigint")
+    d = F.substring(cents.cast("string"), 1, 1).cast("int")
+    total = orders.count()
+    return (
+        orders.select(d.alias("digit"))
+        .where(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.lit(float(total)), 6).alias(
+                "observed"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford"),
+        )
+        .orderBy("digit")
+    )
+
+
+DQ_BENFORD_SQL = r"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+),
+t AS (SELECT COUNT(*) AS total FROM orders)
+SELECT digit, COUNT(*) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM t), 6)
+         AS observed,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford
+FROM d WHERE digit IS NOT NULL
+GROUP BY digit ORDER BY digit
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dq_null_profile": (dq_null_profile, DQ_NULL_PROFILE_SQL),
+    "dq_benford_first_digit": (dq_benford_first_digit, DQ_BENFORD_SQL),
     "dq_referential_orphans": (dq_referential_orphans, DQ_REFERENTIAL_ORPHANS_SQL),
     "dq_value_bounds": (dq_value_bounds, DQ_VALUE_BOUNDS_SQL),
     "dq_duplicate_rate": (dq_duplicate_rate, DQ_DUPLICATE_RATE_SQL),
