@@ -225,18 +225,22 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, "orders", sf_dir)
     cents = F.round(F.col("o_totalprice").cast("double") * 100, 0).cast("bigint")
     d = F.substring(cents.cast("string"), 1, 1).cast("int")
-    total = orders.count()
-    return (
+    counts = (
         orders.select(d.alias("digit"))
         .where(F.col("digit").isNotNull())
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # total via a 1-row aggregate joined back — one plan, no driver action
+    total = orders.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
         .select(
             "digit",
             "n",
-            F.round(F.col("n").cast("double") / F.lit(float(total)), 6).alias(
-                "observed"
-            ),
+            F.round(
+                F.col("n").cast("double") / F.col("total").cast("double"), 6
+            ).alias("observed"),
             F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford"),
         )
         .orderBy("digit")
