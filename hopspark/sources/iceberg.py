@@ -830,6 +830,81 @@ def iceberg_snapshots(path: str) -> list[dict]:
     return md["snapshots"]
 
 
+def _snapshot_file_refs(md: dict, snap: dict) -> tuple[set, set]:
+    """(manifest paths, data/delete file paths) referenced by one snapshot."""
+    fv = md.get("format-version", 1)
+    manifests: set[str] = set()
+    files: set[str] = set()
+    blob = open(snap["manifest-list"], "rb").read()
+    for mrow in decode_container(
+        blob, _manifest_list_schema(fv) if fv >= 2 else None
+    ):
+        mrow = tuple(mrow)
+        manifests.add(mrow[0])
+        for row in decode_container(open(mrow[0], "rb").read()):
+            row = tuple(row)
+            data_file = row[2] if len(row) == 3 else row[3]
+            files.add(data_file["file_path"])
+    return manifests, files
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Snapshot expiration — the table-maintenance operation the Iceberg
+    spec pairs with every write path (ExpireSnapshots in the reference
+    ecosystem): drop all but the newest `keep_last` snapshots (the current
+    snapshot is always kept), delete manifest lists / manifests / data and
+    delete files that NO surviving snapshot references, and commit a new
+    metadata version.  Time travel to an expired snapshot id raises; kept
+    snapshots stay readable.
+
+    At 100 TB this is pure metadata work plus unlink calls: reachability
+    is computed from manifests (file listings are never scanned), so cost
+    scales with manifest count, not table size."""
+    md, version = _load_metadata(path)
+    snaps = sorted(md["snapshots"], key=lambda s: s["timestamp-ms"])
+    keep_last = max(1, keep_last)
+    kept = snaps[-keep_last:]
+    kept_ids = {s["snapshot-id"] for s in kept}
+    kept_ids.add(md["current-snapshot-id"])
+    kept = [s for s in snaps if s["snapshot-id"] in kept_ids]
+    expired = [s for s in snaps if s["snapshot-id"] not in kept_ids]
+    if not expired:
+        return {"expired": 0, "manifests_removed": 0, "files_removed": 0}
+
+    live_manifests: set[str] = set()
+    live_files: set[str] = set()
+    for s in kept:
+        m, f = _snapshot_file_refs(md, s)
+        live_manifests |= m
+        live_files |= f
+    dead_manifests: set[str] = set()
+    dead_files: set[str] = set()
+    dead_lists: set[str] = set()
+    for s in expired:
+        m, f = _snapshot_file_refs(md, s)
+        dead_lists.add(s["manifest-list"])
+        dead_manifests |= m - live_manifests
+        dead_files |= f - live_files
+
+    md["snapshots"] = kept
+    if "snapshot-log" in md:
+        md["snapshot-log"] = [
+            e for e in md["snapshot-log"] if e.get("snapshot-id") in kept_ids
+        ]
+    md["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(path, md, version + 1)
+    removed = 0
+    for p in dead_lists | dead_manifests | dead_files:
+        if os.path.exists(p):
+            os.remove(p)
+            removed += 1
+    return {
+        "expired": len(expired),
+        "manifests_removed": len(dead_manifests) + len(dead_lists),
+        "files_removed": len(dead_files),
+    }
+
+
 def _iter_entries(md: dict, snapshot_id: int | None):
     """Yield (status, entry_seq, data_file_dict) for every manifest entry of
     the resolved snapshot. entry_seq applies the spec's inheritance rules:

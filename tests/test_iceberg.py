@@ -14,6 +14,7 @@ from hopspark.catalog import read_table
 from hopspark.sources.iceberg import (
     _load_metadata,
     delete_from_iceberg,
+    expire_snapshots,
     equality_delete_from_iceberg,
     iceberg_snapshots,
     plan_data_files,
@@ -364,3 +365,60 @@ def test_schema_evolution_add_and_drop(spark, tmp_path):
     add_iceberg_column(path, "s", "string")
     md, _ = _load_metadata(path)
     assert [f["id"] for f in _table_schema(md)["fields"]] == [1, 3, 4]
+
+
+def test_expire_snapshots_keeps_current_and_prunes_orphans(
+    spark, sf_dir, tmp_path
+):
+    """expire_snapshots drops all but the newest N snapshots, removes the
+    files only they referenced, keeps every surviving snapshot readable,
+    and makes time travel to an expired id raise."""
+    path = str(tmp_path / "exp")
+    nation = read_table(spark, "nation", sf_dir)
+    s1 = write_iceberg_table(nation.filter("n_nationkey < 5"), path)
+    s2 = write_iceberg_table(
+        nation.filter("n_nationkey >= 5 and n_nationkey < 10"),
+        path,
+        mode="append",
+    )
+    s3 = write_iceberg_table(
+        nation.filter("n_nationkey >= 10"), path, mode="append"
+    )
+    assert len(iceberg_snapshots(path)) == 3
+    before = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith((".parquet", ".avro"))
+    }
+
+    res = expire_snapshots(path, keep_last=1)
+    assert res["expired"] == 2
+    snaps = iceberg_snapshots(path)
+    assert [s["snapshot-id"] for s in snaps] == [s3]
+    # current snapshot reads the FULL table (appends accumulate)
+    assert read_iceberg(spark, path).count() == 25
+    # time travel to an expired snapshot raises
+    with pytest.raises(ValueError):
+        read_iceberg(spark, path, snapshot_id=s1).collect()
+    after = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith((".parquet", ".avro"))
+    }
+    # expired-only manifest lists are gone; data files shared with the
+    # current snapshot survive
+    assert len(after) < len(before)
+    md, _ = _load_metadata(path)
+    live = {f["file_path"] for f in plan_data_files(path)}
+    assert all(os.path.exists(f) for f in live)
+
+
+def test_expire_snapshots_noop_when_all_kept(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "expnoop")
+    nation = read_table(spark, "nation", sf_dir)
+    write_iceberg_table(nation, path)
+    res = expire_snapshots(path, keep_last=5)
+    assert res == {"expired": 0, "manifests_removed": 0, "files_removed": 0}
+    assert read_iceberg(spark, path).count() == 25
