@@ -479,10 +479,13 @@ def _commit_snapshot(
     n_rows: int,
     operation: str,
     manifest_content: int = 0,
+    carry_forward: bool = True,
 ) -> None:
     """Write the snapshot's manifest + a manifest list carrying forward the
-    previous snapshot's manifests, append the snapshot record, bump the
-    metadata version. v2 tables also advance last-sequence-number."""
+    previous snapshot's manifests (carry_forward=False makes a REPLACE
+    snapshot referencing ONLY the new manifest — the compaction commit),
+    append the snapshot record, bump the metadata version. v2 tables also
+    advance last-sequence-number."""
     meta_dir = os.path.join(path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     fv = md.get("format-version", 1)
@@ -494,7 +497,7 @@ def _commit_snapshot(
     # manifest list = previous snapshot's manifests + the new one
     prev = [
         s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
-    ]
+    ] if carry_forward else []
     manifests: list[tuple] = []
     if prev:
         blob = open(prev[0]["manifest-list"], "rb").read()
@@ -588,14 +591,35 @@ def write_iceberg_table(
     fv = md.get("format-version", 1)
 
     snapshot_id = int(time.time() * 1000) * 1000 + len(md["snapshots"])
-    snap_dir = os.path.join(data_dir, f"snap-{snapshot_id}")
+    entries, entry_schema, n_rows = _write_data_files(
+        df, path, md, snapshot_id, schema
+    )
+    _commit_snapshot(
+        path, md, version, entries, entry_schema, snapshot_id, n_rows, "append"
+    )
+    return snapshot_id
 
-    # data files: ONE partitionBy pass over the source (the round-3 writer
-    # scanned the fact frame once per partition tuple plus a driver-side
-    # distinct().collect() — O(partitions) scans).  The partition columns are
-    # duplicated under temp names so Spark's partitionBy consumes the copies
-    # as directories while the ORIGINAL columns stay inside the data files,
-    # as identity-partitioned Iceberg data files require.
+
+def _write_data_files(
+    df: DataFrame, path: str, md: dict, snapshot_id: int, schema: T.StructType
+) -> tuple[list[tuple], dict, int]:
+    """Write one snapshot's data files and build its manifest entries.
+
+    Data files: ONE partitionBy pass over the source (the round-3 writer
+    scanned the fact frame once per partition tuple plus a driver-side
+    distinct().collect() — O(partitions) scans).  The partition columns are
+    duplicated under temp names so Spark's partitionBy consumes the copies
+    as directories while the ORIGINAL columns stay inside the data files,
+    as identity-partitioned Iceberg data files require.
+
+    Per-file partition values are recovered TYPED by transforming the
+    first row of each file's retained SOURCE columns (partitionBy on the
+    transformed column guarantees all rows in a file agree on the
+    transformed value) — a footer + single-row-group read, no
+    string-unescaping of dir names."""
+    fv = md.get("format-version", 1)
+    spec_fields = md["partition-spec"]
+    snap_dir = os.path.join(path, "data", f"snap-{snapshot_id}")
     if spec_fields:
         staged = df
         for p in spec_fields:
@@ -612,11 +636,6 @@ def write_iceberg_table(
     else:
         df.write.mode("errorifexists").parquet(snap_dir)
 
-    # one manifest for the snapshot's added files; per-file partition values
-    # are recovered TYPED by transforming the first row of each file's
-    # retained SOURCE columns (partitionBy on the transformed column
-    # guarantees all rows in a file agree on the transformed value) — a
-    # footer + single-row-group read, no string-unescaping of dir names.
     part_type = _partition_avro_type(schema, spec_fields)
     entry_schema = _manifest_entry_schema(part_type, fv)
     seq = md.get("last-sequence-number", 0) + 1 if fv >= 2 else None
@@ -654,11 +673,54 @@ def write_iceberg_table(
             entries.append((1, snapshot_id, seq, data_file))
         else:
             entries.append((1, snapshot_id, data_file))
+    return entries, entry_schema, n_rows
 
-    _commit_snapshot(
-        path, md, version, entries, entry_schema, snapshot_id, n_rows, "append"
+
+def compact_data_files(spark: SparkSession, path: str) -> dict:
+    """Data-file compaction (rewrite_data_files in the Iceberg ecosystem):
+    read the CURRENT snapshot (merge-on-read deletes applied), rewrite it
+    as one data file per partition tuple, and commit a REPLACE snapshot
+    whose manifest list references ONLY the rewritten manifest — small
+    files and delete files stop being read immediately; the superseded
+    files stay on disk for time travel until expire_snapshots reclaims
+    them.
+
+    At 100 TB compaction is the operation that keeps scan task counts
+    bounded after many small appends/deletes: here it is one distributed
+    read + one partitionBy write, with repartition on the partition
+    sources so each partition tuple lands in a single task (one output
+    file per tuple)."""
+    md, version = _load_metadata(path)
+    before = len(plan_data_files(path))
+    schema = _iceberg_to_spark_schema(_table_schema(md))
+    df = read_iceberg(spark, path).select(*[f.name for f in schema.fields])
+    spec_fields = md["partition-spec"]
+    if spec_fields:
+        srcs = [_spec_source_name(p, schema) for p in spec_fields]
+        df = df.repartition(*[F.col(c) for c in srcs])
+    else:
+        df = df.coalesce(1)
+    snapshot_id = int(time.time() * 1000) * 1000 + len(md["snapshots"])
+    entries, entry_schema, n_rows = _write_data_files(
+        df, path, md, snapshot_id, schema
     )
-    return snapshot_id
+    _commit_snapshot(
+        path,
+        md,
+        version,
+        entries,
+        entry_schema,
+        snapshot_id,
+        n_rows,
+        "replace",
+        carry_forward=False,
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "files_before": before,
+        "files_after": len(entries),
+        "rows": n_rows,
+    }
 
 
 # --- schema evolution (spec §Schema Evolution: safe add / drop) -------------

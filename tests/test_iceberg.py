@@ -422,3 +422,55 @@ def test_expire_snapshots_noop_when_all_kept(spark, sf_dir, tmp_path):
     res = expire_snapshots(path, keep_last=5)
     assert res == {"expired": 0, "manifests_removed": 0, "files_removed": 0}
     assert read_iceberg(spark, path).count() == 25
+
+
+def test_compact_data_files_replace_snapshot(spark, sf_dir, tmp_path):
+    """Compaction rewrites the current snapshot into one file per
+    partition tuple via a REPLACE snapshot; results are unchanged, file
+    count drops, MOR deletes are applied into the rewritten files, and
+    the pre-compaction snapshot stays time-travel-readable."""
+    from hopspark.sources.iceberg import compact_data_files
+
+    path = str(tmp_path / "cmp")
+    nation = read_table(spark, "nation", sf_dir)
+    s1 = write_iceberg_table(
+        nation.filter("n_nationkey < 10"), path, format_version=2
+    )
+    write_iceberg_table(
+        nation.filter("n_nationkey >= 10 and n_nationkey < 20"),
+        path,
+        mode="append",
+    )
+    write_iceberg_table(
+        nation.filter("n_nationkey >= 20"), path, mode="append"
+    )
+    delete_from_iceberg(spark, path, "n_nationkey = 7")
+    before_files = len(plan_data_files(path))
+    res = compact_data_files(spark, path)
+    assert res["files_after"] < before_files
+    assert res["rows"] == 24
+    after = read_iceberg(spark, path)
+    assert after.count() == 24
+    assert after.filter("n_nationkey = 7").count() == 0
+    # pre-compaction snapshot still time-travels (10 rows, delete not yet
+    # committed at s1)
+    assert read_iceberg(spark, path, snapshot_id=s1).count() == 10
+
+
+def test_compact_partitioned_one_file_per_tuple(spark, sf_dir, tmp_path):
+    from hopspark.sources.iceberg import compact_data_files
+
+    path = str(tmp_path / "cmpp")
+    nation = read_table(spark, "nation", sf_dir)
+    write_iceberg_table(
+        nation.filter("n_nationkey < 12"), path, partition_by=["n_regionkey"]
+    )
+    write_iceberg_table(
+        nation.filter("n_nationkey >= 12"), path, mode="append"
+    )
+    res = compact_data_files(spark, path)
+    # 5 regions -> exactly 5 rewritten files
+    assert res["files_after"] == 5
+    assert read_iceberg(spark, path).count() == 25
+    # partition pruning still plans one file for one region
+    assert len(plan_data_files(path, partition_filter={"n_regionkey": 2})) == 1
