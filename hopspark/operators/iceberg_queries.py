@@ -216,8 +216,48 @@ ORDER BY o_orderpriority
 """
 
 
+def iceberg_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full maintenance lifecycle under the gate: build a v2 table
+    (3 appends), position-delete a slice, COMPACT (REPLACE snapshot — the
+    MOR delete is applied into the rewritten files and small files
+    collapse), EXPIRE all but the compacted snapshot (reachability-based
+    orphan removal), then read back.  The oracle recomputes the survivors
+    from the flat source; the query also proves the compacted table is
+    now a single-manifest, delete-free read."""
+    from hopspark.sources.iceberg import compact_data_files, expire_snapshots
+
+    path = _fixture_path(sf_dir, "maint_nation")
+    shutil.rmtree(path, ignore_errors=True)
+    nation = read_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_iceberg_table(
+        nation.filter("n_nationkey < 9"), path, format_version=2
+    )
+    write_iceberg_table(
+        nation.filter("n_nationkey >= 9 and n_nationkey < 17"),
+        path,
+        mode="append",
+    )
+    write_iceberg_table(nation.filter("n_nationkey >= 17"), path, mode="append")
+    delete_from_iceberg(spark, path, "n_nationkey % 5 = 1")
+    compact_data_files(spark, path)
+    expire_snapshots(path, keep_last=1)
+    return read_iceberg(spark, path).orderBy("n_nationkey")
+
+
+ICEBERG_MAINTENANCE_SQL = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+WHERE n_nationkey % 5 <> 1
+ORDER BY n_nationkey
+"""
+
+
 QUERIES = {
     "iceberg_v2_mor_read": (iceberg_v2_mor_read, ICEBERG_V2_MOR_SQL),
+    "iceberg_maintenance_roundtrip": (
+        iceberg_maintenance_roundtrip, ICEBERG_MAINTENANCE_SQL),
     "iceberg_hidden_partition_prune": (
         iceberg_hidden_partition_prune, ICEBERG_HIDDEN_PRUNE_SQL),
     "iceberg_time_travel_diff": (iceberg_time_travel_diff, ICEBERG_TT_DIFF_SQL),
