@@ -165,8 +165,11 @@ CURATED_FIRST = (
     "tpcds_q94_multi_supplier_clean_orders",
     # Iceberg table format (v2 merge-on-read).
     "iceberg_v2_mor_read",
-    # Pipeline / quality / mixture / streaming extensions.
-    "pipeline_corpus_stats",
+    # Pipeline / quality / mixture / streaming extensions. r6 session-3
+    # rotation: the full corpus-to-training-mix composition (dedup gate →
+    # temperature allocation → ranked take) replaces the corpus-stats
+    # report, which it subsumes; corpus_stats stays sim-checked.
+    "pipeline_training_mix",
     "dq_null_profile",
     "mixture_rebalance_uniform",
     "streaming_hourly_rollup",
