@@ -2627,6 +2627,9 @@ def _rewrite_interval_exprs(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+# The reference accepts IGNORE NULLS only on first_value/last_value
+# (AnalyticExpr.java:446-449); lag/lead here are a harmless SUPERSET —
+# Impala would reject the spelling, Spark evaluates it meaningfully.
 _IGNORE_NULLS_FNS = {"first_value", "last_value", "lag", "lead"}
 
 
