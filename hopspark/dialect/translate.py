@@ -1650,6 +1650,84 @@ def _arg_provably_typed(
     return False
 
 
+def _rewrite_decimal_sum(toks: list[Tok]) -> list[Tok]:
+    """sum(DECIMAL(p,s)) returns the MAX-RESOLUTION type DECIMAL(38,s) in
+    the reference (FunctionCallExpr.java:442-444 → ScalarType.
+    getMaxResolutionType:396-397); Spark widens only to DECIMAL(p+10,s).
+    Applied when the argument is a provable top-level CAST to
+    DECIMAL(p,s) — the statically-typed form; values are identical either
+    way, this pins the result TYPE (and the typing of enclosing
+    expressions).  Window sums wrap the whole windowed expression."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "word" and t.text.lower() == "sum"):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].text != "(":
+            i += 1
+            continue
+        close = _matching_paren(toks, j)
+        args = _split_args(toks, j, close)
+        if len(args) != 1:
+            i += 1
+            continue
+        scale = _decimal_cast_scale(toks, args[0])
+        if scale is None:
+            i += 1
+            continue
+        wrap_end = close
+        after = _next_code(toks, close + 1)
+        if (
+            after < len(toks)
+            and toks[after].kind == "word"
+            and toks[after].upper == "OVER"
+        ):
+            op = _next_code(toks, after + 1)
+            if op < len(toks) and toks[op].text == "(":
+                wrap_end = _matching_paren(toks, op)
+        inner = untokenize(toks[i : wrap_end + 1])
+        repl = tokenize(f"CAST({inner} AS DECIMAL(38, {scale}))")
+        toks[i : wrap_end + 1] = repl
+        i += len(repl)  # skip the inner sum — it would re-match
+    return toks
+
+
+def _decimal_cast_scale(toks: list[Tok], arg: tuple[int, int]) -> int | None:
+    """Scale s when the arg is a top-level CAST(... AS DECIMAL(p, s)) (or
+    DECIMAL(p) — scale 0), else None."""
+    code = [k for k in range(arg[0], arg[1]) if _is_code(toks[k])]
+    if len(code) < 4:
+        return None
+    first = toks[code[0]]
+    if not (first.kind == "word" and first.upper == "CAST"):
+        return None
+    if toks[code[1]].text != "(" or _matching_paren(toks, code[1]) != code[-1]:
+        return None
+    # tail shapes before the cast's close paren (code[-1]):
+    #   ... DECIMAL ( p , s ) )   → scale s
+    #   ... DECIMAL ( p ) )       → scale 0
+    #   ... DECIMAL )             → scale 0 (bare DECIMAL = DECIMAL(9,0))
+    t2 = toks[code[-2]]
+    if t2.kind == "word" and t2.upper == "DECIMAL":
+        return 0
+    if t2.text != ")":
+        return None
+    if toks[code[-3]].kind != "num":
+        return None
+    n1 = int(toks[code[-3]].text)
+    if toks[code[-4]].text == ",":
+        if toks[code[-5]].kind != "num" or toks[code[-6]].text != "(":
+            return None
+        ty = toks[code[-7]]
+        return n1 if ty.kind == "word" and ty.upper == "DECIMAL" else None
+    if toks[code[-4]].text == "(":
+        ty = toks[code[-5]]
+        return 0 if ty.kind == "word" and ty.upper == "DECIMAL" else None
+    return None
+
+
 _CEIL_FLOOR_FNS = ("ceil", "ceiling", "dceil", "floor", "dfloor")
 
 
@@ -2043,6 +2121,7 @@ def translate(
     toks = _rewrite_string_int_casts(toks, string_columns)
     toks = _rewrite_datetime_type_contracts(toks)
     toks = _rewrite_timestamp_avg(toks, timestamp_columns)
+    toks = _rewrite_decimal_sum(toks)
     toks = _rewrite_double_ceil_floor(toks, double_columns)
     toks = _rewrite_char_casts(toks)
     toks = _rewrite_tablesample(toks)
