@@ -294,9 +294,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column — the
     standard 4× storage/bandwidth reduction step before an ANN index build
-    at 100 TB scale.  scale = max |x|; q_i = floor(x_i/scale·127 + 0.5)
-    (half-up spelled as an exact floor, so both engines compute the same
-    integer from the same double — no round() rounding-mode dependence).
+    at 100 TB scale.  scale = max |x|; q_i = floor(round(x_i/scale·127, 9) + 0.5)
+    (half-up spelled as an exact floor — no round() rounding-mode
+    dependence; the 9-dp rounding of the product is a guard band so a
+    knife-edge product cannot flip the floor on a sub-1e-9 evaluation
+    difference between engines).
     Everything is scan-side Catalyst array expressions: no shuffle at all
     except the final presentation sort, and the int8 payload is 4× smaller
     than the float input at the exchange.  n_clip counts saturated lanes
@@ -307,17 +309,27 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # referencing the array_max expression inside the per-element lambda
     # would re-evaluate it for every lane (O(d²) per vector; measured 2.8s
     # → 0.4s at sf0.1 for d=64)
+    # the internal full-precision column must NOT share the output alias
+    # "scale": Spark's lateral column-alias resolution would bind the
+    # lambda's reference to the 6-dp ROUNDED select-list alias instead of
+    # this column (observed: a -56.5000374 product became -56.49967 and
+    # quantized one step off)
     staged = emb.select("vec_id", da.alias("da")).withColumn(
-        "scale", F.array_max(F.transform(F.col("da"), F.abs))
+        "s_full", F.array_max(F.transform(F.col("da"), F.abs))
     )
     q = F.transform(
         F.col("da"),
-        lambda x: F.floor(x / F.col("scale") * 127 + 0.5).cast("int"),
+        # the 9-dp rounding of the product absorbs ~1-ulp evaluation
+        # differences between engines, which otherwise flip the floor at
+        # knife-edge products
+        lambda x: F.floor(
+            F.round(x / F.col("s_full") * 127, 9) + 0.5
+        ).cast("int"),
     )
     return (
         staged.select(
             "vec_id",
-            F.round(F.col("scale"), 6).alias("scale"),
+            F.round(F.col("s_full"), 6).alias("scale"),
             q.alias("q"),
             F.size(F.filter(q, lambda v: F.abs(v) == 127)).alias("n_clip"),
         )
@@ -336,9 +348,9 @@ s AS (
 )
 SELECT vec_id,
        ROUND(scale, 6) AS scale,
-       list_transform(emb, x -> CAST(FLOOR(x / scale * 127 + 0.5) AS INT)) AS q,
+       list_transform(emb, x -> CAST(FLOOR(ROUND(x / scale * 127, 9) + 0.5) AS INT)) AS q,
        CAST(len(list_filter(
-         list_transform(emb, x -> CAST(FLOOR(x / scale * 127 + 0.5) AS INT)),
+         list_transform(emb, x -> CAST(FLOOR(ROUND(x / scale * 127, 9) + 0.5) AS INT)),
          v -> abs(v) = 127)) AS INT) AS n_clip
 FROM s ORDER BY vec_id
 """
