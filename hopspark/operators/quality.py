@@ -263,8 +263,103 @@ GROUP BY digit ORDER BY digit
 """
 
 
+# --- Two-sample KS drift audit --------------------------------------------------
+
+
+def dq_ks_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the even- and
+    odd-orderkey halves of order totals — the distribution-drift screen a
+    pipeline runs between ingest batches.  Exact D = max |F_a(v) − F_b(v)|
+    over the pooled DISTINCT values; per-value cumulative counts are
+    integers, so the only float is the final normalized difference
+    (rounded).  The drift flag compares D to the α=0.05 critical value
+    c(α)·√((n_a+n_b)/(n_a·n_b)).
+
+    Scale note: the cumulative window runs over DISTINCT measure values
+    (a bounded money grid here, ~cents resolution), not rows; for an
+    unbounded-domain measure the same shape runs over width_bucket bins."""
+    orders = read_table(spark, "orders", sf_dir)
+    from pyspark.sql import Window as W
+
+    tagged = orders.select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 2 == 0).cast("int").alias("is_a"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("is_a").alias("na_v"),
+        F.sum(1 - F.col("is_a")).alias("nb_v"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_v.select(
+        "v",
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+    )
+    totals = tagged.agg(
+        F.sum("is_a").alias("n_a"), F.sum(1 - F.col("is_a")).alias("n_b")
+    )
+    diffs = cum.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("ca").cast("double") / F.col("n_a")
+            - F.col("cb").cast("double") / F.col("n_b")
+        ).alias("d"),
+    )
+    return (
+        diffs.groupBy("n_a", "n_b")
+        .agg(F.round(F.max("d"), 6).alias("ks_d"))
+        .select(
+            "n_a",
+            "n_b",
+            "ks_d",
+            (
+                F.col("ks_d")
+                > 1.358
+                * F.sqrt(
+                    (F.col("n_a") + F.col("n_b")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                )
+            ).alias("drifted"),
+        )
+    )
+
+
+DQ_KS_DRIFT_SQL = """
+WITH tagged AS (
+  SELECT o_totalprice AS v,
+         CAST(o_orderkey % 2 = 0 AS INT) AS is_a
+  FROM orders
+),
+per_v AS (
+  SELECT v, SUM(is_a) AS na_v, SUM(1 - is_a) AS nb_v
+  FROM tagged GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(na_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(nb_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+  FROM per_v
+),
+totals AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+  FROM tagged
+)
+SELECT n_a, n_b,
+       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b)), 6)
+         AS ks_d,
+       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b)), 6)
+         > 1.358 * SQRT(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))
+         AS drifted
+FROM cum, totals
+GROUP BY n_a, n_b
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dq_null_profile": (dq_null_profile, DQ_NULL_PROFILE_SQL),
+    "dq_ks_distribution_drift": (dq_ks_distribution_drift, DQ_KS_DRIFT_SQL),
     "dq_benford_first_digit": (dq_benford_first_digit, DQ_BENFORD_SQL),
     "dq_referential_orphans": (dq_referential_orphans, DQ_REFERENTIAL_ORPHANS_SQL),
     "dq_value_bounds": (dq_value_bounds, DQ_VALUE_BOUNDS_SQL),
