@@ -1957,6 +1957,22 @@ def _rewrite_hints(toks: list[Tok]) -> list[Tok]:
     # `JOIN [broadcast] t` form into a comment hint; shuffle/noshuffle/
     # straight_join are dropped (AQE + CBO decide). Token-level so bracket-
     # hint-looking text inside string literals or comments stays verbatim.
+    #
+    # Impala also accepts the BARE keyword form `SELECT STRAIGHT_JOIN ...`
+    # (sql-parser.cup select_clause) — dropped under the same policy;
+    # without this it reaches Spark as an unresolved select-list column.
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            t.kind == "word"
+            and t.upper == "STRAIGHT_JOIN"
+            and (p := _prev_code(toks, i - 1)) >= 0
+            and toks[p].kind == "word"
+            and toks[p].upper == "SELECT"
+        ):
+            toks[i] = Tok("op", "")
+        i += 1
     i = 0
     while i < len(toks):
         if toks[i].text != "[" or toks[i].kind != "op":
