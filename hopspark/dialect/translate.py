@@ -1650,6 +1650,47 @@ def _arg_provably_typed(
     return False
 
 
+def _rewrite_div_by_zero_literal(toks: list[Tok]) -> list[Tok]:
+    """`x / 0` (literal zero divisor): the reference's `/` is C++ DOUBLE
+    division (operators-ir.cc:202 BINARY_OP_FN Divide), so division by
+    zero follows IEEE — +Inf/−Inf/NaN by the dividend's sign
+    (decimal-exprs.test:31-42 pins Infinity for the double column) —
+    while Spark's Divide special-cases a zero divisor to NULL.  For a
+    LITERAL zero the identity `x / 0 ≡ x * (+Infinity)` reproduces every
+    IEEE case exactly (x>0 → Inf, x<0 → −Inf, x=0 or NaN → NaN, NULL →
+    NULL).  A zero arriving in a runtime VALUE still NULLs (documented
+    delta — rewriting every division would wrap all arithmetic in CASE);
+    DECIMAL_V2 decimal-by-zero, which the reference makes a query ERROR,
+    here follows the double path to Infinity (documented delta)."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "op" and t.text == "/"):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j < len(toks) and toks[j].kind == "num" and "." not in toks[j].text:
+            try:
+                is_zero = float(toks[j].text) == 0.0
+            except ValueError:
+                is_zero = False
+            # DECIMAL dividends take the reference's DECIMAL division
+            # (a query ERROR on zero under DECIMAL_V2) — leave those NULL
+            # rather than Infinity: fire only when the left operand is an
+            # integer literal or a bare identifier (the catalog's columns
+            # are int/bigint/double — all double division in the reference)
+            p = _prev_code(toks, i - 1)
+            left_ok = p >= 0 and (
+                (toks[p].kind == "num" and "." not in toks[p].text)
+                or toks[p].kind == "word"
+            )
+            if is_zero and left_ok:
+                toks[i] = Tok("op", "*")
+                toks[j] = Tok("word", "CAST('Infinity' AS DOUBLE)")
+        i += 1
+    return toks
+
+
 def _rewrite_decimal_sum(toks: list[Tok]) -> list[Tok]:
     """sum(DECIMAL(p,s)) returns the MAX-RESOLUTION type DECIMAL(38,s) in
     the reference (FunctionCallExpr.java:442-444 → ScalarType.
@@ -2138,6 +2179,7 @@ def translate(
     toks = _rewrite_datetime_type_contracts(toks)
     toks = _rewrite_timestamp_avg(toks, timestamp_columns)
     toks = _rewrite_decimal_sum(toks)
+    toks = _rewrite_div_by_zero_literal(toks)
     toks = _rewrite_double_ceil_floor(toks, double_columns)
     toks = _rewrite_char_casts(toks)
     toks = _rewrite_tablesample(toks)
