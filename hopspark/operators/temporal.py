@@ -413,12 +413,85 @@ ORDER BY c.src, c.dst
 """
 
 
+# --- DAU/WAU stickiness ---------------------------------------------------------
+
+
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day weekly active users, and the
+    DAU/WAU stickiness ratio per day — the canonical engagement metric.
+
+    Scale shape: events first collapse to the (user, day) grain (one
+    map-side-combinable distinct), so the trailing-window expansion joins
+    a SMALL relation to the day spine with exactly 7× fanout per user-day
+    — never a distinct-over-sliding-window, whose state Spark would keep
+    per (day, user) anyway.  COUNT(DISTINCT) then runs per day on the
+    expanded grain."""
+    events = read_table(spark, "events", sf_dir)
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dau = user_days.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    days = user_days.select("day").distinct()
+    trailing = days.alias("d").join(
+        user_days.alias("u"),
+        (F.col("u.day") <= F.col("d.day"))
+        & (F.col("u.day") >= F.date_sub(F.col("d.day"), 6)),
+    )
+    wau = trailing.groupBy(F.col("d.day").alias("day")).agg(
+        F.countDistinct("u.user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            # DATE output columns render differently across the driver's
+            # fetch disciplines (pandas widens DATE to a midnight
+            # Timestamp); emit the ISO string form, stable in both
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_DAU_WAU_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM user_days GROUP BY day
+),
+days AS (SELECT DISTINCT day FROM user_days),
+wau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN user_days u
+    ON u.day <= d.day AND u.day >= d.day - 6
+  GROUP BY d.day
+)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+         AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY dau.day
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "temporal_asof_attribution": (asof_join_attribution, ASOF_JOIN_ATTRIBUTION_SQL),
     "events_session_funnel": (events_session_funnel, EVENTS_SESSION_FUNNEL_SQL),
     "events_markov_transitions": (
         events_markov_transitions,
         EVENTS_MARKOV_TRANSITIONS_SQL,
+    ),
+    "events_dau_wau_stickiness": (
+        events_dau_wau_stickiness,
+        EVENTS_DAU_WAU_SQL,
     ),
     "events_hourly_anomalies": (events_hourly_anomalies, EVENTS_HOURLY_ANOMALIES_SQL),
     "temporal_range_join_context": (
