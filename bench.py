@@ -102,6 +102,10 @@ HEADLINE = [
     "events_markov_transitions",
     "emb_quantize_int8",
     "pipeline_training_mix",
+    "dq_benford_first_digit",
+    "dq_ks_distribution_drift",
+    "events_dau_wau_stickiness",
+    "iceberg_maintenance_roundtrip",
     # r6 additions: the two new pipeline operators (anti-join incremental
     # dedup; per-doc duplicate-ngram quality signal)
     "dedup_incremental_batch",
