@@ -821,6 +821,33 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 del toks[comma:close]
             i += 1
             continue
+        elif name in (
+            "rotateleft", "rotateright", "countset", "getbit", "setbit"
+        ):
+            # width-typed bit kernels (bit-byte-functions-ir.cc: one
+            # instantiation per int width — rotation wraps within
+            # sizeof(T)*8, countset counts within the width, positions
+            # past the width are errors). The width is inferred from the
+            # first argument: CAST form, or Impala's smallest-fit literal
+            # typing (LiteralExpr); bare columns fall back to 64
+            # (documented — the catalog's int columns would need a
+            # per-width column set to dispatch statically).
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            width = _int_arg_width(toks, args[0]) if args else 64
+            nargs = len(args)
+            new_name = {
+                ("rotateleft", 2): "rotl3",
+                ("rotateright", 2): "rotr3",
+                ("countset", 1): "countset1w",
+                ("countset", 2): "countset2w",
+                ("getbit", 2): "getbitw",
+                ("setbit", 2): "setbitw",
+                ("setbit", 3): "setbit4w",
+            }.get((name, nargs))
+            if new_name is not None:
+                toks[i] = Tok("word", new_name)
+                toks.insert(close, Tok("op", f", {width}"))
         elif name == "chr":
             # out-of-[0,255] → empty string (Chr:1338-1343; Spark wraps
             # the codepoint mod 256 instead)
@@ -1826,6 +1853,57 @@ def _is_date_typed(toks: list[Tok], arg: tuple[int, int]) -> bool:
             ty = toks[code[-2]]
             return ty.kind == "word" and ty.upper == "DATE"
     return False
+
+
+_INT_WIDTH_TYPES = {
+    "TINYINT": 8,
+    "SMALLINT": 16,
+    "INT": 32,
+    "INTEGER": 32,
+    "BIGINT": 64,
+}
+
+
+def _int_arg_width(toks: list[Tok], arg: tuple[int, int]) -> int:
+    """Bit width of a provably-typed integer argument: a top-level CAST to
+    an int type, or an integer literal under the reference's smallest-fit
+    literal typing (fe LiteralExpr: 1 is TINYINT, 1000 SMALLINT, …).
+    Unprovable shapes (bare columns, expressions) fall back to 64."""
+    code = [k for k in range(arg[0], arg[1]) if _is_code(toks[k])]
+    if not code:
+        return 64
+    first = toks[code[0]]
+    if first.kind == "word" and first.upper == "CAST" and len(code) >= 2:
+        if toks[code[1]].text == "(" and _matching_paren(
+            toks, code[1]
+        ) == code[-1]:
+            ty = toks[code[-2]]
+            if ty.kind == "word" and ty.upper in _INT_WIDTH_TYPES:
+                return _INT_WIDTH_TYPES[ty.upper]
+        return 64
+    # [-]<int literal>
+    lit = None
+    if len(code) == 1 and first.kind == "num" and "." not in first.text:
+        lit = first.text
+    elif (
+        len(code) == 2
+        and first.text == "-"
+        and toks[code[1]].kind == "num"
+        and "." not in toks[code[1]].text
+    ):
+        lit = "-" + toks[code[1]].text
+    if lit is not None:
+        try:
+            v = int(lit)
+        except ValueError:
+            return 64
+        if -(2**7) <= v <= 2**7 - 1:
+            return 8
+        if -(2**15) <= v <= 2**15 - 1:
+            return 16
+        if -(2**31) <= v <= 2**31 - 1:
+            return 32
+    return 64
 
 
 def _count_capture_groups(pattern: str) -> int:

@@ -221,6 +221,77 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     ),
     "setbit": ("x BIGINT, n INT", "BIGINT", "x | shiftleft(CAST(1 AS BIGINT), n)"),
     "countset": ("x BIGINT", "INT", "bit_count(x)"),
+    # -- width-aware bit kernels (bit-byte-functions-ir.cc: every function
+    # is instantiated PER INT WIDTH — rotate wraps within sizeof(T)*8 bits,
+    # countset counts within the width, bit positions past the width are
+    # query errors). The dialect appends the width it infers from the
+    # argument (CAST form or Impala's smallest-fit literal typing; bare
+    # 64-bit otherwise) and routes here. Values are returned sign-extended
+    # to BIGINT — numerically identical to the reference's typed result.
+    # ux: value masked to the width (w=64 passes through); sxw: re-sign-
+    # extend a width-masked value back to the signed BIGINT domain
+    "uxw": (
+        "x BIGINT, w INT",
+        "BIGINT",
+        "CASE WHEN w = 64 THEN x "
+        "ELSE x & (shiftleft(CAST(1 AS BIGINT), w) - 1) END",
+    ),
+    "sxw": (
+        "r BIGINT, w INT",
+        "BIGINT",
+        "CASE WHEN w = 64 THEN r "
+        "WHEN uxw(r, w) >= shiftleft(CAST(1 AS BIGINT), w - 1) "
+        "THEN uxw(r, w) - shiftleft(CAST(1 AS BIGINT), w) "
+        "ELSE uxw(r, w) END",
+    ),
+    "rotl3": (
+        "x BIGINT, n INT, w INT",
+        "BIGINT",
+        "CASE WHEN x IS NULL OR n IS NULL THEN CAST(NULL AS BIGINT) "
+        "WHEN ((n % w) + w) % w = 0 THEN sxw(x, w) "
+        "ELSE sxw(shiftleft(uxw(x, w), ((n % w) + w) % w) "
+        "       | shiftrightunsigned(uxw(x, w), w - ((n % w) + w) % w), w) END",
+    ),
+    "rotr3": ("x BIGINT, n INT, w INT", "BIGINT", "rotl3(x, -n, w)"),
+    "countset1w": (
+        "x BIGINT, w INT",
+        "INT",
+        "bit_count(uxw(x, w))",
+    ),
+    "countset2w": (
+        "x BIGINT, b INT, w INT",
+        "INT",
+        "CASE WHEN x IS NULL OR b IS NULL THEN CAST(NULL AS INT) "
+        "WHEN b = 1 THEN countset1w(x, w) "
+        "WHEN b = 0 THEN w - countset1w(x, w) "
+        "ELSE CAST(raise_error(concat('Invalid bit val: ', CAST(b AS STRING))) AS INT) END",
+    ),
+    "getbitw": (
+        "x BIGINT, p INT, w INT",
+        "TINYINT",
+        "CASE WHEN x IS NULL OR p IS NULL THEN CAST(NULL AS TINYINT) "
+        "WHEN p < 0 OR p >= w THEN "
+        "  CAST(raise_error(concat('Invalid bit position: ', CAST(p AS STRING))) AS TINYINT) "
+        "ELSE CAST(shiftrightunsigned(x, p) & 1 AS TINYINT) END",
+    ),
+    "setbitw": (
+        "x BIGINT, p INT, w INT",
+        "BIGINT",
+        "CASE WHEN x IS NULL OR p IS NULL THEN CAST(NULL AS BIGINT) "
+        "WHEN p < 0 OR p >= w THEN "
+        "  CAST(raise_error(concat('Invalid bit position: ', CAST(p AS STRING))) AS BIGINT) "
+        "ELSE sxw(x | shiftleft(CAST(1 AS BIGINT), p), w) END",
+    ),
+    "setbit4w": (
+        "x BIGINT, p INT, b INT, w INT",
+        "BIGINT",
+        "CASE WHEN x IS NULL OR p IS NULL OR b IS NULL THEN CAST(NULL AS BIGINT) "
+        "WHEN p < 0 OR p >= w THEN "
+        "  CAST(raise_error(concat('Invalid bit position: ', CAST(p AS STRING))) AS BIGINT) "
+        "WHEN b = 1 THEN sxw(x | shiftleft(CAST(1 AS BIGINT), p), w) "
+        "WHEN b = 0 THEN sxw(x & ~shiftleft(CAST(1 AS BIGINT), p), w) "
+        "ELSE CAST(raise_error(concat('Invalid bit val: ', CAST(b AS STRING))) AS BIGINT) END",
+    ),
     "quotient": ("a BIGINT, b BIGINT", "BIGINT", "a div b"),
     "is_inf": ("x DOUBLE", "BOOLEAN", "x = double('inf') OR x = double('-inf')"),
     "timestamp_cmp": (
