@@ -142,17 +142,23 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    line = json.dumps(payload)
+    # The driver captures a tail of stdout; a long JSON line preceded/followed
+    # by JVM noise has been truncated mid-line before (BENCH_r06 parsed: null).
+    # Belt and braces: persist the full payload to BENCH_LOCAL.json next to
+    # this script, then print the line (flushed) as the final stdout output.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

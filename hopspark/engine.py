@@ -44,6 +44,10 @@ class Engine(AlterTableMixin):
         # own definition (ShowCreateTableStmt / ToSqlUtils.getCreateViewSql),
         # not a table-shaped DDL reconstruction
         self._view_defs: dict[str, str] = {}
+        # UDA names (lowercased) registered with a merge callback: sql()
+        # rewrites canonical aggregate statements calling these into the
+        # salted two-stage partial/merge plan (hopspark/uda.py)
+        self._mergeable_udas: set[str] = set()
         # lazily-built catalog knowledge for the translator's type
         # dispatches (|| on bare boolean columns; string->int cast
         # parse guards); invalidated on view DDL
@@ -277,16 +281,28 @@ class Engine(AlterTableMixin):
                 [(ln,) for ln in lines], "`Explain String` string"
             )
         bools, strs, tss, dbls = self._schema_columns_for(impala_sql)
-        return self.spark.sql(
-            translate(
-                impala_sql,
-                options=self.options,
-                bool_columns=bools,
-                string_columns=strs,
-                timestamp_columns=tss,
-                double_columns=dbls,
-            )
+        translated = translate(
+            impala_sql,
+            options=self.options,
+            bool_columns=bools,
+            string_columns=strs,
+            timestamp_columns=tss,
+            double_columns=dbls,
         )
+        if self._mergeable_udas and re.search(
+            r"\b(" + "|".join(map(re.escape, self._mergeable_udas)) + r")\s*\(",
+            translated,
+            re.I,
+        ):
+            from hopspark.uda import rewrite_mergeable_uda
+
+            rewritten = rewrite_mergeable_uda(translated, self._mergeable_udas)
+            if rewritten is not None:
+                try:
+                    return self.spark.sql(rewritten)
+                except Exception:  # noqa: BLE001 — fall back to whole-group
+                    pass
+        return self.spark.sql(translated)
 
     def _schema_columns_for(
         self, impala_sql: str
@@ -450,24 +466,62 @@ class Engine(AlterTableMixin):
           * `fn`: pandas Series(s) → scalar, Arrow-batched (grouped-agg
             pandas UDF) — the idiomatic vectorized form. Usable from
             engine.sql() in GROUP BY aggregations and OVER() windows.
-          * `init`/`update`/`finalize`: the reference's UDA callback
-            contract, folded over each group's values. Spark's grouped-agg
-            UDFs receive the whole group per call, so a `merge` step never
-            runs; it is accepted for signature parity with the reference
-            DDL and ignored (documented delta)."""
+            NOTE: this form plans as a whole-group Arrow aggregate — every
+            group ships to one task as one batch (documented memory bound).
+          * `init`/`update`/`merge`/`finalize`: the reference's full UDA
+            callback contract (Merge at udf.h:388). When `merge` is
+            supplied, the engine restores the distributive contract: it
+            registers a `<name>__partial` (Init/Update fold per
+            (key, salt) sub-group → pickled BINARY state) and
+            `<name>__merge` (Merge fold over partials + Finalize) pair,
+            and engine.sql() rewrites canonical aggregate statements
+            calling `name` into the salted two-stage plan (hopspark/uda.py)
+            so no task ever materializes a whole group. Statements outside
+            the rewriter's supported shape fall back to the whole-group
+            fold registered under `name` (correct, memory-bound)."""
+        import pickle
+
+        from pyspark.sql import functions as F
+
         if fn is None:
             if update is None:
                 raise ValueError("pass a vectorized fn or an update callback")
 
             import pandas as pd
 
-            def fn(v: pd.Series):  # noqa: ANN202 — dynamic return type
+            def fn(*cols: pd.Series):  # noqa: ANN202 — dynamic return type
                 acc = init() if init is not None else None
-                for x in v:
-                    acc = update(acc, x)
+                for vals in zip(*cols):
+                    acc = update(acc, *vals)
                 return finalize(acc) if finalize is not None else acc
 
-        from pyspark.sql import functions as F
+            if merge is not None:
+
+                def partial_fn(*cols: pd.Series) -> bytes:
+                    acc = init() if init is not None else None
+                    for vals in zip(*cols):
+                        acc = update(acc, *vals)
+                    return pickle.dumps(acc)
+
+                def merge_fn(parts: pd.Series):  # noqa: ANN202
+                    acc = init() if init is not None else None
+                    for blob in parts:
+                        acc = merge(acc, pickle.loads(blob))
+                    return finalize(acc) if finalize is not None else acc
+
+                self.spark.udf.register(
+                    f"{name}__partial",
+                    F.pandas_udf(
+                        partial_fn, "binary", F.PandasUDFType.GROUPED_AGG
+                    ),
+                )
+                self.spark.udf.register(
+                    f"{name}__merge",
+                    F.pandas_udf(
+                        merge_fn, return_type, F.PandasUDFType.GROUPED_AGG
+                    ),
+                )
+                self._mergeable_udas.add(name.lower())
 
         udaf = F.pandas_udf(fn, return_type, F.PandasUDFType.GROUPED_AGG)
         self.spark.udf.register(name, udaf)

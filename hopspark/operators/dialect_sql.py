@@ -286,8 +286,63 @@ ORDER BY n.n_name
 """
 
 
+def dialect_uda_mergeable_weighted_avg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's FULL UDA callback contract —
+    Init/Update/Merge/Finalize (be/src/udf/udf.h:379-391, Merge at :388) —
+    compiled to the distributive two-stage plan (hopspark/uda.py):
+    Init/Update folds per (key, salt) sub-group into pickled partial
+    states, Merge+Finalize reduces the <= 64 partials per key.  Unlike the
+    whole-group grouped-agg form (dialect_sql_udaf_weighted_avg), no task
+    ever materializes an entire group — the gate query groups ~600k rows
+    into 3 flags, exactly the low-cardinality shape that breaks the
+    whole-group plan at 100x.  A hash match against the plain-SQL oracle
+    proves the salted split + merge recombination is exact."""
+    eng = _engine(spark, sf_dir)
+
+    import numpy as np
+
+    def init() -> list:
+        return [0.0, 0.0]
+
+    def update(acc: list, price, qty) -> list:
+        acc[0] += price * qty
+        acc[1] += qty
+        return acc
+
+    def merge(acc: list, other: list) -> list:
+        acc[0] += other[0]
+        acc[1] += other[1]
+        return acc
+
+    def finalize(acc: list):
+        return float(np.round(acc[0] / acc[1], 6)) if acc[1] else None
+
+    eng.create_aggregate_function(
+        "wavg_mergeable",
+        return_type="double",
+        init=init,
+        update=update,
+        merge=merge,
+        finalize=finalize,
+    )
+    return eng.sql(
+        """
+        SELECT l_returnflag,
+               wavg_mergeable(CAST(l_extendedprice AS DOUBLE),
+                              CAST(l_quantity AS DOUBLE)) AS w_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
 QUERIES["dialect_sql_udaf_weighted_avg"] = (
     dialect_udaf_weighted_avg, DIALECT_UDAF_SQL)
+QUERIES["dialect_sql_uda_mergeable_weighted_avg"] = (
+    dialect_uda_mergeable_weighted_avg, DIALECT_UDAF_SQL)
 QUERIES["dialect_sql_ddl_ctas_view"] = (
     dialect_ddl_ctas_view, DIALECT_DDL_SQL)
 
