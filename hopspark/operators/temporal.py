@@ -421,11 +421,17 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAU/WAU stickiness ratio per day — the canonical engagement metric.
 
     Scale shape: events first collapse to the (user, day) grain (one
-    map-side-combinable distinct), so the trailing-window expansion joins
-    a SMALL relation to the day spine with exactly 7× fanout per user-day
-    — never a distinct-over-sliding-window, whose state Spark would keep
-    per (day, user) anyway.  COUNT(DISTINCT) then runs per day on the
-    expanded grain."""
+    map-side-combinable distinct); then each user-day expands SCAN-SIDE to
+    the exactly-7 window days it contributes to via
+    explode(sequence(day, day+6)) — O(7) rows per user-day, no join against
+    the day spine at all.  (The previous shape joined the day spine on
+    `u.day BETWEEN d.day-6 AND d.day`, which Catalyst plans as a broadcast
+    nested-loop join evaluating the predicate against EVERY spine day per
+    user-day row — O(|days|) per row, superlinear as history grows; the
+    explode is O(1) per row and keeps map-side combine.)  Window days past
+    a user's activity that had no events of their own drop out in the
+    final inner join with the DAU relation, whose keys are exactly the
+    observed days — same spine the old join used."""
     events = read_table(spark, "events", sf_dir)
     user_days = events.select(
         "user_id", F.to_date("ts").alias("day")
@@ -433,14 +439,14 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = user_days.groupBy("day").agg(
         F.countDistinct("user_id").alias("dau")
     )
-    days = user_days.select("day").distinct()
-    trailing = days.alias("d").join(
-        user_days.alias("u"),
-        (F.col("u.day") <= F.col("d.day"))
-        & (F.col("u.day") >= F.date_sub(F.col("d.day"), 6)),
+    trailing = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
     )
-    wau = trailing.groupBy(F.col("d.day").alias("day")).agg(
-        F.countDistinct("u.user_id").alias("wau")
+    wau = trailing.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
     )
     return (
         dau.join(wau, "day")

@@ -409,7 +409,14 @@ def text_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        doc_bg.join(F.broadcast(lm), ["w1", "w2"])
+        # NOTE: no broadcast hint — the LM is corpus-derived (distinct
+        # bigram TYPES grow with corpus size; tens of GB at 100 TB), so a
+        # pinned broadcast would OOM the driver at scale. AQE still picks
+        # a broadcast join when it measures the LM small (it does at test
+        # SFs); at scale it degrades gracefully to a shuffle hash join on
+        # (w1, w2). Plan-locked by
+        # tests/test_plans.py::test_no_forced_broadcast_of_corpus_derived_relations.
+        doc_bg.join(lm, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

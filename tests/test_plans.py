@@ -685,3 +685,40 @@ def test_tfidf_topk_plans_group_limit_over_preagg(spark, sf_dir):
     gen_pos = plan.find("Generate")
     assert gen_pos != -1
     assert plan.count("HashAggregate") >= 4  # partial+final for tf and df
+
+
+def test_dau_wau_no_nested_loop_range_join(spark, sf_dir):
+    """events_dau_wau_stickiness: the trailing-7-day expansion must be the
+    scan-side explode(sequence(day, day+6)) over the user-day grain —
+    O(7) rows per user-day with map-side combine — never a
+    `u.day BETWEEN d.day-6 AND d.day` theta join against the day spine,
+    which plans as BroadcastNestedLoopJoin and evaluates every spine day
+    per user-day row (superlinear as history grows)."""
+    from hopspark.operators.temporal import events_dau_wau_stickiness
+
+    df = events_dau_wau_stickiness(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "sequence(" in plan and "Generate" in plan, plan
+
+
+def test_no_forced_broadcast_of_corpus_derived_relations(spark, sf_dir):
+    """The bigram LM is corpus-derived (distinct bigram types grow with
+    corpus size — tens of GB at 100 TB), so the doc⋈LM scoring join must
+    not pin a broadcast; AQE may still broadcast a measured-small LM at
+    runtime. Same rule test_minhash_verify_join_not_forced_broadcast pins
+    for the dedup verify join. The 1-row vocabulary aggregate broadcast is
+    fine and expected."""
+    from hopspark.operators.text import text_bigram_lm, text_bigram_score
+
+    for fn in (text_bigram_lm, text_bigram_score):
+        analyzed = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        # the only ResolvedHint allowed is on the 1-row vocab aggregate
+        # (count distinct over words); no hint may sit above a relation
+        # keyed by bigram (w1, w2)
+        for ln in analyzed.splitlines():
+            if "ResolvedHint" in ln:
+                nxt = analyzed.splitlines()[analyzed.splitlines().index(ln) + 1]
+                assert "count(distinct w" in (ln + nxt).lower() or "vs" in nxt, (
+                    ln + "\n" + nxt
+                )
