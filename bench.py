@@ -111,6 +111,13 @@ HEADLINE = [
     "dedup_incremental_batch",
     "text_dup_ngram_fraction",
     "text_bigram_score",
+    # r7 additions: the mergeable two-stage UDA (vs the whole-group
+    # dialect_sql_udaf_weighted_avg row above — same query, both plans
+    # tracked), the full q49 dual-rank union structure, and the bounded
+    # width_bucket KS variant
+    "dialect_sql_uda_mergeable_weighted_avg",
+    "tpcds_q49_dual_rank_union",
+    "dq_ks_drift_bucketed",
 ]
 
 

@@ -61,7 +61,10 @@ CURATED_FIRST = (
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q8_market_share",
+    # r7 rotation: q8 hands its slot to the new rows below — its market-share
+    # multi-join stays sim-checked and plan-asserted
+    # (tests/test_plans.py::test_q8_all_joins_broadcast, bloom-filter shape
+    # asserts); the TPC-H spine keeps q1/q3/q5/q21 + lateral_topk.
     # r5 rotation: LATERAL per-group top-k (advanced_sql) replaces
     # tpch_q18 — TPC-H spine keeps q1/q3/q5/q8/q21, and the group-
     # having shape q18 exercises stays via tpcds_q94's HAVING composite.
@@ -70,9 +73,13 @@ CURATED_FIRST = (
     # Joins / set ops / sorts (§2.4, §2.7, §2.8).
     "join_full_outer",
     "join_null_aware_anti_not_in",
-    "sort_nulls_ordering",
+    # r7 rotation: sort_nulls_ordering rotates out — the Impala NULL-ordering
+    # default contract keeps a driver row via dialect_sql_null_ordering, and
+    # the sorts/limits golden corpus pins the rest; stays sim-checked.
     # Aggregation (§2.5).
-    "agg_rollup",
+    # r7 rotation: agg_rollup rotates out — rollup/grouping evidence keeps
+    # THREE driver rows (tpcds_q36 rollup+rank, tpcds_q27a grouping sets,
+    # tpcds_q18 grouping-sets channels); stays sim-checked.
     "agg_multi_distinct",
     # r5 rotation: explicit GROUPING SETS over a pre-aggregated partial
     # (tpcds_patterns10, q27a shape) replaces agg_pivot_status — §2.5
@@ -81,7 +88,10 @@ CURATED_FIRST = (
     "tpcds_q27a_grouping_sets",
     "agg_stats_moments",
     # Analytic / windows (§2.6).
-    "window_rank_topn",
+    # r7 rotation: window_rank_topn rotates out — the partitioned-TopN
+    # WindowGroupLimit family keeps driver rows via tpcds_q67_rollup_rank_topn,
+    # lateral_topk_per_group, and curation_source_cap; stays sim-checked
+    # with its plan assert.
     "window_sessionize",
     # r5 rotation: cumulative-DISTINCT-over-window via the scalable
     # first-occurrence rewrite (tpcds_patterns9) — keeps the running-sum
@@ -97,7 +107,13 @@ CURATED_FIRST = (
     # plus the cc_clusters Jaccard-join row, and ngram-Jaccard stays
     # sim-checked.
     "dedup_exact_groups",
-    "dedup_embedding_cosine",
+    # r7 rotation: the incremental batch-vs-history anti-join dedup and the
+    # capped-prefix Levenshtein verify stage (both new in r6, sim-only until
+    # now) take their first driver rows; dedup_embedding_cosine stays
+    # sim-checked — the cosine family keeps sim_knn_bruteforce_cosine plus
+    # the quantization row below.
+    "dedup_incremental_batch",
+    "dedup_levenshtein_verify",
     # Format scan/sink roundtrips (§2.1): the Avro container codec is the
     # largest pure-Python reader surface — its oracle compares the
     # write→read roundtrip against the ORIGINAL parquet view, upgrading
@@ -113,8 +129,11 @@ CURATED_FIRST = (
     # window_sessionize above.
     "temporal_asof_attribution",
     "events_session_funnel",
-    # Similarity search.
+    # Similarity search. r7 rotation: int8 embedding quantization
+    # (zero-shuffle scan-side array kernels, engine-stable rounding) takes
+    # its first driver row.
     "sim_knn_bruteforce_cosine",
+    "emb_quantize_int8",
     # Sketches.
     "sketch_theta_grouped",
     # r6 session-2 rotation: per-source corpus capping (WindowGroupLimit
@@ -125,9 +144,14 @@ CURATED_FIRST = (
     # Curation.
     "pack_sequences",
     "text_contamination",
+    # r7 rotation: per-doc TF-IDF top terms (tf join df over two
+    # pre-aggregated relations, WindowGroupLimit top-k) — first driver row.
+    "text_tfidf_top_terms",
     # Multimodal.
+    # r7 rotation: mm_decode_image hands its slot to the new rows below;
+    # the PPM/BMP decode path stays sim-checked + unit-tested, and the
+    # multimodal family keeps the payload-dedup row.
     "mm_payload_dedup",
-    "mm_decode_image",
     # Impala dialect surface. scalar_parity pins the round-4 kernel fixes
     # (greatest/least NULL-poisoning, pmod sign rule, regexp backrefs,
     # extract BIGINT, dtrunc, RR round-year) under the driver gate; it
@@ -139,13 +163,22 @@ CURATED_FIRST = (
     # instr/locate windows under the driver gate (scalar_parity's
     # greatest/least/pmod/regexp/extract kernels stay sim-checked —
     # the mask/byte row exercises this round's new dialect surface).
-    "dialect_sql_mask_bytes",
+    # r7 rotation: the mergeable-UDA two-stage compilation (the round-6
+    # verdict's #1 item — salted partial fold + merge, no whole-group
+    # materialization) takes a driver row; mask_bytes rotates out after its
+    # r6 driver green (mask family stays golden-pinned + sim-checked).
+    "dialect_sql_uda_mergeable_weighted_avg",
     # TPC-DS patterns.
     "tpcds_q36_margin_rollup_rank",
     "tpcds_q33_manufacturer_union",
     "tpcds_q67_rollup_rank_topn",
     "tpcds_q19_disjunctive_bands",
     "tpcds_q57_rolling_window",
+    # r7 rotation: the full q49 structure (sales LEFT JOIN returns with a
+    # nullable-side predicate -> inner conversion, dual rank windows,
+    # OR-filter, UNION DISTINCT of channel blocks) — the round-6 verdict's
+    # least-mirrored reference idiom takes a driver row.
+    "tpcds_q49_dual_rank_union",
     # r4 rotations: grouping-sets over a derived channel and correlated
     # EXISTS/NOT-EXISTS + rollup (tpcds_patterns6). They replace
     # agg_grouping_sets (subsumed by the richer q18 shape) and tpch_q22
@@ -171,6 +204,10 @@ CURATED_FIRST = (
     # report, which it subsumes; corpus_stats stays sim-checked.
     "pipeline_training_mix",
     "dq_null_profile",
+    # r7 rotation: the exact two-sample KS drift screen — first driver row
+    # (its width_bucket-binned scale variant dq_ks_drift_bucketed stays
+    # sim-checked).
+    "dq_ks_distribution_drift",
     "mixture_rebalance_uniform",
     "streaming_hourly_rollup",
 )

@@ -357,9 +357,116 @@ GROUP BY n_a, n_b
 """
 
 
+def dq_ks_drift_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The width_bucket variant of the KS drift screen — the scale path
+    promised in dq_ks_distribution_drift's note: for an unbounded-domain
+    measure the pooled-DISTINCT-value grid grows with the data, so the
+    cumulative window instead runs over a FIXED 512-bin width_bucket
+    histogram — state bounded by bin count forever, at the cost of D
+    becoming a lower bound of the exact statistic (error <= max bin
+    probability mass; raise the bin count for finer resolution — the
+    window stays trivially small at 10x bins too).
+
+    Engine-parity note: Spark's width_bucket computes
+    floor((v - lo) / ((hi - lo) / nb)) + 1 with v >= hi -> nb+1 and
+    v < lo -> 0; the oracle replicates that arithmetic verbatim (same IEEE
+    op order) so boundary values bin identically in both engines."""
+    orders = read_table(spark, "orders", sf_dir)
+    from pyspark.sql import Window as W
+
+    tagged = orders.select(
+        F.col("o_totalprice").cast("double").alias("v"),
+        (F.col("o_orderkey") % 2 == 0).cast("int").alias("is_a"),
+    )
+    rng = tagged.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = tagged.crossJoin(F.broadcast(rng)).select(
+        F.width_bucket("v", "lo", "hi", F.lit(512)).alias("bucket"),
+        "is_a",
+    )
+    per_b = binned.groupBy("bucket").agg(
+        F.sum("is_a").alias("na_v"),
+        F.sum(1 - F.col("is_a")).alias("nb_v"),
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_b.select(
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+    )
+    totals = tagged.agg(
+        F.sum("is_a").alias("n_a"), F.sum(1 - F.col("is_a")).alias("n_b")
+    )
+    diffs = cum.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("ca").cast("double") / F.col("n_a")
+            - F.col("cb").cast("double") / F.col("n_b")
+        ).alias("d"),
+    )
+    return (
+        diffs.groupBy("n_a", "n_b")
+        .agg(F.round(F.max("d"), 6).alias("ks_d"))
+        .select(
+            "n_a",
+            "n_b",
+            F.lit(512).alias("n_bins"),
+            "ks_d",
+            (
+                F.col("ks_d")
+                > 1.358
+                * F.sqrt(
+                    (F.col("n_a") + F.col("n_b")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                )
+            ).alias("drifted"),
+        )
+    )
+
+
+DQ_KS_BUCKETED_SQL = """
+WITH tagged AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         CAST(o_orderkey % 2 = 0 AS INT) AS is_a
+  FROM orders
+),
+rng AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM tagged),
+binned AS (
+  SELECT CASE WHEN v >= hi THEN 513
+              WHEN v < lo THEN 0
+              ELSE CAST(FLOOR((v - lo) / ((hi - lo) / 512)) AS BIGINT) + 1
+         END AS bucket,
+         is_a
+  FROM tagged, rng
+),
+per_b AS (
+  SELECT bucket, SUM(is_a) AS na_v, SUM(1 - is_a) AS nb_v
+  FROM binned GROUP BY bucket
+),
+cum AS (
+  SELECT SUM(na_v) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(nb_v) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cb
+  FROM per_b
+),
+totals AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+  FROM tagged
+)
+SELECT n_a, n_b, 512 AS n_bins,
+       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b)), 6)
+         AS ks_d,
+       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b)), 6)
+         > 1.358 * SQRT(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))
+         AS drifted
+FROM cum, totals
+GROUP BY n_a, n_b
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dq_null_profile": (dq_null_profile, DQ_NULL_PROFILE_SQL),
     "dq_ks_distribution_drift": (dq_ks_distribution_drift, DQ_KS_DRIFT_SQL),
+    "dq_ks_drift_bucketed": (dq_ks_drift_bucketed, DQ_KS_BUCKETED_SQL),
     "dq_benford_first_digit": (dq_benford_first_digit, DQ_BENFORD_SQL),
     "dq_referential_orphans": (dq_referential_orphans, DQ_REFERENTIAL_ORPHANS_SQL),
     "dq_value_bounds": (dq_value_bounds, DQ_VALUE_BOUNDS_SQL),

@@ -1195,8 +1195,187 @@ ORDER BY p_type NULLS FIRST, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# q49 full structure — per-channel sales LEFT JOIN returns with a predicate
+# on the NULLABLE side (the famous q49 idiom: `wr_return_amt > 10000` under
+# a LEFT OUTER JOIN makes it effectively inner — Catalyst performs the same
+# outer-to-inner conversion the reference planner does), TWO independent
+# rank() windows per channel block (return_ratio and currency_ratio), an
+# OR-filter across both ranks, and UNION **DISTINCT** of the channel blocks
+# (tpcds-q49.test uses bare UNION). The earlier tpcds_q49_return_ratio_rank
+# mirrors only the single-ratio per-channel top-k; this one is the complete
+# least-mirrored structure the round-6 verdict flagged.
+# ---------------------------------------------------------------------------
+
+
+def tpcds_q49_dual_rank_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channels = disjoint l_suppkey % 3 slices of lineitem (each slice its
+    own 'fact table', mirroring web/catalog/store); 'returns' is the
+    l_returnflag = 'R' projection of the slice, LEFT-joined back on the
+    line's unique key, with the reference's nullable-side amount predicate.
+    Ratios accumulate as exact BIGINTs (quantities are integral; prices
+    are 2-dp -> cents), so the double division and therefore the rank tie
+    structure are bit-identical across engines.
+
+    Scale: each channel block aggregates the fact to item grain before
+    the two windows, and both windows run over the per-channel ITEM
+    aggregate (bounded by |part|), never over fact rows."""
+    li = read_table(spark, "lineitem", sf_dir).filter(
+        F.year("l_shipdate") == 1997
+    )
+
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    qty = F.col("l_quantity").cast("bigint")
+
+    def channel_block(tag: int, name: str) -> DataFrame:
+        sales = li.filter(
+            (F.col("l_suppkey") % 3 == tag)
+            & (F.col("l_quantity") > 0)
+            & (F.col("l_extendedprice") > 0)
+        ).select(
+            "l_orderkey",
+            "l_partkey",
+            "l_linenumber",
+            qty.alias("qty"),
+            cents.alias("paid_cents"),
+            "l_returnflag",
+        )
+        # Partial returns, integer-derived so both engines agree bit-for-bit:
+        # a returned line gives back 1..qty units (deterministic in the
+        # line's keys) and the floor-prorated share of the paid amount —
+        # ratios then vary in (0, 1] per item instead of degenerating to 1.
+        returns = (
+            sales.filter(F.col("l_returnflag") == "R")
+            .withColumn(
+                "ret_qty",
+                F.lit(1)
+                + (F.col("l_orderkey") + 3 * F.col("l_linenumber"))
+                % F.col("qty"),
+            )
+            .select(
+                F.col("l_orderkey").alias("r_orderkey"),
+                F.col("l_partkey").alias("r_partkey"),
+                F.col("l_linenumber").alias("r_linenumber"),
+                "ret_qty",
+                F.expr("(paid_cents * ret_qty) div qty").alias("ret_cents"),
+            )
+        )
+        joined = sales.join(
+            returns,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_partkey") == F.col("r_partkey"))
+            & (F.col("l_linenumber") == F.col("r_linenumber")),
+            "left_outer",
+        ).filter(F.col("ret_cents") > 2_000_000)  # nullable side -> inner
+        ratios = joined.groupBy("l_partkey").agg(
+            F.sum(F.coalesce("ret_qty", F.lit(0))).alias("sr_qty"),
+            F.sum("qty").alias("s_qty"),
+            F.sum(F.coalesce("ret_cents", F.lit(0))).alias("sr_cents"),
+            F.sum("paid_cents").alias("s_cents"),
+        ).select(
+            F.col("l_partkey").alias("item"),
+            (F.col("sr_qty").cast("double") / F.col("s_qty").cast("double"))
+            .alias("return_ratio"),
+            (
+                F.col("sr_cents").cast("double")
+                / F.col("s_cents").cast("double")
+            ).alias("currency_ratio"),
+        )
+        w_ret = Window.orderBy("return_ratio")
+        w_cur = Window.orderBy("currency_ratio")
+        return (
+            ratios.withColumn("return_rank", F.rank().over(w_ret))
+            .withColumn("currency_rank", F.rank().over(w_cur))
+            .filter(
+                (F.col("return_rank") <= 10) | (F.col("currency_rank") <= 10)
+            )
+            .select(
+                F.lit(name).alias("channel"),
+                "item",
+                F.round("return_ratio", 6).alias("return_ratio"),
+                "return_rank",
+                "currency_rank",
+            )
+        )
+
+    out = (
+        channel_block(0, "store")
+        .unionByName(channel_block(1, "catalog"))
+        .unionByName(channel_block(2, "web"))
+        .distinct()  # reference uses bare UNION (distinct semantics)
+    )
+    return out.orderBy(
+        "channel", "return_rank", "currency_rank", "item"
+    ).limit(100)
+
+
+def _q49_block_sql(tag: int, name: str) -> str:
+    return f"""
+  SELECT '{name}' AS channel, item,
+         ROUND(return_ratio, 6) AS return_ratio, return_rank, currency_rank
+  FROM (
+    SELECT item, return_ratio, currency_ratio,
+           RANK() OVER (ORDER BY return_ratio) AS return_rank,
+           RANK() OVER (ORDER BY currency_ratio) AS currency_rank
+    FROM (
+      SELECT s.l_partkey AS item,
+             CAST(SUM(COALESCE(r.ret_qty, 0)) AS DOUBLE)
+               / CAST(SUM(s.qty) AS DOUBLE) AS return_ratio,
+             CAST(SUM(COALESCE(r.ret_cents, 0)) AS DOUBLE)
+               / CAST(SUM(s.paid_cents) AS DOUBLE) AS currency_ratio
+      FROM sales_{tag} s
+      LEFT OUTER JOIN returns_{tag} r
+        ON s.l_orderkey = r.r_orderkey AND s.l_partkey = r.r_partkey
+       AND s.l_linenumber = r.r_linenumber
+      WHERE r.ret_cents > 2000000
+      GROUP BY s.l_partkey
+    ) ratios
+  ) ranked
+  WHERE return_rank <= 10 OR currency_rank <= 10"""
+
+
+TPCDS_Q49_DUAL_SQL = (
+    """
+WITH base AS (
+  SELECT l_orderkey, l_partkey, l_linenumber, l_suppkey, l_returnflag,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS paid_cents
+  FROM lineitem
+  WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+    AND l_quantity > 0 AND l_extendedprice > 0
+),
+"""
+    + ",\n".join(
+        f"""sales_{t} AS (
+  SELECT * FROM base WHERE l_suppkey % 3 = {t}
+),
+returns_{t} AS (
+  SELECT l_orderkey AS r_orderkey, l_partkey AS r_partkey,
+         l_linenumber AS r_linenumber,
+         1 + (l_orderkey + 3 * l_linenumber) % qty AS ret_qty,
+         (paid_cents * (1 + (l_orderkey + 3 * l_linenumber) % qty)) // qty
+           AS ret_cents
+  FROM sales_{t} WHERE l_returnflag = 'R'
+)"""
+        for t in (0, 1, 2)
+    )
+    + "\nSELECT * FROM ("
+    + "\n  UNION\n".join(
+        _q49_block_sql(t, n)
+        for t, n in ((0, "store"), (1, "catalog"), (2, "web"))
+    )
+    + """
+) u
+ORDER BY channel, return_rank, currency_rank, item
+LIMIT 100
+"""
+)
+
+
 QUERIES["tpcds_q86a_union_grain_rank"] = (
     tpcds_q86a_union_grain_rank, TPCDS_Q86A_SQL)
+QUERIES["tpcds_q49_dual_rank_union"] = (
+    tpcds_q49_dual_rank_union, TPCDS_Q49_DUAL_SQL)
 QUERIES["tpcds_q70a_union_top_regions"] = (
     tpcds_q70a_union_top_regions, TPCDS_Q70A_SQL)
 QUERIES["tpcds_q67a_union_grain_topn"] = (

@@ -722,3 +722,16 @@ def test_no_forced_broadcast_of_corpus_derived_relations(spark, sf_dir):
                 assert "count(distinct w" in (ln + nxt).lower() or "vs" in nxt, (
                     ln + "\n" + nxt
                 )
+
+
+def test_q49_nullable_side_predicate_turns_join_inner(spark, sf_dir):
+    """tpcds_q49_dual_rank_union keeps the reference's idiom: a predicate on
+    the LEFT OUTER JOIN's nullable side (ret_cents > ...) lets the optimizer
+    convert the join to Inner — the same outer-to-inner conversion the
+    reference planner performs. No LeftOuter may survive, and both windows
+    must run over the per-item aggregate (3 channel blocks x 2 rank windows)."""
+    from hopspark.operators.tpcds_patterns10 import tpcds_q49_dual_rank_union
+
+    plan = explain_formatted(tpcds_q49_dual_rank_union(spark, sf_dir))
+    assert "LeftOuter" not in plan, plan
+    assert plan.count("Window") >= 3, plan
