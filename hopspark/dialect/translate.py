@@ -263,6 +263,267 @@ _FN_DEFAULT_ARG = {
 # name → (spark_name, args_prepended)
 _FN_SPECIAL: dict[str, tuple[str, str]] = {}
 
+
+def _ts_range_guard(expr: str, date_aware: bool = False) -> str:
+    """Wrap a timestamp-producing expression with the reference's valid-range
+    contract: TIMESTAMP values live in [1400-01-01, 10000-01-01) and every
+    producer (string/numeric casts, interval arithmetic, timezone
+    conversion) returns NULL outside it (timestamp-value.h TimestampValue;
+    exprs.test out-of-range rows). Spark has no such range, and year-10000
+    values even crash the Python collect path — the guard is both a
+    semantic and a safety fix.
+
+    ``date_aware``: the reference's DATE type has the WIDER range
+    [0001-01-01, 9999-12-31] (date-value.h), and DATE ± INTERVAL stays
+    DATE — so arithmetic sites whose operand type is unknowable at
+    translate time dispatch the lower bound on runtime typeof()."""
+    # upper() directly: this guard is spliced AFTER the typeof-uppercase
+    # dialect pass has run, and that pass skips an already-upper-wrapped
+    # typeof on re-translation (idempotency)
+    lo = (
+        f"(CASE WHEN upper(typeof({expr})) = 'DATE' THEN 1 ELSE 1400 END)"
+        if date_aware
+        else "1400"
+    )
+    return f"(CASE WHEN year({expr}) BETWEEN {lo} AND 9999 THEN {expr} END)"
+
+
+#: functions whose TIMESTAMP result must be range-guarded where called
+_TS_GUARD_FNS = {"from_utc_timestamp", "to_utc_timestamp"}
+
+#: keywords that may directly precede '(' without being a function name
+_PRIMARY_KEYWORDS = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE", "ON",
+    "BY", "IN", "ALL", "ANY", "SOME", "DISTINCT", "UNION", "INTERSECT",
+    "EXCEPT", "FROM", "AS", "CASE", "END", "HAVING", "LIKE", "ILIKE",
+    "RLIKE", "BETWEEN", "IS", "JOIN", "VALUES", "OVER", "PARTITION",
+    "USING", "EXISTS", "THEN", "LIMIT", "OFFSET", "RETURN",
+}
+
+
+def _scan_interval_unit(toks: list[Tok], start: int) -> int | None:
+    """From the token after INTERVAL, find the unit word at depth 0 (same
+    search discipline as _rewrite_interval_exprs). Returns the unit token
+    index or None."""
+    depth = 0
+    k = start
+    n = len(toks)
+    while k < n:
+        tk = toks[k]
+        if not _is_code(tk):
+            k += 1
+            continue
+        if tk.text == "(":
+            depth += 1
+        elif tk.text == ")":
+            if depth == 0:
+                return None
+            depth -= 1
+        elif depth == 0:
+            if tk.text in (",", ";"):
+                return None
+            if tk.kind == "word":
+                base = tk.text.lower()
+                if base.endswith("s"):
+                    base = base[:-1]
+                if base in _INTERVAL_UNIT_POS or base in _INTERVAL_SUBSEC_DIV:
+                    prv = _prev_code(toks, k - 1)
+                    if prv >= 0 and toks[prv].text == ".":
+                        k += 1
+                        continue
+                    nxt = _next_code(toks, k + 1)
+                    if nxt >= n or toks[nxt].text != "(":
+                        return k
+                elif tk.upper in _INTERVAL_STOP_WORDS:
+                    return None
+        k += 1
+    return None
+
+
+def _primary_start(toks: list[Tok], p: int) -> int | None:
+    """Index where the primary expression ending at code token p begins:
+    a parenthesized group (with an optional preceding function name /
+    CAST keyword), or a (possibly dotted) identifier/literal chain."""
+    if p < 0:
+        return None
+    t = toks[p]
+    if t.text == ")":
+        depth = 0
+        q = p
+        while q >= 0:
+            if toks[q].text == ")":
+                depth += 1
+            elif toks[q].text == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            q -= 1
+        if q < 0:
+            return None
+        before = _prev_code(toks, q - 1)
+        # a word directly before '(' is a call's function name UNLESS it
+        # is a SQL keyword (SELECT (CASE...), WHEN (...), AND (...), …)
+        if (
+            before >= 0
+            and toks[before].kind == "word"
+            and toks[before].upper not in _PRIMARY_KEYWORDS
+        ):
+            return before
+        return q
+    if t.kind in ("word", "num", "str", "bquote"):
+        # typed literals keep their type keyword: DATE '...' / TIMESTAMP '...'
+        if t.kind == "str":
+            kw = _prev_code(toks, p - 1)
+            if kw >= 0 and toks[kw].upper in ("DATE", "TIMESTAMP"):
+                return kw
+        start = p
+        while True:
+            dot = _prev_code(toks, start - 1)
+            if dot < 0 or toks[dot].text != ".":
+                return start
+            ident = _prev_code(toks, dot - 1)
+            if ident < 0 or toks[ident].kind not in ("word", "bquote"):
+                return start
+            start = ident
+    return None
+
+
+def _in_guard_context(toks: list[Tok], start: int) -> bool:
+    """True when the producer at `start` sits directly inside `year(...)`,
+    `typeof(...)`, or straight after THEN — the three positions the guard
+    itself creates. Skipping them keeps translate() idempotent (re-running
+    it over already-guarded output must be a no-op), and is semantically
+    free: year/typeof consume the value (NULL propagates identically), and
+    the THEN copy is the guard's own output."""
+    prev = _prev_code(toks, start - 1)
+    if prev < 0:
+        return False
+    if toks[prev].text == "(":
+        fn = _prev_code(toks, prev - 1)
+        return (
+            fn >= 0
+            and toks[fn].kind == "word"
+            and toks[fn].text.lower() in ("year", "typeof")
+        )
+    return toks[prev].upper == "THEN"
+
+
+def _rewrite_timestamp_range(toks: list[Tok]) -> list[Tok]:
+    """Apply the TIMESTAMP valid-range contract (see _ts_range_guard) to the
+    three producer shapes the reference NULLs out-of-range:
+
+      * ``CAST(x AS TIMESTAMP)`` without FORMAT (string, BIGINT-unixtime
+        and DOUBLE-unixtime conversions all route here),
+      * infix interval arithmetic ``<primary> ± INTERVAL <qty> <unit>``,
+      * ``from_utc_timestamp`` / ``to_utc_timestamp`` results.
+
+    Each wrap splices guard text and skips past it, so the duplicated
+    inner expression is not re-wrapped (the guard is semantically
+    idempotent; skipping just avoids token blow-up)."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind != "word":
+            i += 1
+            continue
+        up = t.upper
+        low = t.text.lower()
+        if up == "VALUES":
+            # Spark inline tables (VALUES rows) reject CASE expressions
+            # (INVALID_INLINE_TABLE), so the guard cannot be applied there:
+            # skip the whole row list. Out-of-range literals in VALUES rows
+            # keep Spark's native (unclamped) semantics — documented delta.
+            k = _next_code(toks, i + 1)
+            while k < len(toks) and toks[k].text == "(":
+                k = _next_code(toks, _matching_paren(toks, k) + 1)
+                if k < len(toks) and toks[k].text == ",":
+                    k = _next_code(toks, k + 1)
+                else:
+                    break
+            i = k
+            continue
+        if up == "CAST":
+            j = _next_code(toks, i + 1)
+            if j >= len(toks) or toks[j].text != "(":
+                i += 1
+                continue
+            close = _matching_paren(toks, j)
+            # find the depth-1 AS and check the target type + no FORMAT
+            depth = 0
+            as_idx = -1
+            has_format = False
+            for k in range(j, close):
+                tk = toks[k]
+                if tk.text == "(":
+                    depth += 1
+                elif tk.text == ")":
+                    depth -= 1
+                elif depth == 1 and tk.kind == "word":
+                    if tk.upper == "AS":
+                        as_idx = k
+                    elif tk.upper == "FORMAT" and as_idx >= 0:
+                        has_format = True
+            if as_idx < 0 or has_format:
+                i += 1
+                continue
+            type_idx = _next_code(toks, as_idx + 1)
+            if toks[type_idx].upper != "TIMESTAMP" or _in_guard_context(toks, i):
+                i += 1
+                continue
+            # recurse over the parenthesized part only (the CAST keyword
+            # itself must not re-enter this branch)
+            inner = "CAST" + untokenize(
+                _rewrite_timestamp_range(toks[j : close + 1])
+            ).strip()
+            new_toks = tokenize(_ts_range_guard(inner))
+            toks[i : close + 1] = new_toks
+            i += len(new_toks)
+            continue
+        if low in _TS_GUARD_FNS:
+            j = _next_code(toks, i + 1)
+            if j >= len(toks) or toks[j].text != "(" or _in_guard_context(toks, i):
+                i += 1
+                continue
+            close = _matching_paren(toks, j)
+            inner = t.text + untokenize(
+                _rewrite_timestamp_range(toks[j : close + 1])
+            ).strip()
+            new_toks = tokenize(_ts_range_guard(inner))
+            toks[i : close + 1] = new_toks
+            i += len(new_toks)
+            continue
+        if up == "INTERVAL":
+            op_idx = _prev_code(toks, i - 1)
+            if op_idx < 0 or toks[op_idx].text.strip() not in ("+", "-"):
+                i += 1
+                continue
+            unit_idx = _scan_interval_unit(toks, _next_code(toks, i + 1))
+            if unit_idx is None:
+                i += 1
+                continue
+            prim = _primary_start(toks, _prev_code(toks, op_idx - 1))
+            if prim is None or _in_guard_context(toks, prim):
+                i += 1
+                continue
+            # recurse over the operand and quantity separately — the
+            # INTERVAL keyword itself must not re-enter this branch
+            primary = untokenize(
+                _rewrite_timestamp_range(toks[prim:op_idx])
+            ).strip()
+            qty = untokenize(
+                _rewrite_timestamp_range(toks[i + 1 : unit_idx])
+            ).strip()
+            inner = (
+                f"{primary} {toks[op_idx].text.strip()} INTERVAL {qty} "
+                f"{toks[unit_idx].text}"
+            )
+            new_toks = tokenize(_ts_range_guard(inner, date_aware=True))
+            toks[prim : unit_idx + 1] = new_toks
+            i = prim + len(new_toks)
+            continue
+        i += 1
+    return toks
+
 # {unit}_{add,sub} / plain date_add/date_sub → CalendarInterval arithmetic.
 # `x ± make_interval(...)` preserves the argument's type (DATE stays DATE,
 # TIMESTAMP stays TIMESTAMP — unlike Spark's date_add, which truncates a
@@ -349,6 +610,92 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 # (the argument expression inside was already processed)
                 i += len(new_toks)
                 continue
+        # 2-arg log(base, x) is ln(x)/ln(base) with RAW C semantics on BOTH
+        # legs (math-functions-ir.cc Log uses std::log with no domain
+        # guard): log(1,2)=Infinity, log(1,1)=NaN, log(0,2)=-0,
+        # log(2,0)=-Infinity, log(0,0)=NaN (exprs.test:1917). Spark's
+        # 2-arg log NULLs non-positive operands AND a zero divisor, so
+        # build the IEEE division explicitly.
+        if name == "log":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                b = untokenize(
+                    _rewrite_functions(toks[args[0][0]:args[0][1]])
+                ).strip()
+                x = untokenize(
+                    _rewrite_functions(toks[args[1][0]:args[1][1]])
+                ).strip()
+
+                def _cln(a: str) -> str:
+                    return (
+                        f"(CASE WHEN ({a}) IS NULL THEN CAST(NULL AS DOUBLE) "
+                        f"WHEN ({a}) > 0 THEN ln(CAST(({a}) AS DOUBLE)) "
+                        f"WHEN ({a}) = 0 THEN CAST('-Infinity' AS DOUBLE) "
+                        f"ELSE CAST('NaN' AS DOUBLE) END)"
+                    )
+
+                la, lb = _cln(x), _cln(b)
+                repl = (
+                    f"(CASE WHEN {lb} = 0 THEN "
+                    f"(CASE WHEN {la} > 0 THEN CAST('Infinity' AS DOUBLE) "
+                    f"WHEN {la} < 0 THEN CAST('-Infinity' AS DOUBLE) "
+                    f"WHEN {la} = 0 THEN CAST('NaN' AS DOUBLE) "
+                    f"ELSE {la} END) "
+                    f"ELSE {la} / {lb} END)"
+                )
+                new_toks = tokenize(repl)
+                toks[i:close + 1] = new_toks
+                i += len(new_toks)
+                continue
+        # round/dround over a FLOAT argument: the reference widens to
+        # DOUBLE before rounding, so round(cast(1.1 as float), 2) is a
+        # clean 1.1 (exprs.test:1775, IMPALA-1508); Spark rounds within
+        # FLOAT and the widened display keeps the float artifact. Only the
+        # provably-FLOAT shape (a top-level CAST ... AS FLOAT/REAL) is
+        # rewritten — DECIMAL/DOUBLE arguments keep Spark's native typing.
+        if name in ("round", "dround"):
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                a_code = [
+                    toks[k]
+                    for k in range(args[0][0], args[0][1])
+                    if _is_code(toks[k])
+                ]
+                is_float_cast = (
+                    len(a_code) >= 3
+                    and a_code[0].upper == "CAST"
+                    and a_code[-2].upper in ("FLOAT", "REAL")
+                )
+                if is_float_cast:
+                    a = untokenize(
+                        _rewrite_functions(toks[args[0][0]:args[0][1]])
+                    ).strip()
+                    n_arg = untokenize(toks[args[1][0]:args[1][1]]).strip()
+                    new_toks = tokenize(
+                        f"round(CAST(({a}) AS DOUBLE), {n_arg})"
+                    )
+                    toks[i:close + 1] = new_toks
+                    i += len(new_toks)
+                    continue
+        # conv with digit validation (ConvString: invalid digit for the
+        # source base -> NULL; Spark parses the valid prefix to '0')
+        if name == "conv":
+            close = _matching_paren(toks, j)
+            if len(_split_args(toks, j, close)) == 3:
+                toks[i] = Tok("word", "conv3")
+                i += 1
+                continue
+        # regexp_match_count 3/4-arg forms dispatch to the arity-named
+        # kernels (Spark temp functions cannot overload arity)
+        if name == "regexp_match_count":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) in (3, 4):
+                toks[i] = Tok("word", f"regexp_match_count{len(args)}")
+                i += 1
+                continue
         # fmod is the FLOAT/DOUBLE modulo kernel (math-functions-ir.cc
         # FmodFloat/FmodDouble; impala_functions.py:380-381 — only
         # floating signatures exist), so the result type is always
@@ -376,11 +723,12 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 n = untokenize(toks[args[1][0]:args[1][1]]).strip()
                 sign = _MONTHS_KEEP_LAST_DAY[name]
                 rd = f"(({x}) + make_interval(0, {sign}({n})))"
-                repl = (
+                repl = _ts_range_guard(
                     f"(CASE WHEN day({x}) = day(last_day({x})) "
                     f"THEN {rd} + make_interval(0, 0, 0, "
                     f"datediff(last_day({rd}), CAST({rd} AS DATE))) "
-                    f"ELSE {rd} END)"
+                    f"ELSE {rd} END)",
+                    date_aware=True,
                 )
                 toks[i:close + 1] = tokenize(repl)
                 i += 1
@@ -392,11 +740,15 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
             close = _matching_paren(toks, j)
             args = _split_args(toks, j, close)
             if len(args) == 2:
-                comma = _prev_code(toks, args[1][0] - 1)
-                toks[i] = Tok("op", "")  # drop name, '(' stays
-                toks[comma] = Tok("op", f" {op} make_interval({'0, ' * pos}")
-                toks.insert(close, Tok("op", ", 0" * (6 - pos) + ")"))
-                i += 1
+                x = untokenize(toks[args[0][0]:args[0][1]]).strip()
+                n = untokenize(toks[args[1][0]:args[1][1]]).strip()
+                tail = ", 0" * (6 - pos) + ")"
+                repl = _ts_range_guard(
+                    f"(({x}) {op} make_interval({'0, ' * pos}({n}){tail})",
+                    date_aware=True,
+                )
+                toks[i:close + 1] = tokenize(repl)
+                i += 1  # re-scan the splice: inner dialect fns still rewrite
                 continue
         # truncate/dtrunc/trunc are three aliases of BOTH the numeric
         # truncate-toward-zero (1-2 args, impala_functions.py:350,481-486)
@@ -848,6 +1200,46 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
             if new_name is not None:
                 toks[i] = Tok("word", new_name)
                 toks.insert(close, Tok("op", f", {width}"))
+        elif name == "abs":
+            # abs() PROMOTES the integer argument's type (IMPALA-4513,
+            # impala_functions.py Abs signatures: TINYINT→SMALLINT,
+            # SMALLINT→INT, INT→BIGINT) so abs(INT_MIN) cannot overflow;
+            # Spark keeps the input type. Promote the provably-int shapes
+            # (CAST form / smallest-fit literals); other types unchanged.
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 1 and _is_provably_narrow_int(toks, args[0]):
+                w = _int_arg_width(toks, args[0])
+                if w in (8, 16, 32):
+                    # width-named kernel promotes BEFORE abs (abs(TINYINT
+                    # -128) must be 128 in SMALLINT, not the wrapped -128)
+                    toks[i] = Tok("word", f"abs{w}")
+        elif name in ("shiftleft", "shiftright"):
+            # width-typed shifts (bit-byte-functions-ir.cc ShiftLeft/
+            # ShiftRight: T(v << n) — the C++ result truncates back to the
+            # argument's int width, so shiftleft(TINYINT 1, 8) is 0, not
+            # 256). Shift in 64-bit then truncate: identical low bits for
+            # every n < width. 64-bit / unprovable args keep Spark's
+            # native shift.
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2 and _is_provably_narrow_int(toks, args[0]):
+                w = _int_arg_width(toks, args[0])
+                ty = {8: "TINYINT", 16: "SMALLINT", 32: "INT"}.get(w)
+                if ty is not None:
+                    a = untokenize(
+                        _rewrite_functions(toks[args[0][0]:args[0][1]])
+                    ).strip()
+                    n_arg = untokenize(
+                        _rewrite_functions(toks[args[1][0]:args[1][1]])
+                    ).strip()
+                    new_toks = tokenize(
+                        f"CAST({name}(CAST(({a}) AS BIGINT), {n_arg}) "
+                        f"AS {ty})"
+                    )
+                    toks[i:close + 1] = new_toks
+                    i += len(new_toks)
+                    continue
         elif name == "chr":
             # out-of-[0,255] → empty string (Chr:1338-1343; Spark wraps
             # the codepoint mod 256 instead)
@@ -897,10 +1289,25 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                             continue
         elif name == "typeof":
             # Impala renders type names UPPERCASE ('DECIMAL(2,1)', 'STRING'
-            # — fe ScalarType.toSql); Spark's typeof prints lowercase
+            # — fe ScalarType.toSql); Spark's typeof prints lowercase.
+            # Skip when already wrapped (idempotency: the ts-range guard
+            # emits upper(typeof(...)) directly, and translate() may re-run
+            # over its own output, e.g. for stored view bodies).
+            prev_p = _prev_code(toks, i - 1)
+            already = False
+            if prev_p >= 0 and toks[prev_p].text == "(":
+                prev_f = _prev_code(toks, prev_p - 1)
+                already = (
+                    prev_f >= 0 and toks[prev_f].text.lower() == "upper"
+                )
             close = _matching_paren(toks, j)
-            if len(_split_args(toks, j, close)) == 1:
-                inner = untokenize(toks[i : close + 1])
+            if not already and len(_split_args(toks, j, close)) == 1:
+                # pre-rewrite the ARGUMENT (paren part only — re-running
+                # over the typeof name itself would recurse) so dialect
+                # contracts inside typeof probes are visible
+                inner = "typeof" + untokenize(
+                    _rewrite_functions(toks[j : close + 1])
+                )
                 repl = tokenize(f"upper({inner})")
                 toks[i : close + 1] = repl
                 i += len(repl)  # don't re-match the inner typeof
@@ -1864,6 +2271,46 @@ _INT_WIDTH_TYPES = {
 }
 
 
+def _is_provably_narrow_int(toks: list[Tok], arg: tuple[int, int]) -> bool:
+    """True when the argument is PROVABLY a sub-64-bit integer: a top-level
+    CAST to TINYINT/SMALLINT/INT, or an integer literal that fits one of
+    those widths (reference smallest-fit literal typing). Distinct from
+    _int_arg_width's 64 fallback, which conflates 'provably BIGINT' with
+    'unknown type' — callers that must not touch DOUBLE/DECIMAL arguments
+    gate on this first."""
+    code = [k for k in range(arg[0], arg[1]) if _is_code(toks[k])]
+    if not code:
+        return False
+    first = toks[code[0]]
+    if first.kind == "word" and first.upper == "CAST" and len(code) >= 2:
+        if toks[code[1]].text == "(" and _matching_paren(
+            toks, code[1]
+        ) == code[-1]:
+            ty = toks[code[-2]]
+            return (
+                ty.kind == "word"
+                and ty.upper in _INT_WIDTH_TYPES
+                and _INT_WIDTH_TYPES[ty.upper] < 64
+            )
+        return False
+    lit = None
+    if len(code) == 1 and first.kind == "num" and "." not in first.text:
+        lit = first.text
+    elif (
+        len(code) == 2
+        and first.text == "-"
+        and toks[code[1]].kind == "num"
+        and "." not in toks[code[1]].text
+    ):
+        lit = "-" + toks[code[1]].text
+    if lit is None:
+        return False
+    try:
+        return -(2**31) <= int(lit) <= 2**31 - 1
+    except ValueError:
+        return False
+
+
 def _int_arg_width(toks: list[Tok], arg: tuple[int, int]) -> int:
     """Bit width of a provably-typed integer argument: a top-level CAST to
     an int type, or an integer literal under the reference's smallest-fit
@@ -2020,6 +2467,14 @@ def _rewrite_byte_semantics(toks: list[Tok]) -> list[Tok]:
             # string-functions-ir.cc Upper/Lower). translate() maps exactly
             # the 26 ASCII letters, leaving everything else verbatim.
             close = _matching_paren(toks, j)
+            # upper(typeof(...)) is the typeof-uppercase contract's own
+            # output (type names are pure ASCII, so native upper IS the
+            # byte-mode mapping) — leave it, keeping translate() idempotent
+            # over ts-range-guard output
+            arg0 = _next_code(toks, j + 1)
+            if toks[arg0].text.lower() == "typeof":
+                i = arg0
+                continue
             if len(_split_args(toks, j, close)) == 1:
                 src, dst = _ASCII_LOWER, _ASCII_UPPER
                 if name in ("lower", "lcase"):
@@ -2274,6 +2729,11 @@ def translate(
     toks = _rewrite_functions(toks)
     if options and options.get("appx_count_distinct"):
         toks = _rewrite_count_distinct_to_ndv(toks)
+    # range contract AFTER the type-dispatch passes (they detect bare
+    # `CAST(... AS TIMESTAMP)` shapes the guard would hide) and BEFORE
+    # the interval rewrite (non-literal quantities inside the guard still
+    # need their make_interval form)
+    toks = _rewrite_timestamp_range(toks)
     toks = _rewrite_interval_exprs(toks)
     toks = _rewrite_iregexp(toks)
     toks = _rewrite_null_ordering(toks)
@@ -2819,14 +3279,19 @@ def _rewrite_interval_exprs(toks: list[Tok]) -> list[Tok]:
                 and code[1].kind == "num"
             )
         )
-        if literal:
+        base0 = toks[unit_idx].text.lower()
+        if base0.endswith("s"):
+            base0 = base0[:-1]
+        # literal quantities keep native Spark INTERVAL syntax — except
+        # NANOSECOND, which Spark's literal grammar lacks (the reference
+        # truncates ns→us, SURVEY §1.3); that one takes the make_interval
+        # path like non-literal quantities
+        if literal and base0 != "nanosecond":
             out.append(t)
             i += 1
             continue
         expr = untokenize(expr_toks).strip()
-        base = toks[unit_idx].text.lower()
-        if base.endswith("s"):
-            base = base[:-1]
+        base = base0
         if base in _INTERVAL_UNIT_POS:
             args = ["0"] * 7
             args[_INTERVAL_UNIT_POS[base]] = f"({expr})"

@@ -293,6 +293,17 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "ELSE CAST(raise_error(concat('Invalid bit val: ', CAST(b AS STRING))) AS BIGINT) END",
     ),
     "quotient": ("a BIGINT, b BIGINT", "BIGINT", "a div b"),
+    # conv with the reference's digit validation (math-functions-ir.cc
+    # ConvString/DecimalInBaseToDecimal: a digit outside the source base
+    # returns NULL; Spark's conv parses the valid prefix and yields '0').
+    # The dialect layer renames 3-arg conv calls here.
+    "conv3": (
+        "s STRING, fb INT, tb INT",
+        "STRING",
+        "CASE WHEN s rlike concat('(?i)^-?[', "
+        "substr('0123456789abcdefghijklmnopqrstuvwxyz', 1, fb), ']+$') "
+        "THEN conv(s, fb, tb) END",
+    ),
     "is_inf": ("x DOUBLE", "BOOLEAN", "x = double('inf') OR x = double('-inf')"),
     "timestamp_cmp": (
         "a TIMESTAMP, b TIMESTAMP",
@@ -302,11 +313,40 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # -- datetime helpers (be/src/exprs/timestamp-functions-ir.cc) ----------
     "timeofday": ("", "STRING", "date_format(now(), 'EEE MMM dd HH:mm:ss yyyy z')"),
     "from_timestamp": ("t TIMESTAMP, fmt STRING", "STRING", "date_format(t, fmt)"),
+    # -- abs with the reference's integer type promotion (IMPALA-4513,
+    # impala_functions.py Abs: TINYINT->SMALLINT, SMALLINT->INT,
+    # INT->BIGINT) so abs(INT_MIN) cannot overflow-wrap; the dialect layer
+    # dispatches by the argument's proven width. Width-named kernels keep
+    # translate() idempotent (a bare rewritten `abs(CAST ...)` would
+    # re-promote on every re-translation).
+    "abs8": ("x SMALLINT", "SMALLINT", "abs(x)"),
+    "abs16": ("x INT", "INT", "abs(x)"),
+    "abs32": ("x BIGINT", "BIGINT", "abs(x)"),
     # -- string/regex helpers (be/src/exprs/string-functions-ir.cc) ---------
     "regexp_match_count": (
         "s STRING, pat STRING",
         "INT",
         "size(regexp_extract_all(s, pat, 0))",
+    ),
+    # 3/4-arg forms (StringFunctions::RegexpMatchCount4Args,
+    # string-functions-ir.cc): start_pos is 1-based; params chars are
+    # i (case-insensitive) / c (sensitive, LAST of i/c wins like
+    # SetRE2Options' sequential scan) / m (multi-line) / n (. matches \n).
+    # The dialect layer dispatches the 3- and 4-arg calls here.
+    "regexp_match_count3": (
+        "s STRING, pat STRING, sp INT",
+        "INT",
+        "size(regexp_extract_all(substr(s, sp), pat, 0))",
+    ),
+    "regexp_match_count4": (
+        "s STRING, pat STRING, sp INT, params STRING",
+        "INT",
+        "size(regexp_extract_all(substr(s, sp), concat("
+        "CASE WHEN instr(coalesce(params, ''), 'i') >"
+        " instr(coalesce(params, ''), 'c') THEN '(?i)' ELSE '' END, "
+        "CASE WHEN coalesce(params, '') LIKE '%m%' THEN '(?m)' ELSE '' END, "
+        "CASE WHEN coalesce(params, '') LIKE '%n%' THEN '(?s)' ELSE '' END, "
+        "pat), 0))",
     ),
     "regexp_escape": (
         "s STRING",
@@ -314,7 +354,14 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         r"regexp_replace(s, '([\\.\\\\\\+\\*\\?\\[\\^\\]\\$\\(\\)\\{\\}\\=\\!\\<\\>\\|\\:\\-])', '\\\\$1')",
     ),
     "base64encode": ("s STRING", "STRING", "base64(CAST(s AS BINARY))"),
-    "base64decode": ("s STRING", "STRING", "CAST(unbase64(s) AS STRING)"),
+    # base64decode: the reference rejects inputs whose length is not a
+    # multiple of 4 with NULL + a UDF warning (string-functions-ir.cc
+    # Base64Decode); Spark's unbase64 is lenient there, so pre-check.
+    "base64decode": (
+        "s STRING",
+        "STRING",
+        "CASE WHEN length(s) % 4 = 0 THEN CAST(unbase64(s) AS STRING) END",
+    ),
     # -- masking family (be/src/exprs/mask-functions-ir.cc); default masks
     # upper→X lower→x digit→n like the reference; other chars pass through.
     "mask_first_n": (
@@ -410,7 +457,15 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     ),
     "millisecond": ("t TIMESTAMP", "INT", "CAST(date_format(t, 'SSS') AS INT)"),
     "utc_timestamp": ("", "TIMESTAMP", "to_utc_timestamp(now(), current_timezone())"),
-    "unix_micros_to_utc_timestamp": ("n BIGINT", "TIMESTAMP", "timestamp_micros(n)"),
+    # range-guarded like every timestamp producer: the reference's valid
+    # TIMESTAMP range is [1400-01-01, 10000-01-01) and out-of-range unix
+    # times return NULL (exprs.test unix_micros_to_utc_timestamp rows)
+    "unix_micros_to_utc_timestamp": (
+        "n BIGINT",
+        "TIMESTAMP",
+        "CASE WHEN year(timestamp_micros(n)) BETWEEN 1400 AND 9999 "
+        "THEN timestamp_micros(n) END",
+    ),
     "utc_to_unix_micros": ("t TIMESTAMP", "BIGINT", "unix_micros(t)"),
     # -- instr 3/4-arg kernel (string-functions-ir.cc Instr:788-846). The
     # dialect rewrites instr(s, sub, pos[, occ]) here; 2-arg instr stays the
