@@ -118,6 +118,7 @@ HEADLINE = [
     "dialect_sql_uda_mergeable_weighted_avg",
     "tpcds_q49_dual_rank_union",
     "dq_ks_drift_bucketed",
+    "pipeline_leakage_safe_split",
 ]
 
 

@@ -219,8 +219,98 @@ ORDER BY r.source
 """
 
 
+PREFIX_LEN_SPLIT = 12
+TRAIN_BUCKETS, VAL_BUCKETS = 16, 2  # of 20: 80% / 10% / 10%
+
+
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents must land
+    in the SAME split, or the eval set silently contains copies of training
+    rows. Cluster by the head-prefix fingerprint (the cheap near-dup proxy
+    dedup_prefix_clusters uses), assign the split PER CLUSTER (bucket of
+    the cluster representative), then join the label back to the docs —
+    every member inherits its cluster's split by construction.
+
+    100 TB design: clustering is one hash aggregation over (16-byte pkey,
+    doc_id, n_tokens) — the payload never shuffles; split assignment is a
+    scan-side CASE on the one-row-per-cluster relation; the label
+    join-back is a pkey equi-join (AQE broadcasts the cluster side when
+    it measures small, shuffle-hash otherwise — no pinned hint, the
+    cluster relation is corpus-derived). Production note: bucketing the
+    cluster REPRESENTATIVE's id keeps the oracle engine-neutral; a
+    content-stable deployment buckets the fingerprint itself so splits
+    survive recrawls with different ids."""
+    docs = read_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.md5(
+            F.array_join(F.slice(toks, 1, PREFIX_LEN_SPLIT), " ")
+        ).alias("pkey"),
+    )
+    clusters = keyed.groupBy("pkey").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("csize"),
+    )
+    bucket = F.pmod(F.col("rep_id"), F.lit(20))
+    splits = clusters.select(
+        "pkey",
+        "csize",
+        F.when(bucket < TRAIN_BUCKETS, "train")
+        .when(bucket < TRAIN_BUCKETS + VAL_BUCKETS, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    labeled = keyed.join(splits, "pkey")
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("pkey").alias("n_clusters"),
+            F.sum("n_tokens").alias("tok_total"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
+
+
+PIPELINE_LEAKAGE_SPLIT_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         md5(array_to_string(
+           list_slice(string_split_regex(trim(text), '\\s+'), 1,
+                      {PREFIX_LEN_SPLIT}), ' ')) AS pkey
+  FROM documents
+),
+clusters AS (
+  SELECT pkey, MIN(doc_id) AS rep_id, COUNT(*) AS csize
+  FROM keyed GROUP BY pkey
+),
+splits AS (
+  SELECT pkey,
+         CASE WHEN rep_id % 20 < {TRAIN_BUCKETS} THEN 'train'
+              WHEN rep_id % 20 < {TRAIN_BUCKETS + VAL_BUCKETS} THEN 'val'
+              ELSE 'test' END AS split
+  FROM clusters
+)
+SELECT s.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT k.pkey) AS BIGINT) AS n_clusters,
+       CAST(SUM(k.n_tokens) AS BIGINT) AS tok_total,
+       CAST(COUNT(DISTINCT k.source) AS BIGINT) AS n_sources
+FROM keyed k JOIN splits s ON k.pkey = s.pkey
+GROUP BY s.split
+ORDER BY s.split
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_CLEAN_SQL),
+    "pipeline_leakage_safe_split": (
+        pipeline_leakage_safe_split, PIPELINE_LEAKAGE_SPLIT_SQL),
     "pipeline_corpus_stats": (pipeline_corpus_stats, PIPELINE_STATS_SQL),
     "pipeline_training_mix": (pipeline_training_mix, PIPELINE_TRAINING_MIX_SQL),
 }
