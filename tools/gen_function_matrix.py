@@ -24,7 +24,7 @@ from __future__ import annotations
 # fmt: off
 MATRIX: dict[str, tuple[str, str | None, str]] = {
     # ---------------- math ----------------
-    "abs": ("native", "abs(-3)", ""),
+    "abs": ("rewritten", "abs(-3)", "int widths promote one step (IMPALA-4513): width-named kernels"),
     "acos": ("native", "acos(1.0)", ""),
     "asin": ("native", "asin(0.0)", ""),
     "atan": ("native", "atan(0.0)", ""),
@@ -32,7 +32,7 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "bin": ("native", "bin(5)", ""),
     "ceil": ("native", "ceil(1.2)", ""),
     "ceiling": ("native", "ceiling(1.2)", ""),
-    "conv": ("native", "conv('ff', 16, 10)", ""),
+    "conv": ("rewritten", "conv('ff', 16, 10)", "digit validation vs source base -> NULL (conv3 kernel)"),
     "cos": ("native", "cos(0.0)", ""),
     "cosh": ("native", "cosh(0.0)", ""),
     "cot": ("native", "cot(1.0)", ""),
@@ -45,7 +45,7 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "hex": ("native", "hex(255)", ""),
     "least": ("native", "least(1, 2, 3)", ""),
     "ln": ("rewritten", "ln(e())", "C log() domain: ln(0)=-inf, ln(neg)=NaN (no guard in math-functions-ir.cc)"),
-    "log": ("native", "log(2, 8)", "base-first, same as reference"),
+    "log": ("rewritten", "log(2, 8)", "base-first; raw-C IEEE semantics (log(1,2)=Inf, log(0,0)=NaN) via ln-division rewrite"),
     "log10": ("rewritten", "log10(100)", "C log10() domain: -inf at 0, NaN below"),
     "log2": ("rewritten", "log2(8)", "C log2() domain: -inf at 0, NaN below"),
     "mod": ("native", "mod(7, 3)", ""),
@@ -134,7 +134,7 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "regexp_like": ("rewritten", "regexp_like('ABC', 'abc', 'i')", "flags folded into (?i) prefix"),
     "regexp_replace": ("native", "regexp_replace('a1b2', '[0-9]', '')", ""),
     "regexp_escape": ("registered", "regexp_escape('a.b')", ""),
-    "regexp_match_count": ("registered", "regexp_match_count('a1b2c3', '[0-9]')", ""),
+    "regexp_match_count": ("registered", "regexp_match_count('a1b2c3', '[0-9]')", "2/3/4-arg forms (start_pos; i/c/m/n params, last of i/c wins)"),
     "base64encode": ("registered", "base64encode('ab')", ""),
     "base64decode": ("registered", "base64decode(base64encode('ab'))", ""),
     "jaro_distance": ("registered", "jaro_distance('martha', 'marhta')", "Arrow UDF"),
@@ -264,8 +264,8 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "rotateleft": ("registered", "rotateleft(8, 62)", ""),
     "rotateright": ("registered", "rotateright(8, 62)", ""),
     "setbit": ("registered", "setbit(8, 0)", ""),
-    "shiftleft": ("native", "shiftleft(1, 3)", ""),
-    "shiftright": ("native", "shiftright(-8, 1)", ""),
+    "shiftleft": ("rewritten", "shiftleft(1, 3)", "result truncates to the first argument's int width (expr-test.cc:9903)"),
+    "shiftright": ("rewritten", "shiftright(-8, 1)", "arithmetic shift within the first argument's int width"),
     # ---------------- masking ----------------
     "mask": ("native", "mask('AbCd-123')", "same per-char-class defaults"),
     "mask_first_n": ("registered", "mask_first_n('abcd', 2)", ""),
