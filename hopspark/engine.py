@@ -109,6 +109,13 @@ class Engine(AlterTableMixin):
     _SHOW_PARTITIONS_RE = re.compile(
         r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$", re.I
     )
+    _TS_LIT = r"(?:'[^']*'|\d+)"
+    _DESCRIBE_HISTORY_RE = re.compile(
+        r"^\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*"
+        rf"(?:FROM\s+({_TS_LIT})|BETWEEN\s+({_TS_LIT})\s+AND\s+({_TS_LIT}))?"
+        r"\s*;?\s*$",
+        re.I,
+    )
     _SHOW_CREATE_RE = re.compile(
         r"^\s*SHOW\s+CREATE\s+(TABLE|VIEW)\s+(\w+)\s*;?\s*$", re.I
     )
@@ -264,6 +271,11 @@ class Engine(AlterTableMixin):
         m = self._SHOW_PARTITIONS_RE.match(impala_sql)
         if m:
             return self.show_partitions(m.group(1))
+        m = self._DESCRIBE_HISTORY_RE.match(impala_sql)
+        if m:
+            return self.describe_history(
+                m.group(1), m.group(2), m.group(3), m.group(4)
+            )
         up0 = impala_sql.lstrip()[:8].upper()
         if up0.startswith(
             ("ALTER", "DESCRIBE", "DESC", "COMMENT", "TRUNCATE", "LOAD")
@@ -525,6 +537,62 @@ class Engine(AlterTableMixin):
 
         udaf = F.pandas_udf(fn, return_type, F.PandasUDFType.GROUPED_AGG)
         self.spark.udf.register(name, udaf)
+
+    @staticmethod
+    def _ts_lit_to_ms(lit: str | None) -> int | None:
+        if lit is None:
+            return None
+        if lit.isdigit():
+            return int(lit)
+        import datetime as _dt
+
+        return int(
+            _dt.datetime.fromisoformat(lit.strip("'")).timestamp() * 1000
+        )
+
+    def describe_history(
+        self,
+        path: str,
+        from_lit: str | None = None,
+        lo_lit: str | None = None,
+        hi_lit: str | None = None,
+    ):
+        """DESCRIBE HISTORY '<iceberg path>' [FROM ts | BETWEEN a AND b] —
+        the reference's Iceberg snapshot-log statement
+        (Frontend.java:1230-1248): creation_time, snapshot_id, parent_id,
+        is_current_ancestor (+ operation, our extension). Timestamp bounds
+        accept epoch-millis integers or quoted ISO timestamps."""
+        from hopspark.sources.iceberg import describe_history
+
+        rows = describe_history(
+            path,
+            from_ms=self._ts_lit_to_ms(from_lit or lo_lit),
+            to_ms=self._ts_lit_to_ms(hi_lit),
+        )
+        data = [
+            (
+                r["creation_time"],
+                r["snapshot_id"],
+                r["parent_id"],
+                r["is_current_ancestor"],
+                r["operation"],
+            )
+            for r in rows
+        ]
+        df = self.spark.createDataFrame(
+            data or [(0, 0, None, False, "")],
+            "creation_time_ms BIGINT, snapshot_id BIGINT, parent_id BIGINT, "
+            "is_current_ancestor BOOLEAN, operation STRING",
+        )
+        if not data:
+            df = df.filter("snapshot_id <> 0 OR operation <> ''")
+        return df.selectExpr(
+            "timestamp_millis(creation_time_ms) AS creation_time",
+            "snapshot_id",
+            "parent_id",
+            "is_current_ancestor",
+            "operation",
+        )
 
     def drop_function(self, name: str) -> None:
         self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")

@@ -254,8 +254,59 @@ ORDER BY n_nationkey
 """
 
 
+def iceberg_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY through the engine's SQL surface
+    (Frontend.java:1230-1248): build a v2 table with two appends, a delete,
+    and a compaction REPLACE commit, then read the snapshot log. The
+    snapshot ids and wall-clock times are nondeterministic, so the query
+    projects the DETERMINISTIC derivations — commit ordinal, operation,
+    parent linkage, and the current-ancestor flag (every commit chains off
+    the previous one here, so the whole log is ancestry) — which the
+    oracle pins as literals."""
+    from hopspark.engine import Engine
+    from hopspark.sources.iceberg import compact_data_files
+
+    path = _fixture_path(sf_dir, "hist_nation")
+    shutil.rmtree(path, ignore_errors=True)
+    nation = read_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_iceberg_table(
+        nation.filter("n_nationkey < 12"), path, format_version=2
+    )
+    write_iceberg_table(
+        nation.filter("n_nationkey >= 12"), path, mode="append"
+    )
+    delete_from_iceberg(spark, path, "n_nationkey % 7 = 3")
+    compact_data_files(spark, path)
+    eng = Engine(spark=spark, sf_dir=sf_dir, register_tables=False)
+    hist = eng.sql(f"DESCRIBE HISTORY '{path}'")
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("creation_time", "snapshot_id")
+    return hist.select(
+        F.row_number().over(w).alias("ordinal"),
+        "operation",
+        F.col("parent_id").isNotNull().alias("has_parent"),
+        "is_current_ancestor",
+    ).orderBy("ordinal")
+
+
+ICEBERG_HISTORY_SQL = """
+SELECT * FROM (VALUES
+  (1, 'append', false, true),
+  (2, 'append', true, true),
+  (3, 'delete', true, true),
+  (4, 'replace', true, true)
+) t(ordinal, operation, has_parent, is_current_ancestor)
+ORDER BY ordinal
+"""
+
+
 QUERIES = {
     "iceberg_v2_mor_read": (iceberg_v2_mor_read, ICEBERG_V2_MOR_SQL),
+    "iceberg_describe_history": (
+        iceberg_describe_history, ICEBERG_HISTORY_SQL),
     "iceberg_maintenance_roundtrip": (
         iceberg_maintenance_roundtrip, ICEBERG_MAINTENANCE_SQL),
     "iceberg_hidden_partition_prune": (

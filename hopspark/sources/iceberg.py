@@ -528,6 +528,10 @@ def _commit_snapshot(
         "manifest-list": list_path,
         "summary": {"operation": operation},
     }
+    if md.get("current-snapshot-id", -1) != -1:
+        # spec: parent-snapshot-id links the ancestry chain DESCRIBE
+        # HISTORY walks (Frontend.java:1230; TableMetadata.java snapshot log)
+        snap["parent-snapshot-id"] = md["current-snapshot-id"]
     if fv >= 2:
         snap["sequence-number"] = seq
         md["last-sequence-number"] = seq
@@ -890,6 +894,42 @@ def iceberg_snapshots(path: str) -> list[dict]:
     """Snapshot log (id, timestamp) — SHOW SNAPSHOTS / time-travel surface."""
     md, _ = _load_metadata(path)
     return md["snapshots"]
+
+
+def describe_history(
+    path: str, from_ms: int | None = None, to_ms: int | None = None
+) -> list[dict]:
+    """DESCRIBE HISTORY <table> [FROM <ts> | BETWEEN <ts> AND <ts>] —
+    the reference's Iceberg snapshot-log statement (Frontend.java:1230-1248;
+    output columns creation_time, snapshot_id, parent_id,
+    is_current_ancestor). The ancestor flag walks parent-snapshot-id links
+    back from the current snapshot, so snapshots abandoned by a rollback
+    (or replaced by compaction's REPLACE commit keeping them reachable)
+    report their lineage membership exactly like the reference."""
+    md, _ = _load_metadata(path)
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    ancestors: set[int] = set()
+    cur = md.get("current-snapshot-id", -1)
+    while cur in by_id:
+        ancestors.add(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    rows = []
+    for s in sorted(md["snapshots"], key=lambda s: s["timestamp-ms"]):
+        t = s["timestamp-ms"]
+        if from_ms is not None and t < from_ms:
+            continue
+        if to_ms is not None and t > to_ms:
+            continue
+        rows.append(
+            {
+                "creation_time": t,
+                "snapshot_id": s["snapshot-id"],
+                "parent_id": s.get("parent-snapshot-id"),
+                "is_current_ancestor": s["snapshot-id"] in ancestors,
+                "operation": s.get("summary", {}).get("operation"),
+            }
+        )
+    return rows
 
 
 def _snapshot_file_refs(md: dict, snap: dict) -> tuple[set, set]:

@@ -474,3 +474,56 @@ def test_compact_partitioned_one_file_per_tuple(spark, sf_dir, tmp_path):
     assert read_iceberg(spark, path).count() == 25
     # partition pruning still plans one file for one region
     assert len(plan_data_files(path, partition_filter={"n_regionkey": 2})) == 1
+
+
+def test_describe_history_chain_and_filters(spark, sf_dir, tmp_path):
+    """DESCRIBE HISTORY (Frontend.java:1230-1248): parent links chain the
+    commits, every commit on the current lineage reports
+    is_current_ancestor, and FROM / BETWEEN bounds filter on creation
+    time. Expired snapshots drop out of the log entirely."""
+    from hopspark.engine import Engine
+    from hopspark.sources.iceberg import (
+        describe_history,
+        expire_snapshots,
+        write_iceberg_table,
+    )
+
+    path = str(tmp_path / "hist")
+    df = spark.range(0, 10).selectExpr("id", "CAST(id AS STRING) AS s")
+    write_iceberg_table(df.filter("id < 5"), path, format_version=2)
+    write_iceberg_table(df.filter("id >= 5"), path, mode="append")
+
+    rows = describe_history(path)
+    assert len(rows) == 2
+    assert rows[0]["parent_id"] is None
+    assert rows[1]["parent_id"] == rows[0]["snapshot_id"]
+    assert all(r["is_current_ancestor"] for r in rows)
+    assert [r["operation"] for r in rows] == ["append", "append"]
+
+    # FROM bound excludes the first commit
+    later = describe_history(path, from_ms=rows[1]["creation_time"])
+    assert [r["snapshot_id"] for r in later] == [rows[1]["snapshot_id"]]
+    # BETWEEN keeps only the first
+    first = describe_history(
+        path, from_ms=rows[0]["creation_time"], to_ms=rows[0]["creation_time"]
+    )
+    assert [r["snapshot_id"] for r in first] == [rows[0]["snapshot_id"]]
+
+    # engine SQL surface, FROM epoch-millis literal
+    eng = Engine(spark=spark, sf_dir=sf_dir, register_tables=False)
+    got = eng.sql(f"DESCRIBE HISTORY '{path}'").collect()
+    assert [r.snapshot_id for r in got] == [r["snapshot_id"] for r in rows]
+    assert got[1].parent_id == rows[0]["snapshot_id"]
+    got_from = eng.sql(
+        f"DESCRIBE HISTORY '{path}' FROM {rows[1]['creation_time']}"
+    ).collect()
+    assert [r.snapshot_id for r in got_from] == [rows[1]["snapshot_id"]]
+    got_btw = eng.sql(
+        f"DESCRIBE HISTORY '{path}' BETWEEN {rows[0]['creation_time']} "
+        f"AND {rows[0]['creation_time']}"
+    ).collect()
+    assert [r.snapshot_id for r in got_btw] == [rows[0]["snapshot_id"]]
+
+    # expiration removes history rows
+    expire_snapshots(path, keep_last=1)
+    assert len(describe_history(path)) == 1

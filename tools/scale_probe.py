@@ -38,6 +38,8 @@ PROBE_QUERIES = [
     # r6 session 3: bounded edit-distance verify and per-doc tf-idf top-k
     "dedup_levenshtein_verify",
     "text_tfidf_top_terms",
+    # r7: cluster-grain leakage-safe split
+    "pipeline_leakage_safe_split",
     "pipeline_training_mix",
     "pack_sequences",
     "pipeline_corpus_stats",
