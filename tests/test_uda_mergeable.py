@@ -254,3 +254,46 @@ def test_mergeable_state_is_order_insensitive_requirement_documented(spark):
         "SELECT k, wavg_ord(p, q) AS w FROM uda_ord_t GROUP BY k"
     ).head().w
     assert got == pytest.approx(49.5, abs=1e-9)
+
+
+def test_two_mergeable_udas_in_one_statement(spark):
+    """Two mergeable UDA calls in one aggregation compile into ONE salted
+    two-stage plan with two partial columns (both partial folds run in the
+    same Arrow aggregation — pandas UDFs may share a grouped agg)."""
+    eng = Engine(spark=spark, register_tables=False)
+    _register_wavg(eng, "wavg_a")
+    import numpy as np
+
+    eng.create_aggregate_function(
+        "sumsq_m",
+        return_type="double",
+        init=lambda: 0.0,
+        update=lambda acc, x: acc + x * x,
+        merge=lambda a, b: a + b,
+        finalize=lambda acc: float(np.round(acc, 6)),
+    )
+    spark.range(0, 10000, 1, 8).selectExpr(
+        "CAST(id % 4 AS STRING) AS k",
+        "CAST(id % 100 AS DOUBLE) AS p",
+        "CAST(1 + id % 3 AS DOUBLE) AS q",
+    ).createOrReplaceTempView("uda_two_t")
+    df = eng.sql(
+        "SELECT k, wavg_a(p, q) AS w, sumsq_m(p) AS ss "
+        "FROM uda_two_t GROUP BY k ORDER BY k"
+    )
+    plan = _executed_plan(df)
+    assert "__hop_salt" in plan
+    assert "wavg_a__partial" in plan and "sumsq_m__partial" in plan
+    got = {r.k: (r.w, r.ss) for r in df.collect()}
+    truth = {
+        r.k: (r.w, r.ss)
+        for r in spark.sql(
+            "SELECT k, CAST(round(SUM(p*q)/SUM(q), 6) AS DOUBLE) AS w, "
+            "CAST(round(SUM(p*p), 6) AS DOUBLE) AS ss "
+            "FROM uda_two_t GROUP BY k"
+        ).collect()
+    }
+    assert got.keys() == truth.keys()
+    for k in truth:
+        assert got[k][0] == pytest.approx(truth[k][0], abs=5e-6)
+        assert got[k][1] == pytest.approx(truth[k][1], rel=1e-9)
