@@ -307,10 +307,67 @@ ORDER BY s.split
 """
 
 
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering with a DETERMINISTIC pseudo-shuffle: training
+    pipelines present short/simple documents first (phase 1) and longer
+    ones later, but within a phase the order must be (a) shuffled — no
+    source/crawl-order correlation — and (b) reproducible across reruns
+    and engines. Order within a phase by md5(seed || doc_id): a keyed
+    hash shuffle both engines compute bit-identically, re-seedable per
+    epoch. Returns the head of the curriculum (seq, phase, doc).
+
+    100 TB design: phases are scan-side CASE buckets; the head-of-order
+    fetch plans as TakeOrderedAndProject (top-K per partition, K rows to
+    the driver — never a global sort), and the seq stamp is a 20-row
+    window after the take. A full-epoch materialization would write
+    sortWithinPartitions(phase, h) per output split instead."""
+    docs = read_table(spark, "documents", sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    phase = (
+        F.when(n_tokens <= 60, 1).when(n_tokens <= 120, 2).otherwise(3)
+    )
+    h = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    head = (
+        docs.select(
+            "doc_id", phase.alias("phase"), h.alias("h"),
+            n_tokens.alias("n_tokens"),
+        )
+        .orderBy("phase", "h")
+        .limit(20)
+    )
+    w = W.orderBy("phase", "h")
+    return head.select(
+        F.row_number().over(w).alias("seq"),
+        "phase",
+        "doc_id",
+        "n_tokens",
+    )
+
+
+PIPELINE_CURRICULUM_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split_regex(trim(text), '\\s+')) <= 60 THEN 1
+              WHEN len(string_split_regex(trim(text), '\\s+')) <= 120 THEN 2
+              ELSE 3 END AS phase,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+head AS (SELECT * FROM scored ORDER BY phase, h LIMIT 20)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY phase, h) AS INT) AS seq,
+       phase, doc_id, CAST(n_tokens AS INT) AS n_tokens
+FROM head
+ORDER BY seq
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_CLEAN_SQL),
     "pipeline_leakage_safe_split": (
         pipeline_leakage_safe_split, PIPELINE_LEAKAGE_SPLIT_SQL),
+    "pipeline_curriculum_order": (
+        pipeline_curriculum_order, PIPELINE_CURRICULUM_SQL),
     "pipeline_corpus_stats": (pipeline_corpus_stats, PIPELINE_STATS_SQL),
     "pipeline_training_mix": (pipeline_training_mix, PIPELINE_TRAINING_MIX_SQL),
 }
