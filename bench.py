@@ -119,6 +119,8 @@ HEADLINE = [
     "tpcds_q49_dual_rank_union",
     "dq_ks_drift_bucketed",
     "pipeline_leakage_safe_split",
+    "pipeline_curriculum_order",
+    "events_daily_anomaly",
 ]
 
 

@@ -488,8 +488,75 @@ ORDER BY dau.day
 """
 
 
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly screen: z-score each day's event count against
+    the corpus-wide mean/stddev of daily counts and flag |z| >= 2 — the
+    ingestion-monitoring alarm a pipeline runs per batch (a broken crawler
+    or a duplicated feed shows up as a volume spike/crater long before any
+    content-level audit fires).
+
+    Scale shape: one map-side-combinable count per (day) — the spine is
+    |days| rows from then on; the moments come from ONE tiny aggregation
+    broadcast back (1 row), so the whole plan is scan -> narrow agg ->
+    scan-side z arithmetic. Moments accumulate exact integer sums (counts
+    are BIGINTs; sum and sum-of-squares stay integral) with one terminal
+    double division, so both engines agree bit-for-bit."""
+    events = read_table(spark, "events", sf_dir)
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    moments = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.crossJoin(F.broadcast(moments))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) >= 2.0).alias("anomalous"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_DAILY_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM daily
+)
+SELECT CAST(day AS VARCHAR) AS day, n,
+       ROUND((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / n_days)
+             / SQRT((CAST(s2 AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_days)
+                    / (n_days - 1)), 6) AS z,
+       ABS((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / n_days)
+           / SQRT((CAST(s2 AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_days)
+                  / (n_days - 1))) >= 2.0 AS anomalous
+FROM daily, m
+ORDER BY day
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "temporal_asof_attribution": (asof_join_attribution, ASOF_JOIN_ATTRIBUTION_SQL),
+    "events_daily_anomaly": (events_daily_anomaly, EVENTS_DAILY_ANOMALY_SQL),
     "events_session_funnel": (events_session_funnel, EVENTS_SESSION_FUNNEL_SQL),
     "events_markov_transitions": (
         events_markov_transitions,
