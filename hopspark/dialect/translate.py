@@ -2139,6 +2139,14 @@ def _rewrite_decimal_sum(toks: list[Tok]) -> list[Tok]:
         if not (t.kind == "word" and t.text.lower() == "sum"):
             i += 1
             continue
+        # already directly inside CAST( ... ) — our own output from a
+        # previous translate() (idempotency for stored view bodies)
+        prev_p = _prev_code(toks, i - 1)
+        if prev_p >= 0 and toks[prev_p].text == "(":
+            prev_f = _prev_code(toks, prev_p - 1)
+            if prev_f >= 0 and toks[prev_f].upper == "CAST":
+                i += 1
+                continue
         j = _next_code(toks, i + 1)
         if j >= len(toks) or toks[j].text != "(":
             i += 1
@@ -2167,6 +2175,100 @@ def _rewrite_decimal_sum(toks: list[Tok]) -> list[Tok]:
         toks[i : wrap_end + 1] = repl
         i += len(repl)  # skip the inner sum — it would re-match
     return toks
+
+
+def _rewrite_decimal_avg(toks: list[Tok]) -> list[Tok]:
+    """avg(DECIMAL(p,s)) in DECIMAL_V2 returns
+    DECIMAL((p-s) + max(6,s), max(6,s)) with the adjusted 38-cap
+    (FunctionCallExpr.java:448-461: scale gets at least MIN_ADJUSTED_SCALE
+    for the implicit divide, precision trims to digits-before + scale);
+    Spark's avg returns DECIMAL(p+4, s+4) — the two coincide ONLY at s=2.
+    Applied to the provable top-level CAST(... AS DECIMAL(p,s)) form, same
+    discipline as _rewrite_decimal_sum; the CAST back rounds half-up at
+    the result scale exactly like the reference's divide."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "word" and t.text.lower() == "avg"):
+            i += 1
+            continue
+        # already directly inside CAST( ... ) — our own output from a
+        # previous translate() (idempotency for stored view bodies)
+        prev_p = _prev_code(toks, i - 1)
+        if prev_p >= 0 and toks[prev_p].text == "(":
+            prev_f = _prev_code(toks, prev_p - 1)
+            if prev_f >= 0 and toks[prev_f].upper == "CAST":
+                i += 1
+                continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j].text != "(":
+            i += 1
+            continue
+        close = _matching_paren(toks, j)
+        args = _split_args(toks, j, close)
+        if len(args) != 1:
+            i += 1
+            continue
+        ps = _decimal_cast_prec_scale(toks, args[0])
+        if ps is None:
+            i += 1
+            continue
+        p, s = ps
+        scale = max(6, s)
+        precision = (p - s) + scale
+        if precision > 38:  # ScalarType.createAdjustedDecimalType
+            int_digits = precision - scale
+            scale = max(38 - int_digits, min(scale, 6))
+            precision = 38
+        wrap_end = close
+        after = _next_code(toks, close + 1)
+        if (
+            after < len(toks)
+            and toks[after].kind == "word"
+            and toks[after].upper == "OVER"
+        ):
+            op = _next_code(toks, after + 1)
+            if op < len(toks) and toks[op].text == "(":
+                wrap_end = _matching_paren(toks, op)
+        inner = untokenize(toks[i : wrap_end + 1])
+        repl = tokenize(f"CAST({inner} AS DECIMAL({precision}, {scale}))")
+        toks[i : wrap_end + 1] = repl
+        i += len(repl)  # skip the inner avg — it would re-match
+    return toks
+
+
+def _decimal_cast_prec_scale(
+    toks: list[Tok], arg: tuple[int, int]
+) -> tuple[int, int] | None:
+    """(precision, scale) when the arg is a top-level
+    CAST(... AS DECIMAL(p[, s])) (bare DECIMAL = (9, 0)), else None."""
+    code = [k for k in range(arg[0], arg[1]) if _is_code(toks[k])]
+    if len(code) < 4:
+        return None
+    first = toks[code[0]]
+    if not (first.kind == "word" and first.upper == "CAST"):
+        return None
+    if toks[code[1]].text != "(" or _matching_paren(toks, code[1]) != code[-1]:
+        return None
+    t2 = toks[code[-2]]
+    if t2.kind == "word" and t2.upper == "DECIMAL":
+        return (9, 0)
+    if toks[code[-2]].text != ")" or toks[code[-3]].kind != "num":
+        return None
+    n1 = int(toks[code[-3]].text)
+    if toks[code[-4]].text == ",":
+        if toks[code[-5]].kind != "num" or toks[code[-6]].text != "(":
+            return None
+        ty = toks[code[-7]]
+        if ty.kind == "word" and ty.upper == "DECIMAL":
+            return (int(toks[code[-5]].text), n1)
+        return None
+    if toks[code[-4]].text == "(":
+        ty = toks[code[-5]]
+        if ty.kind == "word" and ty.upper == "DECIMAL":
+            return (n1, 0)
+        return None
+    return None
 
 
 def _decimal_cast_scale(toks: list[Tok], arg: tuple[int, int]) -> int | None:
@@ -2712,6 +2814,7 @@ def translate(
     toks = _rewrite_datetime_type_contracts(toks)
     toks = _rewrite_timestamp_avg(toks, timestamp_columns)
     toks = _rewrite_decimal_sum(toks)
+    toks = _rewrite_decimal_avg(toks)
     toks = _rewrite_div_by_zero_literal(toks)
     toks = _rewrite_double_ceil_floor(toks, double_columns)
     toks = _rewrite_char_casts(toks)
