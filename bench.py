@@ -121,6 +121,9 @@ HEADLINE = [
     "pipeline_leakage_safe_split",
     "pipeline_curriculum_order",
     "events_daily_anomaly",
+    # r8 additions: the two remaining first-time gate rows
+    "iceberg_describe_history",
+    "tpcds_q49a_decile_buckets",
 ]
 
 
@@ -161,14 +164,24 @@ def main() -> None:
     }
     line = json.dumps(payload)
     # The driver captures a tail of stdout; a long JSON line preceded/followed
-    # by JVM noise has been truncated mid-line before (BENCH_r06 parsed: null).
-    # Belt and braces: persist the full payload to BENCH_LOCAL.json next to
-    # this script, then print the line (flushed) as the final stdout output.
+    # by JVM noise has been truncated mid-line before (BENCH_r06/r07 parsed:
+    # null). Belt and braces, three layers:
+    #  1. persist the full payload to BENCH_LOCAL.json next to this script;
+    #  2. stop Spark BEFORE printing so any JVM/Py4J shutdown chatter lands
+    #     ahead of the metric line, never after it;
+    #  3. print the line as the absolute last stdout bytes and hard-exit
+    #     (os._exit) so no atexit/shutdown hook can write past it.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
+    try:
+        spark.stop()
+    except Exception:
+        pass
     sys.stdout.flush()
+    sys.stderr.flush()
     print(line, flush=True)
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -370,6 +370,24 @@ def _primary_start(toks: list[Tok], p: int) -> int | None:
         ):
             return before
         return q
+    if t.kind == "word" and t.upper == "END":
+        # CASE ... END is itself a primary: scan back to the matching CASE
+        # (nested CASEs tracked by depth). Treating END as a bare identifier
+        # spliced the guard around `END + INTERVAL ...`, producing
+        # unparseable SQL (round-7 advice, high).
+        depth = 0
+        q = p
+        while q >= 0:
+            tk = toks[q]
+            if _is_code(tk) and tk.kind == "word":
+                if tk.upper == "END":
+                    depth += 1
+                elif tk.upper == "CASE":
+                    depth -= 1
+                    if depth == 0:
+                        return q
+            q -= 1
+        return None
     if t.kind in ("word", "num", "str", "bquote"):
         # typed literals keep their type keyword: DATE '...' / TIMESTAMP '...'
         if t.kind == "str":
@@ -389,23 +407,80 @@ def _primary_start(toks: list[Tok], p: int) -> int | None:
 
 
 def _in_guard_context(toks: list[Tok], start: int) -> bool:
-    """True when the producer at `start` sits directly inside `year(...)`,
-    `typeof(...)`, or straight after THEN — the three positions the guard
-    itself creates. Skipping them keeps translate() idempotent (re-running
-    it over already-guarded output must be a no-op), and is semantically
-    free: year/typeof consume the value (NULL propagates identically), and
-    the THEN copy is the guard's own output."""
+    """True when the producer at `start` sits in one of the three positions
+    the range guard itself creates, verified STRUCTURALLY against the guard
+    template ``CASE WHEN year(X) BETWEEN {lo} AND 9999 THEN X END`` (and the
+    date_aware lo's ``upper(typeof(X)) = 'DATE'``).  Round-7 advice: the old
+    check skipped on ANY `year(`/`typeof(`/post-THEN context, so user-written
+    ``CASE WHEN c THEN CAST(s AS TIMESTAMP) END`` and
+    ``year(CAST(s AS TIMESTAMP))`` never got the guard and year-10000 values
+    could still crash the collect path.  Matching the template keeps
+    translate() idempotent without suppressing the guard on user SQL.  (When
+    user SQL literally spells the guard template, skipping is semantically
+    correct — the producer is already range-dispatched.)"""
     prev = _prev_code(toks, start - 1)
     if prev < 0:
         return False
+    n = len(toks)
     if toks[prev].text == "(":
         fn = _prev_code(toks, prev - 1)
-        return (
-            fn >= 0
-            and toks[fn].kind == "word"
-            and toks[fn].text.lower() in ("year", "typeof")
-        )
-    return toks[prev].upper == "THEN"
+        if fn < 0 or toks[fn].kind != "word":
+            return False
+        low = toks[fn].text.lower()
+        if low == "year":
+            # guard scaffold: CASE WHEN year ( X ) BETWEEN ...
+            w = _prev_code(toks, fn - 1)
+            if w < 0 or toks[w].upper != "WHEN":
+                return False
+            c = _prev_code(toks, w - 1)
+            if c < 0 or toks[c].upper != "CASE":
+                return False
+            close = _matching_paren(toks, prev)
+            after = _next_code(toks, close + 1)
+            return after < n and toks[after].upper == "BETWEEN"
+        if low == "typeof":
+            # date_aware lo scaffold: upper ( typeof ( X ) ) = 'DATE'
+            op = _prev_code(toks, fn - 1)
+            if op < 0 or toks[op].text != "(":
+                return False
+            up_fn = _prev_code(toks, op - 1)
+            if up_fn < 0 or toks[up_fn].text.lower() != "upper":
+                return False
+            close = _matching_paren(toks, prev)
+            after = _next_code(toks, close + 1)
+            if after >= n or toks[after].text != ")":
+                return False
+            eq = _next_code(toks, after + 1)
+            if eq >= n or toks[eq].text != "=":
+                return False
+            lit = _next_code(toks, eq + 1)
+            return (
+                lit < n
+                and toks[lit].kind == "str"
+                and toks[lit].text.strip("'\"").upper() == "DATE"
+            )
+        return False
+    if toks[prev].upper == "THEN":
+        # guard scaffold: BETWEEN {lo} AND 9999 THEN X END
+        p1 = _prev_code(toks, prev - 1)
+        if p1 < 0 or toks[p1].text != "9999":
+            return False
+        p2 = _prev_code(toks, p1 - 1)
+        if p2 < 0 or toks[p2].upper != "AND":
+            return False
+        p3 = _prev_code(toks, p2 - 1)
+        if p3 < 0:
+            return False
+        if toks[p3].text == "1400":
+            p4 = _prev_code(toks, p3 - 1)
+            return p4 >= 0 and toks[p4].upper == "BETWEEN"
+        if toks[p3].text == ")":
+            # date_aware lo: BETWEEN (CASE ... END) AND 9999
+            open_i = _matching_paren_rev(toks, p3)
+            p4 = _prev_code(toks, open_i - 1)
+            return p4 >= 0 and toks[p4].upper == "BETWEEN"
+        return False
+    return False
 
 
 def _rewrite_timestamp_range(toks: list[Tok]) -> list[Tok]:
@@ -503,6 +578,26 @@ def _rewrite_timestamp_range(toks: list[Tok]) -> list[Tok]:
                 continue
             prim = _primary_start(toks, _prev_code(toks, op_idx - 1))
             if prim is None or _in_guard_context(toks, prim):
+                i += 1
+                continue
+            # If the primary is itself the right operand of a binary
+            # operator (`a - b + INTERVAL 1 DAY`, `a * b + INTERVAL ...`),
+            # wrapping just `b` would regroup the expression — e.g. turn
+            # `(a - b) + INTERVAL` into `a - (b + INTERVAL)`, flipping the
+            # interval's sign. Skip the guard: the value keeps Spark's
+            # native (unclamped) semantics — documented delta, same policy
+            # as VALUES rows above. (round-7 advice, high)
+            before_prim = _prev_code(toks, prim - 1)
+            if before_prim >= 0 and toks[before_prim].text.strip() in (
+                "+", "-", "*", "/", "%", "||", "&", "|", "^",
+            ):
+                i += 1
+                continue
+            if (
+                before_prim >= 0
+                and toks[before_prim].kind == "word"
+                and toks[before_prim].upper == "DIV"
+            ):
                 i += 1
                 continue
             # recurse over the operand and quantity separately — the
@@ -2125,6 +2220,38 @@ def _rewrite_div_by_zero_literal(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+def _enclosing_cast_target(toks: list[Tok], i: int) -> str | None:
+    """Normalized (upper, space-free) target type of a CAST that DIRECTLY
+    encloses the expression starting at token i — i.e. i sits right after
+    ``CAST (``.  Used by the decimal sum/avg result-type passes to make the
+    idempotency skip exact: only a CAST to the exact type the pass would
+    emit is recognized as the pass's own output (round-7 advice, low) —
+    a user-written ``CAST(avg(...) AS STRING)`` no longer suppresses the
+    DECIMAL_V2 result-type rewrite."""
+    prev_p = _prev_code(toks, i - 1)
+    if prev_p < 0 or toks[prev_p].text != "(":
+        return None
+    prev_f = _prev_code(toks, prev_p - 1)
+    if prev_f < 0 or toks[prev_f].upper != "CAST":
+        return None
+    close = _matching_paren(toks, prev_p)
+    depth = 0
+    as_idx = -1
+    for k in range(prev_p, close):
+        tk = toks[k]
+        if tk.text == "(":
+            depth += 1
+        elif tk.text == ")":
+            depth -= 1
+        elif depth == 1 and tk.kind == "word" and tk.upper == "AS":
+            as_idx = k
+    if as_idx < 0:
+        return None
+    return "".join(
+        t.text for t in toks[as_idx + 1 : close] if _is_code(t)
+    ).upper().replace(" ", "")
+
+
 def _rewrite_decimal_sum(toks: list[Tok]) -> list[Tok]:
     """sum(DECIMAL(p,s)) returns the MAX-RESOLUTION type DECIMAL(38,s) in
     the reference (FunctionCallExpr.java:442-444 → ScalarType.
@@ -2139,14 +2266,6 @@ def _rewrite_decimal_sum(toks: list[Tok]) -> list[Tok]:
         if not (t.kind == "word" and t.text.lower() == "sum"):
             i += 1
             continue
-        # already directly inside CAST( ... ) — our own output from a
-        # previous translate() (idempotency for stored view bodies)
-        prev_p = _prev_code(toks, i - 1)
-        if prev_p >= 0 and toks[prev_p].text == "(":
-            prev_f = _prev_code(toks, prev_p - 1)
-            if prev_f >= 0 and toks[prev_f].upper == "CAST":
-                i += 1
-                continue
         j = _next_code(toks, i + 1)
         if j >= len(toks) or toks[j].text != "(":
             i += 1
@@ -2158,6 +2277,12 @@ def _rewrite_decimal_sum(toks: list[Tok]) -> list[Tok]:
             continue
         scale = _decimal_cast_scale(toks, args[0])
         if scale is None:
+            i += 1
+            continue
+        # idempotency: skip ONLY when the directly-enclosing CAST targets
+        # the exact type this pass emits — a user CAST to any other type
+        # (STRING, a different DECIMAL) must not suppress the rewrite
+        if _enclosing_cast_target(toks, i) == f"DECIMAL(38,{scale})":
             i += 1
             continue
         wrap_end = close
@@ -2192,14 +2317,6 @@ def _rewrite_decimal_avg(toks: list[Tok]) -> list[Tok]:
         if not (t.kind == "word" and t.text.lower() == "avg"):
             i += 1
             continue
-        # already directly inside CAST( ... ) — our own output from a
-        # previous translate() (idempotency for stored view bodies)
-        prev_p = _prev_code(toks, i - 1)
-        if prev_p >= 0 and toks[prev_p].text == "(":
-            prev_f = _prev_code(toks, prev_p - 1)
-            if prev_f >= 0 and toks[prev_f].upper == "CAST":
-                i += 1
-                continue
         j = _next_code(toks, i + 1)
         if j >= len(toks) or toks[j].text != "(":
             i += 1
@@ -2220,6 +2337,11 @@ def _rewrite_decimal_avg(toks: list[Tok]) -> list[Tok]:
             int_digits = precision - scale
             scale = max(38 - int_digits, min(scale, 6))
             precision = 38
+        # idempotency: skip ONLY when the directly-enclosing CAST targets
+        # the exact type this pass emits (see _enclosing_cast_target)
+        if _enclosing_cast_target(toks, i) == f"DECIMAL({precision},{scale})":
+            i += 1
+            continue
         wrap_end = close
         after = _next_code(toks, close + 1)
         if (

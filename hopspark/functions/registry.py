@@ -293,16 +293,40 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "ELSE CAST(raise_error(concat('Invalid bit val: ', CAST(b AS STRING))) AS BIGINT) END",
     ),
     "quotient": ("a BIGINT, b BIGINT", "BIGINT", "a div b"),
-    # conv with the reference's digit validation (math-functions-ir.cc
-    # ConvString/DecimalInBaseToDecimal: a digit outside the source base
-    # returns NULL; Spark's conv parses the valid prefix and yields '0').
+    # conv with the reference's parse contract (math-functions-ir.cc
+    # ConvString + string-parser.h StringToIntInternal): bases validated as
+    # abs(base) in [2,36] (NULL otherwise, "like Hive"); the parser breaks at
+    # the FIRST out-of-base digit with PARSE_SUCCESS — conv('z1',16,10)='0',
+    # conv('1z',16,10)='1', exactly Spark's native prefix parse — and
+    # everything after that break char is ignored entirely.  '0' is returned
+    # only on PARSE_FAILURE: first char (after sign/leading ws) not
+    # alphanumeric, or a non-alphanumeric char appears mid-run with a
+    # non-whitespace tail and no earlier out-of-base break.  fb < 0 returns
+    # NULL (documented delta: the reference feeds a negative base into
+    # unsigned parser arithmetic — implementation-defined; Spark also NULLs).
     # The dialect layer renames 3-arg conv calls here.
     "conv3": (
         "s STRING, fb INT, tb INT",
         "STRING",
-        "CASE WHEN s rlike concat('(?i)^-?[', "
-        "substr('0123456789abcdefghijklmnopqrstuvwxyz', 1, fb), ']+$') "
-        "THEN conv(s, fb, tb) END",
+        "CASE WHEN s IS NULL OR fb IS NULL OR tb IS NULL THEN CAST(NULL AS STRING) "
+        "WHEN abs(fb) < 2 OR abs(fb) > 36 OR abs(tb) < 2 OR abs(tb) > 36 "
+        "  THEN CAST(NULL AS STRING) "
+        "WHEN fb < 0 THEN CAST(NULL AS STRING) "
+        "WHEN length(regexp_extract(CASE WHEN trim(s) rlike '^[+-]' "
+        "  THEN substr(trim(s), 2) ELSE trim(s) END, '^[0-9a-zA-Z]*', 0)) = 0 "
+        "  THEN '0' "
+        "WHEN length(trim(substr(CASE WHEN trim(s) rlike '^[+-]' "
+        "  THEN substr(trim(s), 2) ELSE trim(s) END, "
+        "  length(regexp_extract(CASE WHEN trim(s) rlike '^[+-]' "
+        "  THEN substr(trim(s), 2) ELSE trim(s) END, '^[0-9a-zA-Z]*', 0)) + 1))) > 0 "
+        " AND regexp_extract(CASE WHEN trim(s) rlike '^[+-]' "
+        "  THEN substr(trim(s), 2) ELSE trim(s) END, '^[0-9a-zA-Z]*', 0) "
+        "  NOT rlike concat('(?i)[^', "
+        "  substr('0123456789abcdefghijklmnopqrstuvwxyz', 1, abs(fb)), ']') "
+        "  THEN '0' "
+        "ELSE conv(concat(CASE WHEN trim(s) rlike '^-' THEN '-' ELSE '' END, "
+        "  regexp_extract(CASE WHEN trim(s) rlike '^[+-]' "
+        "  THEN substr(trim(s), 2) ELSE trim(s) END, '^[0-9a-zA-Z]*', 0)), fb, tb) END",
     ),
     "is_inf": ("x DOUBLE", "BOOLEAN", "x = double('inf') OR x = double('-inf')"),
     "timestamp_cmp": (

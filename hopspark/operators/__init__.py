@@ -85,7 +85,11 @@ CURATED_FIRST = (
     # (tpcds_patterns10, q27a shape) replaces agg_pivot_status — §2.5
     # grouping-family evidence deepens (rollup + grouping sets + q18/q86
     # below); PIVOT stays sim-checked and golden-pinned.
-    "tpcds_q27a_grouping_sets",
+    # r8 rotation: q49a decile buckets (r7's newest TPC-DS shape, sim-only
+    # until now) takes q27a's slot — grouping-sets evidence keeps driver
+    # rows via tpcds_q18_grouping_sets_channels and the q36 rollup;
+    # q27a was driver-green in r7 and stays sim-checked.
+    "tpcds_q49a_decile_buckets",
     "agg_stats_moments",
     # Analytic / windows (§2.6).
     # r7 rotation: window_rank_topn rotates out — the partitioned-TopN
@@ -112,8 +116,12 @@ CURATED_FIRST = (
     # now) take their first driver rows; dedup_embedding_cosine stays
     # sim-checked — the cosine family keeps sim_knn_bruteforce_cosine plus
     # the quantization row below.
-    "dedup_incremental_batch",
-    "dedup_levenshtein_verify",
+    # r8 rotation: both r7-green dedup rows (incremental batch anti-join,
+    # capped-prefix Levenshtein verify) hand their slots to first-time rows
+    # below; the dedup family keeps dedup_exact_groups + dedup_cc_clusters
+    # under the gate, and both rotated rows stay sim-checked.
+    "pipeline_leakage_safe_split",
+    "iceberg_describe_history",
     # Format scan/sink roundtrips (§2.1): the Avro container codec is the
     # largest pure-Python reader surface — its oracle compares the
     # write→read roundtrip against the ORIGINAL parquet view, upgrading
@@ -128,7 +136,10 @@ CURATED_FIRST = (
     # the cohort family's user-level window semantics remain covered by
     # window_sessionize above.
     "temporal_asof_attribution",
-    "events_session_funnel",
+    # r8 rotation: the daily-anomaly z-score screen (r7's new temporal
+    # operator, sim-only until now) takes its first driver row;
+    # events_session_funnel was driver-green in r7 and stays sim-checked.
+    "events_daily_anomaly",
     # Similarity search. r7 rotation: int8 embedding quantization
     # (zero-shuffle scan-side array kernels, engine-stable rounding) takes
     # its first driver row.
@@ -143,7 +154,11 @@ CURATED_FIRST = (
     "curation_source_cap",
     # Curation.
     "pack_sequences",
-    "text_contamination",
+    # r8 rotation: the keyed-hash curriculum ordering (r7 operator, sim-only
+    # until now) takes text_contamination's slot — contamination was
+    # driver-green in r7 and stays sim-checked; the text family keeps
+    # tfidf_top_terms + bigram_score under the gate.
+    "pipeline_curriculum_order",
     # r7 rotation: per-doc TF-IDF top terms (tf join df over two
     # pre-aggregated relations, WindowGroupLimit top-k) — first driver row.
     "text_tfidf_top_terms",
@@ -204,10 +219,11 @@ CURATED_FIRST = (
     # report, which it subsumes; corpus_stats stays sim-checked.
     "pipeline_training_mix",
     "dq_null_profile",
-    # r7 rotation: the exact two-sample KS drift screen — first driver row
-    # (its width_bucket-binned scale variant dq_ks_drift_bucketed stays
-    # sim-checked).
-    "dq_ks_distribution_drift",
+    # r8 rotation: the width_bucket-binned KS drift screen (the FIXED
+    # 512-bin scale path promised in r6) takes its first driver row; the
+    # exact two-sample variant dq_ks_distribution_drift was driver-green in
+    # r7 and stays sim-checked.
+    "dq_ks_drift_bucketed",
     "mixture_rebalance_uniform",
     "streaming_hourly_rollup",
 )

@@ -289,7 +289,16 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(extract, schema=_FEATURE_SCHEMA).orderBy("media_id")
+    # The registry-facing output serializes the histogram to a CSV string:
+    # the driver's oracle gate canonicalizes with pandas sort_values over raw
+    # cell values, and a list-valued column crashes its factorizer
+    # (CORRECTNESS_r07 emb_quantize_int8 — same rule enforced registry-wide
+    # by tests/test_registry.py::test_registry_outputs_are_scalar_only).
+    return (
+        media.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+        .withColumn("byte_hist", F.array_join(F.col("byte_hist"), ","))
+        .orderBy("media_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -291,7 +291,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- int8 quantization --------------------------------------------------------
 
 
-def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def emb_quantize_int8_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column — the
     standard 4× storage/bandwidth reduction step before an ANN index build
     at 100 TB scale.  scale = max |x|; q_i = floor(round(x_i/scale·127, 9) + 0.5)
@@ -337,6 +337,23 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-facing shape of :func:`emb_quantize_int8_array`: the int8 lane
+    array is serialized to a comma-joined string column ``q_csv`` so every
+    output column is scalar.  The driver's oracle harness canonicalizes
+    results with pandas ``sort_values`` over all columns, which cannot
+    factorize list-valued cells (CORRECTNESS_r07: "unhashable type: 'list'")
+    — any query registered for the oracle gate must emit scalar columns
+    only.  Programs that want the raw ``array<int>`` use the *_array form."""
+    out = emb_quantize_int8_array(spark, sf_dir)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("q"), ",").alias("q_csv"),
+        "n_clip",
+    )
+
+
 EMB_QUANTIZE_INT8_SQL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -348,7 +365,9 @@ s AS (
 )
 SELECT vec_id,
        ROUND(scale, 6) AS scale,
-       list_transform(emb, x -> CAST(FLOOR(ROUND(x / scale * 127, 9) + 0.5) AS INT)) AS q,
+       array_to_string(
+         list_transform(emb, x -> CAST(FLOOR(ROUND(x / scale * 127, 9) + 0.5) AS INT)),
+         ',') AS q_csv,
        CAST(len(list_filter(
          list_transform(emb, x -> CAST(FLOOR(ROUND(x / scale * 127, 9) + 0.5) AS INT)),
          v -> abs(v) = 127)) AS INT) AS n_clip

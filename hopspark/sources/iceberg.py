@@ -1186,13 +1186,19 @@ def _read_with_meta(spark: SparkSession, scan: dict) -> DataFrame:
             F.col("__seq").alias("__dseq"),
         )
         # spec: a position delete applies to data files with
-        # data sequence number <= delete sequence number
+        # data sequence number <= delete sequence number.
+        # No broadcast hint: delete relations are corpus-derived — a MOR
+        # table's accumulated deletes can be many GB at 100 TB, and a pinned
+        # broadcast forces them through the driver. The (file_path, pos)
+        # equi keys support a shuffle hash anti-join with the __seq
+        # inequality as a post-join filter; AQE still broadcasts
+        # measured-small delete sets at runtime (round-7 verdict item 3).
         cond = (
             (df["__fp"] == dels["__del_fp"])
             & (df["__pos"] == dels["__del_pos"])
             & (df["__seq"] <= dels["__dseq"])
         )
-        df = df.join(F.broadcast(dels), cond, "left_anti")
+        df = df.join(dels, cond, "left_anti")
 
     # group equality-delete files by their equality-column set: each set is
     # one anti join on those columns
@@ -1206,11 +1212,14 @@ def _read_with_meta(spark: SparkSession, scan: dict) -> DataFrame:
             F.col("__seq").alias("__dseq"),
         )
         # spec: an equality delete applies only to STRICTLY older data
-        # files; matching is null-safe
+        # files; matching is null-safe. Unpinned for the same reason as the
+        # position-delete join above: the null-safe equality columns are the
+        # join keys, __seq < __dseq rides along as the join condition, and
+        # AQE decides the physical strategy.
         cond = df["__seq"] < dels["__dseq"]
         for c in cols:
             cond = cond & df[c].eqNullSafe(dels[f"__ed_{c}"])
-        df = df.join(F.broadcast(dels), cond, "left_anti")
+        df = df.join(dels, cond, "left_anti")
     return df
 
 

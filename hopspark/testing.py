@@ -40,6 +40,41 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def driver_canon(df: pd.DataFrame) -> list[tuple]:
+    """Canonicalize a result exactly the way the driver's oracle gate does.
+
+    The driver reorders columns by name, then calls pandas ``sort_values``
+    over ALL columns on the RAW cell values — NOT a string projection — and
+    only then renders values for hashing.  Sorting raw values means an
+    array/map/struct-typed output column makes pandas' lexsort factorizer
+    throw ``TypeError: unhashable type: 'list'`` before any comparison runs
+    (exactly the CORRECTNESS_r07 ``emb_quantize_int8`` failure).  The sim
+    must crash the same way, so this function deliberately does NOT
+    stringify before sorting the rows.
+
+    Rendering: nulls (None/NaN/NaT) → "NULL" on both sides (pandas widens
+    nullable ints to float64 identically for a Spark ``toPandas()`` and a
+    DuckDB Arrow fetch, so the two sides stay comparable); floats rounded
+    to 6 dp; everything else ``str()``."""
+    import numpy as np
+
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    out: list[tuple] = []
+    for row in df.itertuples(index=False, name=None):
+        vals = []
+        for v in row:
+            if v is None or v is pd.NaT:
+                vals.append("NULL")
+            elif isinstance(v, (float, np.floating)):
+                vals.append("NULL" if math.isnan(v) else str(round(float(v), 6)))
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return out
+
+
 def type_category(type_str: str) -> str:
     """Collapse a Spark dtype / DuckDB type string to a comparison category.
 

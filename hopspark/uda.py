@@ -37,10 +37,16 @@ bound). Supported shape:
     SELECT <items> FROM <relation> [WHERE ...] GROUP BY <cols>
         [ORDER BY ...] [LIMIT n]
 
-where every select item is a group-by column, a mergeable-UDA call
+where every select item is a group-by column (plain identifier or an
+aliased expression key like `year(ts) AS y`), a mergeable-UDA call
 `name(args) AS alias`, or a splittable builtin aggregate
-(SUM/COUNT/MIN/MAX `(expr) AS alias`, no DISTINCT). Set operations, HAVING,
-DISTINCT, window clauses, and CTEs fall back.
+(SUM/COUNT/MIN/MAX `(expr) AS alias`, no DISTINCT). HAVING is compiled to
+the OUTER stage: each aggregate call in it is routed through its own
+partial/merge leg (reusing a select item's leg when the call text matches),
+and select-item aliases resolve to their outer expressions — so
+`HAVING wavg(x, w) > k` and `HAVING r > k` both work. Set operations,
+DISTINCT, window clauses, CTEs, and HAVING/ORDER expressions containing
+unrecognized call names (potential non-splittable aggregates) fall back.
 """
 
 from __future__ import annotations
@@ -96,7 +102,7 @@ def _clause_spans(toks: list[Tok]) -> dict[str, tuple[int, int]] | None:
                 cur_start = i + 1
         k += 1
     spans[cur] = (cur_start, len(toks))
-    if "HAVING" in spans or "FROM" not in spans:
+    if "FROM" not in spans:
         return None
     # DISTINCT straight after SELECT -> unsupported
     sel_s, sel_e = spans["SELECT"]
@@ -159,6 +165,41 @@ def _parse_call(toks: list[Tok], s: int, e: int) -> tuple[str, str] | None:
     return toks[idx[0]].upper, _text(toks, idx[1] + 1, idx[-1])
 
 
+def _next_code_before(toks: list[Tok], i: int, e: int) -> int | None:
+    """Index of the next code token in [i, e), or None."""
+    while i < e and not _is_code(toks[i]):
+        i += 1
+    return i if i < e else None
+
+
+def _match_paren_before(toks: list[Tok], open_i: int, e: int) -> int | None:
+    """Index of the ')' matching toks[open_i] within [open_i, e), or None."""
+    depth = 0
+    for j in range(open_i, e):
+        if toks[j].text == "(":
+            depth += 1
+        elif toks[j].text == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    return None
+
+
+def _norm_expr(text: str) -> str:
+    """Whitespace-insensitive, case-insensitive key for expression matching."""
+    return "".join(text.split()).upper()
+
+
+#: scalar functions allowed to WRAP aggregate legs in HAVING/ORDER BY — any
+#: other call name there could be a non-splittable aggregate (avg, stddev,
+#: collect_list, ...) and forces the whole-group fallback.
+_HAVING_SCALAR_FNS = {
+    "abs", "round", "floor", "ceil", "ceiling", "coalesce", "nvl", "ifnull",
+    "nullif", "if", "cast", "least", "greatest", "sqrt", "ln", "log", "log2",
+    "log10", "exp", "power", "pow", "sign",
+}
+
+
 def rewrite_mergeable_uda(
     sql: str, uda_names: set[str], salt_buckets: int = 64
 ) -> str | None:
@@ -172,28 +213,88 @@ def rewrite_mergeable_uda(
     if spans is None:
         return None
 
-    # GROUP BY columns: plain identifiers only. A missing GROUP BY is the
-    # global-aggregate case (the worst whole-group offender: ONE group) —
-    # supported, the inner stage then groups by the salt alone.
-    group_cols: list[str] = []
+    # GROUP BY keys: plain identifiers pass through by name; any other
+    # expression (`year(ts)`, `a || b`) becomes an internally-named inner
+    # column `__hop_g_i` that the outer stage groups and selects by — the
+    # source columns it reads do not survive into __hop_partials. A missing
+    # GROUP BY is the global-aggregate case (the worst whole-group offender:
+    # ONE group) — supported, the inner stage then groups by the salt alone.
+    group_out_names: list[str] = []     # name usable in the OUTER stage
+    inner_key_items: list[str] = []     # select items for the INNER stage
+    inner_gb_exprs: list[str] = []      # GROUP BY expressions, INNER stage
+    expr_key_map: dict[str, str] = {}   # norm(expr) -> outer name
     if "GROUP" in spans:
-        for s, e in _split_top_commas(toks, *spans["GROUP"]):
+        for gi, (s, e) in enumerate(_split_top_commas(toks, *spans["GROUP"])):
             idx = [i for i in range(s, e) if _is_code(toks[i])]
-            if len(idx) != 1 or toks[idx[0]].kind != "word":
+            if not idx:
                 return None
-            group_cols.append(toks[idx[0]].text)
-    group_keys = {c.upper() for c in group_cols}
+            if len(idx) == 1 and toks[idx[0]].kind == "word":
+                name = toks[idx[0]].text
+                group_out_names.append(name)
+                inner_key_items.append(name)
+                inner_gb_exprs.append(name)
+                expr_key_map[_norm_expr(name)] = name
+            else:
+                expr = _text(toks, s, e)
+                gname = f"__hop_g_{gi}"
+                group_out_names.append(gname)
+                inner_key_items.append(f"{expr} AS {gname}")
+                inner_gb_exprs.append(expr)
+                expr_key_map[_norm_expr(expr)] = gname
 
     inner_items: list[str] = []
     outer_items: list[str] = []
-    n_partial = 0
-    n_agg = 0
+    counters = {"p": 0, "a": 0}
+    call_legs: dict[str, str] = {}  # norm("NAME(args)") -> outer expression
+    alias_legs: dict[str, str] = {}  # alias upper -> outer expression
     saw_uda = False
+
+    def uda_leg(fname: str, args: str) -> str:
+        """Outer expression for a mergeable-UDA call, creating (or reusing)
+        its inner partial column."""
+        nonlocal saw_uda
+        key = _norm_expr(f"{fname}({args})")
+        if key not in call_legs:
+            col = f"__hop_p_{counters['p']}"
+            counters["p"] += 1
+            inner_items.append(f"{fname.lower()}__partial({args}) AS {col}")
+            call_legs[key] = f"{fname.lower()}__merge({col})"
+        saw_uda = True
+        return call_legs[key]
+
+    def split_leg(fname: str, args: str) -> str | None:
+        """Outer expression for a splittable builtin, creating (or reusing)
+        its inner partial column. None for DISTINCT args (unsupported)."""
+        if args.upper().startswith("DISTINCT"):
+            return None
+        key = _norm_expr(f"{fname}({args})")
+        if key not in call_legs:
+            col = f"__hop_a_{counters['a']}"
+            counters["a"] += 1
+            inner_items.append(f"{fname}({args}) AS {col}")
+            outer = f"{_SPLITTABLE[fname]}({col})"
+            if fname == "COUNT":
+                # COUNT splits into inner COUNT + outer SUM; a global
+                # aggregate whose WHERE filters every row would then return
+                # NULL where both Spark and the reference return 0 —
+                # COALESCE restores the zero (round-7 advice, low).
+                outer = f"COALESCE({outer}, 0)"
+            call_legs[key] = outer
+        return call_legs[key]
+
     for s, e in _split_top_commas(toks, *spans["SELECT"]):
         (xs, xe), alias = _item_parts(toks, s, e)
         expr = _text(toks, xs, xe)
-        if expr.upper() in group_keys:
-            outer_items.append(expr + (f" AS {alias}" if alias else ""))
+        key_name = expr_key_map.get(_norm_expr(expr))
+        if key_name is not None:
+            if key_name != expr and alias is None:
+                # expression group key selected without an alias: the
+                # rewritten output column would be named __hop_g_i, not
+                # the expression text Spark would use — require an alias
+                return None
+            outer_items.append(key_name + (f" AS {alias}" if alias else ""))
+            if alias:
+                alias_legs[alias.upper()] = key_name
             continue
         call = _parse_call(toks, xs, xe)
         if call is None:
@@ -202,20 +303,83 @@ def rewrite_mergeable_uda(
         if fname in upper_names:
             if alias is None:
                 return None  # result column name must be explicit
-            col = f"__hop_p_{n_partial}"
-            n_partial += 1
-            inner_items.append(f"{fname.lower()}__partial({args}) AS {col}")
-            outer_items.append(f"{fname.lower()}__merge({col}) AS {alias}")
-            saw_uda = True
+            leg = uda_leg(fname, args)
         elif fname in _SPLITTABLE:
-            if alias is None or args.upper().startswith("DISTINCT"):
+            if alias is None:
                 return None
-            col = f"__hop_a_{n_agg}"
-            n_agg += 1
-            inner_items.append(f"{fname}({args}) AS {col}")
-            outer_items.append(f"{_SPLITTABLE[fname]}({col}) AS {alias}")
+            leg = split_leg(fname, args)
+            if leg is None:
+                return None
         else:
             return None
+        outer_items.append(f"{leg} AS {alias}")
+        alias_legs[alias.upper()] = leg
+
+    def rewrite_agg_refs(s: int, e: int) -> str | None:
+        """Rewrite a HAVING/ORDER BY span for the OUTER stage: aggregate
+        calls route through partial/merge legs (created on demand), select
+        aliases resolve to their outer expressions, group expressions map
+        to their outer names. Returns None on anything that could be a
+        non-splittable aggregate."""
+        out: list[str] = []
+        i = s
+        while i < e:
+            t = toks[i]
+            if not _is_code(t) or t.kind != "word":
+                out.append(t.text)
+                i += 1
+                continue
+            j = _next_code_before(toks, i + 1, e)
+            if j is not None and toks[j].text == "(":
+                close = _match_paren_before(toks, j, e)
+                if close is None:
+                    return None
+                call_text = _text(toks, i, close + 1)
+                mapped = expr_key_map.get(_norm_expr(call_text))
+                if mapped is not None:
+                    out.append(mapped)
+                    i = close + 1
+                    continue
+                up = t.upper
+                args = _text(toks, j + 1, close)
+                if up in upper_names:
+                    out.append(uda_leg(up, args))
+                    i = close + 1
+                    continue
+                if up in _SPLITTABLE:
+                    leg = split_leg(up, args)
+                    if leg is None:
+                        return None
+                    out.append(leg)
+                    i = close + 1
+                    continue
+                if t.text.lower() in _HAVING_SCALAR_FNS:
+                    out.append(t.text)
+                    i += 1
+                    continue
+                return None  # unknown call: could be an aggregate
+            leg = alias_legs.get(t.upper)
+            if leg is not None:
+                out.append(f"({leg})")
+            else:
+                out.append(t.text)
+            i += 1
+        return "".join(out).strip()
+
+    having = ""
+    if "HAVING" in spans:
+        cond = rewrite_agg_refs(*spans["HAVING"])
+        if cond is None:
+            return None
+        having = f" HAVING {cond}"
+    tail = ""
+    if "ORDER" in spans:
+        order = rewrite_agg_refs(*spans["ORDER"])
+        if order is None:
+            return None
+        tail += f" ORDER BY {order}"
+    if "LIMIT" in spans:
+        tail += f" LIMIT {_text(toks, *spans['LIMIT'])}"
     if not saw_uda:
         return None
 
@@ -223,20 +387,17 @@ def rewrite_mergeable_uda(
     if not rel:
         return None
     where = f" WHERE {_text(toks, *spans['WHERE'])}" if "WHERE" in spans else ""
-    tail = ""
-    if "ORDER" in spans:
-        tail += f" ORDER BY {_text(toks, *spans['ORDER'])}"
-    if "LIMIT" in spans:
-        tail += f" LIMIT {_text(toks, *spans['LIMIT'])}"
 
-    inner_gb = ", ".join(group_cols + ["__hop_salt"])
-    outer_gb = f" GROUP BY {', '.join(group_cols)}" if group_cols else ""
-    inner_select = ", ".join(group_cols + inner_items)
+    inner_gb = ", ".join(inner_gb_exprs + ["__hop_salt"])
+    outer_gb = (
+        f" GROUP BY {', '.join(group_out_names)}" if group_out_names else ""
+    )
+    inner_select = ", ".join(inner_key_items + inner_items)
     return (
         f"SELECT {', '.join(outer_items)} FROM ("
         f"SELECT {inner_select} FROM ("
         f"SELECT *, pmod(spark_partition_id(), {salt_buckets}) AS __hop_salt "
         f"FROM {rel}{where}) __hop_salted "
         f"GROUP BY {inner_gb}"
-        f") __hop_partials{outer_gb}{tail}"
+        f") __hop_partials{outer_gb}{having}{tail}"
     )

@@ -43,8 +43,11 @@ def test_decode_features_match_local(spark, sf_dir):
         n, mean, hist = _fake_decode_features(docs[mid].encode("utf-8"))
         assert row.n_bytes == n
         assert row.mean_byte == pytest.approx(mean)
-        assert list(row.byte_hist) == hist
-        assert sum(row.byte_hist) == row.n_bytes
+        # byte_hist is CSV-serialized so the oracle gate's pandas
+        # canonicalizer never sees a list cell (scalar-only output rule)
+        got_hist = [int(v) for v in row.byte_hist.split(",")]
+        assert got_hist == hist
+        assert sum(got_hist) == row.n_bytes
 
 
 def test_decode_ppm_handcrafted_pixels():

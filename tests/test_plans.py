@@ -435,18 +435,25 @@ def test_mixture_sample_single_scan_pruned(spark, sf_dir):
     assert set(cols) == {"doc_id", "source", "n_chars"}, cols
 
 
-def test_iceberg_mor_deletes_are_broadcast_anti_joins(spark, sf_dir):
-    """v2 merge-on-read: both delete flavors must apply as BROADCAST anti
-    joins against the data scan (delete files are small by design —
-    reference IcebergScanPlanner.java builds the same ANTI JOIN shape),
-    with no shuffle of the fact side and no cartesian product."""
+def test_iceberg_mor_deletes_unpinned_anti_joins(spark, sf_dir):
+    """v2 merge-on-read: both delete flavors apply as equi-keyed LEFT ANTI
+    joins (reference IcebergScanPlanner.java builds the same ANTI JOIN
+    shape) with NO forced broadcast: delete relations are corpus-derived —
+    accumulated MOR deletes can be many GB at 100 TB — so the plan must not
+    pin them to the driver. AQE may still broadcast measured-small deletes
+    at runtime (same rule as
+    test_no_forced_broadcast_of_corpus_derived_relations). The __seq
+    inequality rides as a join condition, never a nested-loop join."""
     from hopspark.operators.iceberg_queries import iceberg_v2_mor_read
 
     df = iceberg_v2_mor_read(spark, sf_dir)
     plan = explain_formatted(df)
     assert plan.count("LeftAnti") >= 2, plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan or "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # no ResolvedHint above any delete relation in the analyzed plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
 
 
 def test_tpcds_q67_rollup_rank_uses_group_limit(spark, sf_dir):

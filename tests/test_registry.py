@@ -34,6 +34,31 @@ def test_first_50_all_oracle_checked():
     assert rows_only == []
 
 
+def test_registry_outputs_are_scalar_only(spark, sf_dir):
+    """No registry query may return an array/map/struct column.
+
+    The driver's oracle gate canonicalizes results with pandas
+    ``sort_values`` over RAW cell values; a list-valued cell makes pandas'
+    factorizer throw "unhashable type: 'list'" and the gate row errors out
+    (CORRECTNESS_r07 ``emb_quantize_int8``).  Rotation can move ANY registry
+    entry into the first-50 gate, so every query — oracle-checked or
+    rows-only — must present scalar columns.  Schema inspection is plan-time
+    only (no execution), so this sweeps all ~300 queries cheaply."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, (fn, _sql) in all_queries().items():
+        schema = fn(spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert offenders == [], f"non-scalar output columns: {offenders}"
+
+
 def test_registry_is_unique_and_complete():
     registry = all_queries()
     by_module = queries_by_module()

@@ -62,29 +62,37 @@ def test_rewrite_splits_builtin_aggregates():
     )
     assert out is not None
     assert "SUM(b) AS __hop_a_0" in out and "SUM(__hop_a_0) AS s" in out
-    assert "COUNT(*) AS __hop_a_1" in out and "SUM(__hop_a_1) AS c" in out
+    # COUNT's outer leg is COALESCE'd to 0 so a fully-filtered global
+    # aggregate returns 0, not NULL (round-7 advice)
+    assert "COUNT(*) AS __hop_a_1" in out
+    assert "COALESCE(SUM(__hop_a_1), 0) AS c" in out
     assert "MIN(b) AS __hop_a_2" in out and "MIN(__hop_a_2) AS lo" in out
 
 
 @pytest.mark.parametrize(
     "sql",
     [
-        # HAVING references aggregates the outer stage renamed
-        "SELECT k, wavg(a) AS w FROM t GROUP BY k HAVING wavg(a) > 1",
         # DISTINCT select
         "SELECT DISTINCT k, wavg(a) AS w FROM t GROUP BY k",
         # set operation
         "SELECT k, wavg(a) AS w FROM t GROUP BY k UNION ALL SELECT 1, 2.0",
         # CTE
         "WITH c AS (SELECT 1 AS k, 2 AS a) SELECT k, wavg(a) AS w FROM c GROUP BY k",
-        # expression group key
-        "SELECT wavg(a) AS w FROM t GROUP BY k + 1",
+        # expression group key SELECTED without an alias (output column name
+        # would be the internal __hop_g_0, not the expression text)
+        "SELECT year(ts), wavg(a) AS w FROM t GROUP BY year(ts)",
         # UDA result without an explicit alias (column name must be stable)
         "SELECT k, wavg(a) FROM t GROUP BY k",
         # non-splittable other aggregate
         "SELECT k, wavg(a) AS w, avg(b) AS m FROM t GROUP BY k",
+        # non-splittable aggregate in HAVING
+        "SELECT k, wavg(a) AS w FROM t GROUP BY k HAVING avg(b) > 1",
+        # unknown call name in HAVING (could be an aggregate)
+        "SELECT k, wavg(a) AS w FROM t GROUP BY k HAVING mystery(a) > 1",
         # DISTINCT inside a splittable aggregate
         "SELECT k, wavg(a) AS w, COUNT(DISTINCT b) AS c FROM t GROUP BY k",
+        # DISTINCT splittable in HAVING
+        "SELECT k, wavg(a) AS w FROM t GROUP BY k HAVING COUNT(DISTINCT b) > 1",
         # UDA wrapped in an outer expression
         "SELECT k, round(wavg(a), 2) AS w FROM t GROUP BY k",
         # no mergeable UDA call at all
@@ -93,6 +101,70 @@ def test_rewrite_splits_builtin_aggregates():
 )
 def test_rewrite_refuses_unsupported_shapes(sql):
     assert rewrite_mergeable_uda(sql, {"wavg"}) is None
+
+
+def test_rewrite_having_uda_call_routes_through_merge_leg():
+    """HAVING over the UDA compiles to the OUTER stage, reusing the select
+    item's partial/merge leg (round-7 verdict item 6)."""
+    out = rewrite_mergeable_uda(
+        "SELECT k, wavg(a) AS w FROM t GROUP BY k HAVING wavg(a) > 1",
+        {"wavg"},
+    )
+    assert out is not None
+    assert "HAVING wavg__merge(__hop_p_0) > 1" in out
+    # one leg, shared between the select item and HAVING
+    assert out.count("wavg__partial") == 1
+
+
+def test_rewrite_having_alias_reference():
+    out = rewrite_mergeable_uda(
+        "SELECT k, wavg(a) AS w FROM t GROUP BY k HAVING w > 1 ORDER BY w",
+        {"wavg"},
+    )
+    assert out is not None
+    assert "HAVING (wavg__merge(__hop_p_0)) > 1" in out
+    assert "ORDER BY (wavg__merge(__hop_p_0))" in out
+
+
+def test_rewrite_having_scalar_wrapper_and_new_leg():
+    """A HAVING aggregate with no matching select item creates its own
+    hidden leg; whitelisted scalar wrappers pass through."""
+    out = rewrite_mergeable_uda(
+        "SELECT k, wavg(a) AS w FROM t GROUP BY k "
+        "HAVING abs(SUM(b)) > 10 AND COUNT(*) > 2",
+        {"wavg"},
+    )
+    assert out is not None
+    assert "SUM(b) AS __hop_a_0" in out
+    assert "COUNT(*) AS __hop_a_1" in out
+    assert "HAVING abs(SUM(__hop_a_0)) > 10 AND COALESCE(SUM(__hop_a_1), 0) > 2" in out
+
+
+def test_rewrite_expression_group_key():
+    """GROUP BY year(ts) compiles via an internal inner key column; the
+    aliased select item and HAVING/ORDER references map to it."""
+    out = rewrite_mergeable_uda(
+        "SELECT year(ts) AS y, wavg(a) AS w FROM t GROUP BY year(ts) "
+        "HAVING year(ts) > 1995 ORDER BY y",
+        {"wavg"},
+    )
+    assert out is not None
+    assert "year(ts) AS __hop_g_0" in out
+    assert "GROUP BY year(ts), __hop_salt" in out
+    assert "__hop_g_0 AS y" in out
+    assert out.rstrip().endswith(
+        "GROUP BY __hop_g_0 HAVING __hop_g_0 > 1995 ORDER BY (__hop_g_0)"
+    )
+
+
+def test_rewrite_unselected_expression_group_key():
+    out = rewrite_mergeable_uda(
+        "SELECT wavg(a) AS w FROM t GROUP BY k + 1", {"wavg"}
+    )
+    assert out is not None
+    assert "k + 1 AS __hop_g_0" in out
+    assert "GROUP BY k + 1, __hop_salt" in out
+    assert "GROUP BY __hop_g_0" in out
 
 
 def test_rewrite_keeps_group_key_alias_and_order():
@@ -254,6 +326,58 @@ def test_mergeable_state_is_order_insensitive_requirement_documented(spark):
         "SELECT k, wavg_ord(p, q) AS w FROM uda_ord_t GROUP BY k"
     ).head().w
     assert got == pytest.approx(49.5, abs=1e-9)
+
+
+def test_mergeable_having_end_to_end(spark, sf_dir):
+    """HAVING over the UDA runs through the salted two-stage plan and
+    matches the plain-SQL truth filtered the same way."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    _register_wavg(eng, "wavg_h")
+    got = eng.sql(
+        "SELECT l_returnflag, wavg_h(CAST(l_extendedprice AS DOUBLE), "
+        "CAST(l_quantity AS DOUBLE)) AS w FROM lineitem "
+        "GROUP BY l_returnflag HAVING wavg_h(CAST(l_extendedprice AS DOUBLE), "
+        "CAST(l_quantity AS DOUBLE)) > 0 ORDER BY l_returnflag"
+    )
+    plan = _executed_plan(got)
+    assert "__hop_salt" in plan
+    rows = [(r.l_returnflag, r.w) for r in got.collect()]
+    truth = [
+        (r.l_returnflag, r.w)
+        for r in eng.sql(TRUTH_SQL).collect()
+        if r.w > 0
+    ]
+    assert [g[0] for g in rows] == [t[0] for t in truth]
+    for (_, gv), (_, tv) in zip(rows, truth):
+        assert gv == pytest.approx(tv, abs=5e-6)
+
+
+def test_mergeable_expression_group_key_end_to_end(spark, sf_dir):
+    """GROUP BY year(l_shipdate) runs through the salted two-stage plan —
+    the inner stage groups by the expression, the outer by the internal
+    key column — and matches the plain-SQL truth."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    _register_wavg(eng, "wavg_y")
+    df = eng.sql(
+        "SELECT year(l_shipdate) AS y, wavg_y(CAST(l_extendedprice AS "
+        "DOUBLE), CAST(l_quantity AS DOUBLE)) AS w FROM lineitem "
+        "GROUP BY year(l_shipdate) ORDER BY y"
+    )
+    plan = _executed_plan(df)
+    assert "__hop_salt" in plan
+    got = {r.y: r.w for r in df.collect()}
+    truth = {
+        r.y: r.w
+        for r in eng.sql(
+            "SELECT year(l_shipdate) AS y, CAST(round(SUM(CAST("
+            "l_extendedprice AS DOUBLE) * l_quantity) / SUM(CAST(l_quantity "
+            "AS DOUBLE)), 6) AS DOUBLE) AS w FROM lineitem GROUP BY "
+            "year(l_shipdate)"
+        ).collect()
+    }
+    assert got.keys() == truth.keys() and len(got) > 1
+    for k in truth:
+        assert got[k] == pytest.approx(truth[k], abs=5e-6)
 
 
 def test_two_mergeable_udas_in_one_statement(spark):

@@ -1,21 +1,23 @@
 """Simulate the driver's correctness gate: run every registry query AND its
 DuckDB oracle side-by-side at a given SF, compare row count, sorted-column
-schema, and a rounded-value hash — the same checks CORRECTNESS_r{N}.json
+schema, and a canonicalized value hash — the same checks CORRECTNESS_r{N}.json
 records.
 
 Usage: PYTHONPATH=. python tools/driver_sim.py [sf_dir] [--first N] [--out PATH]
-                                               [--arrow]
 
 ``--first N`` limits the run to the first N registry entries — the driver's
 gate checks exactly the first 50, so ``--first 50`` reproduces its scope.
 
-``--arrow`` fetches the oracle through Arrow (``fetch_arrow_table``) instead
-of ``fetchall()`` — the discipline a pandas/Arrow-based driver uses, which
-renders DuckDB HUGEINT as float64. Round 4 proved the sim's ``fetchall()``
-(int128 → Python int, lossless) masked exactly that divergence; the sim must
-be at least as strict as the strictest plausible driver, so both modes exist
-and the oracle's pre-fetch relation types are category-checked against the
-Spark schema in EVERY mode.
+Canonicalization is driver-faithful (round-7 verdict item 2): both sides are
+fetched as pandas DataFrames (Spark ``toPandas()``; DuckDB
+``fetch_arrow_table().to_pandas()`` — the Arrow path renders HUGEINT as
+float64, which is exactly the strictness the round-4 verdict demanded) and
+run through :func:`hopspark.testing.driver_canon`, which sorts the RAW cell
+values with pandas ``sort_values`` before rendering.  An array/map/struct
+output column therefore crashes the sim with pandas' "unhashable type: 'list'"
+— the same crash the driver's gate produced on ``emb_quantize_int8`` in
+round 7, which the old tuple-based comparison here could not see.
+(``--arrow`` is accepted for back-compat and is now the only behavior.)
 """
 
 from __future__ import annotations
@@ -31,26 +33,11 @@ TABLES = [
 ]
 
 
-def _norm(rows, cols):
-    idx = [cols.index(c) for c in sorted(cols)]
-    out = []
-    for r in rows:
-        vals = []
-        for i in idx:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 6)
-            vals.append(str(v))
-        out.append(tuple(vals))
-    return sorted(out)
-
-
 def main() -> None:
     args = sys.argv[1:]
     first = None
     out_path = "/tmp/driver_sim.json"
-    arrow_fetch = "--arrow" in args
-    if arrow_fetch:
+    if "--arrow" in args:  # legacy flag: Arrow fetch is now always on
         args.remove("--arrow")
     if "--first" in args:
         i = args.index("--first")
@@ -61,11 +48,10 @@ def main() -> None:
         out_path = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    from pyspark.sql import SparkSession
 
     from hopspark.operators import all_queries
     from hopspark.session import get_spark
-    from hopspark.testing import oracle_type_errors
+    from hopspark.testing import driver_canon, oracle_type_errors
 
     spark = get_spark(app_name="driver-sim")
     con = duckdb.connect()
@@ -86,34 +72,30 @@ def main() -> None:
     for name, (fn, sql) in items:
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spd = sdf.toPandas()
             if sql is None:
-                results[name] = {"err": "no_oracle", "spark_rows": len(srows)}
+                # Rows-only check — but the driver still collects and
+                # canonicalizes the Spark side, so run driver_canon to
+                # catch non-scalar output columns here too.
+                driver_canon(spd)
+                results[name] = {"err": "no_oracle", "spark_rows": len(spd)}
                 continue
             ores = con.sql(sql)
             ocols = list(ores.columns)
             type_errs = oracle_type_errors(
                 sdf.dtypes, list(zip(ores.columns, ores.types))
             )
-            if arrow_fetch:
-                tbl = ores.fetch_arrow_table()
-                orows = [
-                    tuple(col[i].as_py() for col in tbl.columns)
-                    for i in range(tbl.num_rows)
-                ]
-            else:
-                orows = ores.fetchall()
-            rows_match = len(srows) == len(orows)
-            schema_match = sorted(scols) == sorted(ocols)
-            hash_match = _norm(srows, scols) == _norm(orows, ocols)
+            opd = ores.fetch_arrow_table().to_pandas()
+            rows_match = len(spd) == len(opd)
+            schema_match = sorted(spd.columns) == sorted(ocols)
+            hash_match = driver_canon(spd) == driver_canon(opd)
             results[name] = {
                 "rows_match": rows_match,
                 "schema_match": schema_match,
                 "hash_match": hash_match,
                 "type_match": not type_errs,
-                "spark_rows": len(srows),
-                "oracle_rows": len(orows),
+                "spark_rows": len(spd),
+                "oracle_rows": len(opd),
             }
             if type_errs:
                 results[name]["type_errors"] = type_errs
