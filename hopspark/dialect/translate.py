@@ -2179,6 +2179,158 @@ def _arg_provably_typed(
     return False
 
 
+def _primary_end(toks: list[Tok], q: int) -> int | None:
+    """Index of the LAST token of the primary starting at code token q:
+    a parenthesized group / call, a dotted identifier chain, or a literal.
+    Forward twin of _primary_start."""
+    n = len(toks)
+    if q >= n:
+        return None
+    t = toks[q]
+    if t.text == "(":
+        return _matching_paren(toks, q)
+    if t.kind == "word":
+        nxt = _next_code(toks, q + 1)
+        if nxt < n and toks[nxt].text == "(":
+            return _matching_paren(toks, nxt)
+        end = q
+        while True:
+            dot = _next_code(toks, end + 1)
+            if dot >= n or toks[dot].text != ".":
+                return end
+            ident = _next_code(toks, dot + 1)
+            if ident >= n or toks[ident].kind not in ("word", "bquote"):
+                return end
+            end = ident
+    if t.kind in ("num", "str", "bquote"):
+        return q
+    return None
+
+
+def _span_cast_type(toks: list[Tok], s: int, e: int) -> str | None:
+    """Normalized (upper, space-free) AS-type when toks[s..e] (inclusive)
+    is exactly ``CAST( ... AS TYPE )``, else None."""
+    if toks[s].kind != "word" or toks[s].upper != "CAST":
+        return None
+    j = _next_code(toks, s + 1)
+    if j > e or toks[j].text != "(" or _matching_paren(toks, j) != e:
+        return None
+    depth = 0
+    as_idx = -1
+    for k in range(j, e):
+        tk = toks[k]
+        if tk.text == "(":
+            depth += 1
+        elif tk.text == ")":
+            depth -= 1
+        elif depth == 1 and tk.kind == "word" and tk.upper == "AS":
+            as_idx = k
+    if as_idx < 0:
+        return None
+    return "".join(
+        t.text for t in toks[as_idx + 1 : e] if _is_code(t)
+    ).upper().replace(" ", "")
+
+
+def _numeric_operand_kind(
+    toks: list[Tok], s: int, e: int, bigint_columns: frozenset[str] | None
+) -> str | None:
+    """'bigint' / 'decimal' / 'float' / 'double' when the primary span
+    toks[s..e] (inclusive) is PROVABLY that type: a CAST to it, a decimal
+    literal (digits with '.' and no exponent — analyzer LiteralExpr types
+    those DECIMAL), or a catalog column that is unambiguously BIGINT.
+    float/double are CAST-form only: the catalog's double set mixes float
+    and double names, whose promotions differ ((38,9) vs (38,17))."""
+    ty = _span_cast_type(toks, s, e)
+    if ty is not None:
+        if ty == "BIGINT":
+            return "bigint"
+        if ty.startswith("DECIMAL") or ty.startswith("NUMERIC"):
+            return "decimal"
+        if ty in ("FLOAT", "REAL"):
+            return "float"
+        if ty == "DOUBLE":
+            return "double"
+        return None
+    if s == e:
+        t = toks[s]
+        if t.kind == "num" and "." in t.text and "e" not in t.text.lower():
+            return "decimal"
+        if (
+            t.kind == "word"
+            and bigint_columns
+            and t.text.lower() in bigint_columns
+        ):
+            return "bigint"
+    return None
+
+
+def _rewrite_bigint_decimal_arith(
+    toks: list[Tok], bigint_columns: frozenset[str] | None
+) -> list[Tok]:
+    """BIGINT mixed with DECIMAL in +|-|*|/|% : the reference's analyzer
+    promotes BIGINT to its min-resolution DECIMAL(19,0)
+    (ScalarType.getMinResolutionDecimal; TypesUtil.getArithmeticResultType),
+    while Spark widens LongType to DECIMAL(20,0) — one extra integer digit
+    that shifts every V2 arithmetic result type (e.g. BIGINT/DECIMAL(2,1)
+    is DECIMAL(26,6) in the reference but DECIMAL(27,6) in stock Spark).
+    Wrapping the PROVABLE BIGINT operand in CAST(... AS DECIMAL(19,0))
+    restores the reference typing; every BIGINT value fits (|x| < 1e19).
+    Values are unchanged — only the result TYPE (and typeof) moves.
+
+    The same promotion applies to FLOAT → DECIMAL(38,9) and DOUBLE →
+    DECIMAL(38,17) in NON-multiply decimal arithmetic
+    (getMinResolutionDecimal:426-427): the reference computes
+    ``1.1*1.1 + cast(1.1 as float)`` as DECIMAL (exprs.test "2.31000002"
+    row), while stock Spark widens the decimal side to double.  MULTIPLY
+    is excluded — there the reference itself goes to DOUBLE
+    (TypesUtil.getArithmeticResultType's floating-point multiply rule),
+    which is Spark's behavior already."""
+    _PROMOTIONS = {
+        "bigint": "DECIMAL(19,0)",
+        "float": "DECIMAL(38,9)",
+        "double": "DECIMAL(38,17)",
+    }
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        op = t.text.strip()
+        if not (t.kind == "op" and op in ("+", "-", "*", "/", "%")):
+            i += 1
+            continue
+        p = _prev_code(toks, i - 1)
+        lstart = _primary_start(toks, p) if p >= 0 else None
+        q = _next_code(toks, i + 1)
+        rend = _primary_end(toks, q) if q < len(toks) else None
+        if lstart is None or rend is None:
+            i += 1
+            continue
+        lkind = _numeric_operand_kind(toks, lstart, p, bigint_columns)
+        rkind = _numeric_operand_kind(toks, q, rend, bigint_columns)
+        kinds = {lkind, rkind}
+        if "decimal" not in kinds or len(kinds) != 2:
+            i += 1
+            continue
+        other = next(k for k in kinds if k != "decimal")
+        if other not in _PROMOTIONS or (
+            other in ("float", "double") and op == "*"
+        ):
+            i += 1
+            continue
+        target = _PROMOTIONS[other]
+        if lkind == other:
+            inner = untokenize(toks[lstart : p + 1]).strip()
+            repl = tokenize(f"CAST({inner} AS {target})")
+            toks[lstart : p + 1] = repl
+            i = lstart + len(repl) + 1
+        else:
+            inner = untokenize(toks[q : rend + 1]).strip()
+            repl = tokenize(f"CAST({inner} AS {target})")
+            toks[q : rend + 1] = repl
+            i = q + len(repl)
+    return toks
+
+
 def _rewrite_div_by_zero_literal(toks: list[Tok]) -> list[Tok]:
     """`x / 0` (literal zero divisor): the reference's `/` is C++ DOUBLE
     division (operators-ir.cc:202 BINARY_OP_FN Divide), so division by
@@ -2915,6 +3067,7 @@ def translate(
     string_columns: frozenset[str] | None = None,
     timestamp_columns: frozenset[str] | None = None,
     double_columns: frozenset[str] | None = None,
+    bigint_columns: frozenset[str] | None = None,
 ) -> str:
     """Rewrite an Impala-dialect SQL string into Spark-SQL.
 
@@ -2937,6 +3090,7 @@ def translate(
     toks = _rewrite_timestamp_avg(toks, timestamp_columns)
     toks = _rewrite_decimal_sum(toks)
     toks = _rewrite_decimal_avg(toks)
+    toks = _rewrite_bigint_decimal_arith(toks, bigint_columns)
     toks = _rewrite_div_by_zero_literal(toks)
     toks = _rewrite_double_ceil_floor(toks, double_columns)
     toks = _rewrite_char_casts(toks)

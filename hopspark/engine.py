@@ -198,7 +198,7 @@ class Engine(AlterTableMixin):
                 # (fe CreateViewStmt analysis) — plain CREATE must not
                 # silently replace.
                 raise ValueError(f"view already exists: {name}")
-            _b, _s, _t, _d = self._schema_columns_for(body)
+            _b, _s, _t, _d, _bi = self._schema_columns_for(body)
             translated = translate(
                 body,
                 options=self.options,
@@ -206,6 +206,7 @@ class Engine(AlterTableMixin):
                 string_columns=_s,
                 timestamp_columns=_t,
                 double_columns=_d,
+                bigint_columns=_bi,
             )
             if col_list:
                 cols = [c.strip() for c in col_list.strip("()").split(",")]
@@ -292,7 +293,7 @@ class Engine(AlterTableMixin):
             return self.spark.createDataFrame(
                 [(ln,) for ln in lines], "`Explain String` string"
             )
-        bools, strs, tss, dbls = self._schema_columns_for(impala_sql)
+        bools, strs, tss, dbls, bigints = self._schema_columns_for(impala_sql)
         translated = translate(
             impala_sql,
             options=self.options,
@@ -300,6 +301,7 @@ class Engine(AlterTableMixin):
             string_columns=strs,
             timestamp_columns=tss,
             double_columns=dbls,
+            bigint_columns=bigints,
         )
         if self._mergeable_udas and re.search(
             r"\b(" + "|".join(map(re.escape, self._mergeable_udas)) + r")\s*\(",
@@ -323,6 +325,7 @@ class Engine(AlterTableMixin):
         frozenset[str] | None,
         frozenset[str] | None,
         frozenset[str] | None,
+        frozenset[str] | None,
     ]:
         """Catalog knowledge for the translator's type dispatches: the
         set of unambiguously-BOOLEAN column names (`||` → OR, the
@@ -341,7 +344,7 @@ class Engine(AlterTableMixin):
             or "FLOOR" in up
         )
         if not need:
-            return None, None, None, None
+            return None, None, None, None, None
         if self._schema_cols_cache is None:
             seen: dict[str, set[str]] = {}
             for t in self.spark.catalog.listTables():
@@ -365,6 +368,7 @@ class Engine(AlterTableMixin):
                     n for n, ts in seen.items()
                     if ts and ts <= {"double", "float"}
                 ),
+                frozenset(n for n, ts in seen.items() if ts == {"long"}),
             )
         return self._schema_cols_cache
 

@@ -357,20 +357,33 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # i (case-insensitive) / c (sensitive, LAST of i/c wins like
     # SetRE2Options' sequential scan) / m (multi-line) / n (. matches \n).
     # The dialect layer dispatches the 3- and 4-arg calls here.
+    # 3/4-arg forms raise like the reference on a non-positive start
+    # position (RegexpMatchCount4Args "Illegal starting position") and on
+    # any match parameter outside i/c/m/n (SetRE2Options "Illegal match
+    # parameter"); NULL start/params stay NULL-propagating.
     "regexp_match_count3": (
         "s STRING, pat STRING, sp INT",
         "INT",
-        "size(regexp_extract_all(substr(s, sp), pat, 0))",
+        "CASE WHEN sp IS NULL THEN CAST(NULL AS INT) WHEN sp < 1 THEN "
+        "CAST(raise_error(concat('Illegal starting position ', "
+        "CAST(sp AS STRING))) AS INT) "
+        "ELSE size(regexp_extract_all(substr(s, sp), pat, 0)) END",
     ),
     "regexp_match_count4": (
         "s STRING, pat STRING, sp INT, params STRING",
         "INT",
-        "size(regexp_extract_all(substr(s, sp), concat("
+        "CASE WHEN sp IS NULL THEN CAST(NULL AS INT) WHEN sp < 1 THEN "
+        "CAST(raise_error(concat('Illegal starting position ', "
+        "CAST(sp AS STRING))) AS INT) "
+        "WHEN translate(coalesce(params, ''), 'icmn', '') != '' THEN "
+        "CAST(raise_error(concat('Illegal match parameter ', "
+        "substr(translate(coalesce(params, ''), 'icmn', ''), 1, 1))) AS INT) "
+        "ELSE size(regexp_extract_all(substr(s, sp), concat("
         "CASE WHEN instr(coalesce(params, ''), 'i') >"
         " instr(coalesce(params, ''), 'c') THEN '(?i)' ELSE '' END, "
         "CASE WHEN coalesce(params, '') LIKE '%m%' THEN '(?m)' ELSE '' END, "
         "CASE WHEN coalesce(params, '') LIKE '%n%' THEN '(?s)' ELSE '' END, "
-        "pat), 0))",
+        "pat), 0)) END",
     ),
     "regexp_escape": (
         "s STRING",
