@@ -350,7 +350,9 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "regexp_match_count": (
         "s STRING, pat STRING",
         "INT",
-        "size(regexp_extract_all(s, pat, 0))",
+        # size(NULL) is -1 in Spark — the NULL guard is load-bearing
+        "CASE WHEN s IS NULL OR pat IS NULL THEN CAST(NULL AS INT) "
+        "ELSE size(regexp_extract_all(s, pat, 0)) END",
     ),
     # 3/4-arg forms (StringFunctions::RegexpMatchCount4Args,
     # string-functions-ir.cc): start_pos is 1-based; params chars are
@@ -364,26 +366,48 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "regexp_match_count3": (
         "s STRING, pat STRING, sp INT",
         "INT",
-        "CASE WHEN sp IS NULL THEN CAST(NULL AS INT) WHEN sp < 1 THEN "
+        # NULL start position falls back to the default 1 (the reference
+        # only validates non-NULL values); NULL subject/pattern -> NULL
+        "CASE WHEN s IS NULL OR pat IS NULL THEN CAST(NULL AS INT) "
+        "WHEN coalesce(sp, 1) < 1 THEN "
         "CAST(raise_error(concat('Illegal starting position ', "
         "CAST(sp AS STRING))) AS INT) "
-        "ELSE size(regexp_extract_all(substr(s, sp), pat, 0)) END",
+        "ELSE size(regexp_extract_all(substr(s, coalesce(sp, 1)), pat, 0)) END",
     ),
     "regexp_match_count4": (
         "s STRING, pat STRING, sp INT, params STRING",
         "INT",
-        "CASE WHEN sp IS NULL THEN CAST(NULL AS INT) WHEN sp < 1 THEN "
+        "CASE WHEN s IS NULL OR pat IS NULL THEN CAST(NULL AS INT) "
+        "WHEN coalesce(sp, 1) < 1 THEN "
         "CAST(raise_error(concat('Illegal starting position ', "
         "CAST(sp AS STRING))) AS INT) "
         "WHEN translate(coalesce(params, ''), 'icmn', '') != '' THEN "
         "CAST(raise_error(concat('Illegal match parameter ', "
         "substr(translate(coalesce(params, ''), 'icmn', ''), 1, 1))) AS INT) "
-        "ELSE size(regexp_extract_all(substr(s, sp), concat("
+        "ELSE size(regexp_extract_all(substr(s, coalesce(sp, 1)), concat("
         "CASE WHEN instr(coalesce(params, ''), 'i') >"
         " instr(coalesce(params, ''), 'c') THEN '(?i)' ELSE '' END, "
         "CASE WHEN coalesce(params, '') LIKE '%m%' THEN '(?m)' ELSE '' END, "
         "CASE WHEN coalesce(params, '') LIKE '%n%' THEN '(?s)' ELSE '' END, "
         "pat), 0)) END",
+    ),
+    # strict string->DATE cast with the reference's contract
+    # (runtime-date.cc / CastFunctions: out-of-range or unparseable strings
+    # are a UDF ERROR, never NULL — and Spark's silent year-0/year-10000
+    # dates crash the Python collect path): NULL stays NULL, the value must
+    # look like y-m-d (optional time tail, ignored) and land in
+    # [0001-01-01, 9999-12-31]. The dialect layer rewrites
+    # CAST(x AS DATE) (no FORMAT) here.
+    "to_date_strict": (
+        "s STRING",
+        "DATE",
+        "CASE WHEN s IS NULL THEN CAST(NULL AS DATE) "
+        "WHEN trim(s) NOT rlike '^[0-9]{1,4}-[0-9]{1,2}-[0-9]{1,2}([ T].*)?$' "
+        " OR CAST(s AS DATE) IS NULL "
+        " OR year(CAST(s AS DATE)) < 1 OR year(CAST(s AS DATE)) > 9999 "
+        "THEN CAST(raise_error(concat('UDF ERROR: String to Date parse "
+        "failed. Invalid string val: ''', s, '''')) AS DATE) "
+        "ELSE CAST(s AS DATE) END",
     ),
     "regexp_escape": (
         "s STRING",
@@ -430,14 +454,34 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # contract; byte==char on ASCII). Spark's native mask() demands
     # foldable char args, so the kernel masks per-char itself: NULL other
     # keeps the character.
+    # a mask-char argument of -1 (numeric, arriving as the string '-1')
+    # means KEEP the class unchanged — the reference's MaskTransform
+    # getCharArg contract (mask-functions-ir.cc; expr-test pins
+    # mask_show_first_n('hello李小龙', 4, -1, -1, -1, 'X') = 'helloXXX')
     "maskchars": (
         "s STRING, u STRING, l STRING, d STRING, o STRING",
         "STRING",
         "array_join(transform(split(s, ''), c -> "
-        "CASE WHEN c RLIKE '^[A-Z]$' THEN u "
-        "WHEN c RLIKE '^[a-z]$' THEN l "
-        "WHEN c RLIKE '^[0-9]$' THEN d "
-        "ELSE coalesce(o, c) END), '')",
+        "CASE WHEN c RLIKE '^[A-Z]$' THEN CASE WHEN u = '-1' THEN c ELSE u END "
+        "WHEN c RLIKE '^[a-z]$' THEN CASE WHEN l = '-1' THEN c ELSE l END "
+        "WHEN c RLIKE '^[0-9]$' THEN CASE WHEN d = '-1' THEN c ELSE d END "
+        "ELSE CASE WHEN o = '-1' THEN c ELSE coalesce(o, c) END END), '')",
+    ),
+    # from_unixtime with the reference's TIMESTAMP valid-range contract:
+    # epoch seconds outside [1400-01-01, 10000-01-01) return NULL
+    # (expr-test pins from_unixtime(999999999999999) -> NULL); Spark
+    # happily renders '+124789-...'. The dialect renames by arity.
+    "from_unixtime1": (
+        "x BIGINT",
+        "STRING",
+        "CASE WHEN x >= -17987443200 AND x < 253402300800 "
+        "THEN from_unixtime(x) END",
+    ),
+    "from_unixtime2": (
+        "x BIGINT, f STRING",
+        "STRING",
+        "CASE WHEN x >= -17987443200 AND x < 253402300800 "
+        "THEN from_unixtime(x, f) END",
     ),
     "mask_first_n6": (
         "s STRING, n INT, u STRING, l STRING, d STRING, o STRING",
@@ -513,11 +557,60 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # -- byte-position instr (UTF8_MODE off — the reference default): find
     # the char position natively, then measure the prefix's byte length.
     # The dialect rewrites 2-arg instr/locate here when utf8_mode is off.
+    # An EMPTY needle is NOT FOUND in the reference (StringSearch never
+    # matches a zero-length pattern; expr-test.cc:4614-4616 pins
+    # instr('abc','')=0) while Spark's instr returns 1.
     "byteinstr": (
         "s STRING, sub STRING",
         "INT",
-        "CASE WHEN instr(s, sub) = 0 THEN 0 "
+        "CASE WHEN s IS NULL OR sub IS NULL THEN CAST(NULL AS INT) "
+        "WHEN length(sub) = 0 THEN 0 "
+        "WHEN instr(s, sub) = 0 THEN 0 "
         "ELSE octet_length(left(s, instr(s, sub) - 1)) + 1 END",
+    ),
+    # 2-arg ltrim/rtrim: the reference's argument order is (src, chars) —
+    # string-functions-ir.cc LTrim/RTrim — while Spark's builtin 2-arg form
+    # is (trimStr, str); a NULL chars argument leaves the source UNCHANGED
+    # (expr-test.cc:4511/4524 pin ltrim/rtrim('abcdefg', NULL)='abcdefg').
+    # The dialect swaps 2-arg calls here.
+    "ltrim2": (
+        "s STRING, c STRING",
+        "STRING",
+        "CASE WHEN s IS NULL THEN CAST(NULL AS STRING) "
+        "WHEN c IS NULL THEN s ELSE ltrim(c, s) END",
+    ),
+    "rtrim2": (
+        "s STRING, c STRING",
+        "STRING",
+        "CASE WHEN s IS NULL THEN CAST(NULL AS STRING) "
+        "WHEN c IS NULL THEN s ELSE rtrim(c, s) END",
+    ),
+    # btrim shares Spark's (src, chars) order; only the NULL-chars
+    # contract differs (expr-test.cc: btrim('abcdefg', NULL)='abcdefg')
+    "btrim2": (
+        "s STRING, c STRING",
+        "STRING",
+        "CASE WHEN s IS NULL THEN CAST(NULL AS STRING) "
+        "WHEN c IS NULL THEN s ELSE btrim(s, c) END",
+    ),
+    # abs(BIGINT) keeps BIGINT (no wider int exists): the reference
+    # returns NULL on the one unrepresentable input, INT64_MIN
+    # (expr-test.cc abs(-9223372036854775808) -> NULL); Spark wraps.
+    "abs64": (
+        "x BIGINT",
+        "BIGINT",
+        "CASE WHEN x = -9223372036854775808 THEN CAST(NULL AS BIGINT) "
+        "ELSE abs(x) END",
+    ),
+    # unhex with the reference's validation (string-functions-ir.cc
+    # Unhex): odd length or any non-hex char returns the EMPTY STRING
+    # (Spark left-pads odd inputs and NULLs bad chars)
+    "unhex1": (
+        "s STRING",
+        "STRING",
+        "CASE WHEN s IS NULL THEN CAST(NULL AS STRING) "
+        "WHEN length(s) % 2 = 1 OR s rlike '[^0-9a-fA-F]' THEN '' "
+        "ELSE CAST(unhex(s) AS STRING) END",
     ),
     # -- substr position contract (string-functions-ir.cc Substring:56-71):
     # pos = 0 → empty string; negative pos resolves to len+pos+1 and a
@@ -609,6 +702,7 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "CASE "
         "WHEN s IS NULL OR sub IS NULL OR pos IS NULL OR occ IS NULL THEN CAST(NULL AS INT) "
         "WHEN occ <= 0 THEN CAST(raise_error(concat('Invalid occurrence parameter to instr function: ', CAST(occ AS STRING))) AS INT) "
+        "WHEN length(sub) = 0 THEN 0 "
         "WHEN pos = 0 OR length(s) = 0 OR length(s) < length(sub) THEN 0 "
         "WHEN pos > 0 THEN coalesce(element_at("
         "  filter(filter(sequence(1, length(s) - length(sub) + 1),"
@@ -633,6 +727,7 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "CASE "
         "WHEN s0 IS NULL OR sub0 IS NULL OR pos IS NULL OR occ IS NULL THEN CAST(NULL AS INT) "
         "WHEN occ <= 0 THEN CAST(raise_error(concat('Invalid occurrence parameter to instr function: ', CAST(occ AS STRING))) AS INT) "
+        "WHEN octet_length(sub0) = 0 THEN 0 "
         "WHEN pos = 0 OR octet_length(s0) = 0 OR octet_length(s0) < octet_length(sub0) THEN 0 "
         "WHEN pos > 0 THEN coalesce(element_at("
         "  filter(filter(sequence(1, octet_length(s0) - octet_length(sub0) + 1),"

