@@ -884,11 +884,16 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 x = untokenize(toks[args[0][0]:args[0][1]]).strip()
                 n = untokenize(toks[args[1][0]:args[1][1]]).strip()
                 sign = _MONTHS_KEEP_LAST_DAY[name]
-                rd = f"(({x}) + make_interval(0, {sign}({n})))"
+                # month-count cap: see the _DATE_UNIT_FNS branch below
+                gn = (
+                    f"(CASE WHEN abs(CAST(({n}) AS BIGINT)) <= 240001 "
+                    f"THEN ({n}) END)"
+                )
+                rd = f"(({x}) + make_interval(0, {sign}{gn}))"
                 repl = _ts_range_guard(
                     f"(CASE WHEN day({x}) = day(last_day({x})) "
                     f"THEN {rd} + make_interval(0, 0, 0, "
-                    f"datediff(last_day({rd}), CAST({rd} AS DATE))) "
+                    f"datediff(last_day({rd}), DATE({rd}))) "
                     f"ELSE {rd} END)",
                     date_aware=True,
                 )
@@ -904,9 +909,18 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
             if len(args) == 2:
                 x = untokenize(toks[args[0][0]:args[0][1]]).strip()
                 n = untokenize(toks[args[1][0]:args[1][1]]).strip()
+                # cap the quantity: counts far past the full [1,9999] span
+                # overflow make_interval's integer month math (a Spark
+                # ArithmeticException) — the reference returns NULL
+                # (IsValidTimeInterval). NULL quantity -> NULL result.
+                cap = {0: 20000, 1: 240001, 2: 1050000, 3: 7400000}[pos]
+                gn = (
+                    f"(CASE WHEN abs(CAST(({n}) AS BIGINT)) <= {cap} "
+                    f"THEN ({n}) END)"
+                )
                 tail = ", 0" * (6 - pos) + ")"
                 repl = _ts_range_guard(
-                    f"(({x}) {op} make_interval({'0, ' * pos}({n}){tail})",
+                    f"(({x}) {op} make_interval({'0, ' * pos}{gn}{tail})",
                     date_aware=True,
                 )
                 toks[i:close + 1] = tokenize(repl)
@@ -950,7 +964,7 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     )
                     repl = (
                         f"timestampadd(DAY, "
-                        f"-((datediff(CAST(({a1}) AS DATE), {anchor})) % 7)"
+                        f"-((datediff(DATE(({a1})), {anchor})) % 7)"
                         f", date_trunc('DAY', {a1}))"
                     )
                 else:
@@ -1288,39 +1302,83 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                         toks[pc[0]] = Tok(
                             "str", f"{quote}{compact}{quote}"
                         )
-        # mask_*_n NUMERIC overload: digits mask to '1' (not 'n') and the
-        # result keeps an integer type (mask-functions-ir.cc numeric
-        # overloads; expr-test pins mask_first_n(123456789, 2) =
-        # 113456789). Provable-int first args route through the string
-        # kernel with digit '1' and cast back.
-        if name in ("mask_first_n", "mask_last_n",
+        # mask family (mask-functions-ir.cc):
+        #   * the char position arg n defaults to 4 in 1-arg mask_*_n;
+        #   * char arguments may be INT CODEPOINTS (65 -> 'A'); -1 means
+        #     KEEP the class (maskchars handles the '-1' sentinel);
+        #   * NUMERIC first arguments mask digits with '1' (or the 6th
+        #     "number char" argument) and keep an integer result;
+        #   * plain mask() gains the 6-arg form Spark lacks.
+        if name in ("mask", "mask_first_n", "mask_last_n",
                     "mask_show_first_n", "mask_show_last_n"):
             close = _matching_paren(toks, j)
             args = _split_args(toks, j, close)
-            if len(args) == 2 and (
-                _is_provably_narrow_int(toks, args[0])
-                or _is_provably_bigint_arg(toks, args[0])
-            ):
-                a = untokenize(toks[args[0][0] : args[0][1]]).strip()
-                n_arg = untokenize(toks[args[1][0] : args[1][1]]).strip()
-                repl = tokenize(
-                    f"CAST({name}6(CAST({a} AS STRING), {n_arg}, "
-                    f"'X', 'x', '1', CAST(NULL AS STRING)) AS BIGINT)"
+            is_n_form = name != "mask"
+            char_args = args[2:] if is_n_form else args[1:]
+            is_numeric = _is_provably_narrow_int(
+                toks, args[0]
+            ) or _is_provably_bigint_arg(toks, args[0])
+
+            def _char_arg(span):
+                code = [
+                    k for k in range(span[0], span[1]) if _is_code(toks[k])
+                ]
+                neg = (
+                    len(code) == 2
+                    and toks[code[0]].text == "-"
+                    and toks[code[1]].kind == "num"
                 )
+                if neg:
+                    return "'-1'"
+                if len(code) == 1 and toks[code[0]].kind == "num":
+                    cp = int(float(toks[code[0]].text))
+                    ch = chr(cp).replace("'", "''")
+                    return f"'{ch}'"
+                return untokenize(toks[span[0] : span[1]]).strip()
+
+            needs_kernel = (
+                is_numeric
+                or len(char_args) >= 4  # other/number args present
+                or any(
+                    _char_arg(sp).startswith("'")
+                    and untokenize(toks[sp[0] : sp[1]]).strip()
+                    != _char_arg(sp)
+                    for sp in char_args
+                )
+                or (is_n_form and len(args) == 1)
+            )
+            if needs_kernel and 1 <= len(args) <= (6 if is_n_form else 6):
+                chars = [_char_arg(sp) for sp in char_args]
+                # number-mask char (6th of mask, 7th slot of *_n forms —
+                # the reference caps at 6 args total) masks digits of
+                # NUMERIC inputs; default '1'
+                num_char = chars[4] if len(chars) >= 5 else "'1'"
+                u = chars[0] if len(chars) >= 1 else "'X'"
+                l = chars[1] if len(chars) >= 2 else "'x'"
+                d = chars[2] if len(chars) >= 3 else "'n'"
+                o = chars[3] if len(chars) >= 4 else "CAST(NULL AS STRING)"
+                a = untokenize(toks[args[0][0] : args[0][1]]).strip()
+                src = f"CAST({a} AS STRING)" if is_numeric else f"({a})"
+                if is_numeric:
+                    d = num_char
+                if is_n_form:
+                    n_arg = (
+                        untokenize(toks[args[1][0] : args[1][1]]).strip()
+                        if len(args) >= 2
+                        else "4"  # MaskShowFirstN/MaskFirstN default
+                    )
+                    body = f"{name}6({src}, {n_arg}, {u}, {l}, {d}, {o})"
+                else:
+                    body = f"maskchars({src}, {u}, {l}, {d}, {o})"
+                if is_numeric:
+                    body = f"CAST({body} AS BIGINT)"
+                repl = tokenize(body)
                 toks[i : close + 1] = repl
                 i += len(repl)
                 continue
-        # mask_*_n with explicit mask chars → the 6-arg kernels, padding
-        # the missing char args with the reference defaults
-        # (mask-functions-ir.cc: upper 'X', lower 'x', digit 'n',
-        # other kept → NULL for Spark's mask())
-        if name in ("mask_first_n", "mask_last_n",
-                    "mask_show_first_n", "mask_show_last_n"):
-            close = _matching_paren(toks, j)
-            nargs = len(_split_args(toks, j, close))
-            if 3 <= nargs <= 6:
+            if is_n_form and 3 <= len(args) <= 6:
                 defaults = ["'X'", "'x'", "'n'", "CAST(NULL AS STRING)"]
-                pad = ", ".join(defaults[nargs - 2 :])
+                pad = ", ".join(defaults[len(args) - 2 :])
                 if pad:
                     toks.insert(close, Tok("op", f", {pad}"))
                 toks[i] = Tok("word", name + "6")
@@ -2209,6 +2267,18 @@ def _rewrite_datetime_type_contracts(toks: list[Tok]) -> list[Tok]:
             toks, args[0]
         ):
             toks[i] = Tok("word", "next_day2")
+        elif name == "next_day" and nargs == 2:
+            # DATE overload: the result can cross 9999-12-31 (NULL in the
+            # reference; a silent year-10000 date crashes Python collect).
+            # The date_aware range guard dispatches the lower bound on
+            # typeof and is recognized by _in_guard_context, keeping
+            # translate() idempotent.
+            if not _in_guard_context(toks, i):
+                inner = untokenize(toks[i : close + 1]).strip()
+                repl = tokenize(_ts_range_guard(inner, date_aware=True))
+                toks[i : close + 1] = repl
+                i += len(repl)
+                continue
         elif name == "last_day" and nargs == 1 and not _is_date_typed(
             toks, args[0]
         ):
@@ -2331,6 +2401,25 @@ def _posix_to_java(text: str) -> str:
     return _POSIX_CLASS_RE.sub(
         lambda m: _POSIX_CLASS_MAP[m.group(1)], text
     )
+
+
+def _rewrite_builtins_namespace(toks: list[Tok]) -> list[Tok]:
+    """Strip the ``_impala_builtins.`` database qualifier from function
+    calls — the reference resolves fully-qualified builtins
+    (_impala_builtins.upper(...), BuiltinsDb) where Spark has no such
+    namespace."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "word" and t.text.lower() == "_impala_builtins":
+            dot = _next_code(toks, i + 1)
+            if dot < len(toks) and toks[dot].text == ".":
+                fn = _next_code(toks, dot + 1)
+                if fn < len(toks) and toks[fn].kind == "word":
+                    del toks[i:fn]
+                    continue
+        i += 1
+    return toks
 
 
 def _rewrite_posix_classes(toks: list[Tok]) -> list[Tok]:
@@ -3479,6 +3568,7 @@ def translate(
     the reference's analyzer does."""
     sql = _rewrite_create_table_ddl(sql)
     toks = tokenize(sql)
+    toks = _rewrite_builtins_namespace(toks)
     toks = _rewrite_values_rows(toks)
     toks = _rewrite_values_aliases(toks)
     toks = _rewrite_null_lhs_not_in(toks)

@@ -646,11 +646,17 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # TIMESTAMP where Spark's natives demote to DATE). DATE arguments
     # implicitly widen to TIMESTAMP here (documented delta vs the
     # reference's DATE overloads, which return DATE).
+    # next_day at the top of the valid range: a result crossing into year
+    # 10000 is NULL (the TIMESTAMP range contract), never a year-10000
+    # value that crashes the Python collect path
     "next_day2": (
         "t TIMESTAMP, d STRING",
         "TIMESTAMP",
-        "CAST(next_day(CAST(t AS DATE), d) AS TIMESTAMP)"
-        " + (t - CAST(CAST(t AS DATE) AS TIMESTAMP))",
+        "CASE WHEN t IS NULL OR d IS NULL THEN CAST(NULL AS TIMESTAMP) "
+        "WHEN year(next_day(CAST(t AS DATE), d)) > 9999 "
+        "THEN CAST(NULL AS TIMESTAMP) "
+        "ELSE CAST(next_day(CAST(t AS DATE), d) AS TIMESTAMP)"
+        " + (t - CAST(CAST(t AS DATE) AS TIMESTAMP)) END",
     ),
     "last_day1": (
         "t TIMESTAMP",
