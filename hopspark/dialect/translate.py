@@ -562,9 +562,16 @@ def _rewrite_timestamp_range(toks: list[Tok]) -> list[Tok]:
             ]
             if len(lit_code) == 1 and toks[lit_code[0]].kind == "str":
                 text = toks[lit_code[0]].text.strip("'\"")
+                # validate on the UNESCAPED value (Spark's literal parser
+                # turns \t/\r/\n escapes into real whitespace)
+                text = (
+                    text.replace("\\t", "\t")
+                    .replace("\\r", "\r")
+                    .replace("\\n", "\n")
+                )
                 if not re.fullmatch(
                     r"\s*\d{1,4}-\d{1,2}-\d{1,2}"
-                    r"([ T]\d{1,2}:\d{1,2}:\d{1,2}(\.\d*)?"
+                    r"((\s+|T)\d{1,2}:\d{1,2}:\d{1,2}(\.\d*)?"
                     r"([+-]\d{2}:?\d{2}|Z)?)?\s*",
                     text,
                 ) or text.rstrip().endswith("."):
@@ -573,6 +580,13 @@ def _rewrite_timestamp_range(toks: list[Tok]) -> list[Tok]:
                     # idempotent (re-translation sees the guarded form)
                     toks[i : close + 1] = tokenize("CAST(NULL AS TIMESTAMP)")
                     continue
+                # the reference's parser accepts a WHITESPACE RUN between
+                # the date and time parts ('2001-01-09   01:05:01') where
+                # Spark's cast rejects it — normalize the literal
+                norm = re.sub(r"\s+", " ", text.strip())
+                if norm != text:
+                    q = toks[lit_code[0]].text[0]
+                    toks[lit_code[0]] = Tok("str", f"{q}{norm}{q}")
             # recurse over the parenthesized part only (the CAST keyword
             # itself must not re-enter this branch)
             inner = "CAST" + untokenize(
@@ -954,6 +968,10 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 s_i = _next_code(toks, args[1][0])
                 unit = toks[s_i].text[1:-1].upper()
                 a1 = untokenize(toks[args[0][0] : args[0][1]]).strip()
+                # the reference's DATE overloads of trunc/date_trunc keep
+                # DATE (impala_functions.py); Spark's date_trunc always
+                # returns TIMESTAMP — wrap provably-DATE arguments back
+                is_date_arg = _is_date_typed(toks, args[0])
                 if unit in _TRUNC_UNITS:
                     repl = f"date_trunc('{_TRUNC_UNITS[unit]}', {a1})"
                 elif unit in ("WW", "W"):
@@ -970,6 +988,8 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 else:
                     i += 1
                     continue
+                if is_date_arg:
+                    repl = f"DATE({repl})"
                 toks[i : close + 1] = tokenize(repl)
                 i += 1
                 continue
@@ -1281,6 +1301,29 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 toks.insert(args[1][0], Tok("word", f" concat('(?{flags})', "))
                 toks[i] = Tok("word", "rlike")
                 i += 1
+                continue
+        # date_trunc(unit, x): the DATE overload returns DATE in the
+        # reference; Spark's always returns TIMESTAMP — wrap back
+        if name == "date_trunc":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            prev = _prev_code(toks, i - 1)
+            inside_date = (
+                prev >= 0
+                and toks[prev].text == "("
+                and _prev_code(toks, prev - 1) >= 0
+                and toks[_prev_code(toks, prev - 1)].upper == "DATE"
+            )
+            if (
+                len(args) == 2
+                and _is_date_typed(toks, args[1])
+                and not inside_date
+                and not _in_guard_context(toks, i)
+            ):
+                inner = untokenize(toks[i : close + 1]).strip()
+                repl = tokenize(f"DATE({inner})")
+                toks[i : close + 1] = repl
+                i += 2  # step past DATE( so the inner call isn't re-seen
                 continue
         # get_json_object: the reference's JSON-path parser skips
         # whitespace around structural tokens (' $ . abc [ 2 ] ' works —

@@ -82,7 +82,7 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "truncate": ("registered", "truncate(3.456, 2)", "numeric truncate toward zero"),
     "is_inf": ("registered", "is_inf(1.0 / 0.0)", "NOTE x/0→NULL non-ANSI; literal inf works"),
     "is_nan": ("renamed", "is_nan(0.0)", "→ isnan"),
-    "trunc": ("rewritten", "trunc(DATE'2020-06-15', 'MM')", "datetime form via string-2nd-arg dispatch -> date_trunc (TIMESTAMP result; full Oracle unit set incl. DD/HH24/MI/Q/DAY/WW/W); numeric form routes to truncate()"),
+    "trunc": ("rewritten", "trunc(DATE'2020-06-15', 'MM')", "datetime form via string-2nd-arg dispatch -> date_trunc (DATE args keep DATE, r8; full Oracle unit set incl. DD/HH24/MI/Q/DAY/WW/W); numeric form routes to truncate()"),
     "max_tinyint": ("registered", "max_tinyint()", "type-limit constant"),
     "min_tinyint": ("registered", "min_tinyint()", "type-limit constant"),
     "max_smallint": ("registered", "max_smallint()", "type-limit constant"),
@@ -419,7 +419,7 @@ EXPECTED: dict[str, str] = {
     'truncate': '3.45',
     'is_inf': 'NULL',
     'is_nan': 'false',
-    'trunc': '2020-06-01 00:00:00',
+    'trunc': '2020-06-01',
     'max_tinyint': '127',
     'min_tinyint': '-128',
     'max_smallint': '32767',
