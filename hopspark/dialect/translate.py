@@ -845,6 +845,51 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     toks[i:close + 1] = new_toks
                     i += len(new_toks)
                     continue
+        # factorial: the reference computes n<=1 as 1 (incl. negatives) and
+        # ERRORS past 20 ("too large for BIGINT"); Spark's native NULLs both
+        if name == "factorial":
+            close = _matching_paren(toks, j)
+            if len(_split_args(toks, j, close)) == 1:
+                toks[i] = Tok("word", "factorial_k")
+                i += 1
+                continue
+        # typeof of an INTEGER LITERAL folds to the reference's
+        # smallest-fit literal type (fe LiteralExpr: 1 is TINYINT, 128
+        # SMALLINT, ...); typeof(NULL) is BOOLEAN (NullLiteral's type)
+        if name == "typeof":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 1:
+                code = [
+                    k for k in range(*args[0]) if _is_code(toks[k])
+                ]
+                lit = None
+                if len(code) == 1 and toks[code[0]].kind == "num":
+                    lit = toks[code[0]].text
+                elif (
+                    len(code) == 2
+                    and toks[code[0]].text == "-"
+                    and toks[code[1]].kind == "num"
+                ):
+                    lit = "-" + toks[code[1]].text
+                if (
+                    len(code) == 1
+                    and toks[code[0]].kind == "word"
+                    and toks[code[0]].upper == "NULL"
+                ):
+                    toks[i : close + 1] = tokenize("'BOOLEAN'")
+                    i += 1
+                    continue
+                if lit is not None and "." not in lit and "e" not in lit.lower():
+                    v = int(lit)
+                    ty = (
+                        "TINYINT" if -(2**7) <= v < 2**7 else
+                        "SMALLINT" if -(2**15) <= v < 2**15 else
+                        "INT" if -(2**31) <= v < 2**31 else "BIGINT"
+                    )
+                    toks[i : close + 1] = tokenize(f"'{ty}'")
+                    i += 1
+                    continue
         # 2-arg ltrim/rtrim: the reference's order is (src, chars) while
         # Spark's builtin 2-arg form is (trimStr, str) — dispatched to the
         # swapping kernels (which also pin NULL-chars → src unchanged,
@@ -2440,10 +2485,20 @@ _REGEXP_PATTERN_FNS = {
 }
 
 
+_LITERAL_ALT_RE = re.compile(r"\(([A-Za-z0-9 ]+(?:\|[A-Za-z0-9 ]+)+)\)")
+
+
 def _posix_to_java(text: str) -> str:
-    return _POSIX_CLASS_RE.sub(
-        lambda m: _POSIX_CLASS_MAP[m.group(1)], text
-    )
+    out = _POSIX_CLASS_RE.sub(lambda m: _POSIX_CLASS_MAP[m.group(1)], text)
+    # RE2 alternation picks the LONGEST matching branch, Java the FIRST
+    # listed: for groups of pure literal branches the two coincide after
+    # sorting branches longest-first (expr-test pins
+    # regexp_extract('abcabcd', '(a|ab|abc|abcd)', 0) = 'abc')
+    def _sort_branches(m: "re.Match[str]") -> str:
+        parts = m.group(1).split("|")
+        return "(" + "|".join(sorted(parts, key=len, reverse=True)) + ")"
+
+    return _LITERAL_ALT_RE.sub(_sort_branches, out)
 
 
 def _rewrite_builtins_namespace(toks: list[Tok]) -> list[Tok]:
@@ -2475,7 +2530,7 @@ def _rewrite_posix_classes(toks: list[Tok]) -> list[Tok]:
     i = 0
     while i < len(toks):
         t = toks[i]
-        if t.kind == "str" and "[:" in t.text:
+        if t.kind == "str" and ("[:" in t.text or "|" in t.text):
             prev = _prev_code(toks, i - 1)
             is_pattern = False
             if prev >= 0 and toks[prev].kind == "word" and toks[prev].upper in (
@@ -4981,8 +5036,25 @@ def _rewrite_postfix_factorial(toks: list[Tok]) -> list[Tok]:
         if start is None:
             i += 1
             continue
+        # prefix unary minus takes precedence over postfix factorial in the
+        # reference's grammar (expr-test.cc "-1! = 1 // Prefix takes
+        # precedence"): include it in the operand when it is UNARY (start
+        # of expression / after an operator, '(' or ',')
+        m = _prev_code(toks, start - 1)
+        if m >= 0 and toks[m].text.strip() == "-":
+            before = _prev_code(toks, m - 1)
+            if (
+                before < 0
+                or toks[before].text in ("(", ",")
+                or toks[before].kind == "op"
+                or (
+                    toks[before].kind == "word"
+                    and toks[before].upper in _OPERAND_BOUNDARY_KWS
+                )
+            ):
+                start = m
         operand = untokenize(toks[start:i]).strip()
-        toks[start : i + 1] = tokenize(f"factorial({operand})")
+        toks[start : i + 1] = tokenize(f"factorial_k({operand})")
         i = start + 1
     return toks
 

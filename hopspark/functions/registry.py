@@ -329,6 +329,20 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "  THEN substr(trim(s), 2) ELSE trim(s) END, '^[0-9a-zA-Z]*', 0)), fb, tb) END",
     ),
     "is_inf": ("x DOUBLE", "BOOLEAN", "x = double('inf') OR x = double('-inf')"),
+    # factorial with the reference's contract (operators-ir.cc
+    # ComputeFactorial): any n <= 1 (including negatives) is 1; n > 20
+    # overflows BIGINT and ERRORS; NULL propagates. Spark's native
+    # factorial NULLs negatives and >20. The dialect routes both the
+    # postfix ! operator and factorial() calls here.
+    "factorial_k": (
+        "n BIGINT",
+        "BIGINT",
+        "CASE WHEN n IS NULL THEN CAST(NULL AS BIGINT) "
+        "WHEN n <= 1 THEN CAST(1 AS BIGINT) "
+        "WHEN n > 20 THEN CAST(raise_error(concat('factorial ', "
+        "CAST(n AS STRING), '! too large for BIGINT')) AS BIGINT) "
+        "ELSE factorial(CAST(n AS INT)) END",
+    ),
     "timestamp_cmp": (
         "a TIMESTAMP, b TIMESTAMP",
         "INT",

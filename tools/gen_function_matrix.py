@@ -288,7 +288,7 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "user": ("renamed", "user()", "→ current_user"),
     "pid": ("registered", "pid()", "driver pid"),
     "sleep": ("registered", "sleep(1)", "Arrow UDF"),
-    "typeof": ("native", "typeof(1)", ""),
+    "typeof": ("native", "typeof(1)", "integer literals take the smallest-fit type (TINYINT), r8"),
     "version": ("native", "version()", "engine version string"),
     # ---------------- datasketches ----------------
     # sketch-agg names (ds_*_sketch/union) are aggregate-position functions;
@@ -598,7 +598,7 @@ EXPECTED: dict[str, str] = {
     'mask_hash': 'ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad',
     'get_json_object': '1',
     'sleep': 'true',
-    'typeof': 'INT',  # uppercase per ScalarType.toSql
+    'typeof': 'TINYINT',  # uppercase per ScalarType.toSql
     'ds_hll_estimate': '1',
     'ds_hll_union_f': '1',
     'ds_hll_stringify': '0201070C030001082BF2FB0600000000000000000000000000000000000000000000000000000000',
