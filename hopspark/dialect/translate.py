@@ -622,6 +622,20 @@ def _rewrite_timestamp_range(toks: list[Tok]) -> list[Tok]:
             if prim is None or _in_guard_context(toks, prim):
                 i += 1
                 continue
+            p_end = _prev_code(toks, op_idx - 1)
+            if (
+                prim == p_end
+                and toks[prim].kind == "word"
+                and toks[prim].upper == "NULL"
+            ):
+                # NULL ± INTERVAL n unit is NULL (the reference types the
+                # NULL operand TIMESTAMP); Spark cannot resolve the bare
+                # form — splice a typed NULL, re-process for the guard
+                toks[prim : unit_idx + 1] = tokenize(
+                    "CAST(NULL AS TIMESTAMP)"
+                )
+                i = prim
+                continue
             # If the primary is itself the right operand of a binary
             # operator (`a - b + INTERVAL 1 DAY`, `a * b + INTERVAL ...`),
             # wrapping just `b` would regroup the expression — e.g. turn
@@ -845,6 +859,21 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     toks[i:close + 1] = new_toks
                     i += len(new_toks)
                     continue
+        # parse_url: invalid literal part -> error like the reference
+        # (string-functions-ir.cc "Invalid URL part"); parts are
+        # case-sensitive UPPERCASE
+        if name == "parse_url":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) >= 2:
+                p_i = _next_code(toks, args[1][0])
+                if p_i < close and toks[p_i].kind == "str":
+                    part = toks[p_i].text[1:-1]
+                    if part not in (
+                        "PROTOCOL", "HOST", "PATH", "REF", "AUTHORITY",
+                        "FILE", "USERINFO", "QUERY",
+                    ):
+                        raise ValueError(f"Invalid URL part: {part}")
         # factorial: the reference computes n<=1 as 1 (incl. negatives) and
         # ERRORS past 20 ("too large for BIGINT"); Spark's native NULLs both
         if name == "factorial":
@@ -1017,6 +1046,11 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 # DATE (impala_functions.py); Spark's date_trunc always
                 # returns TIMESTAMP — wrap provably-DATE arguments back
                 is_date_arg = _is_date_typed(toks, args[0])
+                if unit in ("MILLENNIUM", "CENTURY", "DECADE"):
+                    repl = _era_trunc_sql(a1, unit, is_date_arg)
+                    toks[i : close + 1] = tokenize(repl)
+                    i += 1
+                    continue
                 if unit in _TRUNC_UNITS:
                     repl = f"date_trunc('{_TRUNC_UNITS[unit]}', {a1})"
                 elif unit in ("WW", "W"):
@@ -1347,11 +1381,42 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 toks[i] = Tok("word", "rlike")
                 i += 1
                 continue
+            if len(args) == 3:
+                # runtime (non-literal / NULL) params: the NULL-propagating
+                # validating kernel
+                toks[i] = Tok("word", "regexp_like3")
+                i += 1
+                continue
         # date_trunc(unit, x): the DATE overload returns DATE in the
         # reference; Spark's always returns TIMESTAMP — wrap back
         if name == "date_trunc":
             close = _matching_paren(toks, j)
             args = _split_args(toks, j, close)
+            if len(args) == 2:
+                u_i = _next_code(toks, args[0][0])
+                if u_i < close and toks[u_i].kind == "str":
+                    unit = toks[u_i].text[1:-1].upper()
+                    _SPARK_UNITS = {
+                        "YEAR", "YYYY", "YY", "QUARTER", "MONTH", "MM",
+                        "MON", "WEEK", "DAY", "DD", "HOUR", "MINUTE",
+                        "SECOND", "MILLISECOND", "MICROSECOND",
+                    }
+                    if unit in ("MILLENNIUM", "CENTURY", "DECADE"):
+                        x = untokenize(
+                            toks[args[1][0] : args[1][1]]
+                        ).strip()
+                        repl = _era_trunc_sql(
+                            x, unit, _is_date_typed(toks, args[1])
+                        )
+                        toks[i : close + 1] = tokenize(repl)
+                        i += 1
+                        continue
+                    if unit not in _SPARK_UNITS:
+                        # the reference raises on unknown units
+                        # (udf-builtins.cc StrToTruncUnit); Spark NULLs
+                        raise ValueError(
+                            f"Invalid Date/Time Unit: {toks[u_i].text}"
+                        )
             prev = _prev_code(toks, i - 1)
             inside_date = (
                 prev >= 0
@@ -2562,6 +2627,27 @@ def _rewrite_posix_classes(toks: list[Tok]) -> list[Tok]:
                 toks[i] = Tok("str", _posix_to_java(t.text))
         i += 1
     return toks
+
+
+
+def _era_trunc_sql(x: str, unit: str, is_date: bool) -> str:
+    """MILLENNIUM/CENTURY/DECADE truncation (udf-builtins.cc TruncUnit):
+    millennia/centuries start at year N*1000+1 / N*100+1, decades at
+    year - year%10. DATE inputs keep DATE; TIMESTAMP results below the
+    TIMESTAMP range floor (year 1400) are NULL."""
+    yr = f"year({x})"
+    if unit == "DECADE":
+        res_year = f"({yr} - pmod({yr}, 10))"
+    else:
+        span = 1000 if unit == "MILLENNIUM" else 100
+        res_year = f"({yr} - pmod({yr} - 1, {span}))"
+    d = f"make_date({res_year}, 1, 1)"
+    if is_date:
+        return d
+    return (
+        f"(CASE WHEN {res_year} >= 1400 "
+        f"THEN CAST({d} AS TIMESTAMP) END)"
+    )
 
 
 def _rewrite_date_casts(toks: list[Tok]) -> list[Tok]:

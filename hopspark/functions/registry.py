@@ -423,6 +423,23 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "failed. Invalid string val: ''', s, '''')) AS DATE) "
         "ELSE CAST(s AS DATE) END",
     ),
+    # 3-arg regexp_like with a RUNTIME (non-literal) params argument —
+    # the literal form folds to rlike at translate time; this kernel
+    # carries the NULL-propagation and params validation
+    # (string-functions-ir.cc RegexpLike)
+    "regexp_like3": (
+        "s STRING, p STRING, f STRING",
+        "BOOLEAN",
+        "CASE WHEN s IS NULL OR p IS NULL OR f IS NULL "
+        "THEN CAST(NULL AS BOOLEAN) "
+        "WHEN translate(f, 'icmn', '') != '' THEN "
+        "CAST(raise_error(concat('Illegal match parameter ', "
+        "substr(translate(f, 'icmn', ''), 1, 1))) AS BOOLEAN) "
+        "ELSE rlike(s, concat("
+        "CASE WHEN instr(f, 'i') > instr(f, 'c') THEN '(?i)' ELSE '' END, "
+        "CASE WHEN f LIKE '%m%' THEN '(?m)' ELSE '' END, "
+        "CASE WHEN f LIKE '%n%' THEN '(?s)' ELSE '' END, p)) END",
+    ),
     "regexp_escape": (
         "s STRING",
         "STRING",
