@@ -859,6 +859,47 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     toks[i:close + 1] = new_toks
                     i += len(new_toks)
                     continue
+        # mask_hash: only STRING inputs hash; every other type is NULL
+        # (mask-functions-ir.cc MaskHash non-string overloads)
+        if name == "mask_hash":
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 1:
+                code = [
+                    k for k in range(*args[0]) if _is_code(toks[k])
+                ]
+                null_ty = None
+                cast_ty = (
+                    _span_cast_type(toks, code[0], code[-1])
+                    if code
+                    else None
+                )
+                if cast_ty is not None and not cast_ty.startswith(
+                    ("CHAR", "VARCHAR", "STRING")
+                ):
+                    null_ty = cast_ty
+                elif len(code) == 1 and toks[code[0]].kind == "num":
+                    null_ty = (
+                        "DOUBLE" if "." in toks[code[0]].text else "BIGINT"
+                    )
+                elif (
+                    len(code) == 1
+                    and toks[code[0]].kind == "word"
+                    and toks[code[0]].upper in ("TRUE", "FALSE")
+                ):
+                    null_ty = "BOOLEAN"
+                elif (
+                    len(code) == 2
+                    and toks[code[0]].upper in ("DATE", "TIMESTAMP")
+                    and toks[code[1]].kind == "str"
+                ):
+                    null_ty = toks[code[0]].upper
+                if null_ty is not None:
+                    toks[i : close + 1] = tokenize(
+                        f"CAST(NULL AS {null_ty})"
+                    )
+                    i += 1
+                    continue
         # parse_url: invalid literal part -> error like the reference
         # (string-functions-ir.cc "Invalid URL part"); parts are
         # case-sensitive UPPERCASE
@@ -917,6 +958,19 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                         "INT" if -(2**31) <= v < 2**31 else "BIGINT"
                     )
                     toks[i : close + 1] = tokenize(f"'{ty}'")
+                    i += 1
+                    continue
+                cast_ty = (
+                    _span_cast_type(toks, code[0], code[-1])
+                    if code
+                    else None
+                )
+                if cast_ty is not None and cast_ty.startswith(
+                    ("CHAR(", "VARCHAR(")
+                ):
+                    # Spark erases CHAR/VARCHAR to STRING at runtime; the
+                    # declared type is knowable statically
+                    toks[i : close + 1] = tokenize(f"'{cast_ty}'")
                     i += 1
                     continue
         # 2-arg ltrim/rtrim: the reference's order is (src, chars) while
@@ -1489,6 +1543,25 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     return f"'{ch}'"
                 return untokenize(toks[span[0] : span[1]]).strip()
 
+            def _num_char_arg(span):
+                # the NUMBER mask argument is a digit VALUE in [0,9]
+                # (mask-functions-ir.cc getNumArg) — out-of-range or -1
+                # falls back to the default 1; never a codepoint
+                code = [
+                    k for k in range(span[0], span[1]) if _is_code(toks[k])
+                ]
+                if len(code) == 1 and toks[code[0]].kind == "num":
+                    v = int(float(toks[code[0]].text))
+                    return f"'{v}'" if 0 <= v <= 9 else "'1'"
+                if (
+                    len(code) == 1
+                    and toks[code[0]].kind == "str"
+                    and toks[code[0]].text[1:-1].isdigit()
+                    and len(toks[code[0]].text) == 3
+                ):
+                    return toks[code[0]].text
+                return "'1'"
+
             needs_kernel = (
                 is_numeric
                 or len(char_args) >= 4  # other/number args present
@@ -1500,12 +1573,13 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 )
                 or (is_n_form and len(args) == 1)
             )
-            if needs_kernel and 1 <= len(args) <= (6 if is_n_form else 6):
+            if needs_kernel and 1 <= len(args) <= (7 if is_n_form else 6):
                 chars = [_char_arg(sp) for sp in char_args]
-                # number-mask char (6th of mask, 7th slot of *_n forms —
-                # the reference caps at 6 args total) masks digits of
-                # NUMERIC inputs; default '1'
-                num_char = chars[4] if len(chars) >= 5 else "'1'"
+                num_char = (
+                    _num_char_arg(char_args[4])
+                    if len(char_args) >= 5
+                    else "'1'"
+                )
                 u = chars[0] if len(chars) >= 1 else "'X'"
                 l = chars[1] if len(chars) >= 2 else "'x'"
                 d = chars[2] if len(chars) >= 3 else "'n'"
@@ -5301,6 +5375,26 @@ def _rewrite_char_casts(toks: list[Tok]) -> list[Tok]:
             i += 1
             continue
         n = toks[n_i].text
+        # typeof(CAST(x AS CHAR/VARCHAR(n))) folds to the DECLARED type —
+        # Spark erases both to STRING at runtime, but the analyzer's
+        # answer is static (expr-test typeOf CHAR/VARCHAR rows). Detect
+        # the directly-enclosing typeof BEFORE this pass rewrites the
+        # cast into substr/rpad.
+        prev_p = _prev_code(toks, i - 1)
+        if prev_p >= 0 and toks[prev_p].text == "(":
+            fn_i = _prev_code(toks, prev_p - 1)
+            after = _next_code(toks, close + 1)
+            if (
+                fn_i >= 0
+                and toks[fn_i].kind == "word"
+                and toks[fn_i].text.lower() == "typeof"
+                and after < len(toks)
+                and toks[after].text == ")"
+            ):
+                lit = f"'{toks[ty_i].upper}({n})'"
+                toks[fn_i : after + 1] = tokenize(lit)
+                i = fn_i + 1
+                continue
         expr = untokenize(toks[j + 1 : as_i]).strip()
         # CAST(x AS CHAR/VARCHAR(n) FORMAT '...') — the FORMAT clause
         # belongs to the datetime-format path (cast-format-expr.cc): the

@@ -493,10 +493,18 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "s STRING, u STRING, l STRING, d STRING, o STRING",
         "STRING",
         "array_join(transform(split(s, ''), c -> "
-        "CASE WHEN c RLIKE '^[A-Z]$' THEN CASE WHEN u = '-1' THEN c ELSE u END "
-        "WHEN c RLIKE '^[a-z]$' THEN CASE WHEN l = '-1' THEN c ELSE l END "
-        "WHEN c RLIKE '^[0-9]$' THEN CASE WHEN d = '-1' THEN c ELSE d END "
-        "ELSE CASE WHEN o = '-1' THEN c ELSE coalesce(o, c) END END), '')",
+        "CASE WHEN c RLIKE '^[A-Z]$' THEN "
+        "  CASE WHEN u = '-1' THEN c WHEN u IS NULL OR u = '' THEN 'X' "
+        "  ELSE substr(u, 1, 1) END "
+        "WHEN c RLIKE '^[a-z]$' THEN "
+        "  CASE WHEN l = '-1' THEN c WHEN l IS NULL OR l = '' THEN 'x' "
+        "  ELSE substr(l, 1, 1) END "
+        "WHEN c RLIKE '^[0-9]$' THEN "
+        "  CASE WHEN d = '-1' THEN c WHEN d IS NULL OR d = '' THEN 'n' "
+        "  ELSE substr(d, 1, 1) END "
+        "ELSE "
+        "  CASE WHEN o = '-1' OR o IS NULL OR o = '' THEN c "
+        "  ELSE substr(o, 1, 1) END END), '')",
     ),
     # from_unixtime with the reference's TIMESTAMP valid-range contract:
     # epoch seconds outside [1400-01-01, 10000-01-01) return NULL
