@@ -1251,16 +1251,52 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
         # (BuiltinsDb precision/scale; analysis-time in the reference).
         # Runtime equivalent: parse Spark's typeof(); NULL for non-decimals.
         if name in ("precision", "scale"):
+            # integer types report their digit capacity (TINYINT 3 ...
+            # BIGINT 19, scale 0 — ColumnType.precision), decimals their
+            # declared (p, s); other types NULL. LITERAL arguments fold
+            # with the reference's smallest-fit / text-derived typing.
             close = _matching_paren(toks, j)
-            group = "1" if name == "precision" else "2"
-            toks.insert(
-                close + 1,
-                Tok(
-                    "op",
-                    ", 'decimal\\\\((\\\\d+),(\\\\d+)\\\\)', " + group + ") AS INT)",
-                ),
-            )
-            toks[i] = Tok("word", "CAST(regexp_extract(typeof")
+            largs = _split_args(toks, j, close)
+            if len(largs) == 1:
+                lc = [
+                    k for k in range(*largs[0]) if _is_code(toks[k])
+                ]
+                neg = (
+                    len(lc) == 2
+                    and toks[lc[0]].text == "-"
+                    and toks[lc[1]].kind == "num"
+                )
+                lit_tok = (
+                    toks[lc[0]] if len(lc) == 1 else
+                    toks[lc[1]] if neg else None
+                )
+                if (
+                    lit_tok is not None
+                    and lit_tok.kind == "num"
+                    and "e" not in lit_tok.text.lower()
+                ):
+                    txt = lit_tok.text
+                    if "." in txt:
+                        digits = txt.replace(".", "").lstrip("0") or "0"
+                        p_v = len(digits)
+                        s_v = len(txt.split(".")[1])
+                        p_v = max(p_v, s_v)
+                    else:
+                        v = int(txt) * (-1 if neg else 1)
+                        p_v = (
+                            3 if -(2**7) <= v < 2**7 else
+                            5 if -(2**15) <= v < 2**15 else
+                            10 if -(2**31) <= v < 2**31 else 19
+                        )
+                        s_v = 0
+                    out_v = p_v if name == "precision" else s_v
+                    toks[i : close + 1] = tokenize(str(out_v))
+                    i += 1
+                    continue
+            toks.insert(close + 1, Tok("op", "))"))
+            # upper(typeof(...)) — the typeof-uppercase dialect pass
+            # recognizes the already-upper-wrapped form (idempotency)
+            toks[i] = Tok("word", f"{name}_of(upper(typeof")
             i = j + 1
             continue
         # aggif(p, x) → max(CASE WHEN p THEN x END) — the reference's

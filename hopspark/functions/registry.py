@@ -427,6 +427,28 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # the literal form folds to rlike at translate time; this kernel
     # carries the NULL-propagation and params validation
     # (string-functions-ir.cc RegexpLike)
+    # precision()/scale() decimal-type introspection extended to integer
+    # types: the reference returns the type's DIGIT CAPACITY
+    # (ColumnType.precision: TINYINT 3, SMALLINT 5, INT 10, BIGINT 19) and
+    # scale 0 — not NULL. Kernels parse Spark's typeof() rendering; the
+    # dialect passes it in pre-lowercased.
+    "precision_of": (
+        "t STRING",
+        "INT",
+        "CASE WHEN t = 'TINYINT' THEN 3 WHEN t = 'SMALLINT' THEN 5 "
+        "WHEN t = 'INT' THEN 10 WHEN t = 'BIGINT' THEN 19 "
+        "WHEN t rlike '^DECIMAL' THEN "
+        "CAST(regexp_extract(t, 'DECIMAL\\\\((\\\\d+),(\\\\d+)\\\\)', 1) AS INT) "
+        "END",
+    ),
+    "scale_of": (
+        "t STRING",
+        "INT",
+        "CASE WHEN t IN ('TINYINT', 'SMALLINT', 'INT', 'BIGINT') THEN 0 "
+        "WHEN t rlike '^DECIMAL' THEN "
+        "CAST(regexp_extract(t, 'DECIMAL\\\\((\\\\d+),(\\\\d+)\\\\)', 2) AS INT) "
+        "END",
+    ),
     "regexp_like3": (
         "s STRING, p STRING, f STRING",
         "BOOLEAN",
