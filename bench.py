@@ -163,24 +163,26 @@ def main() -> None:
         "sf": sf,
     }
     line = json.dumps(payload)
-    # The driver captures a tail of stdout; a long JSON line preceded/followed
-    # by JVM noise has been truncated mid-line before (BENCH_r06/r07 parsed:
-    # null). Belt and braces, three layers:
-    #  1. persist the full payload to BENCH_LOCAL.json next to this script;
-    #  2. stop Spark BEFORE printing so any JVM/Py4J shutdown chatter lands
-    #     ahead of the metric line, never after it;
-    #  3. print the line as the absolute last stdout bytes and hard-exit
-    #     (os._exit) so no atexit/shutdown hook can write past it.
+    # The driver captures only a ~2.2 KB tail of stdout; the full payload
+    # (73 per-query entries, ~2.9 KB) physically cannot survive that buffer
+    # (BENCH_r06..r08 parsed: null).  So: persist the FULL payload to
+    # BENCH_LOCAL.json, and print a COMPACT metric line (~80 bytes, no
+    # queries map) as the absolute last stdout bytes.  Stop Spark before
+    # printing so JVM/Py4J shutdown chatter lands ahead of the line, and
+    # hard-exit so no atexit hook writes past it.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
+    compact = json.dumps(
+        {"metric": payload["metric"], "value": total, "unit": "sec", "sf": sf}
+    )
     try:
         spark.stop()
     except Exception:
         pass
     sys.stdout.flush()
     sys.stderr.flush()
-    print(line, flush=True)
+    print(compact, flush=True)
     os._exit(0)
 
 

@@ -264,7 +264,9 @@ _FN_DEFAULT_ARG = {
 _FN_SPECIAL: dict[str, tuple[str, str]] = {}
 
 
-def _ts_range_guard(expr: str, date_aware: bool = False) -> str:
+def _ts_range_guard(
+    expr: str, date_aware: bool = False, lo: int | None = None
+) -> str:
     """Wrap a timestamp-producing expression with the reference's valid-range
     contract: TIMESTAMP values live in [1400-01-01, 10000-01-01) and every
     producer (string/numeric casts, interval arithmetic, timezone
@@ -276,16 +278,24 @@ def _ts_range_guard(expr: str, date_aware: bool = False) -> str:
     ``date_aware``: the reference's DATE type has the WIDER range
     [0001-01-01, 9999-12-31] (date-value.h), and DATE ± INTERVAL stays
     DATE — so arithmetic sites whose operand type is unknowable at
-    translate time dispatch the lower bound on runtime typeof()."""
+    translate time dispatch the lower bound on runtime typeof().
+
+    ``lo``: static lower-bound override for sites where the operand is
+    PROVABLY DATE at translate time (lo=1) — e.g. date_trunc's DATE
+    overload (round-8 advice, medium)."""
     # upper() directly: this guard is spliced AFTER the typeof-uppercase
     # dialect pass has run, and that pass skips an already-upper-wrapped
     # typeof on re-translation (idempotency)
-    lo = (
-        f"(CASE WHEN upper(typeof({expr})) = 'DATE' THEN 1 ELSE 1400 END)"
-        if date_aware
-        else "1400"
+    lo_sql = (
+        str(lo)
+        if lo is not None
+        else (
+            f"(CASE WHEN upper(typeof({expr})) = 'DATE' THEN 1 ELSE 1400 END)"
+            if date_aware
+            else "1400"
+        )
     )
-    return f"(CASE WHEN year({expr}) BETWEEN {lo} AND 9999 THEN {expr} END)"
+    return f"(CASE WHEN year({expr}) BETWEEN {lo_sql} AND 9999 THEN {expr} END)"
 
 
 #: functions whose TIMESTAMP result must be range-guarded where called
@@ -474,7 +484,7 @@ def _in_guard_context(toks: list[Tok], start: int) -> bool:
         p3 = _prev_code(toks, p2 - 1)
         if p3 < 0:
             return False
-        if toks[p3].text == "1400":
+        if toks[p3].text in ("1400", "1"):  # 1 = static DATE-overload lo
             p4 = _prev_code(toks, p3 - 1)
             return p4 >= 0 and toks[p4].upper == "BETWEEN"
         if toks[p3].text == ")":
@@ -602,10 +612,30 @@ def _rewrite_timestamp_range(toks: list[Tok]) -> list[Tok]:
                 i += 1
                 continue
             close = _matching_paren(toks, j)
+            lo_override: int | None = None
+            if low == "date_trunc":
+                # the DATE overload has the WIDER [0001, 9999] range
+                # (date-value.h): date_trunc('YEAR', DATE '1200-06-15')
+                # is DATE '1200-01-01' in the reference, NOT NULL.  The
+                # function pass has already DATE(...)-wrapped provably-DATE
+                # arguments, so detect either the wrap or the typed arg
+                # and drop the 1400 floor to 1 (round-8 advice, medium).
+                args_g = _split_args(toks, j, close)
+                prev_g = _prev_code(toks, i - 1)
+                inside_date_g = (
+                    prev_g >= 0
+                    and toks[prev_g].text == "("
+                    and _prev_code(toks, prev_g - 1) >= 0
+                    and toks[_prev_code(toks, prev_g - 1)].upper == "DATE"
+                )
+                if inside_date_g or (
+                    len(args_g) == 2 and _is_date_typed(toks, args_g[1])
+                ):
+                    lo_override = 1
             inner = t.text + untokenize(
                 _rewrite_timestamp_range(toks[j : close + 1])
             ).strip()
-            new_toks = tokenize(_ts_range_guard(inner))
+            new_toks = tokenize(_ts_range_guard(inner, lo=lo_override))
             toks[i : close + 1] = new_toks
             i += len(new_toks)
             continue
@@ -1575,6 +1605,13 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     return "'-1'"
                 if len(code) == 1 and toks[code[0]].kind == "num":
                     cp = int(float(toks[code[0]].text))
+                    # codepoints beyond U+10FFFF can't be chr()'d; the
+                    # reference's fast path assigns the masked codepoint
+                    # to a BYTE (mask-functions-ir.cc MaskSubStr
+                    # `result.ptr[i] = MaskTransform(...)`) — mirror the
+                    # low-byte truncation (round-8 advice, low)
+                    if cp > 0x10FFFF or cp < 0:
+                        cp &= 0xFF
                     ch = chr(cp).replace("'", "''")
                     return f"'{ch}'"
                 return untokenize(toks[span[0] : span[1]]).strip()
@@ -3376,7 +3413,25 @@ def _is_date_typed(toks: list[Tok], arg: tuple[int, int]) -> bool:
         return False
     first = toks[code[0]]
     if first.kind == "word" and first.upper == "DATE":
+        if (
+            len(code) >= 2
+            and toks[code[1]].text == "("
+            and _matching_paren(toks, code[1]) == code[-1]
+        ):
+            return True  # DATE(...) cast-function form
         return len(code) == 2 and toks[code[1]].kind == "str"
+    # a top-level to_date_strict(...) call is our own emitted DATE cast —
+    # without this, re-translating translated SQL (stored view bodies)
+    # flipped next_day/last_day from the DATE-returning native form to the
+    # TIMESTAMP kernel (round-8 advice, medium)
+    if (
+        first.kind == "word"
+        and first.text.lower() == "to_date_strict"
+        and len(code) >= 2
+        and toks[code[1]].text == "("
+        and _matching_paren(toks, code[1]) == code[-1]
+    ):
+        return True
     if first.kind == "word" and first.upper == "CAST" and len(code) >= 2:
         if toks[code[1]].text == "(" and _matching_paren(
             toks, code[1]

@@ -342,6 +342,12 @@ class Engine(AlterTableMixin):
             or "AVG" in up
             or "CEIL" in up
             or "FLOOR" in up
+            # arithmetic anywhere can hit the BIGINT->DECIMAL(19,0)
+            # promotion (_rewrite_bigint_decimal_arith) — without this
+            # trigger `SELECT big_col + 1.1 FROM t` silently skipped the
+            # schema scan and the result type depended on unrelated
+            # keywords (round-8 advice, low)
+            or any(ch in impala_sql for ch in "+-*/%")
         )
         if not need:
             return None, None, None, None, None

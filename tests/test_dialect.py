@@ -795,3 +795,69 @@ def test_ceil_floor_double_returns_double(spark, sf_dir):
         ("a", "double")
     ]
     assert eng.sql("select ceil(2.3) a").dtypes[0][1].startswith("decimal")
+
+
+def test_date_trunc_date_overload_range(spark, sf_dir):
+    """Round-8 advice (medium): the DATE overload of date_trunc/trunc has
+    the DATE range [0001, 9999] (date-value.h), not TIMESTAMP's 1400 floor
+    (impala_functions.py:283)."""
+    import datetime as dt
+
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    assert eng.sql(
+        "select date_trunc('YEAR', DATE '1200-06-15') a"
+    ).collect()[0].a == dt.date(1200, 1, 1)
+    assert eng.sql(
+        "select trunc(DATE '1200-06-15', 'YEAR') a"
+    ).collect()[0].a == dt.date(1200, 1, 1)
+    # crossing the DATE lower bound is still in-range for DATE
+    assert eng.sql(
+        "select date_trunc('WEEK', DATE '1400-01-01') a"
+    ).collect()[0].a == dt.date(1399, 12, 30)
+    # the TIMESTAMP overload keeps the 1400 floor
+    assert eng.sql(
+        "select date_trunc('YEAR', CAST('1200-06-15' AS TIMESTAMP)) a"
+    ).collect()[0].a is None
+
+
+def test_retranslate_keeps_date_kernels():
+    """Round-8 advice (medium): re-translating translated SQL (stored view
+    bodies) must keep next_day/last_day on the DATE-returning native form —
+    _is_date_typed recognizes to_date_strict(...) and DATE(...)."""
+    from hopspark.dialect.translate import translate
+
+    for sql in (
+        "SELECT next_day(CAST(c AS DATE), 'MO') FROM t",
+        "SELECT last_day(CAST(c AS DATE)) FROM t",
+    ):
+        once = translate(sql)
+        again = translate(once)
+        assert again == once
+        assert "next_day2" not in again and "last_day1" not in again
+
+
+def test_mask_char_codepoint_out_of_range():
+    """Round-8 advice (low): a literal char arg >= 0x110000 must not crash
+    translate(); the reference's byte path truncates to the low byte."""
+    from hopspark.dialect.translate import translate
+
+    out = translate("SELECT mask('abc', 2000000)")
+    assert "maskchars" in out or "mask" in out  # translated, no ValueError
+    out2 = translate("SELECT mask_show_first_n('hello', 2, 3000000, -1, -1)")
+    assert isinstance(out2, str)
+
+
+def test_bigint_decimal_arith_without_keywords(spark, sf_dir):
+    """Round-8 advice (low): `SELECT big_col + 1.1` (no CAST/AVG/CEIL/...)
+    must still trigger the schema scan so the BIGINT->DECIMAL(19,0)
+    promotion fires — result type must not depend on unrelated keywords."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    plain = eng.sql("select o_custkey + 1.1 a from orders limit 1")
+    with_kw = eng.sql(
+        "select o_custkey + 1.1 a, floor(1.0) f from orders limit 1"
+    )
+    assert plain.dtypes[0] == with_kw.dtypes[0]

@@ -63,6 +63,14 @@ DIALECT_SAMPLES = [
     "SELECT a IREGEXP 'x.*' FROM t",
     "SELECT arr.item FROM t, UNNEST(arr)",
     "SELECT ndv(x), appx_median(y) FROM t",
+    # round-8 advice: DATE-overload date_trunc/trunc wrap + guard must not
+    # re-fire on their own output; to_date_strict must be recognized as
+    # DATE-typed so next_day/last_day keep the native DATE form
+    "SELECT date_trunc('YEAR', DATE '1200-06-15')",
+    "SELECT trunc(DATE '1200-06-15', 'YEAR')",
+    "SELECT date_trunc('WEEK', DATE '1400-01-01')",
+    "SELECT next_day(CAST(c AS DATE), 'MO') FROM t",
+    "SELECT last_day(CAST(c AS DATE)) FROM t",
 ]
 
 
