@@ -60,7 +60,9 @@ CURATED_FIRST = (
     # TPC-H spine — richest plans (multi-join, agg, subquery shapes).
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
+    # r9 rotation: q5 (driver-green r1-r8) hands its slot to the format-
+    # codec rows below; the TPC-H spine keeps q1/q3/q21 + lateral_topk,
+    # and q5 stays sim-checked.
     # r7 rotation: q8 hands its slot to the new rows below — its market-share
     # multi-join stays sim-checked and plan-asserted
     # (tests/test_plans.py::test_q8_all_joins_broadcast, bloom-filter shape
@@ -105,12 +107,21 @@ CURATED_FIRST = (
     # Nested types + subqueries (§2.9).
     "nested_zip_unnest",
     "nested_from_disk",
-    "subquery_scalar_threshold",
+    # r9 rotation: subquery_scalar_threshold (driver-green since r1) hands
+    # its slot to the recursive-CTE month spine — a plan shape (iterative
+    # UNION ALL expansion) no gate row has ever exercised; the scalar-
+    # subquery + CardinalityCheck family stays sim-checked and plan-locked
+    # (tests/test_plans.py:121).
+    "recursive_month_spine",
     # Deduplication. r5 rotation: avro_roundtrip_agg (below) displaces
     # dedup_ngram_jaccard — the near-dup family keeps embedding_cosine
     # plus the cc_clusters Jaccard-join row, and ngram-Jaccard stays
     # sim-checked.
-    "dedup_exact_groups",
+    # r9 rotation: dedup_exact_groups (driver-green r1-r8) hands its slot
+    # to the n-gram Jaccard near-dup screen (never driver-checked; its
+    # banded shingle-join failure modes differ from the cc_clusters row);
+    # exact dedup stays sim-checked.
+    "dedup_ngram_jaccard",
     # r7 rotation: the incremental batch-vs-history anti-join dedup and the
     # capped-prefix Levenshtein verify stage (both new in r6, sim-only until
     # now) take their first driver rows; dedup_embedding_cosine stays
@@ -126,7 +137,12 @@ CURATED_FIRST = (
     # largest pure-Python reader surface — its oracle compares the
     # write→read roundtrip against the ORIGINAL parquet view, upgrading
     # the format family from unit-only to driver-checked.
-    "avro_roundtrip_agg",
+    # r9 rotation: avro (driver-green r5-r8) hands its slot to the two
+    # never-driver-checked format codecs — the ORC write→read roundtrip
+    # and the pure-Python RCFile reader with column pruning; avro stays
+    # sim-checked.
+    "orc_roundtrip_agg",
+    "rcfile_roundtrip_prune",
     # Similarity graph / PageRank.
     "dedup_cc_clusters",
     "graph_pagerank_bipartite",
@@ -173,7 +189,11 @@ CURATED_FIRST = (
     # replaces setop_except (0 rows at gate SF — weak hash evidence; set
     # ops stay covered by sim + the curated union-composite TPC-DS rows).
     "dialect_sql_filters",
-    "dialect_sql_null_ordering",
+    # r9 rotation: dialect_sql_null_ordering (driver-green r7/r8) hands its
+    # slot to the DDL surface — CTAS + CREATE VIEW through the Impala SQL
+    # translator, never driver-checked; the NULL-ordering default contract
+    # stays golden-pinned + sim-checked.
+    "dialect_sql_ddl_ctas_view",
     # r6 rotation: the char-argument mask family + byte-position
     # instr/locate windows under the driver gate (scalar_parity's
     # greatest/least/pmod/regexp/extract kernels stay sim-checked —
@@ -224,8 +244,14 @@ CURATED_FIRST = (
     # exact two-sample variant dq_ks_distribution_drift was driver-green in
     # r7 and stays sim-checked.
     "dq_ks_drift_bucketed",
-    "mixture_rebalance_uniform",
-    "streaming_hourly_rollup",
+    # r9 rotation: rebalance_uniform (driver-green r6-r8) hands its slot to
+    # the temperature-weighted sampling allocator (never driver-checked);
+    # uniform rebalance stays sim-checked.
+    "mixture_temperature_weights",
+    # r9 rotation: hourly_rollup (driver-green r5-r8) hands its slot to the
+    # streaming key-dedup shape (never driver-checked); the windowed rollup
+    # stays sim-checked with its watermark unit tests.
+    "streaming_dedup_keys",
 )
 
 

@@ -47,6 +47,11 @@ def main() -> None:
         i = args.index("--out")
         out_path = args[i + 1]
         del args[i : i + 2]
+    names = None
+    if "--names" in args:
+        i = args.index("--names")
+        names = set(args[i + 1].split(","))
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     from hopspark.operators import all_queries
@@ -69,6 +74,8 @@ def main() -> None:
         items = items[:first]
     else:
         items = sorted(items)
+    if names is not None:
+        items = [(n, v) for n, v in items if n in names]
     for name, (fn, sql) in items:
         try:
             sdf = fn(spark, sf_dir)
