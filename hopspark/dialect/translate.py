@@ -304,6 +304,27 @@ def _ts_range_guard(
 #: reference, expr-test date_trunc rows)
 _TS_GUARD_FNS = {"from_utc_timestamp", "to_utc_timestamp", "date_trunc"}
 
+#: extract()/date_part() field names (udf-builtins.cc ExtractUnit) — used
+#: to disambiguate extract('<ts string>', 'unit') where BOTH args are
+#: string literals
+_EXTRACT_UNITS = {
+    "YEAR", "QUARTER", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND",
+    "MILLISECOND", "EPOCH",
+}
+
+#: datetime functions whose STRING argument the reference implicit-casts
+#: through the validating string→TIMESTAMP path (so year('1399-12-31') and
+#: last_day('00:00:00') are NULL, not Spark's lenient parse). A bare
+#: string-literal argument is wrapped in CAST(... AS TIMESTAMP), which the
+#: literal validation + range guard above then police. Maps fn → index of
+#: the timestamp argument.
+_IMPLICIT_TS_ARG_FNS = {
+    "year": 0, "month": 0, "day": 0, "dayofmonth": 0, "hour": 0,
+    "minute": 0, "second": 0, "quarter": 0, "dayofweek": 0,
+    "dayofyear": 0, "weekofyear": 0, "last_day": 0, "last_day1": 0,
+    "next_day2": 0, "date_trunc": 1, "unix_timestamp": 0,
+}
+
 #: keywords that may directly precede '(' without being a function name
 _PRIMARY_KEYWORDS = {
     "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE", "ON",
@@ -579,10 +600,14 @@ def _rewrite_timestamp_range(toks: list[Tok]) -> list[Tok]:
                     .replace("\\r", "\r")
                     .replace("\\n", "\n")
                 )
+                # the date-time separator is a run of SPACES or a single
+                # 'T' — a \t/\r/\n between the parts is REJECTED
+                # (expr-test.cc:3395-3400) even though leading/trailing
+                # whitespace of any kind is accepted (:3338)
                 if not re.fullmatch(
                     r"\s*\d{1,4}-\d{1,2}-\d{1,2}"
-                    r"((\s+|T)\d{1,2}:\d{1,2}:\d{1,2}(\.\d*)?"
-                    r"([+-]\d{2}:?\d{2}|Z)?)?\s*",
+                    r"(( +|T)\d{1,2}:\d{1,2}:\d{1,2}(\.\d*)?"
+                    r"([+-]\d{2}(:?\d{2})?|Z)?)?\s*",
                     text,
                 ) or text.rstrip().endswith("."):
                     # splice a typed NULL and RE-PROCESS it from i so the
@@ -592,8 +617,17 @@ def _rewrite_timestamp_range(toks: list[Tok]) -> list[Tok]:
                     continue
                 # the reference's parser accepts a WHITESPACE RUN between
                 # the date and time parts ('2001-01-09   01:05:01') where
-                # Spark's cast rejects it — normalize the literal
+                # Spark's cast rejects it — normalize the literal.  A
+                # trailing timezone offset is parsed but IGNORED
+                # (timestamp-parse-util; expr-test.cc:7606-7619 pin
+                # cast('2012-01-01T09:10:11+01:30' as timestamp) to
+                # 09:10:11 wall time) — strip it so Spark doesn't apply it.
                 norm = re.sub(r"\s+", " ", text.strip())
+                norm = re.sub(
+                    r"(:\d{1,2}(\.\d*)?)([+-]\d{2}(:?\d{2})?|Z)$",
+                    r"\1",
+                    norm,
+                )
                 if norm != text:
                     q = toks[lit_code[0]].text[0]
                     toks[lit_code[0]] = Tok("str", f"{q}{norm}{q}")
@@ -606,6 +640,25 @@ def _rewrite_timestamp_range(toks: list[Tok]) -> list[Tok]:
             toks[i : close + 1] = new_toks
             i += len(new_toks)
             continue
+        if low in _IMPLICIT_TS_ARG_FNS:
+            j2 = _next_code(toks, i + 1)
+            if j2 < len(toks) and toks[j2].text == "(":
+                close2 = _matching_paren(toks, j2)
+                args2 = _split_args(toks, j2, close2)
+                ai = _IMPLICIT_TS_ARG_FNS[low]
+                # unix_timestamp only in its 1-arg form — the 2-arg form
+                # parses with an explicit format, not the implicit cast
+                if low == "unix_timestamp" and len(args2) != 1:
+                    ai = len(args2)  # disable
+                if len(args2) > ai:
+                    ac = [
+                        k for k in range(*args2[ai]) if _is_code(toks[k])
+                    ]
+                    if len(ac) == 1 and toks[ac[0]].kind == "str":
+                        toks[ac[0] : ac[0] + 1] = tokenize(
+                            f"CAST({toks[ac[0]].text} AS TIMESTAMP)"
+                        )
+                        continue  # re-process from i: validate + guard
         if low in _TS_GUARD_FNS:
             j = _next_code(toks, i + 1)
             if j >= len(toks) or toks[j].text != "(" or _in_guard_context(toks, i):
@@ -698,10 +751,16 @@ def _rewrite_timestamp_range(toks: list[Tok]) -> list[Tok]:
             if len(qty_code) == 1 and toks[qty_code[0]].kind == "num":
                 base_unit = toks[unit_idx].text.lower().rstrip("s")
                 limits = {
-                    "year": 178956970, "month": 2147483647,
-                    "week": 15250284, "day": 106751991,
-                    "hour": 2562047788, "minute": 153722867280,
-                    "second": 9223372036854,
+                    # any quantity that cannot keep the result inside the
+                    # DATE/TIMESTAMP range [0001, 9999] folds to NULL —
+                    # tighter than Spark's representation limits, so
+                    # internal overflows (e.g. DATE '9999-12-31' -
+                    # INTERVAL 2147483647 MONTHS hits Spark's int32 month
+                    # arithmetic) can never fire (expr-test.cc:8276)
+                    "year": 9999, "month": 119999,
+                    "week": 521723, "day": 3652060,
+                    "hour": 87649440, "minute": 5258966400,
+                    "second": 315537984000,
                 }
                 try:
                     qv = abs(int(float(toks[qty_code[0]].text)))
@@ -1243,8 +1302,20 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 first_i = _next_code(toks, args[0][0])
                 a1 = untokenize(toks[args[0][0]:args[0][1]]).strip()
                 a2 = untokenize(toks[args[1][0]:args[1][1]]).strip()
+                second_i = _next_code(toks, args[1][0])
                 if name == "extract" and toks[first_i].kind != "str":
                     field, src = a2, a1
+                elif (
+                    name == "extract"
+                    and toks[first_i].kind == "str"
+                    and second_i < close
+                    and toks[second_i].kind == "str"
+                    and toks[second_i].text[1:-1].upper() in _EXTRACT_UNITS
+                ):
+                    # extract('<ts string>', 'unit'): the first argument is
+                    # the implicit-cast timestamp (udf-builtins.cc Extract;
+                    # expr-test.cc:7538)
+                    field, src = a2, f"CAST({a1} AS TIMESTAMP)"
                 elif name == "date_part" and toks[first_i].kind == "str":
                     field, src = a1, a2
                 else:
@@ -1516,6 +1587,12 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 u_i = _next_code(toks, args[0][0])
                 if u_i < close and toks[u_i].kind == "str":
                     unit = toks[u_i].text[1:-1].upper()
+                    # the reference spells sub-second units PLURAL ONLY
+                    # (udf-builtins.cc StrToDateTruncUnit "milliseconds"/
+                    # "microseconds"); Spark accepts the singular — map.
+                    if unit in ("MILLISECONDS", "MICROSECONDS"):
+                        unit = unit[:-1]
+                        toks[u_i] = Tok("str", f"'{unit}'")
                     _SPARK_UNITS = {
                         "YEAR", "YYYY", "YY", "QUARTER", "MONTH", "MM",
                         "MON", "WEEK", "DAY", "DD", "HOUR", "MINUTE",
@@ -1575,6 +1652,15 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                         toks[pc[0]] = Tok(
                             "str", f"{quote}{compact}{quote}"
                         )
+                    if "*" in compact:
+                        # wildcard steps ($.* / [*]) — Spark's native
+                        # get_json_object lacks the object wildcard and
+                        # renders multi-matches differently; route to the
+                        # BFS kernel (string-functions.cc
+                        # GetJsonObjectImpl)
+                        toks[i] = Tok("word", "gjo_wild")
+                        i = j + 1
+                        continue
         # mask family (mask-functions-ir.cc):
         #   * the char position arg n defaults to 4 in 1-arg mask_*_n;
         #   * char arguments may be INT CODEPOINTS (65 -> 'A'); -1 means
@@ -1588,6 +1674,21 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
             args = _split_args(toks, j, close)
             is_n_form = name != "mask"
             char_args = args[2:] if is_n_form else args[1:]
+            # a provably-NULL first argument passes through typed
+            # (mask(cast(NULL as DATE)) is NULL DATE — expr-test.cc:10605;
+            # Spark's mask raises on non-string types)
+            a0_code = [
+                k for k in range(*args[0]) if _is_code(toks[k])
+            ]
+            a0_up = " ".join(toks[k].upper for k in a0_code)
+            if (
+                a0_up == "NULL"
+                or (a0_up.startswith("CAST ( NULL AS ") and len(args) == 1)
+            ):
+                repl = toks[args[0][0] : args[0][1]]
+                toks[i : close + 1] = repl
+                i += 1
+                continue
             is_numeric = _is_provably_narrow_int(
                 toks, args[0]
             ) or _is_provably_bigint_arg(toks, args[0])
@@ -1792,17 +1893,25 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 # wraps — abs64 kernel pins the NULL
                 toks[i] = Tok("word", "abs64")
         elif name in ("shiftleft", "shiftright"):
-            # width-typed shifts (bit-byte-functions-ir.cc ShiftLeft/
-            # ShiftRight: T(v << n) — the C++ result truncates back to the
-            # argument's int width, so shiftleft(TINYINT 1, 8) is 0, not
-            # 256). Shift in 64-bit then truncate: identical low bits for
-            # every n < width. 64-bit / unprovable args keep Spark's
-            # native shift.
+            # width-typed shifts (bit-byte-functions-ir.cc ShiftLeftImpl /
+            # ShiftRightLogicalImpl): the C++ result truncates back to the
+            # argument's int width (shiftleft(TINYINT 1, 8) is 0, not 256),
+            # right shift is LOGICAL within that width
+            # (shiftright(cast(-1 as INT), 1) = 0x7FFFFFFF,
+            # expr-test.cc:9947), and a NEGATIVE count shifts the other
+            # way (:9951-9952). Routed to the shl3/shr3 kernels for
+            # provable widths; unprovable args keep Spark's native shift.
             close = _matching_paren(toks, j)
             args = _split_args(toks, j, close)
-            if len(args) == 2 and _is_provably_narrow_int(toks, args[0]):
-                w = _int_arg_width(toks, args[0])
-                ty = {8: "TINYINT", 16: "SMALLINT", 32: "INT"}.get(w)
+            if len(args) == 2:
+                w = None
+                if _is_provably_narrow_int(toks, args[0]):
+                    w = _int_arg_width(toks, args[0])
+                elif _is_provably_bigint_arg(toks, args[0]):
+                    w = 64
+                ty = {
+                    8: "TINYINT", 16: "SMALLINT", 32: "INT", 64: "BIGINT"
+                }.get(w)
                 if ty is not None:
                     a = untokenize(
                         _rewrite_functions(toks[args[0][0]:args[0][1]])
@@ -1810,8 +1919,9 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     n_arg = untokenize(
                         _rewrite_functions(toks[args[1][0]:args[1][1]])
                     ).strip()
+                    kern = "shl3" if name == "shiftleft" else "shr3"
                     new_toks = tokenize(
-                        f"CAST({name}(CAST(({a}) AS BIGINT), {n_arg}) "
+                        f"CAST({kern}(CAST(({a}) AS BIGINT), {n_arg}, {w}) "
                         f"AS {ty})"
                     )
                     toks[i:close + 1] = new_toks
@@ -2790,7 +2900,10 @@ def _era_trunc_sql(x: str, unit: str, is_date: bool) -> str:
         res_year = f"({yr} - pmod({yr} - 1, {span}))"
     d = f"make_date({res_year}, 1, 1)"
     if is_date:
-        return d
+        # DECADE of year [1,9] lands in year 0 — outside the DATE range
+        # [0001, 9999], NULL in the reference (date-value.h); Spark's
+        # year-0 date crashes the Python collect path
+        return f"(CASE WHEN {res_year} >= 1 THEN {d} END)"
     return (
         f"(CASE WHEN {res_year} >= 1400 "
         f"THEN CAST({d} AS TIMESTAMP) END)"
@@ -3607,6 +3720,15 @@ def _rewrite_char_mode_substr(toks: list[Tok]) -> list[Tok]:
                         "word",
                         "charsubstr" if nargs == 2 else "charsubstr3",
                     )
+        elif t.kind == "word" and t.text.lower() == "locate":
+            # locate(sub, s, pos): Spark returns 0 for a NULL pos where
+            # the reference NULL-propagates (LocatePos; the utf8-mode
+            # expr-test row locate('SQL', ..., NULL) pins NULL)
+            j = _next_code(toks, i + 1)
+            if j < len(toks) and toks[j].text == "(":
+                close = _matching_paren(toks, j)
+                if len(_split_args(toks, j, close)) == 3:
+                    toks[i] = Tok("word", "charlocate3")
         i += 1
     return toks
 
@@ -3945,6 +4067,41 @@ def translate(
     toks = _rewrite_ignore_nulls(toks)
     toks = _rewrite_posix_classes(toks)
     toks = _rewrite_functions(toks)
+    if options and options.get("utf8_mode"):
+        # utf8-mode masking uses the locale path (MaskTransform with a
+        # locale: non-ASCII letters/digits ARE masked) — swap the
+        # ASCII-class kernel the mask branch emitted for the Unicode one,
+        # and give lower/initcap the reference's simple (locale) mapping
+        # for U+0130 İ (Java/ICU produce i + combining dot instead)
+        _k = 0
+        while _k < len(toks):
+            _t = toks[_k]
+            if _t.kind != "word":
+                _k += 1
+                continue
+            if _t.text == "maskchars":
+                toks[_k] = Tok("word", "maskchars_u")
+            elif _t.text in ("mask_first_n6", "mask_last_n6",
+                             "mask_show_first_n6", "mask_show_last_n6"):
+                toks[_k] = Tok("word", _t.text + "_u")
+            elif _t.text.lower() in ("lower", "lcase", "initcap"):
+                _fn = "initcap" if _t.text.lower() == "initcap" else "lower"
+                _j = _next_code(toks, _k + 1)
+                if _j < len(toks) and toks[_j].text == "(":
+                    _close = _matching_paren(toks, _j)
+                    _first = _next_code(toks, _j + 1)
+                    already = (
+                        _first < _close
+                        and toks[_first].text == "translate"
+                        and any(
+                            toks[_q].kind == "str" and "İ" in toks[_q].text
+                            for _q in range(_first, _close)
+                        )
+                    )
+                    if not already:
+                        toks[_k] = Tok("word", f"{_fn}(translate")
+                        toks.insert(_close, Tok("word", ", 'İ', 'I')"))
+            _k += 1
     if options and options.get("appx_count_distinct"):
         toks = _rewrite_count_distinct_to_ndv(toks)
     # range contract AFTER the type-dispatch passes (they detect bare

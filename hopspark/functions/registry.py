@@ -15,6 +15,7 @@ Row-at-a-time Python UDFs are deliberately absent.
 from __future__ import annotations
 
 import pandas as pd
+import re
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -253,6 +254,30 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "       | shiftrightunsigned(uxw(x, w), w - ((n % w) + w) % w), w) END",
     ),
     "rotr3": ("x BIGINT, n INT, w INT", "BIGINT", "rotl3(x, -n, w)"),
+    # shiftleft/shiftright (bit-byte-functions-ir.cc ShiftLeftImpl /
+    # ShiftRightLogicalImpl): a NEGATIVE count shifts the other way, and
+    # right shift is LOGICAL within the argument's width (expr-test.cc:9947
+    # pins shiftright(cast(-1 as INT), 1) = 0x7FFFFFFF; :9951-9952 pin the
+    # negative counts). Values returned sign-extended to BIGINT; the
+    # dialect CASTs back to the argument width.
+    "shl3": (
+        "x BIGINT, n INT, w INT",
+        "BIGINT",
+        "CASE WHEN x IS NULL OR n IS NULL THEN CAST(NULL AS BIGINT) "
+        "WHEN n < 0 THEN (CASE WHEN -n >= 64 THEN 0 "
+        "  ELSE sxw(shiftrightunsigned(uxw(x, w), -n), w) END) "
+        "WHEN n >= 64 THEN 0 "
+        "ELSE sxw(shiftleft(x, n), w) END",
+    ),
+    "shr3": (
+        "x BIGINT, n INT, w INT",
+        "BIGINT",
+        "CASE WHEN x IS NULL OR n IS NULL THEN CAST(NULL AS BIGINT) "
+        "WHEN n < 0 THEN (CASE WHEN -n >= 64 THEN 0 "
+        "  ELSE sxw(shiftleft(x, -n), w) END) "
+        "WHEN n >= 64 THEN 0 "
+        "ELSE sxw(shiftrightunsigned(uxw(x, w), n), w) END",
+    ),
     "countset1w": (
         "x BIGINT, w INT",
         "INT",
@@ -328,7 +353,13 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "  regexp_extract(CASE WHEN trim(s) rlike '^[+-]' "
         "  THEN substr(trim(s), 2) ELSE trim(s) END, '^[0-9a-zA-Z]*', 0)), fb, tb) END",
     ),
-    "is_inf": ("x DOUBLE", "BOOLEAN", "x = double('inf') OR x = double('-inf')"),
+    # NULL input is FALSE, not NULL (math-functions-ir.cc IsInf/IsNan;
+    # expr-test.cc:5662-5663)
+    "is_inf": (
+        "x DOUBLE",
+        "BOOLEAN",
+        "COALESCE(x = double('inf') OR x = double('-inf'), FALSE)",
+    ),
     # factorial with the reference's contract (operators-ir.cc
     # ComputeFactorial): any n <= 1 (including negatives) is 1; n > 20
     # overflows BIGINT and ERRORS; NULL propagates. Spark's native
@@ -469,12 +500,16 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     ),
     "base64encode": ("s STRING", "STRING", "base64(CAST(s AS BINARY))"),
     # base64decode: the reference rejects inputs whose length is not a
-    # multiple of 4 with NULL + a UDF warning (string-functions-ir.cc
-    # Base64Decode); Spark's unbase64 is lenient there, so pre-check.
+    # multiple of 4 — or that contain non-alphabet characters (x86 path;
+    # expr-test.cc:4843 base64decode('YWxwaGE%') is NULL) — with NULL + a
+    # UDF warning (string-functions-ir.cc Base64Decode); Spark's unbase64
+    # is lenient on both, so pre-check.
     "base64decode": (
         "s STRING",
         "STRING",
-        "CASE WHEN length(s) % 4 = 0 THEN CAST(unbase64(s) AS STRING) END",
+        "CASE WHEN length(s) % 4 = 0 "
+        "AND s RLIKE '^[A-Za-z0-9+/]*={0,2}$' "
+        "THEN CAST(unbase64(s) AS STRING) END",
     ),
     # -- masking family (be/src/exprs/mask-functions-ir.cc); default masks
     # upper→X lower→x digit→n like the reference; other chars pass through.
@@ -527,6 +562,64 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "ELSE "
         "  CASE WHEN o = '-1' OR o IS NULL OR o = '' THEN c "
         "  ELSE substr(o, 1, 1) END END), '')",
+    ),
+    # utf8-mode masking (MaskTransform's LOCALE path, mask-functions-ir.cc
+    # MaskSubStrUtf8): Unicode upper/lower/digit classes are recognized —
+    # mask_first_n('áéíöóőüúű') masks the accented lowercase as 'x'
+    # (expr-test.cc:10685-10688). The dialect swaps maskchars for this
+    # kernel when utf8_mode is on.
+    "maskchars_u": (
+        "s STRING, u STRING, l STRING, d STRING, o STRING",
+        "STRING",
+        "array_join(transform(split(s, ''), c -> "
+        "CASE WHEN c RLIKE '^\\\\p{Lu}$' THEN "
+        "  CASE WHEN u = '-1' THEN c WHEN u IS NULL OR u = '' THEN 'X' "
+        "  ELSE substr(u, 1, 1) END "
+        "WHEN c RLIKE '^\\\\p{Ll}$' THEN "
+        "  CASE WHEN l = '-1' THEN c WHEN l IS NULL OR l = '' THEN 'x' "
+        "  ELSE substr(l, 1, 1) END "
+        "WHEN c RLIKE '^[0-9]$' THEN "
+        "  CASE WHEN d = '-1' THEN c WHEN d IS NULL OR d = '' THEN 'n' "
+        "  ELSE substr(d, 1, 1) END "
+        "ELSE "
+        "  CASE WHEN o = '-1' OR o IS NULL OR o = '' THEN c "
+        "  ELSE substr(o, 1, 1) END END), '')",
+    ),
+    # utf8-mode full-signature mask forms (dialect renames mask_*_n6 ->
+    # mask_*_n6_u when utf8_mode is on): same shapes as the ASCII kernels
+    # but masking through maskchars_u's Unicode classes
+    "mask_first_n6_u": (
+        "s STRING, n INT, u STRING, l STRING, d STRING, o STRING",
+        "STRING",
+        "concat(maskchars_u(substring(s, 1, n), u, l, d, o), "
+        "substring(s, n + 1))",
+    ),
+    "mask_last_n6_u": (
+        "s STRING, n INT, u STRING, l STRING, d STRING, o STRING",
+        "STRING",
+        "concat(substring(s, 1, greatest(0, length(s) - n)), "
+        "maskchars_u(substring(s, greatest(0, length(s) - n) + 1), u, l, d, o))",
+    ),
+    "mask_show_first_n6_u": (
+        "s STRING, n INT, u STRING, l STRING, d STRING, o STRING",
+        "STRING",
+        "concat(substring(s, 1, n), maskchars_u(substring(s, n + 1), u, l, d, o))",
+    ),
+    "mask_show_last_n6_u": (
+        "s STRING, n INT, u STRING, l STRING, d STRING, o STRING",
+        "STRING",
+        "concat(maskchars_u(substring(s, 1, greatest(0, length(s) - n)), u, l, d, o), "
+        "substring(s, greatest(0, length(s) - n) + 1))",
+    ),
+    # 3-arg locate in utf8 (char) mode: Spark's locate returns 0 for a
+    # NULL pos; the reference NULL-propagates (LocatePos)
+    "charlocate3": (
+        "sub0 STRING, s0 STRING, pos BIGINT",
+        "INT",
+        "CASE WHEN s0 IS NULL OR sub0 IS NULL OR pos IS NULL "
+        "THEN CAST(NULL AS INT) "
+        "WHEN pos <= 0 OR pos > length(s0) THEN 0 "
+        "ELSE locate(sub0, s0, CAST(pos AS INT)) END",
     ),
     # from_unixtime with the reference's TIMESTAMP valid-range contract:
     # epoch seconds outside [1400-01-01, 10000-01-01) return NULL
@@ -945,6 +1038,85 @@ def _ds_format_value_udf(v: pd.Series) -> pd.Series:
     return v.map(f)
 
 
+@F.pandas_udf(T.StringType())
+def _gjo_wild_udf(js: pd.Series, path: pd.Series) -> pd.Series:
+    """get_json_object with wildcard steps (string-functions.cc
+    GetJsonObjectImpl, a BFS over $.key / $.* / [n] / [*] steps;
+    expr-test.cc:10105-10141 pin the semantics):
+
+      * each step maps over the current match set — `.key` selects the
+        member, `.*` all members of objects, `[n]` the n-th array element,
+        `[*]` all array elements;
+      * 0 matches → NULL; 1 match → the raw value (strings UNQUOTED);
+      * >1 matches → a compact JSON array rendering (strings quoted).
+
+    The dialect routes literal paths containing '*' here; non-wildcard
+    paths stay on Spark's native get_json_object."""
+    import json as _json
+
+    step_rx = re.compile(r"\.([^.\[]+)|\[(\d+|\*)\]")
+
+    def parse_path(p: str):
+        p = "".join(p.split())
+        if not p.startswith("$"):
+            return None
+        steps, pos = [], 1
+        while pos < len(p):
+            m = step_rx.match(p, pos)
+            if m is None:
+                return None
+            if m.group(1) is not None:
+                steps.append(("key", m.group(1)))
+            elif m.group(2) == "*":
+                steps.append(("arr*", None))
+            else:
+                steps.append(("idx", int(m.group(2))))
+            pos = m.end()
+        return steps
+
+    def f(doc_s: object, path_s: object) -> str | None:
+        if doc_s is None or path_s is None:
+            return None
+        steps = parse_path(str(path_s))
+        if steps is None:
+            return None
+        try:
+            doc = _json.loads(str(doc_s))
+        except Exception:
+            return None
+        cur = [doc]
+        for kind, arg in steps:
+            nxt = []
+            for d in cur:
+                if kind == "key" and arg == "*":
+                    if isinstance(d, dict):
+                        nxt.extend(d.values())
+                elif kind == "key":
+                    if isinstance(d, dict) and arg in d:
+                        nxt.append(d[arg])
+                elif kind == "arr*":
+                    if isinstance(d, list):
+                        nxt.extend(d)
+                elif kind == "idx":
+                    if isinstance(d, list) and arg < len(d):
+                        nxt.append(d[arg])
+            cur = nxt
+        if not cur:
+            return None
+        if len(cur) == 1:
+            v = cur[0]
+            if v is None:
+                return None
+            if isinstance(v, str):
+                return v
+            return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+        return _json.dumps(cur, separators=(",", ":"), ensure_ascii=False)
+
+    if len(js) == 0:
+        return pd.Series([], dtype=object)
+    return pd.Series([f(a, b) for a, b in zip(js, path)])
+
+
 @F.pandas_udf(T.BooleanType())
 def _sleep_udf(ms: pd.Series) -> pd.Series:
     """sleep(ms) → TRUE after sleeping (UtilityFunctions::Sleep,
@@ -1002,6 +1174,7 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("fnv_hash", _fnv_hash_udf)
     spark.udf.register("murmur_hash", _murmur_hash_udf)
     _register_utility_misc(spark)
+    spark.udf.register("gjo_wild", _gjo_wild_udf)
     spark.udf.register("jaro_distance", _jaro_distance_udf)
     spark.udf.register("jaro_similarity", _jaro_similarity_udf)
     spark.udf.register("jaro_winkler_similarity", _jaro_winkler_similarity_udf)

@@ -44,9 +44,13 @@ aliased expression key like `year(ts) AS y`), a mergeable-UDA call
 the OUTER stage: each aggregate call in it is routed through its own
 partial/merge leg (reusing a select item's leg when the call text matches),
 and select-item aliases resolve to their outer expressions — so
-`HAVING wavg(x, w) > k` and `HAVING r > k` both work. Set operations,
-DISTINCT, window clauses, CTEs, and HAVING/ORDER expressions containing
-unrecognized call names (potential non-splittable aggregates) fall back.
+`HAVING wavg(x, w) > k` and `HAVING r > k` both work. A leading WITH
+prefix is supported when the UDA calls live in the MAIN statement: the CTE
+list is kept verbatim and the main block is rewritten (CTE names stay
+visible inside the nested subqueries). Set operations, DISTINCT, window
+clauses, UDA calls inside CTE bodies, and HAVING/ORDER expressions
+containing unrecognized call names (potential non-splittable aggregates)
+fall back to the whole-group registration.
 """
 
 from __future__ import annotations
@@ -209,6 +213,58 @@ def rewrite_mergeable_uda(
     whole-group registration)."""
     upper_names = {n.upper() for n in uda_names}
     toks = tokenize(sql)
+    idx0 = _code_indices(toks)
+    if idx0 and toks[idx0[0]].upper == "WITH":
+        # WITH c AS (...) [, c2 AS (...)]* <main>: keep the CTE prefix
+        # verbatim and rewrite the main statement — CTE names stay visible
+        # inside the rewrite's nested subqueries (standard SQL scoping).
+        # A mergeable-UDA call INSIDE a CTE body is out of scope (the body
+        # could be any shape); fall back to the whole-group registration.
+        # (round-8 verdict item 4)
+        k = 1  # position in idx0
+        main_start: int | None = None
+        while k < len(idx0):
+            i = idx0[k]
+            if toks[i].kind != "word":  # expect CTE name
+                return None
+            k += 1
+            if k < len(idx0) and toks[idx0[k]].text == "(":
+                # optional column list: skip to matching close
+                close = _match_paren_before(toks, idx0[k], len(toks))
+                if close is None:
+                    return None
+                while k < len(idx0) and idx0[k] <= close:
+                    k += 1
+            if k >= len(idx0) or toks[idx0[k]].upper != "AS":
+                return None
+            k += 1
+            if k >= len(idx0) or toks[idx0[k]].text != "(":
+                return None
+            body_open = idx0[k]
+            body_close = _match_paren_before(toks, body_open, len(toks))
+            if body_close is None:
+                return None
+            for b in range(body_open + 1, body_close):
+                if (
+                    _is_code(toks[b])
+                    and toks[b].kind == "word"
+                    and toks[b].upper in upper_names
+                ):
+                    return None
+            while k < len(idx0) and idx0[k] <= body_close:
+                k += 1
+            if k < len(idx0) and toks[idx0[k]].text == ",":
+                k += 1
+                continue
+            main_start = idx0[k] if k < len(idx0) else None
+            break
+        if main_start is None:
+            return None
+        prefix = _text(toks, 0, main_start)
+        inner = rewrite_mergeable_uda(
+            _text(toks, main_start, len(toks)), uda_names, salt_buckets
+        )
+        return None if inner is None else f"{prefix} {inner}"
     spans = _clause_spans(toks)
     if spans is None:
         return None

@@ -76,8 +76,8 @@ def test_rewrite_splits_builtin_aggregates():
         "SELECT DISTINCT k, wavg(a) AS w FROM t GROUP BY k",
         # set operation
         "SELECT k, wavg(a) AS w FROM t GROUP BY k UNION ALL SELECT 1, 2.0",
-        # CTE
-        "WITH c AS (SELECT 1 AS k, 2 AS a) SELECT k, wavg(a) AS w FROM c GROUP BY k",
+        # UDA call inside a CTE body (only main-statement calls rewrite)
+        "WITH c AS (SELECT k, wavg(a) AS w FROM t GROUP BY k) SELECT * FROM c",
         # expression group key SELECTED without an alias (output column name
         # would be the internal __hop_g_0, not the expression text)
         "SELECT year(ts), wavg(a) AS w FROM t GROUP BY year(ts)",
@@ -421,3 +421,46 @@ def test_two_mergeable_udas_in_one_statement(spark):
     for k in truth:
         assert got[k][0] == pytest.approx(truth[k][0], abs=5e-6)
         assert got[k][1] == pytest.approx(truth[k][1], rel=1e-9)
+
+
+def test_rewrite_with_cte_prefix():
+    """Round-8 verdict item 4: a WITH prefix whose UDA calls live in the
+    MAIN statement rewrites — the CTE list is kept verbatim."""
+    out = rewrite_mergeable_uda(
+        "WITH c AS (SELECT k, x, w FROM t WHERE x > 0) "
+        "SELECT k, wavg(x, w) AS r FROM c GROUP BY k ORDER BY k",
+        {"wavg"},
+    )
+    assert out is not None
+    assert out.startswith("WITH c AS (SELECT k, x, w FROM t WHERE x > 0)")
+    assert "wavg__partial(x, w) AS __hop_p_0" in out
+    assert "wavg__merge(__hop_p_0) AS r" in out
+    assert "__hop_salt" in out
+    # multiple CTEs
+    out2 = rewrite_mergeable_uda(
+        "WITH a AS (SELECT 1 AS k, 2.0 AS x), b AS (SELECT k, x FROM a) "
+        "SELECT k, wavg(x, x) AS r FROM b GROUP BY k",
+        {"wavg"},
+    )
+    assert out2 is not None and out2.startswith("WITH a AS")
+    assert "wavg__merge" in out2
+
+
+def test_mergeable_cte_end_to_end(spark, sf_dir):
+    """WITH ... SELECT wavg(...) runs through the salted two-stage plan and
+    matches the plain-SQL truth."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    _register_wavg(eng, "wavg_c")
+    got = eng.sql(
+        "WITH li AS (SELECT l_returnflag AS k, "
+        "CAST(l_extendedprice AS DOUBLE) AS p, "
+        "CAST(l_quantity AS DOUBLE) AS q FROM lineitem) "
+        "SELECT k, wavg_c(p, q) AS w FROM li GROUP BY k ORDER BY k"
+    )
+    plan = _executed_plan(got)
+    assert "__hop_salt" in plan
+    rows = [(r.k, r.w) for r in got.collect()]
+    truth = [(r.l_returnflag, r.w) for r in eng.sql(TRUTH_SQL).collect()]
+    assert [g[0] for g in rows] == [t[0] for t in truth]
+    for (_, gv), (_, tv) in zip(rows, truth):
+        assert gv == pytest.approx(tv, abs=5e-6)

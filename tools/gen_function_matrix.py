@@ -80,7 +80,7 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "fmod": ("rewritten", "fmod(7.5, 2.0)", "→ mod over DOUBLE args (floating-only signatures)"),
     "quotient": ("registered", "quotient(11, 3)", "integer division"),
     "truncate": ("registered", "truncate(3.456, 2)", "numeric truncate toward zero"),
-    "is_inf": ("registered", "is_inf(1.0 / 0.0)", "NOTE x/0→NULL non-ANSI; literal inf works"),
+    "is_inf": ("registered", "is_inf(1.0 / 0.0)", "NOTE x/0→NULL non-ANSI; literal inf works; NULL input is FALSE (expr-test.cc:5662)"),
     "is_nan": ("renamed", "is_nan(0.0)", "→ isnan"),
     "trunc": ("rewritten", "trunc(DATE'2020-06-15', 'MM')", "datetime form via string-2nd-arg dispatch -> date_trunc (DATE args keep DATE, r8; full Oracle unit set incl. DD/HH24/MI/Q/DAY/WW/W); numeric form routes to truncate()"),
     "max_tinyint": ("registered", "max_tinyint()", "type-limit constant"),
@@ -265,7 +265,7 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "rotateright": ("registered", "rotateright(8, 62)", ""),
     "setbit": ("registered", "setbit(8, 0)", ""),
     "shiftleft": ("rewritten", "shiftleft(1, 3)", "result truncates to the first argument's int width (expr-test.cc:9903)"),
-    "shiftright": ("rewritten", "shiftright(-8, 1)", "arithmetic shift within the first argument's int width"),
+    "shiftright": ("rewritten", "shiftright(-8, 1)", "LOGICAL shift within the first argument's int width (ShiftRightLogicalImpl; -8 TINYINT is 0xF8 -> 0x7C); negative counts shift the other way"),
     # ---------------- masking ----------------
     "mask": ("native", "mask('AbCd-123')", "same per-char-class defaults"),
     "mask_first_n": ("registered", "mask_first_n('abcd', 2)", ""),
@@ -417,7 +417,7 @@ EXPECTED: dict[str, str] = {
     'fmod': '1.5',
     'quotient': '3',
     'truncate': '3.45',
-    'is_inf': 'NULL',
+    'is_inf': 'false',
     'is_nan': 'false',
     'trunc': '2020-06-01',
     'max_tinyint': '127',
@@ -589,7 +589,7 @@ EXPECTED: dict[str, str] = {
     'rotateright': '32',
     'setbit': '9',
     'shiftleft': '8',
-    'shiftright': '-4',
+    'shiftright': '124',
     'mask': 'XxXx-nnn',
     'mask_first_n': 'xxcd',
     'mask_last_n': 'abxx',
