@@ -446,8 +446,12 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "to_date_strict": (
         "s STRING",
         "DATE",
+        # leading/trailing whitespace of ANY kind is trimmed before parse
+        # (expr-test.cc:3562 accepts ' \\t\\r\\n 2001-01-09 \\t\\r\\n ');
+        # SQL trim() strips spaces only
         "CASE WHEN s IS NULL THEN CAST(NULL AS DATE) "
-        "WHEN trim(s) NOT rlike '^[0-9]{1,4}-[0-9]{1,2}-[0-9]{1,2}([ T].*)?$' "
+        "WHEN regexp_replace(s, '^[\\\\s]+|[\\\\s]+$', '') "
+        " NOT rlike '^[0-9]{1,4}-[0-9]{1,2}-[0-9]{1,2}([ T].*)?$' "
         " OR CAST(s AS DATE) IS NULL "
         " OR year(CAST(s AS DATE)) < 1 OR year(CAST(s AS DATE)) > 9999 "
         "THEN CAST(raise_error(concat('UDF ERROR: String to Date parse "
@@ -549,7 +553,9 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "maskchars": (
         "s STRING, u STRING, l STRING, d STRING, o STRING",
         "STRING",
-        "array_join(transform(split(s, ''), c -> "
+        # split('', '') yields [''] — the phantom empty char must not be
+        # masked (mask_first_n(x, 0) keeps x whole)
+        "CASE WHEN s = '' THEN '' ELSE array_join(transform(split(s, ''), c -> "
         "CASE WHEN c RLIKE '^[A-Z]$' THEN "
         "  CASE WHEN u = '-1' THEN c WHEN u IS NULL OR u = '' THEN 'X' "
         "  ELSE substr(u, 1, 1) END "
@@ -561,7 +567,7 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "  ELSE substr(d, 1, 1) END "
         "ELSE "
         "  CASE WHEN o = '-1' OR o IS NULL OR o = '' THEN c "
-        "  ELSE substr(o, 1, 1) END END), '')",
+        "  ELSE substr(o, 1, 1) END END), '') END",
     ),
     # utf8-mode masking (MaskTransform's LOCALE path, mask-functions-ir.cc
     # MaskSubStrUtf8): Unicode upper/lower/digit classes are recognized —
@@ -571,7 +577,9 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "maskchars_u": (
         "s STRING, u STRING, l STRING, d STRING, o STRING",
         "STRING",
-        "array_join(transform(split(s, ''), c -> "
+        # split('', '') yields [''] — the phantom empty char must not be
+        # masked (mask_first_n(x, 0) keeps x whole)
+        "CASE WHEN s = '' THEN '' ELSE array_join(transform(split(s, ''), c -> "
         "CASE WHEN c RLIKE '^\\\\p{Lu}$' THEN "
         "  CASE WHEN u = '-1' THEN c WHEN u IS NULL OR u = '' THEN 'X' "
         "  ELSE substr(u, 1, 1) END "
@@ -583,7 +591,7 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "  ELSE substr(d, 1, 1) END "
         "ELSE "
         "  CASE WHEN o = '-1' OR o IS NULL OR o = '' THEN c "
-        "  ELSE substr(o, 1, 1) END END), '')",
+        "  ELSE substr(o, 1, 1) END END), '') END",
     ),
     # utf8-mode full-signature mask forms (dialect renames mask_*_n6 ->
     # mask_*_n6_u when utf8_mode is on): same shapes as the ASCII kernels
@@ -610,6 +618,22 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "STRING",
         "concat(maskchars_u(substring(s, 1, greatest(0, length(s) - n)), u, l, d, o), "
         "substring(s, greatest(0, length(s) - n) + 1))",
+    ),
+    # mask over DATE (mask-functions-ir.cc MaskImpl(DateVal)): day/month/
+    # year components replaced when != -1; out-of-range replacements fall
+    # back to the defaults day=1, month=0 (January — months are 0-based in
+    # the arg), year=1; an impossible resulting date (Feb 30) is NULL.
+    # The dialect routes mask(<provably DATE>, ...) here.
+    "mask_date3": (
+        "dt DATE, dd INT, mm INT, yy INT",
+        "DATE",
+        "CASE WHEN dt IS NULL THEN CAST(NULL AS DATE) ELSE make_date("
+        "CASE WHEN yy = -1 THEN year(dt) "
+        "     WHEN yy <= 0 OR yy >= 9999 THEN 1 ELSE yy END, "
+        "CASE WHEN mm = -1 THEN month(dt) "
+        "     WHEN mm < 0 OR mm >= 12 THEN 1 ELSE mm + 1 END, "
+        "CASE WHEN dd = -1 THEN day(dt) "
+        "     WHEN dd < 1 OR dd > 31 THEN 1 ELSE dd END) END",
     ),
     # 3-arg locate in utf8 (char) mode: Spark's locate returns 0 for a
     # NULL pos; the reference NULL-propagates (LocatePos)
@@ -662,10 +686,19 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "mask_hash": ("s STRING", "STRING", "sha2(s, 256)"),
     # -- conditional aliases not shipped by this Spark --------------------
     "zeroifnull": ("x DOUBLE", "DOUBLE", "coalesce(x, 0)"),
+    # months_between (timestamp-functions-ir.cc MonthsBetween): the TIME
+    # component is IGNORED (day-of-month diff / 31 only) and the result is
+    # UNROUNDED — Spark includes time and rounds to 8 dp, so truncate to
+    # day and pass roundOff=false (expr-test.cc:6982)
+    "months_between2": (
+        "a TIMESTAMP, b TIMESTAMP",
+        "DOUBLE",
+        "months_between(date_trunc('DAY', a), date_trunc('DAY', b), false)",
+    ),
     "int_months_between": (
         "a TIMESTAMP, b TIMESTAMP",
         "INT",
-        "CAST(months_between(a, b) AS INT)",
+        "CAST(months_between2(a, b) AS INT)",
     ),
     # -- numeric truncate (Impala truncate/dtrunc; Spark trunc is date-only).
     # Truncation is toward zero (math-functions-ir.cc TruncDecimal).
@@ -1117,6 +1150,186 @@ def _gjo_wild_udf(js: pd.Series, path: pd.Series) -> pd.Series:
     return pd.Series([f(a, b) for a, b in zip(js, path)])
 
 
+def _parse_url_one(url: object, part: object, key: object = None):
+    """The reference's URL scanner (util/url-parser.cc ParseUrl /
+    ParseUrlKey): protocol found by searching '://' (so 'htt@p' protocols
+    parse), authority ends at the first '/' or '?', HOST strips userinfo
+    at the FIRST '@' and the port at ':', FILE ends at '#', PATH at '?' or
+    '#', QUERY-with-key scans for '?key=' / '&key=' occurrences.  Java's
+    URI-based parse_url rejects several of these shapes
+    (expr-test.cc:5073-5347)."""
+    if url is None or part is None:
+        return None
+    u = str(url).strip(" ")
+    p = str(part)
+    if key is not None:
+        if p != "QUERY":
+            return None
+        k = str(key)
+        if not k:
+            return None
+        s = u
+        while s:
+            kp = s.find(k)
+            if kp < 0:
+                return None
+            preceded = kp > 0 and s[kp - 1] in "?&"
+            s = s[kp + len(k):]
+            if not preceded:
+                continue
+            if not s:
+                break
+            if s[0] != "=":
+                continue
+            for pos in range(1, len(s)):
+                if s[pos] in "#&":
+                    return s[1:pos]
+            return s[1:]
+        return None
+    pp = u.find("://")
+    if pp < 0:
+        return None
+    after = u[pp + 3:]
+
+    def sub(s: str, start: int, end: int) -> str:
+        return s[start:] if end < 0 else s[start:end]
+
+    fs = after.find("/")
+    fq = after.find("?")
+    auth_end = fs
+    if fs < 0 or (0 <= fq < fs):
+        auth_end = fq
+    if p == "AUTHORITY":
+        return sub(after, 0, auth_end)
+    if p in ("FILE", "PATH"):
+        sp = after.find("/")
+        if sp < 0:
+            return ""  # Hive contract
+        ps = after[sp:]
+        if p == "FILE":
+            ep = ps.find("#")
+        else:
+            ep = ps.find("?")
+            if ep < 0:
+                ep = ps.find("#")
+        return sub(ps, 0, ep)
+    if p == "HOST":
+        auth = sub(after, 0, auth_end)
+        ap = auth.find("@")
+        hp = auth[ap + 1:] if ap >= 0 else auth
+        return sub(hp, 0, hp.find(":"))
+    if p == "PROTOCOL":
+        return u[:pp]
+    if p == "QUERY":
+        qp = after.find("?")
+        if qp < 0:
+            return None
+        qs = after[qp + 1:]
+        return sub(qs, 0, qs.find("#"))
+    if p == "REF":
+        hp2 = after.find("#")
+        return None if hp2 < 0 else after[hp2 + 1:]
+    if p == "USERINFO":
+        ap = after.find("@")
+        if ap < 0 or (auth_end > 0 and ap > auth_end):
+            return None
+        return after[:ap]
+    return None
+
+
+@F.pandas_udf(T.StringType())
+def _parse_url2_udf(url: pd.Series, part: pd.Series) -> pd.Series:
+    if len(url) == 0:
+        return pd.Series([], dtype=object)
+    return pd.Series([_parse_url_one(a, b) for a, b in zip(url, part)])
+
+
+@F.pandas_udf(T.StringType())
+def _parse_url3_udf(
+    url: pd.Series, part: pd.Series, key: pd.Series
+) -> pd.Series:
+    if len(url) == 0:
+        return pd.Series([], dtype=object)
+    return pd.Series(
+        [_parse_url_one(a, b, c) for a, b, c in zip(url, part, key)]
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _wb_precise_udf(
+    x: pd.Series, mn: pd.Series, mx: pd.Series, n: pd.Series
+) -> pd.Series:
+    """width_bucket over DECIMAL arguments with exact arithmetic
+    (math-functions-ir.cc WidthBucketImpl works in int128/256; Spark's
+    native goes through double and misbuckets near 1e38 —
+    expr-test.cc:6013/6038/6041). The dialect routes decimal-typed or
+    >15-digit-literal calls here with stringified args."""
+    from decimal import Decimal, getcontext
+
+    getcontext().prec = 80
+
+    def f(xv, mnv, mxv, nv):
+        if xv is None or mnv is None or mxv is None or nv is None:
+            return None
+        xd, mnd, mxd, nd = Decimal(str(xv)), Decimal(str(mnv)), \
+            Decimal(str(mxv)), int(nv)
+        if xd < mnd:
+            return 0
+        if xd >= mxd:
+            return nd + 1
+        return int(((xd - mnd) * nd) / (mxd - mnd)) + 1
+
+    if len(x) == 0:
+        return pd.Series([], dtype="int64")
+    return pd.Series(
+        [f(a, b, c, d) for a, b, c, d in zip(x, mn, mx, n)],
+        dtype="object",
+    )
+
+
+def _shortest_g(v: float, float32: bool) -> str | None:
+    """gutil DoubleToBuffer/FloatToBuffer: the shortest %g rendering that
+    round-trips — 'inf'/'-inf'/'nan' for the specials (the reference's
+    CAST(double AS STRING); expr-test.cc:5675 pins 'inf')."""
+    import math
+
+    if v is None:
+        return None
+    if math.isnan(v):
+        return "nan"
+    if math.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    # gutil numbers.cc: FloatToBuffer tries FLT_DIG then FLT_DIG+3
+    # (6 -> 9); DoubleToBuffer tries DBL_DIG then DBL_DIG+2 (15 -> 17)
+    if float32:
+        import numpy as np
+
+        v32 = np.float32(v)
+        for p in (6, 9):
+            s = "%.*g" % (p, v32)
+            if np.float32(s) == v32:
+                return s
+        return s
+    for p in (15, 17):
+        s = "%.*g" % (p, v)
+        if float(s) == v:
+            return s
+    return s
+
+
+# NULL vs NaN are indistinguishable in the float64 pandas series, so the
+# dialect emits CASE WHEN x IS NULL THEN NULL ELSE dtos(x) END — inside
+# the kernel a NaN is a genuine NaN
+@F.pandas_udf(T.StringType())
+def _dtos_udf(v: pd.Series) -> pd.Series:
+    return v.map(lambda x: _shortest_g(x, False))
+
+
+@F.pandas_udf(T.StringType())
+def _ftos_udf(v: pd.Series) -> pd.Series:
+    return v.map(lambda x: _shortest_g(x, True))
+
+
 @F.pandas_udf(T.BooleanType())
 def _sleep_udf(ms: pd.Series) -> pd.Series:
     """sleep(ms) → TRUE after sleeping (UtilityFunctions::Sleep,
@@ -1175,6 +1388,11 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("murmur_hash", _murmur_hash_udf)
     _register_utility_misc(spark)
     spark.udf.register("gjo_wild", _gjo_wild_udf)
+    spark.udf.register("wb_precise", _wb_precise_udf)
+    spark.udf.register("dtos", _dtos_udf)
+    spark.udf.register("ftos", _ftos_udf)
+    spark.udf.register("parse_url2", _parse_url2_udf)
+    spark.udf.register("parse_url3", _parse_url3_udf)
     spark.udf.register("jaro_distance", _jaro_distance_udf)
     spark.udf.register("jaro_similarity", _jaro_similarity_udf)
     spark.udf.register("jaro_winkler_similarity", _jaro_winkler_similarity_udf)

@@ -27,7 +27,7 @@ def _one(spark, expr: str):
         ("ceil(1.1)", 2),
         ("floor(-1.1)", -2),
         ("round(2.5)", 3),
-        ("truncate(3.79, 1)", 3.7),
+        ("truncate(3.79, 1)", 3.7),  # DECIMAL(2,1) — float-compared below
         ("pow(2, 10)", 1024.0),
         ("quotient(11, 3)", 3),
         ("pmod(-3, 5)", 2),
@@ -46,7 +46,7 @@ def _one(spark, expr: str):
 def test_math_functions(spark, expr, expected):
     v = _one(spark, expr)
     if isinstance(expected, float):
-        assert v == pytest.approx(expected)
+        assert float(v) == pytest.approx(expected)
     else:
         assert v == expected
 
@@ -58,7 +58,7 @@ def test_math_edge_cases(spark):
     assert _one(spark, "1.0 / 0.0") is None
     assert math.isnan(_one(spark, "cast('nan' as double)"))
     assert _one(spark, "is_nan(cast('nan' as double))") is True
-    assert _one(spark, "truncate(-3.79, 1)") == -3.7
+    assert float(_one(spark, "truncate(-3.79, 1)")) == -3.7
 
 
 # --- string ----------------------------------------------------------------

@@ -64,6 +64,7 @@ def c_unescape(s: str) -> str:
         if c == "\\" and i + 1 < len(s):
             n = s[i + 1]
             rep = {"n": "\n", "t": "\t", "r": "\r", "0": "\0", "\\": "\\",
+                   "v": "\x0b", "f": "\x0c", "a": "\x07", "b": "\x08",
                    '"': '"', "'": "'"}.get(n)
             if rep is not None:
                 out.append(rep)
@@ -117,6 +118,7 @@ RX_PP_IF = re.compile(r"^\s*#\s*if")
 RX_PP_ELSE = re.compile(r"^\s*#\s*else")
 RX_PP_ENDIF = re.compile(r"^\s*#\s*endif")
 RX_TZ = re.compile(r'ScopedTimeZoneOverride\s+\w+\("([^"]*)"\)')
+RX_FIPS = re.compile(r"if\s*\(\s*FIPS_mode\(\)\s*\)")
 
 
 def parse_cases() -> list[dict]:
@@ -136,6 +138,7 @@ def parse_cases() -> list[dict]:
     pp_stack: list[bool] = []
     # ScopedTimeZoneOverride: RAII — approximate its scope by brace depth
     tz_scopes: list[tuple[int, str]] = []  # (depth_at_decl, tz_name)
+    fips_scopes: list[list] = []  # [inside_depth, skipping_if_branch]
     brace_depth = 0
 
     def ctx() -> dict:
@@ -167,7 +170,22 @@ def parse_cases() -> list[dict]:
             continue
         # strings in this file never contain braces that matter for the
         # RAII-scope heuristic; count raw braces
-        brace_depth += line.count("{") - line.count("}")
+        new_depth = brace_depth + line.count("{") - line.count("}")
+        if RX_FIPS.search(line):
+            # runtime if (FIPS_mode()) { ... } else { ... }: this harness
+            # is non-FIPS — skip the if-branch, keep the else-branch
+            fips_scopes.append([new_depth, True])
+        elif (
+            fips_scopes
+            and "else" in line
+            and new_depth == fips_scopes[-1][0]
+        ):
+            fips_scopes[-1][1] = False
+        if fips_scopes and new_depth < fips_scopes[-1][0]:
+            fips_scopes.pop()
+        brace_depth = new_depth
+        if fips_scopes and fips_scopes[-1][1]:
+            continue
         while tz_scopes and brace_depth < tz_scopes[-1][0]:
             tz_scopes.pop()
         m = RX_TZ.search(line)
@@ -188,6 +206,10 @@ def parse_cases() -> list[dict]:
             if not any(stripped.startswith(h + "(") for h in STMT_HEADS):
                 continue
             stmt = (lineno, stripped)
+        elif stmt[1].endswith("\\"):
+            # backslash-newline CONTINUATION inside a string literal —
+            # the next line continues the same literal, no space joint
+            stmt = (stmt[0], stmt[1][:-1] + stripped)
         else:
             stmt = (stmt[0], stmt[1] + " " + stripped)
         if ";" not in stmt[1]:

@@ -70,7 +70,7 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "dceil": ("renamed", "dceil(1.2)", "→ ceil"),
     "dfloor": ("renamed", "dfloor(1.8)", "→ floor"),
     "dround": ("renamed", "dround(2.5)", "→ round"),
-    "dtrunc": ("rewritten", "dtrunc(9.9)", "numeric truncate-toward-zero; string 2nd arg dispatches to the date form"),
+    "dtrunc": ("rewritten", "dtrunc(9.9)", "numeric truncate-toward-zero, DECIMAL typing p-s+min(s,d) for decimal args; string 2nd arg dispatches to the date form"),
     "dexp": ("renamed", "dexp(1.0)", "→ exp"),
     "dlog1": ("rewritten", "dlog1(e())", "→ ln with the C log() domain contract"),
     "dlog10": ("rewritten", "dlog10(100)", "→ log10 with the C log10() domain contract"),
@@ -206,7 +206,7 @@ MATRIX: dict[str, tuple[str, str | None, str]] = {
     "months_sub": ("rewritten", "months_sub(DATE'2023-03-31', 1)", "keep-last-day contract"),
     "months_add_interval": ("rewritten", "months_add_interval(DATE'2023-02-28', 1)", "clamp-only interval form"),
     "months_sub_interval": ("rewritten", "months_sub_interval(DATE'2023-03-31', 1)", "clamp-only interval form"),
-    "months_between": ("native", "months_between(DATE'2020-03-31', DATE'2020-02-28')", ""),
+    "months_between": ("rewritten", "months_between(DATE'2020-03-31', DATE'2020-02-28')", "time-of-day ignored, UNROUNDED (MonthsBetween; Spark rounds to 8dp)"),
     "nanoseconds_add": ("registered", "nanoseconds_add(TIMESTAMP'2020-01-01 00:00:00', 5000)", "ns→µs truncation documented"),
     "nanoseconds_sub": ("registered", "nanoseconds_sub(TIMESTAMP'2020-01-01 00:00:00', 5000)", "ns→µs truncation documented"),
     "next_day": ("native", "next_day(DATE'2020-01-01', 'MON')", ""),
@@ -407,7 +407,7 @@ EXPECTED: dict[str, str] = {
     'dceil': '2',
     'dfloor': '1',
     'dround': '3',
-    'dtrunc': '9.0',
+    'dtrunc': '9',
     'dexp': '2.718281828',
     'dlog1': '1.0',
     'dlog10': '2.0',
@@ -537,7 +537,7 @@ EXPECTED: dict[str, str] = {
     'months_sub': '2023-02-28',
     'months_add_interval': '2023-03-28',
     'months_sub_interval': '2023-02-28',
-    'months_between': '1.09677419',
+    'months_between': '1.096774194',
     'nanoseconds_add': '2020-01-01 00:00:00.000005',
     'nanoseconds_sub': '2019-12-31 23:59:59.999995',
     'next_day': '2020-01-06',

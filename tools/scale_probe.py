@@ -140,7 +140,13 @@ def _timed_rows(fn, spark, sf_dir: str) -> tuple[float, int]:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = sys.argv[1:]
+    names = None
+    if "--names" in args:
+        i = args.index("--names")
+        names = args[i + 1].split(",")
+        del args[i : i + 2]
+    n = int(args[0]) if args else 10
     from hopspark.operators import all_queries
     from hopspark.session import get_spark
 
@@ -148,8 +154,9 @@ def main() -> None:
     reg = all_queries()
     scaled_dir = build_scaled(spark, n)
 
+    probe_list = names if names is not None else PROBE_QUERIES
     print(f"{'query':34s} {'1x':>7s} {'%dx' % n:>8s}  ratio  rows@{n}x")
-    for name in PROBE_QUERIES:
+    for name in probe_list:
         fn = reg[name][0]
         # Untimed warmup pass at BOTH scales first: the 1× run otherwise
         # pays JVM/codegen warmup the N× run inherits for free, while the
