@@ -271,6 +271,9 @@ _TZ_ABBRS = {
     "UTC", "GMT", "PST", "PDT", "EST", "EDT", "CST", "CDT", "MST", "MDT",
     "HST", "AKST", "AKDT", "CET", "CEST", "EET", "EEST", "WET", "WEST",
     "JST", "IST", "BST", "NST", "AST", "ADT",
+    # Java legacy three-letter zone IDs the JVM still resolves
+    "ACT", "AET", "AGT", "ART", "BET", "CAT", "CNT", "CTT", "EAT", "ECT",
+    "IET", "MIT", "NET", "PLT", "PNT", "PRT", "SST", "VST",
 }
 
 
@@ -1140,6 +1143,30 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 toks[i] = Tok("word", f"parse_url{len(args)}")
                 i = j + 1
                 continue
+        # 2-arg parse formats: Impala's SimpleDateFormat timezone-offset
+        # tokens +hh:mm / +hhmm / +hh (datetime-simple-date-format-parser;
+        # expr-test.cc:7640-7706 — the offset is parsed and APPLIED) map to
+        # Java's XXX / xx / x, and a bare 'T' literal must be quoted for
+        # Java's parser (:7628)
+        if name in ("unix_timestamp", "to_timestamp"):
+            close = _matching_paren(toks, j)
+            args = _split_args(toks, j, close)
+            if len(args) == 2:
+                f_i = _next_code(toks, args[1][0])
+                if f_i < close and toks[f_i].kind == "str":
+                    quote = toks[f_i].text[0]
+                    body = toks[f_i].text[1:-1]
+                    new_body = re.sub(r"[+-]hh:mm", "XXX", body)
+                    new_body = re.sub(r"[+-]hhmm", "xx", new_body)
+                    new_body = re.sub(r"[+-]hh(?![hm])", "x", new_body)
+                    # the quoted 'T' must itself be escaped inside a
+                    # single-quoted SQL literal
+                    t_quoted = "''T''" if quote == "'" else "'T'"
+                    new_body = re.sub(r"(?<!')T(?!')", t_quoted, new_body)
+                    if new_body != body:
+                        toks[f_i] = Tok(
+                            "str", f"{quote}{new_body}{quote}"
+                        )
         # from_utc_timestamp/to_utc_timestamp with an UNKNOWN literal
         # timezone return the input unchanged + a warning
         # (timezone_db lookup failure, timestamp-functions.cc; expr-test
