@@ -2246,6 +2246,17 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                 idx_toks = [
                     tk for tk in toks[args[2][0] : args[2][1]] if _is_code(tk)
                 ]
+                # unwrap CAST(<intlit> AS <int type>) around the index
+                # (expr-test.cc:4888 uses cast(2 as bigint))
+                if (
+                    len(idx_toks) >= 5
+                    and idx_toks[0].upper == "CAST"
+                    and idx_toks[1].text == "("
+                    and idx_toks[-1].text == ")"
+                    and idx_toks[-2].upper in _INT_WIDTH_TYPES
+                    and idx_toks[-3].upper == "AS"
+                ):
+                    idx_toks = idx_toks[2:-3]
                 neg = (
                     len(idx_toks) == 2
                     and idx_toks[0].text == "-"
@@ -3548,15 +3559,19 @@ def _rewrite_double_string_casts(toks: list[Tok]) -> list[Tok]:
         close = _matching_paren(toks, j)
         depth = 0
         as_idx = -1
+        has_format = False
         for k in range(j, close):
             tk = toks[k]
             if tk.text == "(":
                 depth += 1
             elif tk.text == ")":
                 depth -= 1
-            elif depth == 1 and tk.kind == "word" and tk.upper == "AS":
-                as_idx = k
-        if as_idx < 0:
+            elif depth == 1 and tk.kind == "word":
+                if tk.upper == "AS":
+                    as_idx = k
+                elif tk.upper == "FORMAT" and as_idx >= 0:
+                    has_format = True
+        if as_idx < 0 or has_format:
             i += 1
             continue
         type_idx = _next_code(toks, as_idx + 1)
@@ -3575,6 +3590,26 @@ def _rewrite_double_string_casts(toks: list[Tok]) -> list[Tok]:
                 kernel = "dtos"
             elif ty in ("FLOAT", "REAL"):
                 kernel = "ftos"
+            elif ty == "TIMESTAMP":
+                kernel = "tstos"
+        # provably-TIMESTAMP producers render fractions 9-digit
+        # zero-padded (TimestampValue::ToString via boost posix_time;
+        # expr-test.cc:7080 pins '...56.448500000')
+        elif (
+            first.kind == "word"
+            and first.text.lower() in (
+                "to_utc_timestamp", "from_utc_timestamp",
+                "unix_micros_to_utc_timestamp",
+            )
+        ):
+            kernel = "tstos"
+        elif (
+            first.kind == "word"
+            and first.upper == "TIMESTAMP"
+            and len(code) == 2
+            and toks[code[1]].kind == "str"
+        ):
+            kernel = "tstos"
         if kernel is None:
             # depth-0 '/' over non-decimal operands → double division
             depth = 0

@@ -684,6 +684,19 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "substring(s, greatest(0, length(s) - n) + 1))",
     ),
     "mask_hash": ("s STRING", "STRING", "sha2(s, 256)"),
+    # CAST(TIMESTAMP AS STRING): the reference renders a non-zero fraction
+    # zero-padded to 9 digits (TimestampValue::ToString via boost
+    # posix_time; expr-test.cc:7080 '...56.448500000'); Spark trims
+    # trailing zeros. Routed by the dialect for provably-TIMESTAMP args.
+    "tstos": (
+        "t TIMESTAMP",
+        "STRING",
+        "CASE WHEN t IS NULL THEN CAST(NULL AS STRING) "
+        "WHEN unix_micros(t) % 1000000 = 0 "
+        "THEN date_format(t, 'yyyy-MM-dd HH:mm:ss') "
+        "ELSE concat(date_format(t, 'yyyy-MM-dd HH:mm:ss.SSSSSS'), '000') "
+        "END",
+    ),
     # -- conditional aliases not shipped by this Spark --------------------
     "zeroifnull": ("x DOUBLE", "DOUBLE", "coalesce(x, 0)"),
     # months_between (timestamp-functions-ir.cc MonthsBetween): the TIME
