@@ -1154,6 +1154,41 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
             if len(args) == 2:
                 f_i = _next_code(toks, args[1][0])
                 if f_i < close and toks[f_i].kind == "str":
+                    body = toks[f_i].text[1:-1]
+                    # trailing-input lenience: the reference's parser walks
+                    # PATTERN tokens only — input past the pattern is never
+                    # examined (datetime-simple-date-format-parser.cc:406-416
+                    # ParseDateTime iterates dt_ctx.toks; expr-test.cc:7628
+                    # pins unix_timestamp('2038/01/19T03:14:08+01:00',
+                    # 'yyyy/MM/ddTHH:mm:ss') = 2147483648).  Java's parser
+                    # rejects leftover input, so for a FIXED-WIDTH pattern
+                    # (only 2/4-char unit tokens + separators — single-char
+                    # units scan ahead and are not fixed) truncate the input
+                    # to the pattern length.  Quote chars in the body mean a
+                    # prior pass already ran (T-quoting) — skip for
+                    # idempotency; a bytesubstr3() first arg means this
+                    # pass ran.  The byte kernel (not substr) because the
+                    # reference parser walks C char pointers — pattern
+                    # length counts BYTES.
+                    a0_i = _next_code(toks, args[0][0])
+                    if (
+                        re.fullmatch(r"(?:yyyy|MM|dd|HH|mm|ss|T|[^A-Za-z'])+",
+                                     body)
+                        and not (
+                            a0_i < close
+                            and toks[a0_i].kind == "word"
+                            and toks[a0_i].text.lower() == "bytesubstr3"
+                        )
+                    ):
+                        s0, e0 = args[0]
+                        inner = untokenize(toks[s0:e0]).strip()
+                        wrap = tokenize(
+                            f"bytesubstr3({inner}, 1, {len(body)})"
+                        )
+                        toks[s0:e0] = wrap
+                        close = _matching_paren(toks, j)
+                        args = _split_args(toks, j, close)
+                        f_i = _next_code(toks, args[1][0])
                     quote = toks[f_i].text[0]
                     body = toks[f_i].text[1:-1]
                     new_body = re.sub(r"[+-]hh:mm", "XXX", body)
@@ -3684,6 +3719,136 @@ def _rewrite_div_by_zero_literal(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+_CMP_TO_IEEE = {
+    "=": "ieee_eq", "!=": "ieee_ne", "<>": "ieee_ne",
+    "<": "ieee_lt", "<=": "ieee_le", ">": "ieee_gt", ">=": "ieee_ge",
+}
+
+#: words that terminate a comparison operand scan (clause heads, logical
+#: connectives, predicate keywords) — anything else is part of the operand
+_CMP_BOUNDARY_WORDS = frozenset({
+    "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+    "OFFSET", "UNION", "INTERSECT", "EXCEPT", "AND", "OR", "NOT", "CASE",
+    "WHEN", "THEN", "ELSE", "END", "ON", "JOIN", "IN", "IS", "LIKE",
+    "ILIKE", "RLIKE", "IREGEXP", "BETWEEN", "AS", "BY", "DISTINCT", "ALL",
+    "VALUES", "SET", "INTERVAL", "OVER", "PARTITION", "ROWS", "RANGE",
+    "QUALIFY", "WINDOW", "EXISTS",
+})
+
+
+def _cmp_operand_left(toks: list[Tok], i: int) -> int | None:
+    """Start index of the comparison operand whose last code token is i,
+    scanning left across balanced paren groups; None when the shape is not
+    a plain expression (e.g. starts at a bracket subscript)."""
+    start: int | None = None
+    j = i
+    while j >= 0:
+        t = toks[j]
+        if not _is_code(t):
+            j -= 1
+            continue
+        if t.text == ")":
+            try:
+                j = _matching_paren_rev(toks, j)
+            except ValueError:
+                return start
+            start = j
+            j -= 1
+            continue
+        if t.text in ("(", ",", ";", "[", "]", "{", "}"):
+            return start
+        if t.kind == "op" and (t.text in _CMP_TO_IEEE or t.text == "<=>"):
+            return start
+        if t.kind == "word" and t.upper in _CMP_BOUNDARY_WORDS:
+            return start
+        start = j
+        j -= 1
+    return start
+
+
+def _cmp_operand_right(toks: list[Tok], i: int) -> int | None:
+    """End index (inclusive) of the comparison operand whose first code
+    token is i, scanning right across balanced paren groups."""
+    end: int | None = None
+    j = i
+    while j < len(toks):
+        t = toks[j]
+        if not _is_code(t):
+            j += 1
+            continue
+        if t.text == "(":
+            try:
+                j = _matching_paren(toks, j)
+            except ValueError:
+                return end
+            end = j
+            j += 1
+            continue
+        if t.text in (")", ",", ";", "[", "]", "{", "}"):
+            return end
+        if t.kind == "op" and (t.text in _CMP_TO_IEEE or t.text == "<=>"):
+            return end
+        if t.kind == "word" and t.upper in _CMP_BOUNDARY_WORDS:
+            return end
+        end = j
+        j += 1
+    return end
+
+
+def _rewrite_nan_comparisons(toks: list[Tok]) -> list[Tok]:
+    """Comparisons whose operand provably carries an IEEE special this
+    translator itself produced — the ``CAST('Infinity'/'NaN' AS DOUBLE)``
+    markers from the div-by-zero / log / fmod rewrites, or a user-written
+    NaN/Infinity double literal — take the reference's C++ comparison
+    semantics (operators-ir.cc BINARY_OP comparisons are plain float
+    compares: every ordered comparison against NaN is false, ``!=`` is
+    true; expr-test.cc:760-770 pins ``0/0 = 0/0`` → false and
+    ``1/0 < 0/0`` → false), while Spark orders NaN greatest and equal to
+    itself.  Routed to the ``ieee_*`` registry macros, so re-translation
+    is idempotent (the comparison operator itself is gone).  Comparisons
+    over NaN-capable COLUMN data (a parquet double column holding NaN)
+    keep Spark semantics — documented delta."""
+
+    def _has_marker(a: int, b: int) -> bool:
+        # the div-by-zero rewrite emits its CAST as ONE word token, the
+        # log/fmod kernels as proper token runs — match the full
+        # CAST(<special> AS DOUBLE/FLOAT) form on normalized text, NOT a
+        # bare string literal (``WHERE c = 'NaN'`` on a STRING column is a
+        # plain string compare and must stay one)
+        txt = " ".join(untokenize(toks[a : b + 1]).upper().split())
+        return any(
+            f"CAST({lit} AS {ty})" in txt
+            for lit in ("'INFINITY'", "'-INFINITY'", "'NAN'", "'INF'", "'-INF'")
+            for ty in ("DOUBLE", "FLOAT")
+        )
+
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == "op" and t.text in _CMP_TO_IEEE):
+            i += 1
+            continue
+        p = _prev_code(toks, i - 1)
+        q = _next_code(toks, i + 1)
+        lstart = _cmp_operand_left(toks, p) if p >= 0 else None
+        rend = _cmp_operand_right(toks, q) if q < len(toks) else None
+        if lstart is None or rend is None:
+            i += 1
+            continue
+        if not (_has_marker(lstart, p) or _has_marker(q, rend)):
+            i += 1
+            continue
+        lhs = untokenize(toks[lstart : p + 1]).strip()
+        rhs = untokenize(toks[q : rend + 1]).strip()
+        fn = _CMP_TO_IEEE[t.text]
+        repl = tokenize(
+            f"{fn}(CAST(({lhs}) AS DOUBLE), CAST(({rhs}) AS DOUBLE))"
+        )
+        toks[lstart : rend + 1] = repl
+        i = lstart + len(repl)
+    return toks
+
+
 def _enclosing_cast_target(toks: list[Tok], i: int) -> str | None:
     """Normalized (upper, space-free) target type of a CAST that DIRECTLY
     encloses the expression starting at token i — i.e. i sits right after
@@ -4571,6 +4736,9 @@ def translate(
             _k += 1
     if options and options.get("appx_count_distinct"):
         toks = _rewrite_count_distinct_to_ndv(toks)
+    # AFTER the div-by-zero and function-kernel passes (their IEEE-special
+    # markers are what this pass keys on)
+    toks = _rewrite_nan_comparisons(toks)
     # range contract AFTER the type-dispatch passes (they detect bare
     # `CAST(... AS TIMESTAMP)` shapes the guard would hide) and BEFORE
     # the interval rewrite (non-literal quantities inside the guard still

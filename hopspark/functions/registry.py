@@ -391,6 +391,42 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "abs8": ("x SMALLINT", "SMALLINT", "abs(x)"),
     "abs16": ("x INT", "INT", "abs(x)"),
     "abs32": ("x BIGINT", "BIGINT", "abs(x)"),
+    # -- IEEE-754 comparison kernels (be/src/exprs/operators-ir.cc
+    # BINARY_OP comparisons are plain C++ float compares: any ordered
+    # comparison against NaN is false, != against NaN is true —
+    # expr-test.cc:760-770) — Spark instead orders NaN greatest and equal
+    # to itself.  The dialect layer routes comparisons whose operands
+    # provably carry translator-produced IEEE specials here.
+    "ieee_eq": (
+        "x DOUBLE, y DOUBLE", "BOOLEAN",
+        "CASE WHEN x IS NULL OR y IS NULL THEN CAST(NULL AS BOOLEAN) "
+        "WHEN isnan(x) OR isnan(y) THEN false ELSE x = y END",
+    ),
+    "ieee_ne": (
+        "x DOUBLE, y DOUBLE", "BOOLEAN",
+        "CASE WHEN x IS NULL OR y IS NULL THEN CAST(NULL AS BOOLEAN) "
+        "WHEN isnan(x) OR isnan(y) THEN true ELSE x <> y END",
+    ),
+    "ieee_lt": (
+        "x DOUBLE, y DOUBLE", "BOOLEAN",
+        "CASE WHEN x IS NULL OR y IS NULL THEN CAST(NULL AS BOOLEAN) "
+        "WHEN isnan(x) OR isnan(y) THEN false ELSE x < y END",
+    ),
+    "ieee_le": (
+        "x DOUBLE, y DOUBLE", "BOOLEAN",
+        "CASE WHEN x IS NULL OR y IS NULL THEN CAST(NULL AS BOOLEAN) "
+        "WHEN isnan(x) OR isnan(y) THEN false ELSE x <= y END",
+    ),
+    "ieee_gt": (
+        "x DOUBLE, y DOUBLE", "BOOLEAN",
+        "CASE WHEN x IS NULL OR y IS NULL THEN CAST(NULL AS BOOLEAN) "
+        "WHEN isnan(x) OR isnan(y) THEN false ELSE x > y END",
+    ),
+    "ieee_ge": (
+        "x DOUBLE, y DOUBLE", "BOOLEAN",
+        "CASE WHEN x IS NULL OR y IS NULL THEN CAST(NULL AS BOOLEAN) "
+        "WHEN isnan(x) OR isnan(y) THEN false ELSE x >= y END",
+    ),
     # -- string/regex helpers (be/src/exprs/string-functions-ir.cc) ---------
     "regexp_match_count": (
         "s STRING, pat STRING",

@@ -864,3 +864,70 @@ def test_bigint_decimal_arith_without_keywords(spark, sf_dir):
         "select o_custkey + 1.1 a, floor(1.0) f from orders limit 1"
     )
     assert plain.dtypes[0] == with_kw.dtypes[0]
+
+
+def test_nan_comparison_ieee_semantics(spark, sf_dir):
+    """Comparisons whose operand carries a translator-produced IEEE special
+    follow the reference's C++ float compare (operators-ir.cc): every
+    ordered comparison against NaN is false, != is true
+    (expr-test.cc:760-770)."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    for sql, want in (
+        ("0/0 = 0/0", False),
+        ("0/0 < 0/0", False),
+        ("0/0 > 0/0", False),
+        ("0/0 != 0/0", True),
+        ("1/0 = 1/0", True),
+        ("1/0 < 0/0", False),
+        ("0/0 < 1/0", False),
+        ("9223372036854775807 = 0/0", False),
+        ("NULL = 0/0", None),
+    ):
+        got = eng.sql(f"select {sql} as v").head().v
+        assert got is want or got == want, (sql, got, want)
+
+
+def test_nan_comparison_idempotent_and_scoped():
+    """The ieee_* routing is idempotent under re-translation and does NOT
+    touch comparisons without an IEEE-special marker."""
+    for sql in (
+        "SELECT 0/0 = 0/0",
+        "SELECT 1/0 < 0/0",
+        "SELECT x + 1 = 5 FROM t",
+        "SELECT a FROM t WHERE b >= c AND d/0 <= 2",
+    ):
+        once = translate(sql)
+        assert translate(once) == once
+    plain = translate("SELECT x + 1 = 5 FROM t")
+    assert "ieee_" not in plain
+
+
+def test_unix_timestamp_trailing_input_lenience(spark, sf_dir):
+    """The reference's SimpleDateFormat parser walks PATTERN tokens only —
+    trailing input is never examined (datetime-simple-date-format-parser.cc
+    ParseDateTime; expr-test.cc:7628).  Fixed-width literal patterns get a
+    byte-truncation of the input; variable-width patterns are untouched."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    assert eng.sql(
+        "select unix_timestamp('2038/01/19T03:14:08+01:00', "
+        "'yyyy/MM/ddTHH:mm:ss') as v"
+    ).head().v == 2147483648
+    # offset-token pattern still parses (and APPLIES) the offset
+    assert eng.sql(
+        "select unix_timestamp('2038/01/19T03:14:08+01:00', "
+        "'yyyy/MM/ddTHH:mm:ss+hh:mm') as v"
+    ).head().v == 2147480048
+    # variable-width (single-char token) pattern: no truncation wrap
+    out = translate("SELECT unix_timestamp(c1, 'yyyy-M-d')")
+    assert "bytesubstr3" not in out
+    for sql in (
+        "SELECT unix_timestamp('2038/01/19T03:14:08+01:00', "
+        "'yyyy/MM/ddTHH:mm:ss')",
+        "SELECT to_timestamp('2012-01-01 19:10:11xx', 'yyyy-MM-dd HH:mm:ss')",
+    ):
+        once = translate(sql)
+        assert translate(once) == once

@@ -127,6 +127,118 @@ def build_scaled(spark, n: int) -> str:
     return out
 
 
+def build_bounded(spark, n: int, group: int = 10) -> str:
+    """n id-shifted document copies where the near-duplicate CLUSTER SIZE
+    stays `group` no matter how large n grows.
+
+    The plain build_scaled corpus makes every copy of a doc a near-dup of
+    every other copy, so duplicate clusters widen with n and the candidate
+    -pair OUTPUT grows ~n² — a corpus property that drowns the plan-cost
+    signal at 100×. Real corpora don't do that: a page duplicated 10×
+    stays duplicated ~10× when the crawl grows 100×. Here copies in
+    different groups get a per-group salt token interleaved after EVERY
+    word (each word-shingle then contains the salt, so cross-group Jaccard
+    ≈ 0), while copies inside a group differ only by a trailing copytoken
+    (Jaccard ≈ 1). Duplicate structure is therefore constant-width and
+    total dup-pair output grows linearly in n — a linear operator should
+    show time(100×)/time(10×) ≈ 10.
+
+    Built in ONE pass (explode over a replication index), not an n-way
+    union — the 100× plan is the same size as the 2× plan."""
+    from pyspark.sql import functions as F
+
+    from hopspark.catalog import TABLES, read_table
+
+    out = f"{SCALED}/b{n}g{group}"
+    os.makedirs(out, exist_ok=True)
+    doc_path = os.path.join(out, "documents.parquet")
+    if not os.path.exists(doc_path):
+        docs = read_table(spark, "documents", BASE)
+        rep = docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_i"), "*"
+        )
+        g = (F.col("_i") / F.lit(group)).cast("int")
+        salt = F.concat(F.lit("qzsalt"), g.cast("string"))
+        salted = F.array_join(
+            F.flatten(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.array(w, salt),
+                )
+            ),
+            " ",
+        )
+        text = F.concat(
+            salted, F.lit(" copytoken"), F.col("_i").cast("string")
+        )
+        (
+            rep.select(
+                (F.col("doc_id") + F.col("_i").cast("long") * 10_000_000)
+                .alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                "source",
+                F.length(text).cast("int").alias("n_chars"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(doc_path)
+        )
+    for t in TABLES:
+        if t == "documents":
+            continue
+        link = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), link)
+    return out
+
+
+BIG_PROBE_QUERIES = [
+    "dedup_cc_clusters",
+    "dedup_simhash",
+    "dedup_minhash_candidates",
+    "text_tfidf_top_terms",
+    "pack_sequences",
+]
+
+
+def big_probe() -> None:
+    """100×-scale probe (round-8 verdict item 6): bounded-cluster corpus at
+    10× and 100×, report the incremental time ratio (linear ⇒ ≈10), output
+    rows at both scales, and driver max-RSS growth across the sweep."""
+    import resource
+
+    from hopspark.operators import all_queries
+    from hopspark.session import get_spark
+
+    names = BIG_PROBE_QUERIES
+    if "--names" in sys.argv:
+        names = sys.argv[sys.argv.index("--names") + 1].split(",")
+    spark = get_spark(app_name="big-scale-probe")
+    reg = all_queries()
+    d10 = build_bounded(spark, 10)
+    d100 = build_bounded(spark, 100)
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print(f"{'query':30s} {'10x':>8s} {'100x':>9s}  ratio  rows@10x  rows@100x")
+    for name in names:
+        fn = reg[name][0]
+        fn(spark, d10).collect()  # warmup: codegen + file listing
+        t10, r10 = min(
+            (_timed_rows(fn, spark, d10) for _ in range(2)), key=lambda t: t[0]
+        )
+        t100, r100 = _timed_rows(fn, spark, d100)
+        print(
+            f"{name:30s} {t10:8.2f} {t100:9.2f} {t100 / t10:6.1f}"
+            f"  {r10:8d}  {r100:9d}",
+            flush=True,
+        )
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print(
+        f"driver py max-RSS: {rss0 / 1024:.0f} MiB -> {rss1 / 1024:.0f} MiB "
+        f"(delta {(rss1 - rss0) / 1024:.0f} MiB)"
+    )
+
+
 def _timed(fn, spark, sf_dir: str) -> float:
     t0 = time.time()
     fn(spark, sf_dir).collect()
@@ -339,5 +451,7 @@ def skew_probe() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--big":
+        big_probe()
     else:
         main()
