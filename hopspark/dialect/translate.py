@@ -3722,6 +3722,9 @@ def _rewrite_div_by_zero_literal(toks: list[Tok]) -> list[Tok]:
 _CMP_TO_IEEE = {
     "=": "ieee_eq", "!=": "ieee_ne", "<>": "ieee_ne",
     "<": "ieee_lt", "<=": "ieee_le", ">": "ieee_gt", ">=": "ieee_ge",
+    # null-safe equal: NaN <=> NaN is FALSE in the reference (IMPALA-6661,
+    # exprs.test:3072), while Spark's <=> treats NaN equal to itself
+    "<=>": "ieee_eqns",
 }
 
 #: words that terminate a comparison operand scan (clause heads, logical
@@ -3768,9 +3771,13 @@ def _cmp_operand_left(toks: list[Tok], i: int) -> int | None:
 
 def _cmp_operand_right(toks: list[Tok], i: int) -> int | None:
     """End index (inclusive) of the comparison operand whose first code
-    token is i, scanning right across balanced paren groups."""
+    token is i, scanning right across balanced paren groups.  Tracks
+    whether a complete operand atom has been consumed so a bare identifier
+    FOLLOWING a complete expression (a select-item alias: ``expr = expr c``)
+    is not swallowed into the operand."""
     end: int | None = None
     j = i
+    have_atom = False
     while j < len(toks):
         t = toks[j]
         if not _is_code(t):
@@ -3782,15 +3789,36 @@ def _cmp_operand_right(toks: list[Tok], i: int) -> int | None:
             except ValueError:
                 return end
             end = j
+            have_atom = True
             j += 1
             continue
         if t.text in (")", ",", ";", "[", "]", "{", "}"):
             return end
         if t.kind == "op" and (t.text in _CMP_TO_IEEE or t.text == "<=>"):
             return end
-        if t.kind == "word" and t.upper in _CMP_BOUNDARY_WORDS:
-            return end
+        if t.kind == "word":
+            if t.upper in _CMP_BOUNDARY_WORDS:
+                return end
+            if have_atom:
+                return end  # bare alias after a complete expression
+            end = j
+            nx = _next_code(toks, j + 1)
+            if nx < len(toks) and toks[nx].text == "(":
+                j = nx  # function call: let the paren branch consume it
+                continue
+            have_atom = True
+            j += 1
+            continue
+        if t.kind in ("num", "str", "bquote"):
+            if have_atom:
+                return end  # adjacent literal after a complete expression
+            end = j
+            have_atom = True
+            j += 1
+            continue
+        # any other operator (+ - * / % . etc.): operand continues
         end = j
+        have_atom = False
         j += 1
     return end
 
@@ -3846,6 +3874,459 @@ def _rewrite_nan_comparisons(toks: list[Tok]) -> list[Tok]:
         )
         toks[lstart : rend + 1] = repl
         i = lstart + len(repl)
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Nanosecond constant folding for literal TIMESTAMP arithmetic
+#
+# The reference's TIMESTAMP carries nanoseconds (timestamp-value.h: boost
+# ptime, 1400-01-01..9999-12-31 at ns resolution); Spark's TimestampType is
+# microseconds.  For expressions built ENTIRELY from literals the dialect
+# layer does what the reference FE itself does — constant-fold in the
+# frontend — but at full ns precision, so `cast(date_add(cast('2012-01-01
+# 00:00:00.000000001' as timestamp), interval 1033 nanoseconds) as string)`
+# renders '...00:00:00.000001034' exactly (expr-test.cc:6548-6742).
+# Column-bearing expressions are untouched: stored data is µs — documented
+# delta.  Folding fires ONLY where runtime µs math would visibly diverge
+# (a sub-µs fraction in the result or a comparison operand, or an exact-ns
+# range underflow), so already-correct plans are never rewritten.
+#
+# Semantics mirrored from be/src/exprs/timestamp-functions-ir.cc:
+#   * AddMonths (:619-647): year/month normalization, day clamped to the
+#     result month's last day; keep_max_day (the ADD_MONTHS builtin, :762)
+#     additionally maps source-month-last-day -> result-month-last-day
+#   * AddInterval<Years> (:428-441): Feb 29 -> Feb 28 on non-leap targets
+#   * AddSub (:744-781): out-of-range results -> NULL (boost throw path);
+#     MIN_YEAR 1400 / MAX_YEAR 9999
+# ---------------------------------------------------------------------------
+
+_NSF_TS_LIT_RE = re.compile(
+    r"^\s*(\d{4})-(\d{1,2})-(\d{1,2})"
+    r"(?:[T ]\s*(\d{1,2}):(\d{1,2}):(\d{1,2})(?:\.(\d+))?"
+    r"\s*(?:Z|[+-]\d{1,2}(?::?\d{2})?)?)?\s*$"
+)
+
+_NSF_UNIT_MULT = {
+    "HOUR": 3_600_000_000_000, "MINUTE": 60_000_000_000,
+    "SECOND": 1_000_000_000, "MILLISECOND": 1_000_000,
+    "MICROSECOND": 1_000, "NANOSECOND": 1,
+}
+_NSF_UNITS = frozenset(_NSF_UNIT_MULT) | {"YEAR", "MONTH", "WEEK", "DAY"}
+
+#: <unit>s_add/<unit>s_sub function family -> (unit, sign)
+_NSF_UNIT_FUNCS = {
+    f"{u.lower()}s_{sfx}": (u.upper(), 1 if sfx == "add" else -1)
+    for u in ("year", "month", "week", "day", "hour", "minute", "second",
+              "millisecond", "microsecond", "nanosecond")
+    for sfx in ("add", "sub")
+}
+
+_NSF_HEADS = frozenset(
+    {"CAST", "DATE_ADD", "DATE_SUB", "ADDDATE", "SUBDATE", "ADD_MONTHS"}
+    | {k.upper() for k in _NSF_UNIT_FUNCS}
+)
+
+_NSF_NS_PER_DAY = 86_400_000_000_000
+
+
+def _nsf_min_ord() -> int:
+    import datetime as _dt
+
+    return _dt.date(1400, 1, 1).toordinal()
+
+
+def _nsf_max_ord() -> int:
+    import datetime as _dt
+
+    return _dt.date(9999, 12, 31).toordinal()
+
+
+def _nsf_parse_literal(s: str):
+    """Default-format timestamp literal -> ('ok', ordinal, ns_of_day), or
+    None when not confidently parseable (no fold).  A trailing timezone
+    offset is parsed and IGNORED like the reference's string->TIMESTAMP
+    cast (expr-test.cc:7615-7625 pins the wall-clock unchanged)."""
+    import datetime as _dt
+
+    m = _NSF_TS_LIT_RE.match(s)
+    if not m:
+        return None
+    y, mo, dd = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    try:
+        d = _dt.date(y, mo, dd)
+    except ValueError:
+        return None
+    if y < 1400:
+        return None
+    h = int(m.group(4) or 0)
+    mi = int(m.group(5) or 0)
+    sec = int(m.group(6) or 0)
+    if h > 23 or mi > 59 or sec > 59:
+        return None
+    frac = (m.group(7) or "")[:9].ljust(9, "0")
+    ns = (h * 3600 + mi * 60 + sec) * 1_000_000_000 + int(frac)
+    return ("ok", d.toordinal(), ns)
+
+
+def _nsf_add(v, unit: str, n: int, keep_max_day: bool = False):
+    import calendar
+    import datetime as _dt
+
+    if v[0] == "null":
+        return v
+    _, o, ns = v
+    d = _dt.date.fromordinal(o)
+    if unit == "YEAR":
+        y = d.year + n
+        if y < 1400 or y > 9999:
+            return ("null",)
+        day = d.day
+        if d.month == 2 and day == 29 and not calendar.isleap(y):
+            day = 28
+        return ("ok", _dt.date(y, d.month, day).toordinal(), ns)
+    if unit == "MONTH":
+        years = int(n / 12)  # C++ truncating division
+        months = n - years * 12
+        y = d.year + years
+        m = d.month + months
+        if m <= 0:
+            y -= 1
+            m += 12
+        elif m > 12:
+            y += 1
+            m -= 12
+        if y < 1400 or y > 9999:
+            return ("null",)
+        last_src = calendar.monthrange(d.year, d.month)[1]
+        last_dst = calendar.monthrange(y, m)[1]
+        if keep_max_day and d.day == last_src:
+            day = last_dst
+        else:
+            day = min(d.day, last_dst)
+        return ("ok", _dt.date(y, m, day).toordinal(), ns)
+    if unit == "WEEK":
+        unit, n = "DAY", n * 7
+    if unit == "DAY":
+        o2 = o + n
+        if o2 < _nsf_min_ord() or o2 > _nsf_max_ord():
+            return ("null",)
+        return ("ok", o2, ns)
+    total = ns + n * _NSF_UNIT_MULT[unit]
+    days, ns2 = divmod(total, _NSF_NS_PER_DAY)
+    o2 = o + days
+    if o2 < _nsf_min_ord() or o2 > _nsf_max_ord():
+        return ("null",)
+    return ("ok", o2, ns2)
+
+
+def _nsf_render(v) -> str:
+    """TimestampValue::ToString: 'YYYY-MM-DD HH:MM:SS[.fffffffff]' with the
+    fraction 9-digit zero-padded when nonzero (boost posix_time)."""
+    import datetime as _dt
+
+    _, o, ns = v
+    d = _dt.date.fromordinal(o)
+    h, rem = divmod(ns, 3_600_000_000_000)
+    mi, rem = divmod(rem, 60_000_000_000)
+    sec, frac = divmod(rem, 1_000_000_000)
+    out = f"{d.year:04d}-{d.month:02d}-{d.day:02d} {h:02d}:{mi:02d}:{sec:02d}"
+    if frac:
+        out += f".{frac:09d}"
+    return out
+
+
+def _nsf_const_int(toks: list[Tok], i: int):
+    """[+-]?<intlit> or CAST([+-]?<intlit> AS <int type>) ->
+    (last_idx, int) or None."""
+    sign = 1
+    j = i
+    if j < len(toks) and toks[j].kind == "op" and toks[j].text in "+-":
+        if toks[j].text == "-":
+            sign = -1
+        j = _next_code(toks, j + 1)
+    if j < len(toks) and toks[j].kind == "num" and re.fullmatch(
+        r"\d+", toks[j].text
+    ):
+        return j, sign * int(toks[j].text)
+    if j < len(toks) and toks[j].kind == "word" and toks[j].upper == "CAST":
+        o = _next_code(toks, j + 1)
+        if o < len(toks) and toks[o].text == "(":
+            try:
+                close = _matching_paren(toks, o)
+            except ValueError:
+                return None
+            inner = [k for k in range(o + 1, close) if _is_code(toks[k])]
+            vi, s2 = 0, 1
+            if (
+                inner
+                and toks[inner[0]].kind == "op"
+                and toks[inner[0]].text in "+-"
+            ):
+                if toks[inner[0]].text == "-":
+                    s2 = -1
+                vi = 1
+            if (
+                len(inner) == vi + 3
+                and toks[inner[vi]].kind == "num"
+                and re.fullmatch(r"\d+", toks[inner[vi]].text)
+                and toks[inner[vi + 1]].upper == "AS"
+                and toks[inner[vi + 2]].upper
+                in ("BIGINT", "INT", "INTEGER", "SMALLINT", "TINYINT")
+            ):
+                return close, sign * s2 * int(toks[inner[vi]].text)
+    return None
+
+
+def _nsf_depth1_as(toks: list[Tok], open_i: int, close_i: int) -> int:
+    as_idx = -1
+    depth = 0
+    for k in range(open_i, close_i):
+        tk = toks[k]
+        if tk.text == "(":
+            depth += 1
+        elif tk.text == ")":
+            depth -= 1
+        elif depth == 1 and tk.kind == "word" and tk.upper == "AS":
+            as_idx = k
+    return as_idx
+
+
+def _nsf_interval_arg(toks: list[Tok], i: int, end_excl: int):
+    """INTERVAL <const-int> <unit>  or  <const-int> (days, the ADD_DATE
+    2nd-arg shorthand) -> (unit, n) or None.  Must consume the whole span
+    [i, end_excl)."""
+    a1 = i
+    if a1 < len(toks) and toks[a1].kind == "word" and toks[a1].upper == "INTERVAL":
+        qi = _next_code(toks, a1 + 1)
+        q = _nsf_const_int(toks, qi)
+        if q is None:
+            return None
+        qend, n = q
+        ui = _next_code(toks, qend + 1)
+        if ui >= end_excl or toks[ui].kind != "word":
+            return None
+        unit = toks[ui].upper
+        unit = unit[:-1] if unit.endswith("S") else unit
+        if unit not in _NSF_UNITS:
+            return None
+        if _next_code(toks, ui + 1) < end_excl:
+            return None
+        return unit, n
+    q = _nsf_const_int(toks, a1)
+    if q is None:
+        return None
+    qend, n = q
+    if _next_code(toks, qend + 1) < end_excl:
+        return None
+    return "DAY", n
+
+
+def _nsf_parse(toks: list[Tok], i: int):
+    """Constant TIMESTAMP expression at code index i -> (last_idx, value,
+    has_arith) or None.  value: ('ok', ordinal, ns) | ('null',)."""
+    if i >= len(toks) or toks[i].kind != "word":
+        return None
+    up = toks[i].upper
+    node = None
+    if up == "CAST":
+        o = _next_code(toks, i + 1)
+        if o >= len(toks) or toks[o].text != "(":
+            return None
+        try:
+            close = _matching_paren(toks, o)
+        except ValueError:
+            return None
+        as_idx = _nsf_depth1_as(toks, o, close)
+        if as_idx < 0:
+            return None
+        ty = "".join(
+            t.text for t in toks[as_idx + 1 : close] if _is_code(t)
+        ).upper()
+        if ty != "TIMESTAMP":
+            return None
+        first = _next_code(toks, o + 1)
+        if first < close and toks[first].kind == "str":
+            if _next_code(toks, first + 1) != as_idx:
+                return None
+            v = _nsf_parse_literal(toks[first].text[1:-1])
+            if v is None:
+                return None
+            node = (close, v, False)
+        else:
+            r = _nsf_parse(toks, first)
+            if r is None:
+                return None
+            end_in, v, ha = r
+            if _next_code(toks, end_in + 1) != as_idx:
+                return None
+            node = (close, v, ha)
+    elif up in ("DATE_ADD", "DATE_SUB", "ADDDATE", "SUBDATE", "ADD_MONTHS") \
+            or toks[i].text.lower() in _NSF_UNIT_FUNCS:
+        o = _next_code(toks, i + 1)
+        if o >= len(toks) or toks[o].text != "(":
+            return None
+        try:
+            close = _matching_paren(toks, o)
+        except ValueError:
+            return None
+        args = _split_args(toks, o, close)
+        if len(args) != 2:
+            return None
+        r = _nsf_parse(toks, _next_code(toks, args[0][0]))
+        if r is None:
+            return None
+        end1, v, _ha = r
+        if _next_code(toks, end1 + 1) < args[0][1]:
+            return None  # first arg not fully consumed
+        if up == "ADD_MONTHS":
+            q = _nsf_const_int(toks, _next_code(toks, args[1][0]))
+            if q is None or _next_code(toks, q[0] + 1) < args[1][1]:
+                return None
+            v2 = _nsf_add(v, "MONTH", q[1], keep_max_day=True)
+        elif toks[i].text.lower() in _NSF_UNIT_FUNCS:
+            unit, sgn = _NSF_UNIT_FUNCS[toks[i].text.lower()]
+            q = _nsf_const_int(toks, _next_code(toks, args[1][0]))
+            if q is None or _next_code(toks, q[0] + 1) < args[1][1]:
+                return None
+            v2 = _nsf_add(v, unit, sgn * q[1])
+        else:
+            sgn = -1 if up in ("DATE_SUB", "SUBDATE") else 1
+            iv = _nsf_interval_arg(
+                toks, _next_code(toks, args[1][0]), args[1][1]
+            )
+            if iv is None:
+                return None
+            unit, n = iv
+            v2 = _nsf_add(v, unit, sgn * n)
+        node = (close, v2, True)
+    if node is None:
+        return None
+    # postfix: <ts-expr> ± INTERVAL <n> <unit>, repeatable
+    end, v, ha = node
+    while True:
+        opi = _next_code(toks, end + 1)
+        if not (
+            opi < len(toks)
+            and toks[opi].kind == "op"
+            and toks[opi].text in "+-"
+        ):
+            break
+        ii = _next_code(toks, opi + 1)
+        if not (
+            ii < len(toks)
+            and toks[ii].kind == "word"
+            and toks[ii].upper == "INTERVAL"
+        ):
+            break
+        qi = _next_code(toks, ii + 1)
+        q = _nsf_const_int(toks, qi)
+        if q is None:
+            break
+        qend, n = q
+        ui = _next_code(toks, qend + 1)
+        if ui >= len(toks) or toks[ui].kind != "word":
+            break
+        unit = toks[ui].upper
+        unit = unit[:-1] if unit.endswith("S") else unit
+        if unit not in _NSF_UNITS:
+            break
+        v = _nsf_add(v, unit, (-n if toks[opi].text == "-" else n))
+        end, ha = ui, True
+    return end, v, ha
+
+
+def _fold_ns_literal_timestamps(toks: list[Tok]) -> list[Tok]:
+    """Fold all-literal TIMESTAMP expressions where µs runtime math would
+    visibly diverge from the reference's ns semantics (module comment
+    above).  Three shapes:
+      (a) CAST(<ts-expr> AS STRING) with a sub-µs fraction in the exact
+          result -> the rendered string literal; exact-NULL -> NULL
+      (b) <ts-expr> <cmp> <ts-expr> with sub-µs digits on either side ->
+          TRUE/FALSE (µs truncation would collapse the comparison)
+      (c) a ts-expr with arithmetic whose EXACT result is out of the
+          [1400-01-01, 9999-12-31] range -> CAST(NULL AS TIMESTAMP)
+          (a -1ns step below the floor truncates to in-range at µs)"""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind != "word" or (
+            t.upper not in _NSF_HEADS
+            and t.text.lower() not in _NSF_UNIT_FUNCS
+        ):
+            i += 1
+            continue
+        if t.upper == "CAST":
+            o = _next_code(toks, i + 1)
+            if o < len(toks) and toks[o].text == "(":
+                try:
+                    close = _matching_paren(toks, o)
+                except ValueError:
+                    i += 1
+                    continue
+                as_idx = _nsf_depth1_as(toks, o, close)
+                ty = "".join(
+                    tk.text for tk in toks[as_idx + 1 : close] if _is_code(tk)
+                ).upper() if as_idx >= 0 else ""
+                if ty == "STRING":
+                    r = _nsf_parse(toks, _next_code(toks, o + 1))
+                    if r is not None:
+                        end, v, ha = r
+                        if _next_code(toks, end + 1) == as_idx:
+                            if v[0] == "null" and ha:
+                                repl = tokenize("CAST(NULL AS STRING)")
+                                toks[i : close + 1] = repl
+                                i += len(repl)
+                                continue
+                            if v[0] == "ok" and v[2] % 1000 != 0:
+                                toks[i : close + 1] = [
+                                    Tok("str", "'" + _nsf_render(v) + "'")
+                                ]
+                                i += 1
+                                continue
+        r = _nsf_parse(toks, i)
+        if r is None:
+            i += 1
+            continue
+        end, v, ha = r
+        q = _next_code(toks, end + 1)
+        if (
+            q < len(toks)
+            and toks[q].kind == "op"
+            and toks[q].text in _CMP_TO_IEEE
+        ):
+            r2 = _nsf_parse(toks, _next_code(toks, q + 1))
+            if r2 is not None:
+                end2, v2, ha2 = r2
+                if v[0] == "ok" and v2[0] == "ok" and (
+                    v[2] % 1000 or v2[2] % 1000
+                ):
+                    a = (v[1], v[2])
+                    b = (v2[1], v2[2])
+                    res = {
+                        "=": a == b, "!=": a != b, "<>": a != b,
+                        "<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b,
+                        "<=>": a == b,
+                    }[toks[q].text]
+                    repl = tokenize("TRUE" if res else "FALSE")
+                    toks[i : end2 + 1] = repl
+                    i += len(repl)
+                    continue
+                if (v[0] == "null" or v2[0] == "null") and (ha or ha2):
+                    if toks[q].text == "<=>":
+                        both = v[0] == "null" and v2[0] == "null"
+                        repl = tokenize("TRUE" if both else "FALSE")
+                    else:
+                        repl = tokenize("CAST(NULL AS BOOLEAN)")
+                    toks[i : end2 + 1] = repl
+                    i += len(repl)
+                    continue
+        if v[0] == "null" and ha:
+            repl = tokenize("CAST(NULL AS TIMESTAMP)")
+            toks[i : end + 1] = repl
+            i += len(repl)
+            continue
+        i += 1
     return toks
 
 
@@ -4671,6 +5152,8 @@ def translate(
     toks = tokenize(sql)
     toks = _rewrite_escape_residue(toks)
     toks = _rewrite_builtins_namespace(toks)
+    # ns constant folding FIRST — it reads pristine Impala-dialect shapes
+    toks = _fold_ns_literal_timestamps(toks)
     toks = _rewrite_values_rows(toks)
     toks = _rewrite_values_aliases(toks)
     toks = _rewrite_null_lhs_not_in(toks)

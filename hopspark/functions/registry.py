@@ -427,6 +427,15 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN x IS NULL OR y IS NULL THEN CAST(NULL AS BOOLEAN) "
         "WHEN isnan(x) OR isnan(y) THEN false ELSE x >= y END",
     ),
+    # null-safe equal with the reference's NaN contract: NaN <=> NaN is
+    # FALSE (IMPALA-6661, exprs.test:3072) — null-safety applies to NULLs
+    # only, not NaNs
+    "ieee_eqns": (
+        "x DOUBLE, y DOUBLE", "BOOLEAN",
+        "CASE WHEN x IS NULL AND y IS NULL THEN true "
+        "WHEN x IS NULL OR y IS NULL THEN false "
+        "WHEN isnan(x) OR isnan(y) THEN false ELSE x = y END",
+    ),
     # -- string/regex helpers (be/src/exprs/string-functions-ir.cc) ---------
     "regexp_match_count": (
         "s STRING, pat STRING",

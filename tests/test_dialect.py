@@ -931,3 +931,69 @@ def test_unix_timestamp_trailing_input_lenience(spark, sf_dir):
     ):
         once = translate(sql)
         assert translate(once) == once
+
+
+def test_ns_literal_constant_folding(spark, sf_dir):
+    """All-literal TIMESTAMP arithmetic folds at translate time with the
+    reference's ns precision (timestamp-functions-ir.cc AddMonths/
+    AddInterval/AddSub; expr-test.cc:6548-6742), where Spark's µs storage
+    would truncate."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    for sql, want in (
+        ("cast(date_add(cast('2012-01-01 00:00:00.000000001' as timestamp),"
+         " interval cast(1033 as bigint) nanoseconds) as string)",
+         "2012-01-01 00:00:00.000001034"),
+        ("cast(date_sub(cast('2012-01-02 01:00:33.123456789' as timestamp),"
+         " interval 90033 seconds) as string)",
+         "2012-01-01 00:00:00.123456789"),
+        # month clamp (interval form): Jan 31 + 1 month -> Feb 29 (leap)
+        ("cast(date_add(cast('2012-01-31 09:10:11.123456789' as timestamp),"
+         " interval 1 month) as string)",
+         "2012-02-29 09:10:11.123456789"),
+        # ADD_MONTHS has NO keep-last-day here (day 29 != last of Jan)
+        ("cast(add_months(cast('1405-01-29 09:10:11.123456789' as"
+         " timestamp), -60) as string)",
+         "1400-01-29 09:10:11.123456789"),
+        # plain 2nd arg = days
+        ("cast(date_add(cast('2012-01-01 09:10:11.123456789' as timestamp),"
+         " 10) as string)",
+         "2012-01-11 09:10:11.123456789"),
+        # sub-µs comparison survives at ns
+        ("cast('2011-12-22 09:10:11.123456789' as timestamp) >"
+         " cast('2011-12-22 09:10:11.12345678' as timestamp)", True),
+        # exact-ns range underflow -> NULL (µs math would truncate in-range)
+        ("CAST('1400-01-01 00:00:00' AS TIMESTAMP) - INTERVAL 1 NANOSECONDS",
+         None),
+    ):
+        got = eng.sql(f"select {sql} as v").head().v
+        assert got == want or got is want, (sql, got, want)
+
+
+def test_ns_folding_leaves_column_exprs_alone():
+    """Column-bearing timestamp arithmetic and µs-exact literals keep the
+    runtime path — the folder fires only on visible ns divergence."""
+    for sql in (
+        "SELECT cast(date_add(ts_col, interval 1 day) as string) FROM t",
+        "SELECT cast(cast('2012-01-01 09:10:11.123456' as timestamp)"
+        " as string)",
+        "SELECT date_add(cast('2012-01-01' as timestamp), 5) FROM t",
+    ):
+        out = translate(sql)
+        # no folded string literal with a 9-digit fraction appears
+        assert ".123456789" not in out or "123456789" in sql
+        assert translate(out) == out
+
+
+def test_nan_null_safe_equal_contract(spark, sf_dir):
+    """NaN <=> NaN is FALSE in the reference (IMPALA-6661): null-safety is
+    for NULLs, not NaNs."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    rows = eng.sql(
+        "select cast('nan' as double) <=> cast('nan' as double) a, "
+        "0/0 <=> 0/0 b, NULL <=> 0/0 c"
+    ).head()
+    assert rows.a is False and rows.b is False and rows.c is False

@@ -71,6 +71,17 @@ DIALECT_SAMPLES = [
     "SELECT date_trunc('WEEK', DATE '1400-01-01')",
     "SELECT next_day(CAST(c AS DATE), 'MO') FROM t",
     "SELECT last_day(CAST(c AS DATE)) FROM t",
+    # round-9: ns constant folding, IEEE NaN comparison routing, and the
+    # unix_timestamp trailing-input truncation must not re-fire on their
+    # own output
+    "SELECT cast(date_add(cast('2012-01-01 00:00:00.000000001' as"
+    " timestamp), interval 1033 nanoseconds) as string)",
+    "SELECT CAST('1400-01-01 00:00:00' AS TIMESTAMP) - INTERVAL 1"
+    " NANOSECONDS",
+    "SELECT 0/0 = 0/0",
+    "SELECT cast('nan' as double) <=> cast('nan' as double) d",
+    "SELECT unix_timestamp('2038/01/19T03:14:08+01:00',"
+    " 'yyyy/MM/ddTHH:mm:ss')",
 ]
 
 
