@@ -395,3 +395,50 @@ ORDER BY c_custkey
 
 QUERIES["dialect_sql_collection_join"] = (
     dialect_collection_join, DIALECT_COLLECTION_JOIN_SQL)
+
+
+def dialect_table_path_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rootless table-path collection scan through the SQL surface (r9):
+    the reference's ``FROM tbl.collection`` idiom
+    (testdata/.../nested-types-scanner-basic.test; fe Path.java) — scan a
+    nested collection WITHOUT its parent row.  Build a per-customer
+    array<struct> view, scan ``FROM cust_orders_tp.orders`` rootlessly,
+    and aggregate the elements.  The oracle aggregates the flat base
+    table, so a hash match proves the rootless scan sees exactly every
+    element once (empty/NULL collections contribute nothing)."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    orders = eng.spark.table("orders")
+    nested = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("okey"),
+                    F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+                )
+            ).alias("orders")
+        )
+    )
+    nested.createOrReplaceTempView("cust_orders_tp")
+    return eng.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_elems,
+               CAST(SUM(okey) AS BIGINT) AS sum_okey,
+               CAST(MAX(price) AS DOUBLE) AS max_price
+        FROM cust_orders_tp.orders
+        """
+    )
+
+
+DIALECT_TABLE_PATH_SCAN_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_elems,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+FROM orders
+"""
+
+
+QUERIES["dialect_sql_table_path_scan"] = (
+    dialect_table_path_scan, DIALECT_TABLE_PATH_SCAN_SQL)
