@@ -6152,6 +6152,33 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
         if alias is None:
             alias = path[-1]
         dotted = ".".join(path)
+        # interior/trailing `item` segments hop INTO an array-of-array
+        # (reference path grammar: `t.int_array_array.item a` binds a to
+        # the inner arrays' elements).  Purely syntactic: each `item`
+        # splits the path; every split boundary is one more explode, the
+        # final explode target is the last hop's element (plus any struct
+        # navigation after it).  INNER (non-outer) semantics throughout,
+        # like the single-hop form.
+        hops: list[str] = []
+        if any(p.lower() == "item" for p in path[1:]):
+            groups: list[list[str]] = [[]]
+            for p in path[1:]:
+                if p.lower() == "item":
+                    groups.append([])
+                else:
+                    groups[-1].append(p)
+            if groups[0]:
+                cur = path[0] + "." + ".".join(groups[0])
+                for gi, g in enumerate(groups[1:], 1):
+                    hops.append(cur)
+                    cur = f"{alias}__h{gi}" + (
+                        "." + ".".join(g) if g else ""
+                    )
+                dotted = cur
+        hop_sql = "".join(
+            f" LATERAL VIEW explode({src}) _cjh_{alias}{n} AS {alias}__h{n} "
+            for n, src in enumerate(hops, 1)
+        )
         # array vs map collection: the column's type is unknowable at
         # translate time, but the reference's resolution rules make the
         # REFERENCES unambiguous — a map join exposes exactly key/value
@@ -6211,7 +6238,7 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                 f" LATERAL VIEW explode({dotted}) _cj_{alias} "
                 f"AS {alias} "
             )
-        toks[i : end + 1] = [Tok("word", lateral)]
+        toks[i : end + 1] = [Tok("word", hop_sql + lateral)]
         if is_map:
             m = 0
             while m < len(toks) - 2:

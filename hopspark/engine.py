@@ -295,6 +295,7 @@ class Engine(AlterTableMixin):
                 [(ln,) for ln in lines], "`Explain String` string"
             )
         impala_sql = self._rewrite_table_path_scans(impala_sql)
+        impala_sql = self._rewrite_subplan_derived_tables(impala_sql)
         bools, strs, tss, dbls, bigints = self._schema_columns_for(impala_sql)
         translated = translate(
             impala_sql,
@@ -431,6 +432,188 @@ class Engine(AlterTableMixin):
             i = j + len(repl)
         return untokenize(toks) if changed else impala_sql
 
+    def _rewrite_subplan_derived_tables(self, impala_sql: str) -> str:
+        """Impala subplans — a correlated subquery over a RELATIVE
+        collection (nested-types-subplan.test, planner SubplanNode):
+
+        * derived table: ``FROM customer c, (SELECT * FROM c.c_orders
+          LIMIT 3) v`` — Impala correlates implicitly; Spark needs the
+          LATERAL keyword, with the collection exploded inside.  LIMIT
+          stays per-outer-row, like the reference's subplan limit.
+        * expression subqueries: ``WHERE EXISTS (SELECT 1 FROM c.c_orders
+          o WHERE ...)``, ``ok IN (SELECT ...)``, scalar ``(SELECT
+          COUNT(*) FROM c.c_orders)`` — Spark's correlated subqueries
+          accept an outer reference inside a generator directly, so only
+          the FROM target is rewritten.
+
+        Rewrites ``FROM <alias>.<path>`` inside any such subquery to
+        ``FROM (SELECT <generator>) __sp`` where <generator> is inline()
+        for array<struct> (element fields, matching the reference's ``*``
+        on a subplan), explode()/posexplode() AS item[/pos] for scalar
+        arrays, explode() for maps (key/value).  Needs the live schema
+        for the generator choice, hence engine-side."""
+        if "(" not in impala_sql or "." not in impala_sql:
+            return impala_sql
+        from pyspark.sql import types as T
+
+        from hopspark.dialect.translate import (
+            _in_from_clause, _matching_paren, _next_code, _prev_code,
+            tokenize, untokenize,
+        )
+
+        toks = tokenize(impala_sql)
+        changed = False
+        i = 0
+        while i < len(toks):
+            if toks[i].text != "(":
+                i += 1
+                continue
+            o = i
+            first = _next_code(toks, o + 1)
+            if first >= len(toks) or toks[first].upper != "SELECT":
+                i += 1
+                continue
+            try:
+                close = _matching_paren(toks, o)
+            except ValueError:
+                break
+            # depth-1 FROM inside the subquery
+            depth = 0
+            from_i = -1
+            for k in range(o, close):
+                if toks[k].text == "(":
+                    depth += 1
+                elif toks[k].text == ")":
+                    depth -= 1
+                elif (
+                    depth == 1
+                    and toks[k].kind == "word"
+                    and toks[k].upper == "FROM"
+                ):
+                    from_i = k
+                    break
+            if from_i < 0:
+                i += 1
+                continue
+            # FROM target: alias.path
+            q = _next_code(toks, from_i + 1)
+            if q >= len(toks) or toks[q].kind != "word":
+                i += 1
+                continue
+            segs = [toks[q].text]
+            end = q
+            k = _next_code(toks, q + 1)
+            while k < close and toks[k].text == ".":
+                nx = _next_code(toks, k + 1)
+                if nx >= close or toks[nx].kind != "word":
+                    break
+                segs.append(toks[nx].text)
+                end = nx
+                k = _next_code(toks, nx + 1)
+            if len(segs) < 2:
+                i += 1
+                continue
+            # resolve the qualifier: every statement position where the
+            # alias word follows another word (skipping AS) names a
+            # candidate table — the schema walk below arbitrates.  The
+            # binding FROM item may sit before (WHERE/derived-table
+            # context) or after (select-list scalar subquery) this point.
+            alias = segs[0].lower()
+            candidates: list[str] = []
+            for w_i, tw in enumerate(toks):
+                if tw.kind != "word" or tw.text.lower() != alias:
+                    continue
+                p = _prev_code(toks, w_i - 1)
+                if p >= 0 and toks[p].kind == "word":
+                    cand = toks[p].text
+                    if cand.upper() == "AS":
+                        p2 = _prev_code(toks, p - 1)
+                        if p2 < 0 or toks[p2].kind != "word":
+                            continue
+                        cand = toks[p2].text
+                    if cand.lower() != alias:
+                        candidates.append(cand)
+            gen = None
+            for table in candidates:
+                try:
+                    schema = self.spark.table(table).schema
+                except Exception:  # noqa: BLE001 - not a table: next
+                    continue
+                cur_dt: object = schema
+                for seg in segs[1:]:
+                    if not isinstance(cur_dt, T.StructType):
+                        cur_dt = None
+                        break
+                    fld = next(
+                        (f for f in cur_dt.fields
+                         if f.name.lower() == seg.lower()),
+                        None,
+                    )
+                    if fld is None:
+                        cur_dt = None
+                        break
+                    cur_dt = fld.dataType
+                qpath = segs[0] + "." + ".".join(
+                    f"`{s}`" for s in segs[1:]
+                )
+                if isinstance(cur_dt, T.ArrayType):
+                    if isinstance(cur_dt.elementType, T.StructType):
+                        gen = f"SELECT inline({qpath})"
+                    else:
+                        body = untokenize(toks[o:close]).lower()
+                        if re.search(r"\bpos\b", body):
+                            gen = (
+                                f"SELECT posexplode({qpath})"
+                                " AS (pos, item)"
+                            )
+                        else:
+                            gen = f"SELECT explode({qpath}) AS item"
+                elif isinstance(cur_dt, T.MapType):
+                    gen = f"SELECT explode({qpath})"  # key, value
+                if gen:
+                    break
+            if gen is None:
+                i += 1
+                continue
+            # a derived table (comma FROM item) needs the LATERAL keyword;
+            # expression subqueries (EXISTS/IN/scalar) must NOT get it
+            p = _prev_code(toks, o - 1)
+            lateral = (
+                p >= 0
+                and toks[p].text == ","
+                and _in_from_clause(toks, p)
+            )
+            # a collection alias after the path (FROM c.c_orders o)
+            # becomes the exploded subquery's alias
+            sp_alias = "__sp"
+            tail_from = end + 1
+            a2 = _next_code(toks, end + 1)
+            if a2 < close and toks[a2].kind == "word":
+                u2 = toks[a2].upper
+                if u2 == "AS":
+                    a3 = _next_code(toks, a2 + 1)
+                    if a3 < close and toks[a3].kind == "word":
+                        sp_alias = toks[a3].text
+                        tail_from = a3 + 1
+                elif u2 not in self._FROM_TAIL_WORDS and u2 not in (
+                    "WHEN", "AND", "OR",
+                ):
+                    sp_alias = toks[a2].text
+                    tail_from = a2 + 1
+            sub_text = untokenize(toks[o + 1 : from_i])
+            tail = untokenize(toks[tail_from:close])
+            kw = " LATERAL " if lateral else " "
+            repl = tokenize(
+                f"{kw}({sub_text}FROM ({gen}) {sp_alias}{tail})"
+            )
+            toks[o : close + 1] = repl
+            changed = True
+            # re-scan from the replacement start: sibling subqueries
+            # inside the rewritten block may also need the rewrite; the
+            # block itself no longer matches (its FROM target is a paren)
+            i = o
+        return untokenize(toks) if changed else impala_sql
+
     def _table_path_subquery(
         self, segs: list[str], want_pos: bool, want_item: bool
     ) -> str | None:
@@ -464,8 +647,18 @@ class Engine(AlterTableMixin):
                 steps.append(("arr", cur_expr or ""))
                 cur_expr = f"__tpe{len(steps)}"
                 cur_dt = cur_dt.elementType
+            elif isinstance(cur_dt, T.MapType):
+                # path THROUGH a map descends into its values (the
+                # reference's nested_struct.g.value.h.i shape,
+                # nested-types-scanner-maps.test); a path cannot continue
+                # through keys (scalar)
+                if sl != "value":
+                    return None
+                steps.append(("mapv", cur_expr or ""))
+                cur_expr = f"__tpe{len(steps)}"
+                cur_dt = cur_dt.valueType
             else:
-                return None  # path through a map / scalar: unsupported
+                return None  # path through a scalar: unsupported
         terminal_map = False
         if isinstance(cur_dt, T.ArrayType):
             steps.append(("arr", cur_expr or ""))
@@ -485,6 +678,12 @@ class Engine(AlterTableMixin):
                 lvs.append(
                     f"LATERAL VIEW posexplode({src}) __tpv{idx}"
                     f" AS __tpp{idx}, __tpe{idx}"
+                )
+            elif kind == "mapv":
+                # intermediate map hop: values become the element stream
+                lvs.append(
+                    f"LATERAL VIEW explode({src}) __tpv{idx}"
+                    f" AS __tpk{idx}, __tpe{idx}"
                 )
             else:
                 lvs.append(

@@ -442,3 +442,56 @@ FROM orders
 
 QUERIES["dialect_sql_table_path_scan"] = (
     dialect_table_path_scan, DIALECT_TABLE_PATH_SCAN_SQL)
+
+
+def dialect_subplan_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subplan derived table through the SQL surface (r9):
+    the reference's ``FROM c, (SELECT * FROM c.collection WHERE ...) v``
+    idiom (nested-types-subplan.test; planner SubplanNode), rewritten by
+    the engine to a Spark LATERAL subquery with the collection exploded
+    inside.  Nest per-customer orders, keep only even order keys inside
+    the subplan, re-aggregate.  The oracle filters the flat base table —
+    a hash match proves subplan filtering sees exactly the right
+    elements and that element-less parents drop (INNER semantics)."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    orders = eng.spark.table("orders")
+    nested = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("okey"),
+                    F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+                )
+            ).alias("orders")
+        )
+    )
+    nested.createOrReplaceTempView("cust_orders_sp")
+    return eng.sql(
+        """
+        SELECT c.o_custkey AS c_custkey,
+               CAST(COUNT(v.okey) AS BIGINT) AS n_even,
+               CAST(MAX(v.price) AS DOUBLE) AS max_even_price
+        FROM cust_orders_sp c, (SELECT * FROM c.orders WHERE okey % 2 = 0) v
+        GROUP BY c.o_custkey
+        ORDER BY c_custkey
+        """
+    )
+
+
+DIALECT_SUBPLAN_SQL = """
+SELECT o_custkey AS c_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_even,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS max_even_price
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_custkey
+ORDER BY c_custkey
+"""
+
+
+QUERIES["dialect_sql_subplan_derived"] = (
+    dialect_subplan_derived, DIALECT_SUBPLAN_SQL)

@@ -119,3 +119,164 @@ def test_relative_collection_join_still_works(eng):
         "select a.item from ctt t, t.int_array a where t.id = 1"
         " order by 1",
     ) == [(1,), (2,), (3,)]
+
+
+@pytest.fixture(scope="module")
+def eng2(spark, sf_dir):
+    e = Engine(spark=spark, sf_dir=sf_dir)
+    spark.sql("""
+    CREATE OR REPLACE TEMP VIEW ctt2 AS
+    SELECT * FROM VALUES
+      (1, named_struct('g', map('k1', named_struct('h',
+              named_struct('i', array(1.1d, 2.2d))))),
+       array(array(1,2),array(3,4))),
+      (2, named_struct('g', map('k2', named_struct('h',
+              named_struct('i', array(3.3d))))),
+       array(array(9)))
+    AS t(id, nested_struct, int_array_array)
+    """)
+    return e
+
+
+def test_rootless_path_through_map_value(eng2):
+    # nested-types-scanner-maps.test: from tbl.nested_struct.g.value.h.i
+    assert _rows(
+        eng2,
+        "select item from ctt2.nested_struct.g.value.h.i order by item",
+    ) == [(1.1,), (2.2,), (3.3,)]
+
+
+def test_relative_array_hop_item(eng2):
+    # the relative form through an array-of-array: t.int_array_array.item
+    assert _rows(
+        eng2,
+        "select a.item from ctt2 t, t.int_array_array.item a order by 1",
+    ) == [(1,), (2,), (3,), (4,), (9,)]
+    # pos is the position within each INNER array
+    assert _rows(
+        eng2,
+        "select t.id, a.item, a.pos from ctt2 t,"
+        " t.int_array_array.item a order by 1, 2",
+    ) == [(1, 1, 0), (1, 2, 1), (1, 3, 0), (1, 4, 1), (2, 9, 0)]
+
+
+def test_array_hop_translation_idempotent():
+    from hopspark.dialect.translate import translate
+
+    sql = ("SELECT a.item FROM t1 t, t.int_array_array.item a"
+           " ORDER BY a.item")
+    once = translate(sql)
+    assert "LATERAL VIEW" in once and translate(once) == once
+
+
+@pytest.fixture(scope="module")
+def eng3(spark, sf_dir):
+    e = Engine(spark=spark, sf_dir=sf_dir)
+    spark.sql("""
+    CREATE OR REPLACE TEMP VIEW cust_sp AS
+    SELECT * FROM VALUES
+      (1, array(named_struct('ok', 10, 'od', '1992-04-19'),
+                named_struct('ok', 11, 'od', '1996-12-09'),
+                named_struct('ok', 12, 'od', '1992-08-22'))),
+      (2, array(named_struct('ok', 20, 'od', '1996-08-05'))),
+      (3, CAST(NULL AS array<struct<ok:int,od:string>>))
+    AS t(ck, c_orders)
+    """)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW cs_sp AS SELECT * FROM VALUES"
+        " (1, array(5,6,7)), (2, array(8)) AS t(id, xs)"
+    )
+    return e
+
+
+def test_subplan_derived_table_basic(eng3):
+    # nested-types-subplan.test: correlated derived table over a relative
+    # collection; NULL collection contributes no rows
+    assert _rows(
+        eng3,
+        "select ck, v.ok from cust_sp c, (select * from c.c_orders) v"
+        " order by 1, 2",
+    ) == [(1, 10), (1, 11), (1, 12), (2, 20)]
+
+
+def test_subplan_limit_is_per_outer_row(eng3):
+    assert _rows(
+        eng3,
+        "select ck, v.ok from cust_sp c,"
+        " (select * from c.c_orders limit 2) v order by 1, 2",
+    ) == [(1, 10), (1, 11), (2, 20)]
+
+
+def test_subplan_computed_column_and_outer_filter(eng3):
+    assert _rows(
+        eng3,
+        "select ck, x from cust_sp c,"
+        " (select *, coalesce(ok, 0) x from c.c_orders) v"
+        " where x % 2 = 0 order by 1, 2",
+    ) == [(1, 10), (1, 12), (2, 20)]
+
+
+def test_subplan_inner_where(eng3):
+    assert _rows(
+        eng3,
+        "select ck, v.ok from cust_sp c,"
+        " (select * from c.c_orders where ok > 11) v order by 1, 2",
+    ) == [(1, 12), (2, 20)]
+
+
+def test_subplan_scalar_array_item_pos(eng3):
+    assert _rows(
+        eng3,
+        "select id, item from cs_sp c, (select item from c.xs limit 2) v"
+        " order by 1, 2",
+    ) == [(1, 5), (1, 6), (2, 8)]
+    assert _rows(
+        eng3,
+        "select id, v.pos, v.item from cs_sp c,"
+        " (select pos, item from c.xs) v order by 1, 2",
+    ) == [(1, 0, 5), (1, 1, 6), (1, 2, 7), (2, 0, 8)]
+
+
+def test_exists_over_relative_collection(eng3):
+    # nested-types-subplan.test: EXISTS/NOT EXISTS over c.collection;
+    # NULL collections behave as empty (NOT EXISTS keeps the row)
+    assert _rows(
+        eng3,
+        "select ck from cust_sp c where exists"
+        " (select 1 from c.c_orders o where o.ok = 20)",
+    ) == [(2,)]
+    assert _rows(
+        eng3,
+        "select ck from cust_sp c where not exists"
+        " (select 1 from c.c_orders where ok = 20) order by ck",
+    ) == [(1,), (3,)]
+
+
+def test_scalar_subquery_over_relative_collection(eng3):
+    assert _rows(
+        eng3,
+        "select ck, (select count(*) from c.c_orders) n from cust_sp c"
+        " order by ck",
+    ) == [(1, 3), (2, 1), (3, 0)]
+    assert _rows(
+        eng3,
+        "select ck, (select max(ok) from c.c_orders) m from cust_sp c"
+        " order by ck",
+    ) == [(1, 12), (2, 20), (3, None)]
+
+
+def test_in_subquery_over_relative_collection(eng3):
+    assert _rows(
+        eng3,
+        "select ck from cust_sp c where 20 in"
+        " (select ok from c.c_orders)",
+    ) == [(2,)]
+
+
+def test_subplan_collection_alias(eng3):
+    # FROM c.c_orders o — the collection alias names the exploded rows
+    assert _rows(
+        eng3,
+        "select ck, v.ok from cust_sp c,"
+        " (select * from c.c_orders o where o.ok > 11) v order by 1, 2",
+    ) == [(1, 12), (2, 20)]
