@@ -124,6 +124,10 @@ HEADLINE = [
     # r8 additions: the two remaining first-time gate rows
     "iceberg_describe_history",
     "tpcds_q49a_decile_buckets",
+    # r9 additions: rootless table-path collection scan and correlated
+    # subplan derived table (both nest + explode through the SQL surface)
+    "dialect_sql_table_path_scan",
+    "dialect_sql_subplan_derived",
 ]
 
 
