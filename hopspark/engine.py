@@ -534,6 +534,8 @@ class Engine(AlterTableMixin):
                     if cand.lower() != alias:
                         candidates.append(cand)
             gen = None
+            coll_dt = None
+            qpath = segs[0] + "." + ".".join(f"`{s}`" for s in segs[1:])
             for table in candidates:
                 try:
                     schema = self.spark.table(table).schema
@@ -553,10 +555,8 @@ class Engine(AlterTableMixin):
                         cur_dt = None
                         break
                     cur_dt = fld.dataType
-                qpath = segs[0] + "." + ".".join(
-                    f"`{s}`" for s in segs[1:]
-                )
                 if isinstance(cur_dt, T.ArrayType):
+                    coll_dt = cur_dt
                     if isinstance(cur_dt.elementType, T.StructType):
                         gen = f"SELECT inline({qpath})"
                     else:
@@ -569,6 +569,7 @@ class Engine(AlterTableMixin):
                         else:
                             gen = f"SELECT explode({qpath}) AS item"
                 elif isinstance(cur_dt, T.MapType):
+                    coll_dt = cur_dt
                     gen = f"SELECT explode({qpath})"  # key, value
                 if gen:
                     break
@@ -600,6 +601,18 @@ class Engine(AlterTableMixin):
                 ):
                     sp_alias = toks[a2].text
                     tail_from = a2 + 1
+            t1 = self._subplan_fast_path(
+                toks, o, close, first, from_i, tail_from,
+                None if sp_alias == "__sp" else sp_alias,
+                qpath, coll_dt, p, lateral,
+            )
+            if t1 is not None:
+                start, stop, text = t1
+                repl = tokenize(text)
+                toks[start:stop] = repl
+                changed = True
+                i = start
+                continue
             sub_text = untokenize(toks[o + 1 : from_i])
             tail = untokenize(toks[tail_from:close])
             kw = " LATERAL " if lateral else " "
@@ -613,6 +626,157 @@ class Engine(AlterTableMixin):
             # block itself no longer matches (its FROM target is a paren)
             i = o
         return untokenize(toks) if changed else impala_sql
+
+    def _subplan_fast_path(
+        self, toks, o, close, first, from_i, tail_from, salias,
+        qpath, coll_dt, p, lateral,
+    ):
+        """Zero-join lowering for the common subplan shapes.  Catalyst
+        decorrelates a LATERAL / expression subquery over a relative
+        collection into a join KEYED ON THE ARRAY ITSELF — correct, but at
+        scale it broadcasts whole collections as join keys and scans the
+        parent twice.  These shapes stay on ONE scan with higher-order
+        functions instead (whole-stage codegen, no join, no extra
+        shuffle):
+
+          * ``EXISTS (SELECT ... FROM c.path [x] [WHERE pred])``
+            -> ``coalesce(exists(c.path, x -> pred), false)``
+          * ``, (SELECT * FROM c.path [x] [WHERE pred] [LIMIT n]) v``
+            -> ``LATERAL VIEW inline/explode(slice(filter(c.path,..),1,n))``
+
+        Returns (start, stop, replacement_sql) or None to take the
+        general decorrelated path."""
+        from pyspark.sql import types as T
+
+        from hopspark.dialect.translate import (
+            _is_code, _next_code, untokenize,
+        )
+
+        if not isinstance(coll_dt, T.ArrayType):
+            return None
+        elem = coll_dt.elementType
+        fields = (
+            [f.name for f in elem.fields]
+            if isinstance(elem, T.StructType) else None
+        )
+        # depth-1 clause keyword positions after the FROM target
+        depth = 0
+        clauses: dict[str, int] = {}
+        for k in range(o, close):
+            tk = toks[k]
+            if tk.text == "(":
+                depth += 1
+            elif tk.text == ")":
+                depth -= 1
+            elif depth == 1 and tk.kind == "word" and k >= tail_from:
+                u = tk.upper
+                if u in ("WHERE", "LIMIT", "GROUP", "ORDER", "HAVING",
+                         "UNION", "QUALIFY"):
+                    clauses.setdefault(u, k)
+        if {"GROUP", "ORDER", "HAVING", "UNION", "QUALIFY"} & set(clauses):
+            return None
+        pred_sql = None
+        if "WHERE" in clauses:
+            stop_at = clauses.get("LIMIT", close)
+            pred_toks = toks[clauses["WHERE"] + 1 : stop_at]
+            body = untokenize(pred_toks)
+            if re.search(r"\bselect\b|\bpos\b", body, re.I):
+                return None  # nested subquery / pos: general path
+            pred_sql = self._subplan_lambda_pred(
+                pred_toks, fields, salias, "__sx"
+            )
+            if pred_sql is None:
+                return None
+        limit_n = None
+        if "LIMIT" in clauses:
+            ln = _next_code(toks, clauses["LIMIT"] + 1)
+            if (
+                ln >= close
+                or toks[ln].kind != "num"
+                or not toks[ln].text.isdigit()
+            ):
+                return None
+            limit_n = int(toks[ln].text)
+            if _next_code(toks, ln + 1) < close:
+                return None
+        arr = qpath
+        if pred_sql:
+            arr = f"filter({arr}, __sx -> ({pred_sql}))"
+        if p >= 0 and toks[p].kind == "word" and toks[p].upper == "EXISTS":
+            cond = pred_sql or "true"
+            return (
+                p, close + 1,
+                f" coalesce(exists({qpath}, __sx -> ({cond})), false) ",
+            )
+        if not lateral:
+            return None
+        sel = "".join(
+            t.text for t in toks[first + 1 : from_i] if _is_code(t)
+        ).lower()
+        if not (sel == "*" or (salias and sel == f"{salias.lower()}.*")):
+            return None
+        if limit_n is not None:
+            arr = f"slice({arr}, 1, {limit_n})"
+        oa = _next_code(toks, close + 1)
+        stop = close + 1
+        valias = None
+        if oa < len(toks) and toks[oa].kind == "word":
+            u = toks[oa].upper
+            if u == "AS":
+                ob = _next_code(toks, oa + 1)
+                if ob < len(toks) and toks[ob].kind == "word":
+                    valias = toks[ob].text
+                    stop = ob + 1
+            elif u not in self._FROM_TAIL_WORDS:
+                valias = toks[oa].text
+                stop = oa + 1
+        if valias is None:
+            valias = "__spv"
+        if fields is not None:
+            cols = ", ".join(f"`{f}`" for f in fields)
+            text = f" LATERAL VIEW inline({arr}) {valias} AS {cols} "
+        else:
+            text = f" LATERAL VIEW explode({arr}) {valias} AS item "
+        return p, stop, text  # p = the comma: consumed by LATERAL VIEW
+
+    @staticmethod
+    def _subplan_lambda_pred(pred_toks, fields, salias, var):
+        """Rewrite a subplan WHERE predicate into a lambda body: bare
+        element-field names (and the collection alias's qualified refs)
+        become ``var.field``; everything else — outer columns, functions,
+        literals — passes through.  Bare names that collide with element
+        fields resolve to the element, matching the reference's
+        innermost-scope-first resolution."""
+        fl = {f.lower() for f in fields} if fields else None
+        n = len(pred_toks)
+        res = []
+        for k, t in enumerate(pred_toks):
+            if t.kind != "word":
+                res.append(t.text)
+                continue
+            pk = k - 1
+            while pk >= 0 and pred_toks[pk].kind in ("ws", "comment"):
+                pk -= 1
+            nk = k + 1
+            while nk < n and pred_toks[nk].kind in ("ws", "comment"):
+                nk += 1
+            prev_t = pred_toks[pk].text if pk >= 0 else None
+            next_t = pred_toks[nk].text if nk < n else None
+            low = t.text.lower()
+            if prev_t == ".":
+                res.append(t.text)
+            elif next_t == ".":
+                res.append(var if salias and low == salias.lower()
+                           else t.text)
+            elif next_t == "(":
+                res.append(t.text)  # function name
+            elif fl is not None and low in fl:
+                res.append(f"{var}.{t.text}")
+            elif fl is None and low == "item":
+                res.append(var)
+            else:
+                res.append(t.text)
+        return "".join(res)
 
     def _table_path_subquery(
         self, segs: list[str], want_pos: bool, want_item: bool

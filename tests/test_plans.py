@@ -742,3 +742,44 @@ def test_q49_nullable_side_predicate_turns_join_inner(spark, sf_dir):
     plan = explain_formatted(tpcds_q49_dual_rank_union(spark, sf_dir))
     assert "LeftOuter" not in plan, plan
     assert plan.count("Window") >= 3, plan
+
+
+def test_subplan_fast_path_has_no_join(spark, sf_dir):
+    """Round-9: the common subplan shapes (derived table SELECT * with
+    WHERE/LIMIT, EXISTS over a relative collection) must lower to a single
+    Generate / higher-order function — Catalyst's generic decorrelation
+    joins on the ARRAY ITSELF (broadcasting whole collections as join
+    keys), which does not survive 100 TB. The general shapes (computed
+    select items, aggregates) keep the decorrelated join, correct by
+    construction."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW plan_sp AS SELECT * FROM VALUES"
+        " (1, array(named_struct('ok', 10), named_struct('ok', 11)))"
+        " AS t(ck, c_orders)"
+    )
+    for sql in (
+        "select ck, v.ok from plan_sp c,"
+        " (select * from c.c_orders where ok % 2 = 0 limit 2) v",
+        "select ck from plan_sp c where exists"
+        " (select 1 from c.c_orders o where o.ok = 20)",
+        "select ck from plan_sp c where not exists"
+        " (select 1 from c.c_orders where ok = 20)",
+    ):
+        plan = eng.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, (sql, plan)
+
+
+def test_subplan_gate_query_zero_join(spark, sf_dir):
+    """dialect_sql_subplan_derived (the r9 gate query) must stay on the
+    fast path: one nest shuffle, one Generate, no join."""
+    from hopspark.operators.dialect_sql import dialect_subplan_derived
+
+    plan = (
+        dialect_subplan_derived(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Generate") == 1, plan
