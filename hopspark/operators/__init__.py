@@ -88,10 +88,15 @@ CURATED_FIRST = (
     # grouping-family evidence deepens (rollup + grouping sets + q18/q86
     # below); PIVOT stays sim-checked and golden-pinned.
     # r8 rotation: q49a decile buckets (r7's newest TPC-DS shape, sim-only
-    # until now) takes q27a's slot — grouping-sets evidence keeps driver
+    # until now) took q27a's slot — grouping-sets evidence keeps driver
     # rows via tpcds_q18_grouping_sets_channels and the q36 rollup;
     # q27a was driver-green in r7 and stays sim-checked.
-    "tpcds_q49a_decile_buckets",
+    # r9 session-2 rotation: q49a (driver-green r8) hands its slot to the
+    # correlated subplan derived table — the brand-new nested surface
+    # (LATERAL VIEW filter/slice lowering) whose failure modes no gate row
+    # exercises; patterns10 keeps tpcds_q49_dual_rank_union, and q49a
+    # stays sim-checked.
+    "dialect_sql_subplan_derived",
     "agg_stats_moments",
     # Analytic / windows (§2.6).
     # r7 rotation: window_rank_topn rotates out — the partitioned-TopN
@@ -105,7 +110,11 @@ CURATED_FIRST = (
     # adds the distinct-window shape; replaces window_running_sum.
     "tpcds_q51a_cumulative_distinct",
     # Nested types + subqueries (§2.9).
-    "nested_zip_unnest",
+    # r9 session-2 rotation: nested_zip_unnest (driver-green r1-r8) hands
+    # its slot to the rootless table-path collection scan — the new FROM
+    # tbl.collection surface (schema-resolved LATERAL VIEW rewrite), never
+    # driver-checked; zipping UNNEST stays golden-pinned + sim-checked.
+    "dialect_sql_table_path_scan",
     "nested_from_disk",
     # r9 rotation: subquery_scalar_threshold (driver-green since r1) hands
     # its slot to the recursive-CTE month spine — a plan shape (iterative
