@@ -106,7 +106,8 @@ N_REGION_SEEDS = 300
 
 @pytest.mark.parametrize(
     "region",
-    ["nested", "decimal", "subquery", "collection", "values", "frames"],
+    ["nested", "decimal", "subquery", "collection", "values", "frames",
+     "subplan"],
 )
 def test_region_fuzz_300_seeds(fuzz_env, region):
     """Round-5 grammar regions (round-4 verdict item 3): (a) nested types —

@@ -1683,6 +1683,111 @@ class FramesGen:
         )
 
 
+class SubplanGen:
+    """Round-9 nested surfaces: correlated subplan subqueries over a
+    relative collection (EXISTS / NOT EXISTS / scalar COUNT / derived
+    table — nested-types-subplan.test idioms) and the rootless table-path
+    scan, generated as IMPALA SQL and run through the ENGINE pre-passes
+    (the schema-resolved subplan/table-path rewrites) + translate(),
+    against DuckDB list-lambda twins.  The nested fixture is a per-key
+    collect_list over a base table — the element MULTISET is
+    deterministic even though element order is not, so only order-free
+    shapes are generated (no subplan LIMIT)."""
+
+    TABLES = ["nation", "customer", "supplier", "orders"]
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(9_000_011 * (seed + 1))
+
+    def gen(self) -> tuple[str, str]:
+        from pyspark.sql import SparkSession
+
+        from hopspark.dialect.translate import translate
+        from hopspark.engine import Engine
+
+        r = self.rng
+        tbl = r.choice(self.TABLES)
+        meta = TABLES[tbl]
+        key = meta["key"][0]
+        ints = [c for c, k in meta["cols"].items() if k == "int"]
+        x = r.choice(ints)
+        y = r.choice(ints)
+        mod = r.randint(2, 7)
+        thr = r.randint(0, 30)
+        vname = f"__fz_sp_{tbl}"
+        spark = SparkSession.getActiveSession()
+        eng = Engine(
+            spark=spark, sf_dir="/root/testdata/sf0.001",
+            register_tables=False,
+        )
+        elem = (
+            f"named_struct('x', COALESCE({x}, 0) % 100, "
+            f"'y', COALESCE({y}, 0) % 100)"
+        )
+        spark.sql(
+            f"CREATE OR REPLACE TEMP VIEW {vname} AS "
+            f"SELECT {key} % 50 AS k, collect_list({elem}) AS arr "
+            f"FROM {tbl} GROUP BY {key} % 50"
+        )
+        cte_d = (
+            f"WITH t AS (SELECT {key} % 50 AS k, "
+            f"list(struct_pack(x := COALESCE({x}, 0) % 100, "
+            f"y := COALESCE({y}, 0) % 100)) AS arr "
+            f"FROM {tbl} GROUP BY {key} % 50)"
+        )
+        kind = r.choice(
+            ["exists", "not_exists", "scalar_count", "derived", "rootless"]
+        )
+        if kind in ("exists", "not_exists"):
+            neg = "NOT " if kind == "not_exists" else ""
+            imp = (
+                f"SELECT k FROM {vname} c WHERE {neg}EXISTS "
+                f"(SELECT 1 FROM c.arr WHERE x % {mod} = 0 AND y > {thr})"
+                f" ORDER BY k"
+            )
+            duck = (
+                f"{cte_d} SELECT k FROM t WHERE {neg}len(list_filter("
+                f"arr, e -> e.x % {mod} = 0 AND e.y > {thr})) > 0"
+                f" ORDER BY k"
+            )
+        elif kind == "scalar_count":
+            imp = (
+                f"SELECT k, (SELECT COUNT(*) FROM c.arr WHERE x > {thr})"
+                f" AS n FROM {vname} c ORDER BY k"
+            )
+            duck = (
+                f"{cte_d} SELECT k, len(list_filter(arr,"
+                f" e -> e.x > {thr})) AS n FROM t ORDER BY k"
+            )
+        elif kind == "derived":
+            imp = (
+                f"SELECT k, v.x AS x, v.y AS y FROM {vname} c, "
+                f"(SELECT * FROM c.arr WHERE x % {mod} = 0) v "
+                f"ORDER BY k, x, y"
+            )
+            duck = (
+                f"{cte_d} SELECT k, u.x AS x, u.y AS y FROM "
+                f"(SELECT k, unnest(arr) AS u FROM t) "
+                f"WHERE u.x % {mod} = 0 ORDER BY k, x, y"
+            )
+        else:  # rootless table-path scan of the collection
+            imp = (
+                f"SELECT x, y FROM {vname}.arr WHERE x > {thr} "
+                f"ORDER BY x, y"
+            )
+            duck = (
+                f"{cte_d} SELECT u.x AS x, u.y AS y FROM "
+                f"(SELECT unnest(arr) AS u FROM t) WHERE u.x > {thr} "
+                f"ORDER BY x, y"
+            )
+        spark_sql = translate(
+            eng._rewrite_subplan_derived_tables(
+                eng._rewrite_table_path_scans(imp)
+            )
+        )
+        return spark_sql, duck
+
+
 REGION_GENS = {
     "nested": NestedGen,
     "decimal": DecimalGen,
@@ -1690,6 +1795,7 @@ REGION_GENS = {
     "collection": CollectionGen,
     "values": ValuesGen,
     "frames": FramesGen,
+    "subplan": SubplanGen,
 }
 
 
