@@ -1695,6 +1695,8 @@ class SubplanGen:
     shapes are generated (no subplan LIMIT)."""
 
     TABLES = ["nation", "customer", "supplier", "orders"]
+    _ENGINE = None  # per-process cache: Engine.__init__ re-registers ~300
+    # SQL kernels, far too slow to pay per seed
 
     def __init__(self, seed: int):
         self.rng = random.Random(9_000_011 * (seed + 1))
@@ -1716,10 +1718,12 @@ class SubplanGen:
         thr = r.randint(0, 30)
         vname = f"__fz_sp_{tbl}"
         spark = SparkSession.getActiveSession()
-        eng = Engine(
-            spark=spark, sf_dir="/root/testdata/sf0.001",
-            register_tables=False,
-        )
+        if SubplanGen._ENGINE is None or SubplanGen._ENGINE.spark is not spark:
+            SubplanGen._ENGINE = Engine(
+                spark=spark, sf_dir="/root/testdata/sf0.001",
+                register_tables=False,
+            )
+        eng = SubplanGen._ENGINE
         elem = (
             f"named_struct('x', COALESCE({x}, 0) % 100, "
             f"'y', COALESCE({y}, 0) % 100)"
