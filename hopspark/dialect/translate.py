@@ -1182,8 +1182,12 @@ def _rewrite_functions(toks: list[Tok]) -> list[Tok]:
                     ):
                         s0, e0 = args[0]
                         inner = untokenize(toks[s0:e0]).strip()
+                        # pattern length in BYTES, not chars — the
+                        # separator class admits non-ASCII (multi-byte
+                        # UTF-8) separators and the kernel counts bytes
+                        blen = len(body.encode("utf-8"))
                         wrap = tokenize(
-                            f"bytesubstr3({inner}, 1, {len(body)})"
+                            f"bytesubstr3({inner}, 1, {blen})"
                         )
                         toks[s0:e0] = wrap
                         close = _matching_paren(toks, j)

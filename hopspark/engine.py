@@ -199,6 +199,7 @@ class Engine(AlterTableMixin):
                 # silently replace.
                 raise ValueError(f"view already exists: {name}")
             body = self._rewrite_table_path_scans(body)
+            body = self._rewrite_subplan_derived_tables(body)
             _b, _s, _t, _d, _bi = self._schema_columns_for(body)
             translated = translate(
                 body,
@@ -349,7 +350,7 @@ class Engine(AlterTableMixin):
         if "." not in impala_sql:
             return impala_sql
         from hopspark.dialect.translate import (
-            _is_code, _next_code, tokenize, untokenize,
+            _is_code, _next_code, _prev_code, tokenize, untokenize,
         )
 
         toks = tokenize(impala_sql)
@@ -386,25 +387,27 @@ class Engine(AlterTableMixin):
             if segs[0].lower() not in tables:
                 i = j + 1
                 continue
-            # item/pos are virtual: exposed only when referenced OUTSIDE
-            # this path's own segments (the path `...d.item` itself must
-            # not leak `item` into SELECT *)
-            path_idx = set(range(j, end + 1))
-            want_item = any(
-                tk.kind == "word" and tk.text.lower() == "item"
-                and x not in path_idx
-                for x, tk in enumerate(toks)
+            # Impala Path resolution prefers an ENCLOSING query block's
+            # table alias over the catalog: a path inside a subquery
+            # whose head names an UNALIASED outer FROM item is a
+            # correlated relative ref (the table name doubles as its
+            # implicit alias), not a rootless scan — leave it for
+            # _rewrite_subplan_derived_tables.  An aliased outer item
+            # (FROM cust x) forfeits the name, so the path stays
+            # rootless.
+            depth_j = sum(
+                1 if t2.text == "(" else -1 if t2.text == ")" else 0
+                for t2 in toks[:j]
             )
-            want_pos = any(
-                tk.kind == "word" and tk.text.lower() == "pos"
-                and x not in path_idx
-                for x, tk in enumerate(toks)
-            )
-            sub = self._table_path_subquery(segs, want_pos, want_item)
-            if sub is None:
+            if depth_j > 0 and self._bare_from_item_elsewhere(
+                toks, segs[0], j
+            ):
                 i = j + 1
                 continue
-            # optional [AS] alias after the path
+            # optional [AS] alias after the path (parsed BEFORE the
+            # virtual-column scan: qualified pos/item refs must match
+            # THIS path's alias, not any column named pos/item on an
+            # unrelated joined table)
             a = _next_code(toks, end + 1)
             alias = None
             consumed_to = end
@@ -426,11 +429,185 @@ class Engine(AlterTableMixin):
                 consumed_to = a
             if alias is None:
                 alias = segs[-1]
+            # item/pos are virtual: exposed only when referenced OUTSIDE
+            # this path's own segments (the path `...d.item` itself must
+            # not leak `item` into SELECT *), and only when the reference
+            # is unqualified or qualified by this path's alias — a
+            # `x.pos` on a joined table x is NOT a mention
+            path_idx = set(range(j, consumed_to + 1))
+
+            def _mentions(word: str) -> bool:
+                for x, tk in enumerate(toks):
+                    if (
+                        tk.kind != "word"
+                        or tk.text.lower() != word
+                        or x in path_idx
+                    ):
+                        continue
+                    pq = _prev_code(toks, x - 1)
+                    if pq >= 0 and toks[pq].text == ".":
+                        pq2 = _prev_code(toks, pq - 1)
+                        if (
+                            pq2 < 0
+                            or toks[pq2].kind != "word"
+                            or toks[pq2].text.lower() != alias.lower()
+                        ):
+                            continue  # qualified by some OTHER name
+                    return True
+                return False
+
+            want_item = _mentions("item")
+            want_pos = _mentions("pos")
+            res = self._table_path_subquery(segs, want_pos, want_item)
+            if res is None:
+                i = j + 1
+                continue
+            sub, star_cols, has_virtual = res
+            if has_virtual and star_cols:
+                delta = self._expand_table_path_stars(
+                    toks, i, alias, star_cols
+                )
+                j += delta
+                consumed_to += delta
             repl = tokenize(f"{sub} {alias}")
             toks[j : consumed_to + 1] = repl
             changed = True
             i = j + len(repl)
         return untokenize(toks) if changed else impala_sql
+
+    def _bare_from_item_elsewhere(
+        self, toks, name: str, skip_i: int
+    ) -> bool:
+        """True when ``name`` appears somewhere else in the statement as
+        an UNALIASED FROM/JOIN item (``FROM name`` / ``JOIN name`` /
+        ``, name`` with no dot and no alias after it) — i.e. its table
+        name is live as an implicit correlation alias."""
+        from hopspark.dialect.translate import _next_code, _prev_code
+
+        low = name.lower()
+        for w, t in enumerate(toks):
+            if (
+                w == skip_i
+                or t.kind != "word"
+                or t.text.lower() != low
+            ):
+                continue
+            p = _prev_code(toks, w - 1)
+            if p < 0 or not (
+                toks[p].text == ","
+                or (toks[p].kind == "word"
+                    and toks[p].upper in ("FROM", "JOIN"))
+            ):
+                continue
+            nx = _next_code(toks, w + 1)
+            if nx < len(toks):
+                t2 = toks[nx]
+                if t2.text == ".":
+                    continue  # dotted: a path, not a bare item
+                if t2.kind == "word" and t2.upper not in (
+                    self._FROM_TAIL_WORDS | {"AS"}
+                ):
+                    continue  # aliased: the name is forfeited
+                if t2.kind == "word" and t2.upper == "AS":
+                    continue  # aliased
+            return True
+        return False
+
+    def _expand_table_path_stars(
+        self, toks, from_i: int, alias: str, star_cols: list[str]
+    ) -> int:
+        """The reference's ``*`` never includes the virtual columns
+        (``pos``, ``item`` on struct elements) even when the statement
+        references them elsewhere — but the rewritten subquery must
+        expose them for qualified refs to resolve.  Reconcile by
+        expanding ``alias.*`` (and a lone bare ``*`` when this path is
+        the only FROM item) in the OWNING select list to the explicit
+        non-virtual columns.  A bare ``*`` over a multi-item FROM is
+        left alone (expanding it needs every sibling's schema).
+        Returns the net token-count delta (every edit sits before
+        ``from_i``, so the caller shifts its saved indices by it)."""
+        from hopspark.dialect.translate import _prev_code, tokenize
+
+        # owning SELECT: nearest SELECT before from_i at the same depth
+        sel_i = -1
+        depth = 0
+        for x in range(from_i - 1, -1, -1):
+            t = toks[x]
+            if t.text == ")":
+                depth += 1
+            elif t.text == "(":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif depth == 0 and t.kind == "word" and t.upper == "SELECT":
+                sel_i = x
+                break
+        if sel_i < 0:
+            return 0
+        # single-item FROM? scan forward from from_i at depth 0 until a
+        # clause keyword; a comma or JOIN means multiple items
+        single = True
+        depth = 0
+        for x in range(from_i + 1, len(toks)):
+            t = toks[x]
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif depth == 0:
+                if t.text == "," or (t.kind == "word" and t.upper == "JOIN"):
+                    single = False
+                    break
+                if t.kind == "word" and t.upper in (
+                    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+                    "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+                ):
+                    break
+        qcols = ", ".join(f"{alias}.`{c}`" for c in star_cols)
+        delta = 0
+        # walk the select list (sel_i..from_i) for stars at depth 0
+        x = sel_i + 1
+        while x < from_i + delta:
+            t = toks[x]
+            if t.text == "(":
+                d = 1
+                x += 1
+                while x < from_i + delta and d:
+                    if toks[x].text == "(":
+                        d += 1
+                    elif toks[x].text == ")":
+                        d -= 1
+                    x += 1
+                continue
+            if t.text == "*":
+                p = _prev_code(toks, x - 1)
+                if p >= 0 and toks[p].text == ".":
+                    p2 = _prev_code(toks, p - 1)
+                    if (
+                        p2 >= 0
+                        and toks[p2].kind == "word"
+                        and toks[p2].text.lower() == alias.lower()
+                    ):
+                        repl = tokenize(qcols)
+                        toks[p2 : x + 1] = repl
+                        delta += len(repl) - (x + 1 - p2)
+                        x = p2 + len(repl)
+                        continue
+                elif single and (
+                    p < 0
+                    or toks[p].text in (",",)
+                    or (toks[p].kind == "word"
+                        and toks[p].upper in ("SELECT", "DISTINCT", "ALL"))
+                ):
+                    repl = tokenize(qcols)
+                    toks[x : x + 1] = repl
+                    delta += len(repl) - 1
+                    x += len(repl)
+                    continue
+            x += 1
+        return delta
 
     def _rewrite_subplan_derived_tables(self, impala_sql: str) -> str:
         """Impala subplans — a correlated subquery over a RELATIVE
@@ -519,20 +696,37 @@ class Engine(AlterTableMixin):
             # binding FROM item may sit before (WHERE/derived-table
             # context) or after (select-list scalar subquery) this point.
             alias = segs[0].lower()
-            candidates: list[str] = []
+            ranked: list[tuple[int, str]] = []
             for w_i, tw in enumerate(toks):
                 if tw.kind != "word" or tw.text.lower() != alias:
                     continue
                 p = _prev_code(toks, w_i - 1)
                 if p >= 0 and toks[p].kind == "word":
+                    cand_i = p
                     cand = toks[p].text
                     if cand.upper() == "AS":
                         p2 = _prev_code(toks, p - 1)
                         if p2 < 0 or toks[p2].kind != "word":
                             continue
+                        cand_i = p2
                         cand = toks[p2].text
                     if cand.lower() != alias:
-                        candidates.append(cand)
+                        # candidates that are themselves FROM/JOIN items
+                        # outrank arbitrary statement positions (a
+                        # same-named alias in an unrelated scope must not
+                        # shadow the lexically-binding table)
+                        pb = _prev_code(toks, cand_i - 1)
+                        in_from = pb >= 0 and (
+                            toks[pb].text == ","
+                            or (toks[pb].kind == "word"
+                                and toks[pb].upper in ("FROM", "JOIN"))
+                        )
+                        ranked.append((0 if in_from else 1, cand))
+            # the qualifier word itself may BE the table (unaliased:
+            # FROM customer, (SELECT * FROM customer.c_orders) v)
+            ranked.append((2, segs[0]))
+            ranked.sort(key=lambda rc: rc[0])
+            candidates = [c for _, c in ranked]
             gen = None
             coll_dt = None
             qpath = segs[0] + "." + ".".join(f"`{s}`" for s in segs[1:])
@@ -780,9 +974,12 @@ class Engine(AlterTableMixin):
 
     def _table_path_subquery(
         self, segs: list[str], want_pos: bool, want_item: bool
-    ) -> str | None:
+    ) -> tuple[str, list[str], bool] | None:
         """Inline subquery SQL for a table-rooted collection path, or None
-        when the path does not resolve to a collection scan."""
+        when the path does not resolve to a collection scan.  Returns
+        ``(sql, star_cols, has_virtual)``: the columns the reference's
+        ``*`` exposes, and whether any VIRTUAL column (pos / item-on-
+        struct) was added to the subquery beyond them."""
         from pyspark.sql import types as T
 
         try:
@@ -854,24 +1051,33 @@ class Engine(AlterTableMixin):
                     f"LATERAL VIEW explode({src}) __tpv{idx}"
                     " AS `key`, `value`"
                 )
+        has_virtual = False
         if terminal_map:
             cols = ["`key`", "`value`"]
+            star_cols = ["key", "value"]
         elif isinstance(elem_dt, T.StructType):
             cols = [
                 f"{elem_expr}.`{f.name}` AS `{f.name}`"
                 for f in elem_dt.fields
             ]
+            star_cols = [f.name for f in elem_dt.fields]
             if want_item:
                 cols.append(f"{elem_expr} AS item")
+                has_virtual = True
             if want_pos:
                 cols.append(f"__tpp{len(steps)} AS pos")
+                has_virtual = True
         else:
             cols = [f"{elem_expr} AS item"]
+            star_cols = ["item"]
             if want_pos:
                 cols.append(f"__tpp{len(steps)} AS pos")
+                has_virtual = True
         return (
             "(SELECT " + ", ".join(cols)
-            + f" FROM `{segs[0]}` " + " ".join(lvs) + ")"
+            + f" FROM `{segs[0]}` " + " ".join(lvs) + ")",
+            star_cols,
+            has_virtual,
         )
 
     def _schema_columns_for(

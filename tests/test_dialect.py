@@ -997,3 +997,21 @@ def test_nan_null_safe_equal_contract(spark, sf_dir):
         "0/0 <=> 0/0 b, NULL <=> 0/0 c"
     ).head()
     assert rows.a is False and rows.b is False and rows.c is False
+
+
+def test_unix_timestamp_truncation_counts_bytes(spark, sf_dir):
+    """r10 ADVICE: the fixed-width truncation length is BYTES, not chars —
+    non-ASCII separators (admitted by the [^A-Za-z'] class) are multi-byte
+    in UTF-8 and the bytesubstr3 kernel counts bytes."""
+    from hopspark.engine import Engine
+
+    out = translate("SELECT unix_timestamp(c1, 'yyyy年MM月dd日')")
+    # pattern is 4+3+2+3+2+3 = 17 bytes (11 chars)
+    assert "bytesubstr3" in out and "17" in out
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    # trailing input after the non-ASCII separators is still ignored
+    v = eng.sql(
+        "select unix_timestamp('2024年01月15日junk', "
+        "'yyyy年MM月dd日') as v"
+    ).head().v
+    assert v == 1705276800

@@ -280,3 +280,90 @@ def test_subplan_collection_alias(eng3):
         "select ck, v.ok from cust_sp c,"
         " (select * from c.c_orders o where o.ok > 11) v order by 1, 2",
     ) == [(1, 12), (2, 20)]
+
+
+# ---- round-10 ADVICE fixes ----------------------------------------------
+
+
+def test_star_excludes_pos_when_referenced_elsewhere(eng):
+    # r10 ADVICE: the reference's * never includes virtual columns even
+    # when the statement references them — a WHERE on a.pos must not
+    # leak pos into SELECT *
+    df = eng.sql(
+        "select * from ctt.int_array a where a.pos > 0 order by item"
+    )
+    assert df.columns == ["item"]
+    assert [tuple(r) for r in df.collect()] == [(2,), (3,)]
+
+
+def test_alias_star_excludes_virtuals(eng):
+    # a.* alongside an explicit a.pos: the star expands to fields only
+    df = eng.sql(
+        "select a.*, a.pos p from ctt.nested_struct.c.d a order by p, e"
+    )
+    assert df.columns == ["e", "f", "p"]
+    assert [tuple(r) for r in df.collect()] == [
+        (-1, "aaa", 0), (5, "zz", 0), (11, "c", 1),
+    ]
+
+
+def test_struct_star_with_pos_filter(eng):
+    df = eng.sql(
+        "select * from ctt.nested_struct.c.d a where a.pos = 0 order by e"
+    )
+    assert df.columns == ["e", "f"]
+    assert [tuple(r) for r in df.collect()] == [(-1, "aaa"), (5, "zz")]
+
+
+def test_joined_table_pos_column_not_a_mention(eng, spark):
+    # a column literally named pos on a JOINED table must not trip the
+    # virtual-column scan (qualified by the other alias)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pt_r10 AS SELECT * FROM VALUES"
+        " (0, 2), (5, 3) AS t(pos, v)"
+    )
+    df = eng.sql(
+        "select a.item, p.pos from ctt.int_array a"
+        " join pt_r10 p on a.item = p.v order by 1"
+    )
+    assert df.columns == ["item", "pos"]
+    assert [tuple(r) for r in df.collect()] == [(2, 0), (3, 5)]
+
+
+def test_view_over_subplan_surface(eng3):
+    # r10 ADVICE (medium): CREATE VIEW bodies get the subplan rewrite
+    eng3.sql(
+        "create view v_sp_r10 as select ck, v.ok from cust_sp c,"
+        " (select * from c.c_orders) v"
+    )
+    assert _rows(
+        eng3, "select * from v_sp_r10 order by 1, 2"
+    ) == [(1, 10), (1, 11), (1, 12), (2, 20)]
+    eng3.sql(
+        "create view v_sp_r10b as select ck from cust_sp c where exists"
+        " (select 1 from c.c_orders o where o.ok = 20)"
+    )
+    assert _rows(eng3, "select * from v_sp_r10b") == [(2,)]
+
+
+def test_view_over_table_path_scan(eng):
+    eng.sql(
+        "create view v_tp_r10 as select item from ctt.int_array"
+    )
+    assert _rows(eng, "select * from v_tp_r10 order by item") == [
+        (1,), (2,), (3,),
+    ]
+
+
+def test_subplan_unaliased_outer_table(eng3):
+    # r10 ADVICE: the qualifier word itself may be the table name
+    assert _rows(
+        eng3,
+        "select ck, v.ok from cust_sp,"
+        " (select * from cust_sp.c_orders) v order by 1, 2",
+    ) == [(1, 10), (1, 11), (1, 12), (2, 20)]
+    assert _rows(
+        eng3,
+        "select ck from cust_sp where exists"
+        " (select 1 from cust_sp.c_orders o where o.ok = 20)",
+    ) == [(2,)]
