@@ -903,6 +903,19 @@ class Engine(AlterTableMixin):
                 f" coalesce(exists({qpath}, __sx -> ({cond})), false) ",
             )
         if not lateral:
+            # scalar aggregate subquery — (SELECT COUNT(*)/SUM/MIN/MAX/
+            # AVG(col) FROM c.path [WHERE pred]) — the reference's most
+            # common subplan idiom after EXISTS (nested-types-subplan
+            # .test; SubplanNode streams it per outer row).  Lower to a
+            # higher-order function on the parent scan: zero joins, one
+            # scan, whole-stage codegen.
+            if limit_n is None:
+                agg = self._subplan_agg_expr(
+                    toks, first, from_i, elem, fields, salias,
+                    qpath, pred_sql,
+                )
+                if agg is not None:
+                    return o, close + 1, f" ({agg}) "
             return None
         sel = "".join(
             t.text for t in toks[first + 1 : from_i] if _is_code(t)
@@ -932,6 +945,190 @@ class Engine(AlterTableMixin):
         else:
             text = f" LATERAL VIEW explode({arr}) {valias} AS item "
         return p, stop, text  # p = the comma: consumed by LATERAL VIEW
+
+    def _subplan_agg_expr(
+        self, toks, first, from_i, elem, fields, salias, qpath, pred_sql,
+    ):
+        """HOF lowering for a scalar aggregate subplan.  Returns the
+        replacement expression SQL, or None for the general decorrelated
+        path.  Semantics pinned to the reference's aggs over a per-row
+        collection (nested-types-subplan.test): COUNT over an empty or
+        NULL collection is 0; SUM/MIN/MAX/AVG ignore NULL elements and
+        return NULL when nothing qualifies; SUM of integrals is BIGINT,
+        AVG is DOUBLE."""
+        from pyspark.sql import types as T
+
+        from hopspark.dialect.translate import _is_code
+
+        code = [t for t in toks[first + 1 : from_i] if _is_code(t)]
+        # optional [AS] alias on the select item — irrelevant to a
+        # scalar result
+        if len(code) >= 2 and code[-1].kind == "word":
+            if code[-2].kind == "word" and code[-2].upper == "AS":
+                code = code[:-2]
+            elif code[-2].text == ")":
+                code = code[:-1]
+        if (
+            len(code) < 4
+            or code[0].kind != "word"
+            or code[1].text != "("
+            or code[-1].text != ")"
+        ):
+            return None
+        fname = code[0].text.lower()
+        if fname not in ("count", "sum", "min", "max", "avg"):
+            return None
+        inner = code[2:-1]
+        depth = 1
+        for t in inner:  # code[-1] must close code[1]
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+                if depth == 0:
+                    return None
+        if any(t.text == "," for t in inner) or any(
+            t.kind == "word" and t.upper == "DISTINCT" for t in inner
+        ):
+            return None
+        arr_f = (
+            f"filter({qpath}, __sx -> ({pred_sql}))" if pred_sql else qpath
+        )
+        star = len(inner) == 1 and inner[0].text in ("*", "1")
+        if star:
+            if fname != "count":
+                return None
+            # size(NULL) is -1 under legacy sizeOfNull and NULL otherwise;
+            # greatest(x, 0) yields 0 for both (greatest skips NULLs)
+            return f"greatest(size({arr_f}), 0)"
+        res = self._subplan_elem_expr(inner, elem, fields, salias)
+        if res is None:
+            return None
+        e, kinds = res
+        if fname == "count":
+            cond = (
+                f"({pred_sql}) AND (({e}) IS NOT NULL)"
+                if pred_sql else f"({e}) IS NOT NULL"
+            )
+            return (
+                f"greatest(size(filter({qpath}, __sx -> {cond})), 0)"
+            )
+        if fname in ("min", "max"):
+            # array_min/max skip NULL elements; empty/NULL array -> NULL
+            return f"array_{fname}(transform({arr_f}, __sx -> ({e})))"
+        # sum/avg: numeric only, with the reference's result typing
+        if "other" in kinds:
+            return None
+        if fname == "avg":
+            return (
+                f"aggregate({arr_f},"
+                " named_struct('s', CAST(NULL AS DOUBLE),"
+                " 'c', CAST(0 AS BIGINT)),"
+                f" (__ac, __sx) -> CASE WHEN ({e}) IS NULL THEN __ac"
+                f" ELSE named_struct('s',"
+                f" coalesce(__ac.s, CAST(0 AS DOUBLE)) + ({e}),"
+                " 'c', __ac.c + 1) END,"
+                " __ac -> __ac.s / __ac.c)"
+            )
+        ty = "DOUBLE" if "float" in kinds else "BIGINT"
+        return (
+            f"aggregate({arr_f}, CAST(NULL AS {ty}),"
+            f" (__ac, __sx) -> CASE WHEN ({e}) IS NULL THEN __ac"
+            f" ELSE coalesce(__ac, CAST(0 AS {ty})) + ({e}) END)"
+        )
+
+    @staticmethod
+    def _subplan_elem_expr(code, elem, fields, salias):
+        """Rewrite an aggregate argument into a lambda body over ``__sx``.
+        Conservative allowlist — element fields (bare or qualified by the
+        collection alias), ``item`` for scalar arrays, numeric literals,
+        and + - * / % arithmetic.  Anything else returns None (general
+        path).  Returns (expr_sql, kinds) where kinds classifies the
+        fields used: 'int' (integral), 'float', 'other'."""
+        from pyspark.sql import types as T
+
+        def _kind(dt):
+            if isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                return "int"
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return "float"
+            return "other"
+
+        ftypes = (
+            {f.name.lower(): f.dataType for f in elem.fields}
+            if isinstance(elem, T.StructType) else None
+        )
+        out: list[str] = []
+        kinds: set[str] = set()
+        depth = 0
+        i, n = 0, len(code)
+        while i < n:
+            t = code[i]
+            if t.text in ("+", "-", "*", "%"):
+                out.append(t.text)
+                i += 1
+                continue
+            if t.text == "/":
+                out.append(t.text)
+                kinds.add("float")  # Impala / is double division
+                i += 1
+                continue
+            if t.text == "(":
+                depth += 1
+                out.append("(")
+                i += 1
+                continue
+            if t.text == ")":
+                depth -= 1
+                if depth < 0:
+                    return None
+                out.append(")")
+                i += 1
+                continue
+            if t.kind == "num":
+                out.append(t.text)
+                if "." in t.text or "e" in t.text.lower():
+                    kinds.add("float")
+                i += 1
+                continue
+            if t.kind == "word":
+                low = t.text.lower()
+                if (
+                    salias
+                    and low == salias.lower()
+                    and i + 2 < n
+                    and code[i + 1].text == "."
+                    and code[i + 2].kind == "word"
+                ):
+                    f2 = code[i + 2].text.lower()
+                    if ftypes is not None and f2 in ftypes:
+                        out.append(f"__sx.`{code[i + 2].text}`")
+                        kinds.add(_kind(ftypes[f2]))
+                        i += 3
+                        continue
+                    if ftypes is None and f2 == "item":
+                        out.append("__sx")
+                        kinds.add(_kind(elem))
+                        i += 3
+                        continue
+                    return None
+                if ftypes is not None and low in ftypes:
+                    out.append(f"__sx.`{t.text}`")
+                    kinds.add(_kind(ftypes[low]))
+                    i += 1
+                    continue
+                if ftypes is None and low == "item":
+                    out.append("__sx")
+                    kinds.add(_kind(elem))
+                    i += 1
+                    continue
+                return None
+            return None
+        if depth != 0 or not out:
+            return None
+        return " ".join(out), kinds
 
     @staticmethod
     def _subplan_lambda_pred(pred_toks, fields, salias, var):
@@ -970,7 +1167,13 @@ class Engine(AlterTableMixin):
                 res.append(var)
             else:
                 res.append(t.text)
-        return "".join(res)
+        joined = "".join(res)
+        if fl is None:
+            # scalar array: a collection-alias-qualified ref (o.item ->
+            # var.item after the alias substitution) means the element
+            # itself
+            joined = re.sub(rf"{var}\s*\.\s*item\b", var, joined)
+        return joined
 
     def _table_path_subquery(
         self, segs: list[str], want_pos: bool, want_item: bool

@@ -495,3 +495,63 @@ ORDER BY c_custkey
 
 QUERIES["dialect_sql_subplan_derived"] = (
     dialect_subplan_derived, DIALECT_SUBPLAN_SQL)
+
+
+def dialect_subplan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate subplans over a relative collection (r10): the
+    reference's ``(SELECT COUNT(*)/SUM/MAX/AVG FROM c.collection [WHERE])``
+    idiom (nested-types-subplan.test; planner SubplanNode streams every
+    shape, be/src/exec/subplan-node.h:43-65).  The engine lowers these to
+    higher-order functions on the parent scan — zero joins, zero extra
+    shuffles (Catalyst's generic decorrelation would join on the ARRAY
+    itself).  The oracle aggregates the flat base table — a hash match
+    proves each agg sees exactly the right elements, that NULL/empty
+    collections give COUNT 0 and SUM/MAX/AVG NULL, and that the result
+    types match the reference (SUM of integrals BIGINT, AVG DOUBLE)."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    orders = eng.spark.table("orders")
+    nested = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("okey"),
+                    F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+                )
+            ).alias("orders")
+        )
+    )
+    nested.createOrReplaceTempView("cust_orders_spa")
+    return eng.sql(
+        """
+        SELECT c.o_custkey AS c_custkey,
+               CAST((SELECT COUNT(*) FROM c.orders) AS BIGINT) AS n_orders,
+               CAST((SELECT SUM(okey) FROM c.orders WHERE okey % 2 = 0)
+                    AS BIGINT) AS sum_even,
+               CAST((SELECT MAX(price) FROM c.orders) AS DOUBLE)
+                    AS max_price,
+               CAST((SELECT AVG(okey) FROM c.orders) AS DOUBLE) AS avg_okey
+        FROM cust_orders_spa c
+        ORDER BY c_custkey
+        """
+    )
+
+
+DIALECT_SUBPLAN_AGG_SQL = """
+SELECT o_custkey AS c_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey END)
+            AS BIGINT) AS sum_even,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS max_price,
+       CAST(AVG(o_orderkey) AS DOUBLE) AS avg_okey
+FROM orders
+GROUP BY o_custkey
+ORDER BY c_custkey
+"""
+
+
+QUERIES["dialect_sql_subplan_agg"] = (
+    dialect_subplan_agg, DIALECT_SUBPLAN_AGG_SQL)

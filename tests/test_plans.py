@@ -783,3 +783,47 @@ def test_subplan_gate_query_zero_join(spark, sf_dir):
     )
     assert "Join" not in plan, plan
     assert plan.count("Generate") == 1, plan
+
+
+def test_subplan_agg_fast_path_has_no_join(spark, sf_dir):
+    """Round-10: scalar aggregate subplans — (SELECT COUNT(*)/SUM/MIN/
+    MAX/AVG FROM c.collection [WHERE pred]) — lower to higher-order
+    functions on the parent scan (size/aggregate/array_min/array_max).
+    Catalyst's generic decorrelation would join on the ARRAY ITSELF and
+    double-scan the parent; the reference's SubplanNode streams these
+    per outer row (be/src/exec/subplan-node.h:43-65)."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW plan_spa AS SELECT * FROM VALUES"
+        " (1, array(named_struct('ok', 10), named_struct('ok', 11)))"
+        " AS t(ck, c_orders)"
+    )
+    for sql in (
+        "select ck, (select count(*) from c.c_orders) n from plan_spa c",
+        "select ck, (select count(ok) from c.c_orders) n from plan_spa c",
+        "select ck, (select sum(ok) from c.c_orders where ok % 2 = 0) s"
+        " from plan_spa c",
+        "select ck, (select max(ok) from c.c_orders) m from plan_spa c",
+        "select ck, (select min(ok) from c.c_orders) m from plan_spa c",
+        "select ck, (select avg(ok) from c.c_orders) a from plan_spa c",
+        "select ck from plan_spa c"
+        " where (select count(*) from c.c_orders) > 1",
+    ):
+        plan = eng.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, (sql, plan)
+        assert "Generate" not in plan, (sql, plan)
+
+
+def test_subplan_agg_gate_query_zero_join(spark, sf_dir):
+    """dialect_sql_subplan_agg (the r10 registry query) must stay on the
+    HOF fast path: no join, no generate — one nest shuffle only."""
+    from hopspark.operators.dialect_sql import dialect_subplan_agg
+
+    plan = (
+        dialect_subplan_agg(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan

@@ -367,3 +367,69 @@ def test_subplan_unaliased_outer_table(eng3):
         "select ck from cust_sp where exists"
         " (select 1 from cust_sp.c_orders o where o.ok = 20)",
     ) == [(2,)]
+
+
+# ---- round-10: scalar aggregate subplans (HOF fast path) -----------------
+
+
+def test_subplan_agg_count_semantics(eng3):
+    # COUNT over NULL/empty collections is 0 (reference SubplanNode +
+    # non-grouping count over zero rows)
+    assert _rows(
+        eng3,
+        "select ck, (select count(*) from c.c_orders) n from cust_sp c"
+        " order by ck",
+    ) == [(1, 3), (2, 1), (3, 0)]
+    assert _rows(
+        eng3,
+        "select ck, (select count(ok) from c.c_orders where ok > 10) n"
+        " from cust_sp c order by ck",
+    ) == [(1, 2), (2, 1), (3, 0)]
+
+
+def test_subplan_agg_sum_min_max_avg(eng3):
+    assert _rows(
+        eng3,
+        "select ck, (select sum(ok) from c.c_orders) s from cust_sp c"
+        " order by ck",
+    ) == [(1, 33), (2, 20), (3, None)]
+    assert _rows(
+        eng3,
+        "select ck, (select min(od) from c.c_orders) m from cust_sp c"
+        " order by ck",
+    ) == [(1, "1992-04-19"), (2, "1996-08-05"), (3, None)]
+    assert _rows(
+        eng3,
+        "select ck, (select avg(ok) from c.c_orders where ok > 10) a"
+        " from cust_sp c order by ck",
+    ) == [(1, 11.5), (2, 20.0), (3, None)]
+    # arithmetic argument + scalar-array element
+    assert _rows(
+        eng3,
+        "select id, (select sum(item * 2) from c.xs) s from cs_sp c"
+        " order by id",
+    ) == [(1, 36), (2, 16)]
+
+
+def test_subplan_agg_in_where_and_aliased(eng3):
+    assert _rows(
+        eng3,
+        "select ck from cust_sp c"
+        " where (select count(*) from c.c_orders) > 1",
+    ) == [(1,)]
+    # alias on the agg select item is accepted and ignored
+    assert _rows(
+        eng3,
+        "select ck, (select count(*) as n from c.c_orders) n"
+        " from cust_sp c order by ck",
+    ) == [(1, 3), (2, 1), (3, 0)]
+
+
+def test_subplan_agg_result_types(eng3):
+    # SUM of integrals is BIGINT, AVG is DOUBLE (reference result typing)
+    df = eng3.sql(
+        "select (select sum(ok) from c.c_orders) s,"
+        " (select avg(ok) from c.c_orders) a from cust_sp c limit 1"
+    )
+    types = dict(df.dtypes)
+    assert types["s"] == "bigint" and types["a"] == "double"

@@ -1740,7 +1740,8 @@ class SubplanGen:
             f"FROM {tbl} GROUP BY {key} % 50)"
         )
         kind = r.choice(
-            ["exists", "not_exists", "scalar_count", "derived", "rootless"]
+            ["exists", "not_exists", "scalar_count", "derived", "rootless",
+             "scalar_sum", "scalar_minmax", "scalar_avg"]
         )
         if kind in ("exists", "not_exists"):
             neg = "NOT " if kind == "not_exists" else ""
@@ -1762,6 +1763,40 @@ class SubplanGen:
             duck = (
                 f"{cte_d} SELECT k, len(list_filter(arr,"
                 f" e -> e.x > {thr})) AS n FROM t ORDER BY k"
+            )
+        elif kind == "scalar_sum":
+            # r10: the aggregate HOF fast path (size/aggregate lowering)
+            imp = (
+                f"SELECT k, CAST((SELECT SUM(x) FROM c.arr"
+                f" WHERE y % {mod} = 0) AS BIGINT)"
+                f" AS s FROM {vname} c ORDER BY k"
+            )
+            duck = (
+                f"{cte_d} SELECT k, CAST(list_sum(list_transform("
+                f"list_filter(arr, e -> e.y % {mod} = 0), e -> e.x))"
+                f" AS BIGINT) AS s FROM t ORDER BY k"
+            )
+        elif kind == "scalar_minmax":
+            fn = r.choice(["min", "max"])
+            imp = (
+                f"SELECT k, (SELECT {fn.upper()}(x) FROM c.arr"
+                f" WHERE x > {thr}) AS m FROM {vname} c ORDER BY k"
+            )
+            duck = (
+                f"{cte_d} SELECT k, list_aggregate(list_transform("
+                f"list_filter(arr, e -> e.x > {thr}), e -> e.x),"
+                f" '{fn}') AS m FROM t ORDER BY k"
+            )
+        elif kind == "scalar_avg":
+            imp = (
+                f"SELECT k, CAST((SELECT AVG(y) FROM c.arr"
+                f" WHERE x % {mod} = 0) AS DOUBLE)"
+                f" AS a FROM {vname} c ORDER BY k"
+            )
+            duck = (
+                f"{cte_d} SELECT k, CAST(list_avg(list_transform("
+                f"list_filter(arr, e -> e.x % {mod} = 0), e -> e.y))"
+                f" AS DOUBLE) AS a FROM t ORDER BY k"
             )
         elif kind == "derived":
             imp = (
