@@ -4126,6 +4126,98 @@ def _nsf_interval_arg(toks: list[Tok], i: int, end_excl: int):
     return "DAY", n
 
 
+def _nsf_epoch_numeric(toks: list[Tok], first: int, as_idx: int):
+    """Numeric seconds-since-epoch inside CAST(... AS TIMESTAMP):
+    a bare float literal or CAST(<float literal> AS DOUBLE).  Mirrors the
+    reference's double->TimestampValue (timestamp-value.inline.h
+    FromSubsecondUnixTime: C++ double split, ns truncated) — the source
+    of expr-test.cc:3484's .032999992.  Returns ('ok', ordinal, ns_of_day)
+    or None."""
+    import datetime as _dt
+
+    j = first
+    if (
+        j < len(toks)
+        and toks[j].kind == "word"
+        and toks[j].upper == "CAST"
+    ):
+        o = _next_code(toks, j + 1)
+        if o >= len(toks) or toks[o].text != "(":
+            return None
+        try:
+            close = _matching_paren(toks, o)
+        except ValueError:
+            return None
+        if _next_code(toks, close + 1) != as_idx:
+            return None
+        as2 = _nsf_depth1_as(toks, o, close)
+        if as2 < 0:
+            return None
+        ty2 = "".join(
+            t.text for t in toks[as2 + 1 : close] if _is_code(t)
+        ).upper()
+        if ty2 != "DOUBLE":
+            return None
+        inner = _next_code(toks, o + 1)
+        if (
+            inner >= close
+            or toks[inner].kind != "num"
+            or _next_code(toks, inner + 1) != as2
+        ):
+            return None
+        txt = toks[inner].text
+    elif j < len(toks) and toks[j].kind == "num":
+        if _next_code(toks, j + 1) != as_idx:
+            return None
+        txt = toks[j].text
+    else:
+        return None
+    if "." not in txt:
+        return None  # integer seconds are µs-exact; no fold needed
+    try:
+        v = float(txt)
+    except ValueError:
+        return None
+    if v < 0:
+        return None
+    secs = int(v)
+    ns = int((v - secs) * 1e9)  # C++ truncating cast
+    if ns >= 1_000_000_000:
+        secs, ns = secs + 1, 0
+    ordinal = _dt.date(1970, 1, 1).toordinal() + secs // 86400
+    if ordinal < _nsf_min_ord() or ordinal > _nsf_max_ord():
+        return None
+    return ("ok", ordinal, (secs % 86400) * 1_000_000_000 + ns)
+
+
+def _nsf_display_pos(toks: list[Tok], i: int, end: int) -> bool:
+    """True when toks[i..end] is a WHOLE top-level select item — the
+    display context where the reference renders a bare timestamp with its
+    ns digits.  Any surrounding expression (outer cast, typeof, function,
+    arithmetic, comparison) keeps the µs TimestampType so typing
+    contracts don't shift."""
+    depth = 0
+    for t in toks[:i]:
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+    if depth != 0:
+        return False
+    p = _prev_code(toks, i - 1)
+    if p >= 0 and not (
+        toks[p].text == ","
+        or (toks[p].kind == "word"
+            and toks[p].upper in ("SELECT", "DISTINCT", "ALL"))
+    ):
+        return False
+    n = _next_code(toks, end + 1)
+    if n >= len(toks):
+        return True
+    t = toks[n]
+    return t.text == "," or t.kind == "word"
+
+
 def _nsf_parse(toks: list[Tok], i: int):
     """Constant TIMESTAMP expression at code index i -> (last_idx, value,
     has_arith) or None.  value: ('ok', ordinal, ns) | ('null',)."""
@@ -4158,13 +4250,17 @@ def _nsf_parse(toks: list[Tok], i: int):
                 return None
             node = (close, v, False)
         else:
-            r = _nsf_parse(toks, first)
-            if r is None:
-                return None
-            end_in, v, ha = r
-            if _next_code(toks, end_in + 1) != as_idx:
-                return None
-            node = (close, v, ha)
+            vnum = _nsf_epoch_numeric(toks, first, as_idx)
+            if vnum is not None:
+                node = (close, vnum, False)
+            else:
+                r = _nsf_parse(toks, first)
+                if r is None:
+                    return None
+                end_in, v, ha = r
+                if _next_code(toks, end_in + 1) != as_idx:
+                    return None
+                node = (close, v, ha)
     elif up in ("DATE_ADD", "DATE_SUB", "ADDDATE", "SUBDATE", "ADD_MONTHS") \
             or toks[i].text.lower() in _NSF_UNIT_FUNCS:
         o = _next_code(toks, i + 1)
@@ -4288,6 +4384,27 @@ def _fold_ns_literal_timestamps(toks: list[Tok]) -> list[Tok]:
                                 ]
                                 i += 1
                                 continue
+                elif ty == "TIMESTAMP":
+                    # bare sub-µs literal in a DISPLAY context: the
+                    # reference renders the stored ns digits
+                    # (expr-test.cc:3276-3484); Spark's TimestampType
+                    # would truncate to µs.  Fold the whole select item
+                    # (incl. postfix INTERVAL arithmetic) to the rendered
+                    # string — guarded to top-level items only so
+                    # typeof/outer casts/expressions keep TimestampType.
+                    r = _nsf_parse(toks, i)
+                    if r is not None:
+                        end, v, _ha = r
+                        if (
+                            v[0] == "ok"
+                            and v[2] % 1000 != 0
+                            and _nsf_display_pos(toks, i, end)
+                        ):
+                            toks[i : end + 1] = [
+                                Tok("str", "'" + _nsf_render(v) + "'")
+                            ]
+                            i += 1
+                            continue
         r = _nsf_parse(toks, i)
         if r is None:
             i += 1

@@ -96,7 +96,11 @@ CURATED_FIRST = (
     # (LATERAL VIEW filter/slice lowering) whose failure modes no gate row
     # exercises; patterns10 keeps tpcds_q49_dual_rank_union, and q49a
     # stays sim-checked.
-    "dialect_sql_subplan_derived",
+    # r10 rotation: subplan_derived (driver-green r9) hands its slot to
+    # the scalar-aggregate subplan — the r10 HOF fast path
+    # (size/aggregate/array_min lowering), never driver-checked; the
+    # derived-table shape stays sim-checked + plan-locked.
+    "dialect_sql_subplan_agg",
     "agg_stats_moments",
     # Analytic / windows (§2.6).
     # r7 rotation: window_rank_topn rotates out — the partitioned-TopN
@@ -114,14 +118,23 @@ CURATED_FIRST = (
     # its slot to the rootless table-path collection scan — the new FROM
     # tbl.collection surface (schema-resolved LATERAL VIEW rewrite), never
     # driver-checked; zipping UNNEST stays golden-pinned + sim-checked.
-    "dialect_sql_table_path_scan",
+    # r10 rotation: table_path_scan (driver-green r9) hands its slot to
+    # the implicit collection join through SQL (FROM t, t.arr — the
+    # translate-layer rewrite, never driver-checked); nested_zip_unnest
+    # returns per the r9 verdict's ask.
+    "dialect_sql_collection_join",
+    "nested_zip_unnest",
     "nested_from_disk",
     # r9 rotation: subquery_scalar_threshold (driver-green since r1) hands
     # its slot to the recursive-CTE month spine — a plan shape (iterative
     # UNION ALL expansion) no gate row has ever exercised; the scalar-
     # subquery + CardinalityCheck family stays sim-checked and plan-locked
     # (tests/test_plans.py:121).
-    "recursive_month_spine",
+    # r10 rotation: month spine (driver-green r9) hands the slot back to
+    # subquery_scalar_threshold per the r9 verdict's ask (CardinalityCheck
+    # returns to the external oracle); the recursive-CTE shape stays
+    # sim-checked.
+    "subquery_scalar_threshold",
     # Deduplication. r5 rotation: avro_roundtrip_agg (below) displaces
     # dedup_ngram_jaccard — the near-dup family keeps embedding_cosine
     # plus the cc_clusters Jaccard-join row, and ngram-Jaccard stays
@@ -130,7 +143,11 @@ CURATED_FIRST = (
     # to the n-gram Jaccard near-dup screen (never driver-checked; its
     # banded shingle-join failure modes differ from the cc_clusters row);
     # exact dedup stays sim-checked.
-    "dedup_ngram_jaccard",
+    # r10 rotation: ngram_jaccard (driver-green r9) hands its slot to the
+    # connected-component cluster-size distribution (never driver-checked;
+    # exercises the large-star/small-star iteration's OUTPUT contract, not
+    # just membership); the Jaccard screen stays sim-checked.
+    "dedup_cc_cluster_sizes",
     # r7 rotation: the incremental batch-vs-history anti-join dedup and the
     # capped-prefix Levenshtein verify stage (both new in r6, sim-only until
     # now) take their first driver rows; dedup_embedding_cosine stays
@@ -150,10 +167,18 @@ CURATED_FIRST = (
     # never-driver-checked format codecs — the ORC write→read roundtrip
     # and the pure-Python RCFile reader with column pruning; avro stays
     # sim-checked.
-    "orc_roundtrip_agg",
-    "rcfile_roundtrip_prune",
+    # r10 rotation: orc + rcfile (driver-green r9) hand their slots to the
+    # LAST three never-driver-checked format codecs — CSV and JSON
+    # roundtrips and the pure-Python SequenceFile reader; with these every
+    # format family has had an external-oracle row.
+    "csv_roundtrip_scan",
+    "json_roundtrip_agg",
+    "seqfile_roundtrip_scan",
     # Similarity graph / PageRank.
-    "dedup_cc_clusters",
+    # r10 rotation: cc_clusters (driver-green r9) rotates out — the same
+    # large-star/small-star iteration is now externally checked through
+    # dedup_cc_cluster_sizes above, which also pins the size-distribution
+    # output contract; membership stays sim-checked.
     "graph_pagerank_bipartite",
     # Temporal. r6 session-3 rotation: the ordered three-step funnel
     # (sort_array fold with chained-min oracle — a shape no other gate row
@@ -164,7 +189,9 @@ CURATED_FIRST = (
     # r8 rotation: the daily-anomaly z-score screen (r7's new temporal
     # operator, sim-only until now) takes its first driver row;
     # events_session_funnel was driver-green in r7 and stays sim-checked.
-    "events_daily_anomaly",
+    # r10 rotation: daily-anomaly (driver-green r8/r9) rotates out — the
+    # temporal family keeps temporal_asof_attribution; its slot funds the
+    # r10 never-checked intake below.
     # Similarity search. r7 rotation: int8 embedding quantization
     # (zero-shuffle scan-side array kernels, engine-stable rounding) takes
     # its first driver row.
@@ -183,10 +210,16 @@ CURATED_FIRST = (
     # until now) takes text_contamination's slot — contamination was
     # driver-green in r7 and stays sim-checked; the text family keeps
     # tfidf_top_terms + bigram_score under the gate.
-    "pipeline_curriculum_order",
+    # r10 rotation: curriculum_order (driver-green r8/r9) hands its slot
+    # to q87's chained EXCEPT (never driver-checked; the only chained
+    # set-difference shape in the registry); pipeline keeps two rows.
+    "tpcds_q87_chained_except",
     # r7 rotation: per-doc TF-IDF top terms (tf join df over two
     # pre-aggregated relations, WindowGroupLimit top-k) — first driver row.
-    "text_tfidf_top_terms",
+    # r10 rotation: tfidf (driver-green r7-r9) hands its slot to the
+    # n-gram language-ID heuristic — a core LLM-pipeline text operator
+    # never externally checked; tfidf stays sim-checked + plan-asserted.
+    "text_langid_heuristic",
     # Multimodal.
     # r7 rotation: mm_decode_image hands its slot to the new rows below;
     # the PPM/BMP decode path stays sim-checked + unit-tested, and the
@@ -211,12 +244,24 @@ CURATED_FIRST = (
     # verdict's #1 item — salted partial fold + merge, no whole-group
     # materialization) takes a driver row; mask_bytes rotates out after its
     # r6 driver green (mask family stays golden-pinned + sim-checked).
-    "dialect_sql_uda_mergeable_weighted_avg",
+    # r10 rotation: the main-statement mergeable UDA (driver-green r7-r9)
+    # hands its slot to the UDA-inside-CTE-body variant (r9 verdict item
+    # 6, never driver-checked) — same salted two-stage machinery PLUS the
+    # recursive CTE-body rewrite and the outer filter-over-results shape.
+    "dialect_sql_uda_in_cte",
     # TPC-DS patterns.
     "tpcds_q36_margin_rollup_rank",
-    "tpcds_q33_manufacturer_union",
+    # r10 rotation: q33 (driver-green since r1) hands its slot to
+    # keep-first exact dedup (never driver-checked; pins the DETERMINISTIC
+    # row-ordering contract of the keep rule, not just group membership) —
+    # restoring the dedup module's gate row after ngram_jaccard rotated
+    # out; q33's union composite stays sim-checked.
+    "dedup_exact_keep_first",
     "tpcds_q67_rollup_rank_topn",
-    "tpcds_q19_disjunctive_bands",
+    # r10 rotation: q19 (driver-green since r4) hands its slot to the
+    # q47 windowed deviation-from-mean (lag/lead + avg-over-partition
+    # composition, never driver-checked).
+    "tpcds_q47_window_deviation",
     "tpcds_q57_rolling_window",
     # r7 rotation: the full q49 structure (sales LEFT JOIN returns with a
     # nullable-side predicate -> inner conversion, dual rank windows,
@@ -234,9 +279,10 @@ CURATED_FIRST = (
     # q51a, and the rollup+rank composition by q36/q67 above. q86 keeps
     # its sim check.
     "text_bigram_score",
-    # r4: engine-neutral weekday pivot (tpcds_patterns7); replaces
-    # window_value_fns_ignore_nulls (analytic keeps 3 curated rows).
-    "tpcds_q43_weekday_pivot",
+    # r10 rotation: q43 weekday pivot (driver-green since r4) hands its
+    # slot to q89's deviation-from-monthly-average (same module, never
+    # driver-checked); the pivot shape stays sim-checked.
+    "tpcds_q89_monthly_avg_deviation",
     # r4: multi-supplier/no-returns HAVING composite (tpcds_patterns8);
     # replaces text_quality_score (text family keeps token_stats).
     "tpcds_q94_multi_supplier_clean_orders",
@@ -252,15 +298,23 @@ CURATED_FIRST = (
     # 512-bin scale path promised in r6) takes its first driver row; the
     # exact two-sample variant dq_ks_distribution_drift was driver-green in
     # r7 and stays sim-checked.
-    "dq_ks_drift_bucketed",
+    # r10 rotation: KS-bucketed (driver-green r8/r9) hands its slot to
+    # the Benford first-digit screen (never driver-checked; distinct
+    # failure mode: log-bucketing + expected-distribution compare).
+    "dq_benford_first_digit",
     # r9 rotation: rebalance_uniform (driver-green r6-r8) hands its slot to
     # the temperature-weighted sampling allocator (never driver-checked);
     # uniform rebalance stays sim-checked.
-    "mixture_temperature_weights",
+    # r10 rotation: temperature weights (driver-green r9) hands its slot
+    # to the deterministic hash-stratified sampler (never driver-checked).
+    "mixture_stratified_sample",
     # r9 rotation: hourly_rollup (driver-green r5-r8) hands its slot to the
     # streaming key-dedup shape (never driver-checked); the windowed rollup
     # stays sim-checked with its watermark unit tests.
-    "streaming_dedup_keys",
+    # r10 rotation: dedup_keys (driver-green r9) hands its slot to the
+    # stream-stream view→purchase interval join (never driver-checked —
+    # the watermarked two-stream state shape).
+    "streaming_view_purchase_join",
 )
 
 

@@ -555,3 +555,75 @@ ORDER BY c_custkey
 
 QUERIES["dialect_sql_subplan_agg"] = (
     dialect_subplan_agg, DIALECT_SUBPLAN_AGG_SQL)
+
+
+def dialect_uda_in_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable UDA called INSIDE a CTE body (r10): ``WITH c AS (SELECT
+    k, wavg(x,w) ... GROUP BY k) SELECT ... FROM c`` — the natural
+    analyst shape after r9's WITH-prefix support.  The rewriter
+    (hopspark/uda.py) recursively compiles the CTE body to the salted
+    two-stage partial/merge plan; the outer statement filters and ranks
+    the per-group results.  Hash match against a plain-SQL oracle proves
+    the in-CTE split+merge recombination is exact."""
+    eng = _engine(spark, sf_dir)
+
+    import numpy as np
+
+    def init() -> list:
+        return [0.0, 0.0]
+
+    def update(acc: list, price, qty) -> list:
+        acc[0] += price * qty
+        acc[1] += qty
+        return acc
+
+    def merge(acc: list, other: list) -> list:
+        acc[0] += other[0]
+        acc[1] += other[1]
+        return acc
+
+    def finalize(acc: list):
+        return float(np.round(acc[0] / acc[1], 6)) if acc[1] else None
+
+    eng.create_aggregate_function(
+        "wavg_cte",
+        return_type="double",
+        init=init,
+        update=update,
+        merge=merge,
+        finalize=finalize,
+    )
+    return eng.sql(
+        """
+        WITH flag_prices AS (
+            SELECT l_returnflag AS flag, l_linestatus AS status,
+                   wavg_cte(CAST(l_extendedprice AS DOUBLE),
+                            CAST(l_quantity AS DOUBLE)) AS w_price
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT flag, status, w_price
+        FROM flag_prices
+        WHERE w_price > 0
+        ORDER BY flag, status
+        """
+    )
+
+
+DIALECT_UDA_CTE_SQL = """
+WITH flag_prices AS (
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
+                     * CAST(l_quantity AS DOUBLE))
+                 / SUM(CAST(l_quantity AS DOUBLE)), 6) AS w_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+)
+SELECT flag, status, w_price
+FROM flag_prices
+WHERE w_price > 0
+ORDER BY flag, status
+"""
+
+
+QUERIES["dialect_sql_uda_in_cte"] = (dialect_uda_in_cte, DIALECT_UDA_CTE_SQL)

@@ -40,3 +40,30 @@ def test_golden_case(engine, case):
 
 def test_corpus_nonempty():
     assert len(_CASES) >= 30
+
+
+def test_readme_golden_count_matches_loader():
+    """The README's golden-corpus count is generated from the loader
+    (tools/gen_golden_count.py) — assert it hasn't drifted (r9 verdict
+    nit: three docs quoted a hand-maintained 1071 vs the loader's 1047)."""
+    import pathlib
+    import re
+    import sys
+
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).resolve().parent.parent / "tools"
+    ))
+    from gen_golden_count import counts
+
+    n_files, n_cases = counts()
+    readme = (
+        pathlib.Path(__file__).resolve().parent.parent / "README.md"
+    ).read_text()
+    m = re.search(
+        r"golden-count:begin -->Golden corpus: \*\*(\d+) cases across "
+        r"(\d+) files\*\*", readme,
+    )
+    assert m, "README golden-count marker missing"
+    assert (int(m.group(2)), int(m.group(1))) == (n_files, n_cases), (
+        "README golden count stale — rerun tools/gen_golden_count.py"
+    )

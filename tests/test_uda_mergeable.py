@@ -76,8 +76,11 @@ def test_rewrite_splits_builtin_aggregates():
         "SELECT DISTINCT k, wavg(a) AS w FROM t GROUP BY k",
         # set operation
         "SELECT k, wavg(a) AS w FROM t GROUP BY k UNION ALL SELECT 1, 2.0",
-        # UDA call inside a CTE body (only main-statement calls rewrite)
-        "WITH c AS (SELECT k, wavg(a) AS w FROM t GROUP BY k) SELECT * FROM c",
+        # UDA call inside a CTE body now rewrites (r10; see
+        # test_rewrite_uda_inside_cte_body) — an UNSUPPORTED body shape
+        # still refuses
+        "WITH c AS (SELECT DISTINCT k, wavg(a) AS w FROM t GROUP BY k)"
+        " SELECT * FROM c",
         # expression group key SELECTED without an alias (output column name
         # would be the internal __hop_g_0, not the expression text)
         "SELECT year(ts), wavg(a) AS w FROM t GROUP BY year(ts)",
@@ -456,6 +459,66 @@ def test_mergeable_cte_end_to_end(spark, sf_dir):
         "CAST(l_extendedprice AS DOUBLE) AS p, "
         "CAST(l_quantity AS DOUBLE) AS q FROM lineitem) "
         "SELECT k, wavg_c(p, q) AS w FROM li GROUP BY k ORDER BY k"
+    )
+    plan = _executed_plan(got)
+    assert "__hop_salt" in plan
+    rows = [(r.k, r.w) for r in got.collect()]
+    truth = [(r.l_returnflag, r.w) for r in eng.sql(TRUTH_SQL).collect()]
+    assert [g[0] for g in rows] == [t[0] for t in truth]
+    for (_, gv), (_, tv) in zip(rows, truth):
+        assert gv == pytest.approx(tv, abs=5e-6)
+
+
+def test_rewrite_uda_inside_cte_body():
+    """Round-10 (r9 verdict item 6): a mergeable-UDA call INSIDE a CTE
+    body recursively rewrites the body to the salted two-stage plan; the
+    main statement passes through verbatim when it has no UDA call."""
+    out = rewrite_mergeable_uda(
+        "WITH c AS (SELECT k, wavg(x, w) AS r FROM t GROUP BY k) "
+        "SELECT k, r FROM c WHERE r > 1 ORDER BY k",
+        {"wavg"},
+    )
+    assert out is not None
+    assert "wavg__partial(x, w) AS __hop_p_0" in out
+    assert "wavg__merge(__hop_p_0) AS r" in out
+    assert out.rstrip().endswith("SELECT k, r FROM c WHERE r > 1 ORDER BY k")
+    # UDA in BOTH a CTE body and the main statement: both rewrite
+    out2 = rewrite_mergeable_uda(
+        "WITH c AS (SELECT k, wavg(x, w) AS r FROM t GROUP BY k) "
+        "SELECT k, wavg(r, r) AS z FROM c GROUP BY k",
+        {"wavg"},
+    )
+    assert out2 is not None and out2.count("wavg__merge") == 2
+    # second of two CTEs calls the UDA
+    out3 = rewrite_mergeable_uda(
+        "WITH a AS (SELECT 1 AS k, 2.0 AS x), "
+        "b AS (SELECT k, wavg(x, x) AS r FROM a GROUP BY k) "
+        "SELECT k, r FROM b",
+        {"wavg"},
+    )
+    assert out3 is not None and "wavg__partial" in out3
+    # an unsupported body shape (UDA inside a window fn) falls back
+    assert rewrite_mergeable_uda(
+        "WITH c AS (SELECT k, wavg(x, w) OVER (PARTITION BY k) AS r"
+        " FROM t) SELECT k FROM c",
+        {"wavg"},
+    ) is None
+    # no UDA anywhere: nothing to rewrite
+    assert rewrite_mergeable_uda(
+        "WITH c AS (SELECT 1 AS k) SELECT k FROM c", {"wavg"}
+    ) is None
+
+
+def test_mergeable_uda_in_cte_body_end_to_end(spark, sf_dir):
+    """UDA inside the CTE body runs the salted two-stage plan and matches
+    the plain-SQL truth through the outer filter."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    _register_wavg(eng, "wavg_cb")
+    got = eng.sql(
+        "WITH fp AS (SELECT l_returnflag AS k, "
+        "wavg_cb(CAST(l_extendedprice AS DOUBLE), "
+        "CAST(l_quantity AS DOUBLE)) AS w FROM lineitem GROUP BY "
+        "l_returnflag) SELECT k, w FROM fp WHERE w > 0 ORDER BY k"
     )
     plan = _executed_plan(got)
     assert "__hop_salt" in plan
