@@ -116,3 +116,41 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_bounded_cluster_smoke_linearity(spark, sf_dir):
+    """Round-10 (r9 verdict item 7): small-N smoke of the 100× bounded-
+    cluster probe (tools/scale_probe.py --big).  Duplicate clusters stay
+    constant-width while the corpus grows 4×, so a LINEAR operator's
+    OUTPUT rows grow ≈4× — an all-pairs plan regression in the dedup/text
+    family would blow the ratio (cross-group candidates) or the runtime.
+    Row-count ratios are deterministic; the time cap is generous."""
+    import sys
+    import time
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from scale_probe import build_bounded
+
+    from hopspark.operators import all_queries
+
+    reg = all_queries()
+    t0 = time.time()
+    d_small = build_bounded(spark, 8, base=sf_dir)    # 4k docs
+    d_big = build_bounded(spark, 32, base=sf_dir)     # 16k docs
+    for name, lo, hi in (
+        ("dedup_minhash_candidates", 2.5, 6.0),
+        ("dedup_cc_clusters", 2.5, 6.0),
+        ("text_tfidf_top_terms", 2.5, 6.0),
+    ):
+        fn = reg[name][0]
+        r_small = fn(spark, d_small).count()
+        r_big = fn(spark, d_big).count()
+        assert r_small > 0, name
+        ratio = r_big / r_small
+        assert lo <= ratio <= hi, (
+            f"{name}: output rows grew {ratio:.1f}x for a 4x corpus — "
+            f"expected ≈4x (constant-width clusters); an all-pairs "
+            f"regression? rows {r_small} -> {r_big}"
+        )
+    assert time.time() - t0 < 120, "bounded-cluster smoke exceeded budget"

@@ -127,7 +127,8 @@ def build_scaled(spark, n: int) -> str:
     return out
 
 
-def build_bounded(spark, n: int, group: int = 10) -> str:
+def build_bounded(spark, n: int, group: int = 10,
+                  base: str | None = None) -> str:
     """n id-shifted document copies where the near-duplicate CLUSTER SIZE
     stays `group` no matter how large n grows.
 
@@ -149,11 +150,13 @@ def build_bounded(spark, n: int, group: int = 10) -> str:
 
     from hopspark.catalog import TABLES, read_table
 
-    out = f"{SCALED}/b{n}g{group}"
+    base = base or BASE
+    tag = "" if base == BASE else f"-{os.path.basename(base.rstrip('/'))}"
+    out = f"{SCALED}/b{n}g{group}{tag}"
     os.makedirs(out, exist_ok=True)
     doc_path = os.path.join(out, "documents.parquet")
     if not os.path.exists(doc_path):
-        docs = read_table(spark, "documents", BASE)
+        docs = read_table(spark, "documents", base)
         rep = docs.select(
             F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_i"), "*"
         )
@@ -189,7 +192,7 @@ def build_bounded(spark, n: int, group: int = 10) -> str:
             continue
         link = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(link):
-            os.symlink(os.path.join(BASE, f"{t}.parquet"), link)
+            os.symlink(os.path.join(base, f"{t}.parquet"), link)
     return out
 
 
