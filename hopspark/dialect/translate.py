@@ -6203,7 +6203,20 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
     access ``a.field`` works unchanged, and the scalar-array accessors
     ``a.item`` / ``a.pos`` are mapped to ``a`` / ``a__pos``.  Only fires
     when the path's qualifier matches an alias already bound in the same
-    FROM clause — ``FROM db.tbl x`` never matches."""
+    FROM clause — ``FROM db.tbl x`` never matches.
+
+    Chained refs (r10): a path may be rooted at a COLLECTION alias bound
+    by an earlier item of the same clause — ``t.int_array_array a1,
+    a1.item a2`` (array-of-array elements), ``t.int_map_array a, a.item
+    m`` (map elements), ``t.nested_struct.g g, g.value.h.i`` (map-value
+    navigation) — the reference's multi-level collection joins
+    (nested-types-scanner-position.test / -maps.test).  Each rewritten
+    item registers its element expression so later items resolve through
+    it."""
+    #: alias -> exploded-element SQL for array collection aliases
+    cj_elems: dict[str, str] = {}
+    #: alias -> (key expr, value expr) for map collection aliases
+    cj_maps: dict[str, tuple[str, str]] = {}
     i = 0
     while i < len(toks):
         t = toks[i]
@@ -6233,7 +6246,11 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
         if (
             q_i >= len(toks)
             or toks[q_i].kind != "word"
-            or toks[q_i].text.lower() not in aliases
+            or (
+                toks[q_i].text.lower() not in aliases
+                and toks[q_i].text.lower() not in cj_elems
+                and toks[q_i].text.lower() not in cj_maps
+            )
         ):
             i += 1
             continue
@@ -6272,7 +6289,24 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                     end = a_i
         if alias is None:
             alias = path[-1]
-        dotted = ".".join(path)
+        root_low = path[0].lower()
+        # a path rooted at a COLLECTION alias resolves through its
+        # element expression (chained refs); a map alias navigates
+        # through its value
+        root_expr = path[0]
+        rest = path[1:]
+        if root_low in cj_elems:
+            root_expr = cj_elems[root_low]
+            if rest and rest[0].lower() == "item":
+                # the element IS the collection to explode next
+                rest = rest[1:]
+        elif root_low in cj_maps:
+            if not rest or rest[0].lower() != "value":
+                i += 1
+                continue  # only value-side navigation can continue
+            root_expr = cj_maps[root_low][1]
+            rest = rest[1:]
+        dotted = root_expr + ("." + ".".join(rest) if rest else "")
         # interior/trailing `item` segments hop INTO an array-of-array
         # (reference path grammar: `t.int_array_array.item a` binds a to
         # the inner arrays' elements).  Purely syntactic: each `item`
@@ -6281,15 +6315,20 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
         # navigation after it).  INNER (non-outer) semantics throughout,
         # like the single-hop form.
         hops: list[str] = []
-        if any(p.lower() == "item" for p in path[1:]):
+        if any(p.lower() == "item" for p in rest):
             groups: list[list[str]] = [[]]
-            for p in path[1:]:
+            for p in rest:
                 if p.lower() == "item":
                     groups.append([])
                 else:
                     groups[-1].append(p)
-            if groups[0]:
-                cur = path[0] + "." + ".".join(groups[0])
+            # for an unregistered root, a LEADING `item` segment is a
+            # plain column named item (e.g. the engine's rootless-scan
+            # subqueries expose the element as `item`) — don't split
+            if groups[0] or root_low in cj_elems or root_low in cj_maps:
+                cur = root_expr + (
+                    "." + ".".join(groups[0]) if groups[0] else ""
+                )
                 for gi, g in enumerate(groups[1:], 1):
                     hops.append(cur)
                     cur = f"{alias}__h{gi}" + (
@@ -6325,6 +6364,37 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
         is_map = bool(
             {"key", "value"} & suffixes and not {"item", "pos"} & suffixes
         )
+        # bare (unqualified) item/pos refs bind to an UNALIASED collection
+        # scan — `FROM t.g g, g.value.h.i` then `select item, pos`
+        # (reference resolution: innermost collection).  Only when the
+        # path had no explicit alias and no qualified refs exist, so an
+        # aliased join never hijacks bare names.
+        def _bare_words(names: tuple[str, ...]) -> set[str]:
+            found: set[str] = set()
+            for m in range(len(toks)):
+                tk = toks[m]
+                if tk.kind != "word" or tk.text.lower() not in names:
+                    continue
+                p = _prev_code(toks, m - 1)
+                if p >= 0 and toks[p].text == ".":
+                    continue
+                d = _next_code(toks, m + 1)
+                if d < len(toks) and toks[d].text in (".", "("):
+                    continue
+                found.add(tk.text.lower())
+            return found
+
+        bare_refs: set[str] = set()
+        if not suffixes and alias == path[-1]:
+            bare_refs = _bare_words(("item", "pos"))
+            suffixes |= bare_refs
+        #: bare key/value bind to an unaliased MAP join the same way
+        bare_map_refs: set[str] = set()
+        if alias == path[-1] and not ({"item", "pos"} & suffixes):
+            bare_map_refs = _bare_words(("key", "value"))
+            if bare_map_refs:
+                is_map = True
+                suffixes |= bare_map_refs
         # INNER collection semantics: the reference's implicit join omits
         # rows whose collection is empty or NULL (nested-types-scanner-
         # basic.test: 8-row table, 10 items — no padding rows), while
@@ -6360,7 +6430,20 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                 f"AS {alias} "
             )
         toks[i : end + 1] = [Tok("word", hop_sql + lateral)]
+
+        def _starts_from_item(m: int) -> bool:
+            """A ref that IS the root of a later FROM item must survive
+            for that item's own chained rewrite (registry-resolved)."""
+            p = _prev_code(toks, m - 1)
+            return (
+                p >= 0 and toks[p].text == "," and _in_from_clause(toks, p)
+            )
+
         if is_map:
+            cj_maps[alias.lower()] = (
+                f"_cj_{alias}.{alias}__key",
+                f"_cj_{alias}.{alias}__value",
+            )
             m = 0
             while m < len(toks) - 2:
                 a = toks[m]
@@ -6369,6 +6452,7 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                     a.kind == "word"
                     and a.text.lower() == alias.lower()
                     and (p < 0 or toks[p].text != ".")
+                    and not _starts_from_item(m)
                 ):
                     d = _next_code(toks, m + 1)
                     if d < len(toks) and toks[d].text == ".":
@@ -6382,14 +6466,80 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                             toks[d] = Tok("op", "")
                             toks[w] = Tok("word", "")
                 m += 1
+            if bare_map_refs:
+                m = 0
+                while m < len(toks):
+                    tk = toks[m]
+                    if (
+                        tk.kind == "word"
+                        and tk.text.lower() in bare_map_refs
+                    ):
+                        p = _prev_code(toks, m - 1)
+                        d = _next_code(toks, m + 1)
+                        if (p < 0 or toks[p].text != ".") and (
+                            d >= len(toks)
+                            or toks[d].text not in (".", "(")
+                        ):
+                            suf = tk.text.lower()
+                            repl_sql = f"_cj_{alias}.{alias}__{suf}"
+                            # alias bare WHOLE select items so the output
+                            # column keeps its reference name
+                            if (
+                                _select_clause_here(toks, m)
+                                and (p < 0 or toks[p].text == ","
+                                     or toks[p].upper
+                                     in ("SELECT", "DISTINCT"))
+                                and (d >= len(toks) or toks[d].text == ","
+                                     or toks[d].upper == "FROM")
+                            ):
+                                repl_sql += f" AS {suf}"
+                            toks[m] = Tok("word", repl_sql)
+                    m += 1
             i += 1
             continue
+        cj_elems[alias.lower()] = (
+            f"_cj_{alias}.{alias}" if suffixes else f"_cj_{alias}.col"
+        )
         # rewrite the collection refs, fully qualified through the lateral
         # view alias so a no-alias join (`FROM t, t.arr` → exploded column
         # also named `arr`) cannot be ambiguous against the source column:
         #   alias.item  → _cj_alias.alias
         #   alias.pos   → _cj_alias.alias__pos
         #   alias.field → _cj_alias.alias.field   (struct elements)
+        if bare_refs:
+            # bare item/pos bind to this collection (no alias, no
+            # qualified refs anywhere)
+            m = 0
+            while m < len(toks):
+                tk = toks[m]
+                if (
+                    tk.kind == "word"
+                    and tk.text.lower() in bare_refs
+                ):
+                    p = _prev_code(toks, m - 1)
+                    d = _next_code(toks, m + 1)
+                    if (p < 0 or toks[p].text != ".") and (
+                        d >= len(toks) or toks[d].text not in (".", "(")
+                    ):
+                        if tk.text.lower() == "item":
+                            toks[m] = Tok("word", f"_cj_{alias}.{alias}")
+                        else:
+                            repl_sql = (
+                                f"CAST(_cj_{alias}.{alias}__pos AS BIGINT)"
+                            )
+                            if (
+                                _select_clause_here(toks, m)
+                                and (p < 0 or toks[p].text == ","
+                                     or toks[p].upper
+                                     in ("SELECT", "DISTINCT"))
+                                and (d >= len(toks) or toks[d].text == ","
+                                     or toks[d].upper == "FROM")
+                            ):
+                                repl_sql += " AS pos"
+                            toks[m] = Tok("word", repl_sql)
+                m += 1
+            i += 1
+            continue
         m = 0
         while m < len(toks) - 2:
             a = toks[m]
@@ -6398,6 +6548,7 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                 a.kind == "word"
                 and a.text.lower() == alias.lower()
                 and (p < 0 or toks[p].text != ".")
+                and not _starts_from_item(m)
             ):
                 d = _next_code(toks, m + 1)
                 if d < len(toks) and toks[d].text == ".":

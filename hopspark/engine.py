@@ -353,13 +353,18 @@ class Engine(AlterTableMixin):
             _is_code, _next_code, _prev_code, tokenize, untokenize,
         )
 
+        from hopspark.dialect.translate import _in_from_clause
+
         toks = tokenize(impala_sql)
         tables: set[str] | None = None
         changed = False
         i = 0
         while i < len(toks):
             t = toks[i]
-            if not (t.kind == "word" and t.upper in ("FROM", "JOIN")):
+            if not (
+                (t.kind == "word" and t.upper in ("FROM", "JOIN"))
+                or (t.text == "," and _in_from_clause(toks, i))
+            ):
                 i += 1
                 continue
             j = _next_code(toks, i + 1)
@@ -756,9 +761,13 @@ class Engine(AlterTableMixin):
                     else:
                         body = untokenize(toks[o:close]).lower()
                         if re.search(r"\bpos\b", body):
+                            # pos is BIGINT in the reference; posexplode
+                            # yields INT
                             gen = (
-                                f"SELECT posexplode({qpath})"
-                                " AS (pos, item)"
+                                "SELECT CAST(__spp AS BIGINT) AS pos,"
+                                " __spi AS item FROM (SELECT"
+                                f" posexplode({qpath})"
+                                " AS (__spp, __spi))"
                             )
                         else:
                             gen = f"SELECT explode({qpath}) AS item"
@@ -768,6 +777,20 @@ class Engine(AlterTableMixin):
                 if gen:
                     break
             if gen is None:
+                # COLLECTION-ALIAS qualifier — (SELECT COUNT(*) cnt FROM
+                # a1.item) v where a1 is itself a collection alias bound
+                # by `t.<path> a1` (nested-types-scanner-position.test's
+                # per-inner-array count).  The exploded element column
+                # keeps the alias name after translation, so the count
+                # lowers to greatest(size(a1), 0) inline; the derived
+                # table disappears and its output name substitutes.
+                done = self._subplan_collection_alias_count(
+                    toks, o, close, first, from_i, segs, ranked
+                )
+                if done:
+                    changed = True
+                    i = 0  # spans shifted: rescan
+                    continue
                 i += 1
                 continue
             # a derived table (comma FROM item) needs the LATERAL keyword;
@@ -946,6 +969,120 @@ class Engine(AlterTableMixin):
             text = f" LATERAL VIEW explode({arr}) {valias} AS item "
         return p, stop, text  # p = the comma: consumed by LATERAL VIEW
 
+    def _subplan_collection_alias_count(
+        self, toks, o, close, first, from_i, segs, ranked
+    ) -> bool:
+        """Lower ``, (SELECT COUNT(*) AS n FROM a.item) v`` — a derived-
+        table count over a COLLECTION alias's elements — to an inline
+        ``greatest(size(a), 0)``.  Returns True when rewritten in place."""
+        from hopspark.dialect.translate import (
+            _in_from_clause, _is_code, _next_code, _prev_code, tokenize,
+        )
+
+        if len(segs) != 2 or segs[1].lower() != "item":
+            return False
+        alias = segs[0]
+        # alias must be bound by a dotted collection path: `<w>.<w>+ alias`
+        bound = False
+        for w_i, tw in enumerate(toks):
+            if tw.kind != "word" or tw.text.lower() != alias.lower():
+                continue
+            p1 = _prev_code(toks, w_i - 1)
+            if p1 < 0 or toks[p1].kind != "word":
+                continue
+            p2 = _prev_code(toks, p1 - 1)
+            if p2 >= 0 and toks[p2].text == ".":
+                bound = True
+                break
+        if not bound:
+            return False
+        p = _prev_code(toks, o - 1)
+        if p < 0 or toks[p].text != "," or not _in_from_clause(toks, p):
+            return False
+        code = [t for t in toks[first + 1 : from_i] if _is_code(t)]
+        if len(code) >= 2 and code[-2].kind == "word" \
+                and code[-2].upper == "AS":
+            code = code[:-2] + [code[-1]]
+        if not (
+            len(code) == 5
+            and code[0].kind == "word"
+            and code[0].text.lower() == "count"
+            and code[1].text == "("
+            and code[2].text in ("*", "1")
+            and code[3].text == ")"
+            and code[4].kind == "word"
+        ):
+            return False
+        name = code[4].text
+        # FROM target must be the whole body (no WHERE/LIMIT/...)
+        seg_end = from_i
+        k = _next_code(toks, from_i + 1)  # segs[0]
+        k = _next_code(toks, k + 1)       # '.'
+        k = _next_code(toks, k + 1)       # 'item'
+        if _next_code(toks, k + 1) != close:
+            return False
+        # [AS] v alias after the close
+        stop = close + 1
+        a2 = _next_code(toks, close + 1)
+        if a2 < len(toks) and toks[a2].kind == "word":
+            if toks[a2].upper == "AS":
+                a3 = _next_code(toks, a2 + 1)
+                if a3 < len(toks) and toks[a3].kind == "word":
+                    valias, stop = toks[a3].text, a3 + 1
+                else:
+                    return False
+            elif toks[a2].upper not in self._FROM_TAIL_WORDS:
+                valias, stop = toks[a2].text, a2 + 1
+            else:
+                valias = None
+        else:
+            valias = None
+        expr = f"CAST(greatest(size({alias}), 0) AS BIGINT)"
+        del toks[p:stop]
+        # substitute refs to the count's output name
+        m = 0
+        while m < len(toks):
+            t = toks[m]
+            if t.kind != "word":
+                m += 1
+                continue
+            lo = t.text.lower()
+            start, matched = m, False
+            if valias and lo == valias.lower():
+                d = _next_code(toks, m + 1)
+                if d < len(toks) and toks[d].text == ".":
+                    w = _next_code(toks, d + 1)
+                    if (
+                        w < len(toks)
+                        and toks[w].kind == "word"
+                        and toks[w].text.lower() == name.lower()
+                    ):
+                        end_s, matched = w, True
+            if not matched and lo == name.lower():
+                pv = _prev_code(toks, m - 1)
+                if pv < 0 or toks[pv].text != ".":
+                    end_s, matched = m, True
+            if not matched:
+                m += 1
+                continue
+            pv = _prev_code(toks, start - 1)
+            nx = _next_code(toks, end_s + 1)
+            whole_item = (
+                pv >= 0
+                and (toks[pv].text == ","
+                     or (toks[pv].kind == "word"
+                         and toks[pv].upper in ("SELECT", "DISTINCT")))
+                and (nx >= len(toks) or toks[nx].text == ","
+                     or (toks[nx].kind == "word"
+                         and toks[nx].upper == "FROM"))
+            )
+            repl = tokenize(
+                f"{expr} AS {name}" if whole_item else f"({expr})"
+            )
+            toks[start : end_s + 1] = repl
+            m = start + len(repl)
+        return True
+
     def _subplan_agg_expr(
         self, toks, first, from_i, elem, fields, salias, qpath, pred_sql,
     ):
@@ -999,8 +1136,9 @@ class Engine(AlterTableMixin):
             if fname != "count":
                 return None
             # size(NULL) is -1 under legacy sizeOfNull and NULL otherwise;
-            # greatest(x, 0) yields 0 for both (greatest skips NULLs)
-            return f"greatest(size({arr_f}), 0)"
+            # greatest(x, 0) yields 0 for both (greatest skips NULLs);
+            # COUNT is BIGINT in the reference, size() is INT
+            return f"CAST(greatest(size({arr_f}), 0) AS BIGINT)"
         res = self._subplan_elem_expr(inner, elem, fields, salias)
         if res is None:
             return None
@@ -1011,7 +1149,8 @@ class Engine(AlterTableMixin):
                 if pred_sql else f"({e}) IS NOT NULL"
             )
             return (
-                f"greatest(size(filter({qpath}, __sx -> {cond})), 0)"
+                f"CAST(greatest(size(filter({qpath}, __sx -> {cond})), 0)"
+                " AS BIGINT)"
             )
         if fname in ("min", "max"):
             # array_min/max skip NULL elements; empty/NULL array -> NULL
@@ -1250,13 +1389,17 @@ class Engine(AlterTableMixin):
                     f" AS __tpk{idx}, __tpe{idx}"
                 )
             else:
+                # reserved names, re-aliased in the select list — the
+                # table may itself have key/value columns (the
+                # reference's pos_item_key_value_complextypestbl shape)
                 lvs.append(
                     f"LATERAL VIEW explode({src}) __tpv{idx}"
-                    " AS `key`, `value`"
+                    f" AS __tpk{idx}, __tpe{idx}"
                 )
         has_virtual = False
         if terminal_map:
-            cols = ["`key`", "`value`"]
+            n = len(steps)
+            cols = [f"__tpk{n} AS `key`", f"__tpe{n} AS `value`"]
             star_cols = ["key", "value"]
         elif isinstance(elem_dt, T.StructType):
             cols = [
@@ -1268,13 +1411,15 @@ class Engine(AlterTableMixin):
                 cols.append(f"{elem_expr} AS item")
                 has_virtual = True
             if want_pos:
-                cols.append(f"__tpp{len(steps)} AS pos")
+                # pos is BIGINT in the reference (CollectionTableRef's
+                # position item type); Spark's posexplode yields INT
+                cols.append(f"CAST(__tpp{len(steps)} AS BIGINT) AS pos")
                 has_virtual = True
         else:
             cols = [f"{elem_expr} AS item"]
             star_cols = ["item"]
             if want_pos:
-                cols.append(f"__tpp{len(steps)} AS pos")
+                cols.append(f"CAST(__tpp{len(steps)} AS BIGINT) AS pos")
                 has_virtual = True
         return (
             "(SELECT " + ", ".join(cols)
