@@ -128,6 +128,10 @@ HEADLINE = [
     # subplan derived table (both nest + explode through the SQL surface)
     "dialect_sql_table_path_scan",
     "dialect_sql_subplan_derived",
+    # r10 additions: scalar-aggregate subplan (HOF fast path) and the
+    # UDA-inside-CTE-body two-stage compilation
+    "dialect_sql_subplan_agg",
+    "dialect_sql_uda_in_cte",
 ]
 
 
