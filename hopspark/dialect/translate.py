@@ -6388,6 +6388,27 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
         if not suffixes and alias == path[-1]:
             bare_refs = _bare_words(("item", "pos"))
             suffixes |= bare_refs
+        # a BARE alias word outside this FROM item denotes the element
+        # value itself (the engine's aggregate-subplan lowering emits
+        # size(alias)/filter(alias, ...) expressions) — the exploded
+        # column must then carry the alias name
+        if not suffixes:
+            for m in range(len(toks)):
+                tk = toks[m]
+                if (
+                    tk.kind != "word"
+                    or tk.text.lower() != alias.lower()
+                    or i <= m <= end
+                ):
+                    continue
+                pb = _prev_code(toks, m - 1)
+                if pb >= 0 and toks[pb].text == ".":
+                    continue
+                db = _next_code(toks, m + 1)
+                if db < len(toks) and toks[db].text in (".", "("):
+                    continue
+                suffixes.add("item")  # forces the AS-alias explode form
+                break
         #: bare key/value bind to an unaliased MAP join the same way
         bare_map_refs: set[str] = set()
         if alias == path[-1] and not ({"item", "pos"} & suffixes):

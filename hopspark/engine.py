@@ -200,6 +200,7 @@ class Engine(AlterTableMixin):
                 raise ValueError(f"view already exists: {name}")
             body = self._rewrite_table_path_scans(body)
             body = self._rewrite_subplan_derived_tables(body)
+            body = self._rewrite_relative_struct_scans(body)
             _b, _s, _t, _d, _bi = self._schema_columns_for(body)
             translated = translate(
                 body,
@@ -297,6 +298,7 @@ class Engine(AlterTableMixin):
             )
         impala_sql = self._rewrite_table_path_scans(impala_sql)
         impala_sql = self._rewrite_subplan_derived_tables(impala_sql)
+        impala_sql = self._rewrite_relative_struct_scans(impala_sql)
         bools, strs, tss, dbls, bigints = self._schema_columns_for(impala_sql)
         translated = translate(
             impala_sql,
@@ -659,9 +661,12 @@ class Engine(AlterTableMixin):
                 close = _matching_paren(toks, o)
             except ValueError:
                 break
-            # depth-1 FROM inside the subquery
+            # depth-1 FROMs inside the subquery: more than one when the
+            # body is a UNION of legs — take the FIRST whose target is a
+            # rewritable dotted path (an already-rewritten leg's target
+            # is a paren and parses as nothing)
             depth = 0
-            from_i = -1
+            from_is: list[int] = []
             for k in range(o, close):
                 if toks[k].text == "(":
                     depth += 1
@@ -672,27 +677,27 @@ class Engine(AlterTableMixin):
                     and toks[k].kind == "word"
                     and toks[k].upper == "FROM"
                 ):
-                    from_i = k
+                    from_is.append(k)
+            segs: list[str] = []
+            from_i = end = -1
+            for fi in from_is:
+                q = _next_code(toks, fi + 1)
+                if q >= len(toks) or toks[q].kind != "word":
+                    continue
+                cand_segs = [toks[q].text]
+                cand_end = q
+                k = _next_code(toks, q + 1)
+                while k < close and toks[k].text == ".":
+                    nx = _next_code(toks, k + 1)
+                    if nx >= close or toks[nx].kind != "word":
+                        break
+                    cand_segs.append(toks[nx].text)
+                    cand_end = nx
+                    k = _next_code(toks, nx + 1)
+                if len(cand_segs) >= 2:
+                    from_i, end, segs = fi, cand_end, cand_segs
                     break
             if from_i < 0:
-                i += 1
-                continue
-            # FROM target: alias.path
-            q = _next_code(toks, from_i + 1)
-            if q >= len(toks) or toks[q].kind != "word":
-                i += 1
-                continue
-            segs = [toks[q].text]
-            end = q
-            k = _next_code(toks, q + 1)
-            while k < close and toks[k].text == ".":
-                nx = _next_code(toks, k + 1)
-                if nx >= close or toks[nx].kind != "word":
-                    break
-                segs.append(toks[nx].text)
-                end = nx
-                k = _next_code(toks, nx + 1)
-            if len(segs) < 2:
                 i += 1
                 continue
             # resolve the qualifier: every statement position where the
@@ -732,66 +737,46 @@ class Engine(AlterTableMixin):
             ranked.append((2, segs[0]))
             ranked.sort(key=lambda rc: rc[0])
             candidates = [c for _, c in ranked]
-            gen = None
-            coll_dt = None
-            qpath = segs[0] + "." + ".".join(f"`{s}`" for s in segs[1:])
-            for table in candidates:
-                try:
-                    schema = self.spark.table(table).schema
-                except Exception:  # noqa: BLE001 - not a table: next
-                    continue
-                cur_dt: object = schema
-                for seg in segs[1:]:
-                    if not isinstance(cur_dt, T.StructType):
-                        cur_dt = None
-                        break
-                    fld = next(
-                        (f for f in cur_dt.fields
-                         if f.name.lower() == seg.lower()),
-                        None,
-                    )
-                    if fld is None:
-                        cur_dt = None
-                        break
-                    cur_dt = fld.dataType
-                if isinstance(cur_dt, T.ArrayType):
-                    coll_dt = cur_dt
-                    if isinstance(cur_dt.elementType, T.StructType):
-                        gen = f"SELECT inline({qpath})"
-                    else:
-                        body = untokenize(toks[o:close]).lower()
-                        if re.search(r"\bpos\b", body):
-                            # pos is BIGINT in the reference; posexplode
-                            # yields INT
-                            gen = (
-                                "SELECT CAST(__spp AS BIGINT) AS pos,"
-                                " __spi AS item FROM (SELECT"
-                                f" posexplode({qpath})"
-                                " AS (__spp, __spi))"
-                            )
-                        else:
-                            gen = f"SELECT explode({qpath}) AS item"
-                elif isinstance(cur_dt, T.MapType):
-                    coll_dt = cur_dt
-                    gen = f"SELECT explode({qpath})"  # key, value
-                if gen:
-                    break
-            if gen is None:
-                # COLLECTION-ALIAS qualifier — (SELECT COUNT(*) cnt FROM
-                # a1.item) v where a1 is itself a collection alias bound
-                # by `t.<path> a1` (nested-types-scanner-position.test's
-                # per-inner-array count).  The exploded element column
-                # keeps the alias name after translation, so the count
-                # lowers to greatest(size(a1), 0) inline; the derived
-                # table disappears and its output name substitutes.
-                done = self._subplan_collection_alias_count(
-                    toks, o, close, first, from_i, segs, ranked
-                )
-                if done:
-                    changed = True
-                    i = 0  # spans shifted: rescan
-                    continue
+            res = self._resolve_subplan_target(toks, segs, candidates)
+            if res is None:
                 i += 1
+                continue
+            qpath, coll_dt = res
+            gen = None
+            if isinstance(coll_dt, T.ArrayType):
+                if isinstance(coll_dt.elementType, T.StructType):
+                    gen = f"SELECT inline({qpath})"
+                else:
+                    body = untokenize(toks[o:close]).lower()
+                    if re.search(r"\bpos\b", body):
+                        # pos is BIGINT in the reference; posexplode
+                        # yields INT
+                        gen = (
+                            "SELECT CAST(__spp AS BIGINT) AS pos,"
+                            " __spi AS item FROM (SELECT"
+                            f" posexplode({qpath})"
+                            " AS (__spp, __spi))"
+                        )
+                    else:
+                        gen = f"SELECT explode({qpath}) AS item"
+            elif isinstance(coll_dt, T.MapType):
+                gen = f"SELECT explode({qpath})"  # key, value
+            if gen is None:
+                i += 1
+                continue
+            # LATERAL derived table whose select list is a single
+            # aggregate — (SELECT COUNT(*)/SUM(x)/... AS n FROM c.path
+            # [WHERE pred]) v — lowers to an inline HOF expression: the
+            # derived table disappears and refs to its output name
+            # substitute (the reference's per-row subplan agg; keeping
+            # the derived table would take Catalyst's array-keyed
+            # decorrelated join, which Spark REJECTS for correlated
+            # array-typed refs in several shapes).
+            if from_i == from_is[0] and self._subplan_lateral_agg(
+                toks, o, close, first, from_i, qpath, coll_dt
+            ):
+                changed = True
+                i = 0  # spans shifted: rescan
                 continue
             # a derived table (comma FROM item) needs the LATERAL keyword;
             # expression subqueries (EXISTS/IN/scalar) must NOT get it
@@ -818,7 +803,7 @@ class Engine(AlterTableMixin):
                 ):
                     sp_alias = toks[a2].text
                     tail_from = a2 + 1
-            t1 = self._subplan_fast_path(
+            t1 = None if from_i != from_is[0] else self._subplan_fast_path(
                 toks, o, close, first, from_i, tail_from,
                 None if sp_alias == "__sp" else sp_alias,
                 qpath, coll_dt, p, lateral,
@@ -969,77 +954,419 @@ class Engine(AlterTableMixin):
             text = f" LATERAL VIEW explode({arr}) {valias} AS item "
         return p, stop, text  # p = the comma: consumed by LATERAL VIEW
 
-    def _subplan_collection_alias_count(
-        self, toks, o, close, first, from_i, segs, ranked
-    ) -> bool:
-        """Lower ``, (SELECT COUNT(*) AS n FROM a.item) v`` — a derived-
-        table count over a COLLECTION alias's elements — to an inline
-        ``greatest(size(a), 0)``.  Returns True when rewritten in place."""
+    def _rewrite_relative_struct_scans(self, impala_sql: str) -> str:
+        """Schema-aware rewrite for UNALIASED relative collection items
+        whose element is a STRUCT and whose fields are referenced BARE —
+        ``FROM complextypestbl t, t.nested_struct.c.d.item`` then
+        ``select id, e, f`` (nested-types-scanner-array-materialization
+        .test).  The translate layer's blind collection join cannot know
+        the element fields, so it cannot expose them; here the alias's
+        table schema resolves the element type and the item lowers to
+        ``LATERAL VIEW inline(<collection expr>)``, whose output columns
+        ARE the struct fields."""
+        if "." not in impala_sql or "," not in impala_sql:
+            return impala_sql
+        from pyspark.sql import types as T
+
         from hopspark.dialect.translate import (
-            _in_from_clause, _is_code, _next_code, _prev_code, tokenize,
+            _in_from_clause, _next_code, _prev_code, tokenize, untokenize,
         )
 
-        if len(segs) != 2 or segs[1].lower() != "item":
-            return False
-        alias = segs[0]
-        # alias must be bound by a dotted collection path: `<w>.<w>+ alias`
-        bound = False
+        toks = tokenize(impala_sql)
+        changed = False
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if not (t.text == "," and _in_from_clause(toks, i)):
+                i += 1
+                continue
+            q = _next_code(toks, i + 1)
+            if q >= len(toks) or toks[q].kind != "word":
+                i += 1
+                continue
+            segs = [toks[q].text]
+            end = q
+            k = _next_code(toks, q + 1)
+            while k < len(toks) and toks[k].text == ".":
+                nx = _next_code(toks, k + 1)
+                if nx >= len(toks) or toks[nx].kind != "word":
+                    break
+                segs.append(toks[nx].text)
+                end = nx
+                k = _next_code(toks, nx + 1)
+            if len(segs) < 3:  # needs at least alias.field.item depth
+                i += 1
+                continue
+            # must be UNALIASED (an explicit alias goes through the
+            # translate-layer join, which handles qualified refs)
+            a = _next_code(toks, end + 1)
+            if (
+                a < len(toks)
+                and toks[a].kind == "word"
+                and toks[a].upper not in self._FROM_TAIL_WORDS
+            ):
+                i += 1
+                continue
+            table = self._alias_table_name(toks, segs[0])
+            if table is None:
+                i += 1
+                continue
+            try:
+                schema = self.spark.table(table).schema
+            except Exception:  # noqa: BLE001 - not a table
+                i += 1
+                continue
+            r = self._walk_collection_path(segs[0], schema, segs[1:])
+            if (
+                r is None
+                or not isinstance(r[1], T.ArrayType)
+                or not isinstance(r[1].elementType, T.StructType)
+            ):
+                i += 1
+                continue
+            expr, dt = r
+            fnames = {f.name.lower() for f in dt.elementType.fields}
+            # bare refs to element fields anywhere outside the path?
+            path_idx = set(range(q, end + 1))
+            has_bare = False
+            uses_pos = False
+            for m, tk in enumerate(toks):
+                if tk.kind != "word" or m in path_idx:
+                    continue
+                lo = tk.text.lower()
+                pv = _prev_code(toks, m - 1)
+                nv = _next_code(toks, m + 1)
+                if pv >= 0 and toks[pv].text == ".":
+                    continue
+                if nv < len(toks) and toks[nv].text in (".", "("):
+                    continue
+                if lo in fnames:
+                    has_bare = True
+                if lo == "pos":
+                    uses_pos = True
+            if not has_bare or uses_pos:
+                i += 1
+                continue
+            repl = tokenize(
+                f" LATERAL VIEW inline({expr}) __cji{q} "
+            )
+            toks[i : end + 1] = repl
+            changed = True
+            i += len(repl)
+        return untokenize(toks) if changed else impala_sql
+
+    def _resolve_subplan_target(self, toks, segs, candidates):
+        """Resolve a subquery FROM target path to ``(collection_expr_sql,
+        collection_dtype)`` or None.  Roots, in order: a candidate TABLE
+        (or temp view); a COLLECTION ALIAS bound by an earlier dotted FROM
+        item (``t.int_array_array a1`` then ``FROM a1.item``); a DERIVED-
+        TABLE alias (schema probed with an analysis-only query).  Interior
+        segments: struct fields navigate; ``item`` on a nested array
+        flattens one level (NULL inner arrays dropped, like the
+        reference's scan); a field name on an array<struct> maps to a
+        per-element transform; ``value`` on a map takes map_values."""
+        for table in candidates:
+            try:
+                schema = self.spark.table(table).schema
+            except Exception:  # noqa: BLE001 - not a table: next
+                continue
+            r = self._walk_collection_path(segs[0], schema, segs[1:])
+            if r is not None:
+                return r
+        r = self._from_collection_alias_target(toks, segs)
+        if r is not None:
+            return r
+        schema = self._derived_alias_schema(toks, segs[0])
+        if schema is not None:
+            return self._walk_collection_path(segs[0], schema, segs[1:])
+        return None
+
+    @staticmethod
+    def _walk_collection_path(base_expr, base_dt, rest):
+        """Walk ``rest`` from ``(base_expr, base_dt)`` per the reference's
+        Path resolution; returns (expr, dtype) when the terminal is a
+        collection, else None."""
+        from pyspark.sql import types as T
+
+        cur_expr, cur_dt = base_expr, base_dt
+        for idx, seg in enumerate(rest):
+            sl = seg.lower()
+            last = idx == len(rest) - 1
+            if isinstance(cur_dt, T.StructType):
+                fld = next(
+                    (f for f in cur_dt.fields
+                     if f.name.lower() == sl), None,
+                )
+                if fld is None:
+                    return None
+                cur_expr = f"{cur_expr}.`{fld.name}`"
+                cur_dt = fld.dataType
+            elif isinstance(cur_dt, T.ArrayType):
+                el = cur_dt.elementType
+                if sl == "item":
+                    if isinstance(el, T.ArrayType):
+                        # one flatten per nesting hop; NULL inner arrays
+                        # contribute no elements (flatten itself NULLs
+                        # the whole result on a NULL element)
+                        cur_expr = (
+                            f"flatten(filter({cur_expr},"
+                            " __tf -> __tf IS NOT NULL))"
+                        )
+                        cur_dt = el
+                    elif last:
+                        pass  # path ends AT the elements: same array
+                    else:
+                        # item then more segs: fields of struct elements
+                        if not isinstance(el, T.StructType):
+                            return None
+                        continue  # next seg handled by the array+field arm
+                elif isinstance(el, T.StructType):
+                    fld = next(
+                        (f for f in el.fields
+                         if f.name.lower() == sl), None,
+                    )
+                    if fld is None:
+                        return None
+                    cur_expr = (
+                        f"transform({cur_expr},"
+                        f" __tw -> __tw.`{fld.name}`)"
+                    )
+                    cur_dt = T.ArrayType(fld.dataType)
+                else:
+                    return None
+            elif isinstance(cur_dt, T.MapType):
+                if sl != "value":
+                    return None
+                cur_expr = f"map_values({cur_expr})"
+                cur_dt = T.ArrayType(cur_dt.valueType)
+            else:
+                return None
+        if isinstance(cur_dt, (T.ArrayType, T.MapType)):
+            return cur_expr, cur_dt
+        return None
+
+    def _from_collection_alias_target(self, toks, segs):
+        """segs[0] bound by a DOTTED FROM item (``<root>.<path> alias``):
+        the alias names that collection's ELEMENTS (post-translate, the
+        exploded column keeps the alias name), so the walk continues from
+        the element type with the bare alias as the base expression."""
+        from hopspark.dialect.translate import _next_code, _prev_code
+
+        alias = segs[0].lower()
+        for w_i, tw in enumerate(toks):
+            if tw.kind != "word" or tw.text.lower() != alias:
+                continue
+            p1 = _prev_code(toks, w_i - 1)
+            if p1 >= 0 and toks[p1].text == ".":
+                # IMPLICIT alias: the binding item's trailing path segment
+                # doubles as the alias (`FROM t.nested_struct.c.d` binds
+                # d) — but only when this occurrence ENDS a FROM item
+                nx = _next_code(toks, w_i + 1)
+                if nx < len(toks) and (
+                    toks[nx].text in (".", "(")
+                    or (toks[nx].kind == "word"
+                        and toks[nx].upper not in self._FROM_TAIL_WORDS)
+                ):
+                    continue
+                p1 = w_i  # the path includes this segment
+            elif p1 < 0 or toks[p1].kind != "word":
+                continue
+            # walk the dotted path backwards to its root word
+            path = [toks[p1].text]
+            k = p1
+            while True:
+                d = _prev_code(toks, k - 1)
+                if d < 0 or toks[d].text != ".":
+                    break
+                w2 = _prev_code(toks, d - 1)
+                if w2 < 0 or toks[w2].kind != "word":
+                    break
+                path.insert(0, toks[w2].text)
+                k = w2
+            if len(path) < 2:
+                continue
+            # root must resolve through a table / table alias: reuse the
+            # candidate machinery one level up (tables only — chained
+            # collection-alias roots recurse naturally via this method)
+            root_cands = [path[0]]
+            # the root may itself be an alias of a table: find its table
+            rt = self._alias_table_name(toks, path[0])
+            if rt:
+                root_cands.append(rt)
+            for table in root_cands:
+                try:
+                    schema = self.spark.table(table).schema
+                except Exception:  # noqa: BLE001 - not a table
+                    continue
+                r = self._walk_collection_path(path[0], schema, path[1:])
+                if r is None or not hasattr(r[1], "elementType"):
+                    continue
+                elem = r[1].elementType
+                return self._walk_collection_path(segs[0], elem, segs[1:])
+        return None
+
+    def _alias_table_name(self, toks, alias):
+        """Table name bound to ``alias`` in a FROM/JOIN item, or None."""
+        from hopspark.dialect.translate import _prev_code
+
         for w_i, tw in enumerate(toks):
             if tw.kind != "word" or tw.text.lower() != alias.lower():
                 continue
-            p1 = _prev_code(toks, w_i - 1)
-            if p1 < 0 or toks[p1].kind != "word":
+            p = _prev_code(toks, w_i - 1)
+            if p < 0 or toks[p].kind != "word":
                 continue
-            p2 = _prev_code(toks, p1 - 1)
-            if p2 >= 0 and toks[p2].text == ".":
-                bound = True
-                break
-        if not bound:
+            cand = toks[p].text
+            if cand.upper() == "AS":
+                p2 = _prev_code(toks, p - 1)
+                if p2 < 0 or toks[p2].kind != "word":
+                    continue
+                cand = toks[p2].text
+            if cand.lower() != alias.lower():
+                return cand
+        return None
+
+    def _derived_alias_schema(self, toks, alias):
+        """Schema of the derived table bound to ``alias`` (``(...) alias``),
+        via an analysis-only probe.  None when the alias is not a derived
+        table or its body does not analyze standalone (correlated)."""
+        from hopspark.dialect.translate import (
+            _next_code, _prev_code, untokenize,
+        )
+
+        for w_i, tw in enumerate(toks):
+            if tw.kind != "word" or tw.text.lower() != alias.lower():
+                continue
+            p = _prev_code(toks, w_i - 1)
+            if p >= 0 and toks[p].kind == "word" and toks[p].upper == "AS":
+                p = _prev_code(toks, p - 1)
+            if p < 0 or toks[p].text != ")":
+                continue
+            depth = 0
+            open_i = None
+            for k in range(p, -1, -1):
+                if toks[k].text == ")":
+                    depth += 1
+                elif toks[k].text == "(":
+                    depth -= 1
+                    if depth == 0:
+                        open_i = k
+                        break
+            if open_i is None:
+                continue
+            body = untokenize(toks[open_i + 1 : p])
+            try:
+                return self.spark.sql(body).schema
+            except Exception:  # noqa: BLE001 - not standalone SQL
+                return None
+        return None
+
+    def _subplan_lateral_agg(
+        self, toks, o, close, first, from_i, qpath, coll_dt
+    ) -> bool:
+        """Lower ``, (SELECT <agg>(arg) [AS] name FROM c.path [x]
+        [WHERE pred]) v`` to an inline HOF expression, deleting the
+        derived table and substituting refs to its output name.  Returns
+        True when rewritten in place."""
+        from pyspark.sql import types as T
+
+        from hopspark.dialect.translate import (
+            _in_from_clause, _is_code, _next_code, _prev_code,
+            tokenize, untokenize,
+        )
+
+        if not isinstance(coll_dt, T.ArrayType):
             return False
         p = _prev_code(toks, o - 1)
         if p < 0 or toks[p].text != "," or not _in_from_clause(toks, p):
             return False
+        # select list must be a single aggregate WITH an output name
         code = [t for t in toks[first + 1 : from_i] if _is_code(t)]
-        if len(code) >= 2 and code[-2].kind == "word" \
-                and code[-2].upper == "AS":
-            code = code[:-2] + [code[-1]]
-        if not (
-            len(code) == 5
-            and code[0].kind == "word"
-            and code[0].text.lower() == "count"
-            and code[1].text == "("
-            and code[2].text in ("*", "1")
-            and code[3].text == ")"
-            and code[4].kind == "word"
+        if len(code) < 5 or code[-1].kind != "word":
+            return False
+        if code[-2].kind == "word" and code[-2].upper == "AS":
+            name, code = code[-1].text, code[:-2]
+        elif code[-2].text == ")":
+            name, code = code[-1].text, code[:-1]
+        else:
+            return False
+        if (
+            code[0].kind != "word"
+            or code[0].text.lower() not in ("count", "sum", "min",
+                                            "max", "avg")
+            or code[1].text != "("
+            or code[-1].text != ")"
         ):
             return False
-        name = code[4].text
-        # FROM target must be the whole body (no WHERE/LIMIT/...)
-        seg_end = from_i
-        k = _next_code(toks, from_i + 1)  # segs[0]
-        k = _next_code(toks, k + 1)       # '.'
-        k = _next_code(toks, k + 1)       # 'item'
-        if _next_code(toks, k + 1) != close:
+        # target end: skip the segs tokens after FROM
+        end = _next_code(toks, from_i + 1)
+        while True:
+            d = _next_code(toks, end + 1)
+            if d < close and toks[d].text == ".":
+                w2 = _next_code(toks, d + 1)
+                if w2 < close and toks[w2].kind == "word":
+                    end = w2
+                    continue
+            break
+        # optional collection alias, then an optional WHERE; nothing else
+        salias = None
+        a2 = _next_code(toks, end + 1)
+        if a2 < close and toks[a2].kind == "word":
+            u2 = toks[a2].upper
+            if u2 == "AS":
+                a3 = _next_code(toks, a2 + 1)
+                if a3 >= close or toks[a3].kind != "word":
+                    return False
+                salias, end = toks[a3].text, a3
+            elif u2 not in self._FROM_TAIL_WORDS:
+                salias, end = toks[a2].text, a2
+        pred_sql = None
+        w_i2 = _next_code(toks, end + 1)
+        elem = coll_dt.elementType
+        fields = (
+            [f.name for f in elem.fields]
+            if isinstance(elem, T.StructType) else None
+        )
+        if w_i2 < close:
+            if toks[w_i2].kind != "word" or toks[w_i2].upper != "WHERE":
+                return False
+            pred_toks = toks[w_i2 + 1 : close]
+            body = untokenize(pred_toks)
+            if re.search(r"\bselect\b|\bpos\b", body, re.I):
+                return False
+            pred_sql = self._subplan_lambda_pred(
+                pred_toks, fields, salias, "__sx"
+            )
+            if pred_sql is None:
+                return False
+        agg = self._agg_expr_from_code(
+            code, elem, fields, salias, qpath, pred_sql,
+        )
+        if agg is None:
             return False
         # [AS] v alias after the close
         stop = close + 1
-        a2 = _next_code(toks, close + 1)
-        if a2 < len(toks) and toks[a2].kind == "word":
-            if toks[a2].upper == "AS":
-                a3 = _next_code(toks, a2 + 1)
-                if a3 < len(toks) and toks[a3].kind == "word":
-                    valias, stop = toks[a3].text, a3 + 1
-                else:
-                    return False
-            elif toks[a2].upper not in self._FROM_TAIL_WORDS:
-                valias, stop = toks[a2].text, a2 + 1
-            else:
-                valias = None
-        else:
-            valias = None
-        expr = f"CAST(greatest(size({alias}), 0) AS BIGINT)"
+        valias = None
+        a4 = _next_code(toks, close + 1)
+        if a4 < len(toks) and toks[a4].kind == "word":
+            if toks[a4].upper == "AS":
+                a5 = _next_code(toks, a4 + 1)
+                if a5 < len(toks) and toks[a5].kind == "word":
+                    valias, stop = toks[a5].text, a5 + 1
+            elif toks[a4].upper not in self._FROM_TAIL_WORDS:
+                valias, stop = toks[a4].text, a4 + 1
         del toks[p:stop]
-        # substitute refs to the count's output name
+        self._substitute_output_name(toks, name, valias, agg)
+        return True
+
+    @staticmethod
+    def _substitute_output_name(toks, name, valias, expr_sql):
+        """Replace refs to a removed derived table's single output column
+        (bare ``name`` or ``valias.name``) with ``expr_sql``; whole select
+        items keep the name via AS."""
+        from hopspark.dialect.translate import (
+            _next_code, _prev_code, _select_clause_here, tokenize,
+        )
+
         m = 0
         while m < len(toks):
             t = toks[m]
@@ -1047,7 +1374,9 @@ class Engine(AlterTableMixin):
                 m += 1
                 continue
             lo = t.text.lower()
-            start, matched = m, False
+            start = m
+            matched = False
+            end_s = m
             if valias and lo == valias.lower():
                 d = _next_code(toks, m + 1)
                 if d < len(toks) and toks[d].text == ".":
@@ -1061,7 +1390,7 @@ class Engine(AlterTableMixin):
             if not matched and lo == name.lower():
                 pv = _prev_code(toks, m - 1)
                 if pv < 0 or toks[pv].text != ".":
-                    end_s, matched = m, True
+                    matched = True
             if not matched:
                 m += 1
                 continue
@@ -1069,6 +1398,7 @@ class Engine(AlterTableMixin):
             nx = _next_code(toks, end_s + 1)
             whole_item = (
                 pv >= 0
+                and _select_clause_here(toks, start)
                 and (toks[pv].text == ","
                      or (toks[pv].kind == "word"
                          and toks[pv].upper in ("SELECT", "DISTINCT")))
@@ -1077,47 +1407,22 @@ class Engine(AlterTableMixin):
                          and toks[nx].upper == "FROM"))
             )
             repl = tokenize(
-                f"{expr} AS {name}" if whole_item else f"({expr})"
+                f"{expr_sql} AS {name}" if whole_item
+                else f"({expr_sql})"
             )
             toks[start : end_s + 1] = repl
             m = start + len(repl)
-        return True
 
-    def _subplan_agg_expr(
-        self, toks, first, from_i, elem, fields, salias, qpath, pred_sql,
+    def _agg_expr_from_code(
+        self, code, elem, fields, salias, qpath, pred_sql
     ):
-        """HOF lowering for a scalar aggregate subplan.  Returns the
-        replacement expression SQL, or None for the general decorrelated
-        path.  Semantics pinned to the reference's aggs over a per-row
-        collection (nested-types-subplan.test): COUNT over an empty or
-        NULL collection is 0; SUM/MIN/MAX/AVG ignore NULL elements and
-        return NULL when nothing qualifies; SUM of integrals is BIGINT,
-        AVG is DOUBLE."""
-        from pyspark.sql import types as T
-
-        from hopspark.dialect.translate import _is_code
-
-        code = [t for t in toks[first + 1 : from_i] if _is_code(t)]
-        # optional [AS] alias on the select item — irrelevant to a
-        # scalar result
-        if len(code) >= 2 and code[-1].kind == "word":
-            if code[-2].kind == "word" and code[-2].upper == "AS":
-                code = code[:-2]
-            elif code[-2].text == ")":
-                code = code[:-1]
-        if (
-            len(code) < 4
-            or code[0].kind != "word"
-            or code[1].text != "("
-            or code[-1].text != ")"
-        ):
-            return None
+        """HOF expression for a single-aggregate code-token run
+        ``AGG ( args ) `` — shared by the expression fast path and the
+        lateral derived-table lowering."""
         fname = code[0].text.lower()
-        if fname not in ("count", "sum", "min", "max", "avg"):
-            return None
         inner = code[2:-1]
         depth = 1
-        for t in inner:  # code[-1] must close code[1]
+        for t in inner:
             if t.text == "(":
                 depth += 1
             elif t.text == ")":
@@ -1155,7 +1460,6 @@ class Engine(AlterTableMixin):
         if fname in ("min", "max"):
             # array_min/max skip NULL elements; empty/NULL array -> NULL
             return f"array_{fname}(transform({arr_f}, __sx -> ({e})))"
-        # sum/avg: numeric only, with the reference's result typing
         if "other" in kinds:
             return None
         if fname == "avg":
@@ -1174,6 +1478,39 @@ class Engine(AlterTableMixin):
             f"aggregate({arr_f}, CAST(NULL AS {ty}),"
             f" (__ac, __sx) -> CASE WHEN ({e}) IS NULL THEN __ac"
             f" ELSE coalesce(__ac, CAST(0 AS {ty})) + ({e}) END)"
+        )
+
+    def _subplan_agg_expr(
+        self, toks, first, from_i, elem, fields, salias, qpath, pred_sql,
+    ):
+        """HOF lowering for a scalar aggregate subplan.  Returns the
+        replacement expression SQL, or None for the general decorrelated
+        path.  Semantics pinned to the reference's aggs over a per-row
+        collection (nested-types-subplan.test): COUNT over an empty or
+        NULL collection is 0; SUM/MIN/MAX/AVG ignore NULL elements and
+        return NULL when nothing qualifies; SUM of integrals is BIGINT,
+        AVG is DOUBLE."""
+        from hopspark.dialect.translate import _is_code
+
+        code = [t for t in toks[first + 1 : from_i] if _is_code(t)]
+        # optional [AS] alias on the select item — irrelevant to a
+        # scalar result
+        if len(code) >= 2 and code[-1].kind == "word":
+            if code[-2].kind == "word" and code[-2].upper == "AS":
+                code = code[:-2]
+            elif code[-2].text == ")":
+                code = code[:-1]
+        if (
+            len(code) < 4
+            or code[0].kind != "word"
+            or code[0].text.lower() not in ("count", "sum", "min",
+                                            "max", "avg")
+            or code[1].text != "("
+            or code[-1].text != ")"
+        ):
+            return None
+        return self._agg_expr_from_code(
+            code, elem, fields, salias, qpath, pred_sql,
         )
 
     @staticmethod
@@ -1247,11 +1584,26 @@ class Engine(AlterTableMixin):
                         kinds.add(_kind(ftypes[f2]))
                         i += 3
                         continue
-                    if ftypes is None and f2 == "item":
-                        out.append("__sx")
-                        kinds.add(_kind(elem))
-                        i += 3
-                        continue
+                    if f2 == "item":
+                        # alias.item = the element itself; an optional
+                        # .field continues into a struct element
+                        if (
+                            ftypes is not None
+                            and i + 4 < n
+                            and code[i + 3].text == "."
+                            and code[i + 4].kind == "word"
+                            and code[i + 4].text.lower() in ftypes
+                        ):
+                            f3 = code[i + 4].text
+                            out.append(f"__sx.`{f3}`")
+                            kinds.add(_kind(ftypes[f3.lower()]))
+                            i += 5
+                            continue
+                        if ftypes is None:
+                            out.append("__sx")
+                            kinds.add(_kind(elem))
+                            i += 3
+                            continue
                     return None
                 if ftypes is not None and low in ftypes:
                     out.append(f"__sx.`{t.text}`")

@@ -433,3 +433,102 @@ def test_subplan_agg_result_types(eng3):
     )
     types = dict(df.dtypes)
     assert types["s"] == "bigint" and types["a"] == "double"
+
+
+# ---- round-10 session 2: generalized subplan resolution ------------------
+
+
+@pytest.fixture(scope="module")
+def eng4(spark, sf_dir):
+    e = Engine(spark=spark, sf_dir=sf_dir)
+    spark.sql("""
+    CREATE OR REPLACE TEMP VIEW ct4 AS
+    SELECT * FROM VALUES
+      (1, array(array(1,2),array(3,4)),
+       named_struct('c', named_struct('d',
+           array(array(named_struct('e', 10, 'f', 'aaa'),
+                       named_struct('e', -10, 'f', 'bbb')),
+                 array(named_struct('e', 11, 'f', 'c')))))),
+      (2, array(array(9), cast(null as array<int>), array()),
+       named_struct('c', named_struct('d',
+           cast(null as array<array<struct<e:int,f:string>>>))))
+    AS t(id, arr_arr, ns)
+    """)
+    return e
+
+
+def test_lateral_agg_over_collection_alias(eng4):
+    # (SELECT COUNT(a2.item) cnt FROM a1.item a2) over the exploded
+    # inner-array alias — lowers to an inline HOF, zero joins
+    df = eng4.sql(
+        "select id, cnt from ct4 t, t.arr_arr a1,"
+        " (select count(a2.item) cnt from a1.item a2) v order by id, cnt"
+    )
+    assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
+    assert [tuple(r) for r in df.collect()] == [
+        (1, 2), (1, 2), (2, 0), (2, 0), (2, 1),
+    ]
+
+
+def test_lateral_agg_with_where(eng4):
+    df = eng4.sql(
+        "select id, s from ct4 t, t.arr_arr a1,"
+        " (select sum(a2.item) s from a1.item a2 where a2.item > 1) v"
+        " order by id, s"
+    )
+    assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
+    rows = [tuple(r) for r in df.collect()]
+    # Impala default ordering: NULLS LAST for ASC
+    assert rows == [(1, 2), (1, 7), (2, 9), (2, None), (2, None)]
+
+
+def test_subplan_multi_hop_flatten(eng4):
+    # (SELECT COUNT(x.item) FROM t.arr_arr.item x) — flattened nested
+    # arrays inside a subplan; NULL inner arrays contribute nothing
+    df = eng4.sql(
+        "select id, (select count(x.item) from t.arr_arr.item x) n"
+        " from ct4 t order by id"
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 4), (2, 1)]
+
+
+def test_subplan_struct_field_agg_via_transform(eng4):
+    # count over a struct-element FIELD through item hops
+    df = eng4.sql(
+        "select id, (select count(i.e) from t.ns.c.d.item i) n"
+        " from ct4 t order by id"
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 3), (2, 0)]
+
+
+def test_relative_struct_scan_bare_fields(eng4):
+    # bare element-field refs on an unaliased relative multi-hop path
+    df = eng4.sql(
+        "select id, e, f from ct4 t, t.ns.c.d.item order by id, e"
+    )
+    assert df.columns == ["id", "e", "f"]
+    assert [tuple(r) for r in df.collect()] == [
+        (1, -10, "bbb"), (1, 10, "aaa"), (1, 11, "c"),
+    ]
+
+
+def test_subplan_union_legs_both_rewritten(eng4):
+    # UNION ALL legs inside a derived table each get their FROM rewritten
+    df = eng4.sql(
+        "select id, v.item from ct4 t,"
+        " (select x.item from t.arr_arr.item x where x.item = 1"
+        "  union all"
+        "  select x.item from t.arr_arr.item x where x.item = 9) v"
+        " order by id"
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 1), (2, 9)]
+
+
+def test_implicit_collection_alias_binding(eng4):
+    # FROM t.ns.c.d binds the implicit alias d; the subplan counts the
+    # inner arrays of each d element
+    df = eng4.sql(
+        "select id, cnt from ct4 t, t.ns.c.d,"
+        " (select count(*) cnt from d.item) v order by id, cnt"
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 1), (1, 2)]
