@@ -1730,18 +1730,23 @@ class SubplanGen:
         )
         spark.sql(
             f"CREATE OR REPLACE TEMP VIEW {vname} AS "
-            f"SELECT {key} % 50 AS k, collect_list({elem}) AS arr "
-            f"FROM {tbl} GROUP BY {key} % 50"
+            f"SELECT k, arr, transform(arr, __e -> array(__e.x, __e.y))"
+            f" AS arr2 FROM (SELECT {key} % 50 AS k,"
+            f" collect_list({elem}) AS arr "
+            f"FROM {tbl} GROUP BY {key} % 50)"
         )
         cte_d = (
-            f"WITH t AS (SELECT {key} % 50 AS k, "
+            f"WITH t0 AS (SELECT {key} % 50 AS k, "
             f"list(struct_pack(x := COALESCE({x}, 0) % 100, "
             f"y := COALESCE({y}, 0) % 100)) AS arr "
-            f"FROM {tbl} GROUP BY {key} % 50)"
+            f"FROM {tbl} GROUP BY {key} % 50), "
+            f"t AS (SELECT k, arr, list_transform(arr,"
+            f" e -> [e.x, e.y]) AS arr2 FROM t0)"
         )
         kind = r.choice(
             ["exists", "not_exists", "scalar_count", "derived", "rootless",
-             "scalar_sum", "scalar_minmax", "scalar_avg"]
+             "scalar_sum", "scalar_minmax", "scalar_avg",
+             "lateral_agg_alias", "flatten_hop_count", "lateral_agg_where"]
         )
         if kind in ("exists", "not_exists"):
             neg = "NOT " if kind == "not_exists" else ""
@@ -1797,6 +1802,40 @@ class SubplanGen:
                 f"{cte_d} SELECT k, CAST(list_avg(list_transform("
                 f"list_filter(arr, e -> e.x % {mod} = 0), e -> e.y))"
                 f" AS DOUBLE) AS a FROM t ORDER BY k"
+            )
+        elif kind == "lateral_agg_alias":
+            # r10 session 2: lateral COUNT over a collection alias's
+            # elements — lowers to an inline size() on the parent scan
+            imp = (
+                f"SELECT k, cnt FROM {vname} c, c.arr2 a1,"
+                f" (SELECT COUNT(*) cnt FROM a1.item) v"
+            )
+            duck = (
+                f"{cte_d} SELECT k, len(u) AS cnt FROM"
+                f" (SELECT k, unnest(arr2) AS u FROM t) s"
+            )
+        elif kind == "flatten_hop_count":
+            # multi-hop flatten: count over c.arr2.item inside a scalar
+            # subquery
+            imp = (
+                f"SELECT k, CAST((SELECT COUNT(i.item) FROM c.arr2.item i"
+                f" WHERE i.item > {thr}) AS BIGINT) AS n"
+                f" FROM {vname} c"
+            )
+            duck = (
+                f"{cte_d} SELECT k, CAST(len(list_filter(flatten(arr2),"
+                f" e -> e > {thr})) AS BIGINT) AS n FROM t"
+            )
+        elif kind == "lateral_agg_where":
+            imp = (
+                f"SELECT k, s FROM {vname} c, c.arr2 a1,"
+                f" (SELECT SUM(i.item) s FROM a1.item i"
+                f" WHERE i.item % {mod} = 0) v"
+            )
+            duck = (
+                f"{cte_d} SELECT k, CAST(list_sum(list_filter(u,"
+                f" e -> e % {mod} = 0)) AS BIGINT) AS s FROM"
+                f" (SELECT k, unnest(arr2) AS u FROM t) s2"
             )
         elif kind == "derived":
             imp = (
