@@ -144,6 +144,23 @@ def main() -> None:
         except ValueError:
             sf = None
 
+    # Load-proofing (round-10 verdict): a capture taken while the machine
+    # is busy inflates the short early-order queries 2-3x (the r10 99s vs
+    # 75s idle artifact).  Wait — bounded — for the 1-min load average to
+    # drop below the gate, and ALWAYS stamp the observed load into the
+    # payload so a skewed capture is self-identifying.
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
+    waited = 0.0
+    try:
+        load_start = os.getloadavg()[0]
+        while load_start > load_gate and waited < max_wait:
+            time.sleep(30.0)
+            waited += 30.0
+            load_start = os.getloadavg()[0]
+    except OSError:
+        load_start = None
+
     spark = get_spark(app_name="hopspark-bench")
     register_all(spark)
     registry = all_queries()
@@ -163,12 +180,22 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    try:
+        load_end = os.getloadavg()[0]
+    except OSError:
+        load_end = None
     payload = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # capture conditions: loadavg BEFORE the warmup (after any gated
+        # wait) and at the end; own-run load is included in load_end
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "load_wait_sec": waited,
+        "runs_per_query": n_runs,
     }
     line = json.dumps(payload)
     # The driver captures only a ~2.2 KB tail of stdout; the full payload
@@ -182,7 +209,8 @@ def main() -> None:
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
     compact = json.dumps(
-        {"metric": payload["metric"], "value": total, "unit": "sec", "sf": sf}
+        {"metric": payload["metric"], "value": total, "unit": "sec",
+         "sf": sf, "loadavg_start": load_start, "loadavg_end": load_end}
     )
     try:
         spark.stop()

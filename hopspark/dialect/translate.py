@@ -4215,7 +4215,15 @@ def _nsf_display_pos(toks: list[Tok], i: int, end: int) -> bool:
     if n >= len(toks):
         return True
     t = toks[n]
-    return t.text == "," or t.kind == "word"
+    if t.text == ",":
+        return True
+    # only end-of-item words qualify (FROM / alias); a continuation
+    # keyword (BETWEEN, IS, IN, AND, …) means the constant sits inside a
+    # larger expression, which must keep TimestampType
+    return t.kind == "word" and t.upper not in (
+        "BETWEEN", "IS", "IN", "AND", "OR", "NOT", "LIKE", "RLIKE",
+        "REGEXP", "IREGEXP", "ILIKE", "DIV",
+    )
 
 
 def _nsf_parse(toks: list[Tok], i: int):
@@ -6166,7 +6174,10 @@ def _select_clause_here(toks: list[Tok], i: int) -> bool:
 def _in_from_clause(toks: list[Tok], i: int) -> bool:
     """True when token i sits in a FROM clause: walking backward at the
     same paren level, FROM is met before SELECT (or the enclosing open
-    paren / statement start)."""
+    paren / statement start).  A later clause keyword (WHERE / GROUP /
+    ORDER / HAVING / ON / LIMIT) between FROM and i means the FROM
+    clause already ended — a comma there is a list comma (ORDER BY a,
+    b), not a FROM-item separator."""
     bal = 0
     for k in range(i - 1, -1, -1):
         tk = toks[k]
@@ -6182,7 +6193,13 @@ def _in_from_clause(toks: list[Tok], i: int) -> bool:
             u = tk.upper
             if u == "FROM":
                 return True
-            if u == "SELECT":
+            # not ON: an ON condition is itself part of the FROM clause
+            # (a depth-0 comma after it starts a new FROM item), so the
+            # walk continues through it to the owning FROM
+            if u in (
+                "SELECT", "WHERE", "GROUP", "ORDER", "HAVING",
+                "LIMIT", "QUALIFY", "WINDOW",
+            ):
                 return False
     return False
 

@@ -551,9 +551,12 @@ class Engine(AlterTableMixin):
                 break
         if sel_i < 0:
             return 0
-        # single-item FROM? scan forward from from_i at depth 0 until a
-        # clause keyword; a comma or JOIN means multiple items
-        single = True
+        # single-item FROM? a comma/JOIN trigger always has a preceding
+        # sibling (the forward scan below would never see it), so only a
+        # literal FROM can open a single-item list; then scan forward
+        # from from_i at depth 0 until a clause keyword — a comma or
+        # JOIN means multiple items
+        single = toks[from_i].kind == "word" and toks[from_i].upper == "FROM"
         depth = 0
         for x in range(from_i + 1, len(toks)):
             t = toks[x]
@@ -1047,12 +1050,38 @@ class Engine(AlterTableMixin):
             if not has_bare or uses_pos:
                 i += 1
                 continue
+            # Spark's grammar puts lateral views AFTER all join relations:
+            # when more FROM items follow this one (`FROM t, t.s.c.d.item,
+            # u`), splicing LATERAL VIEW in place is a parse error — find
+            # the clause end and splice there instead (the explode
+            # commutes with the later cross joins)
+            ins_at = len(toks)
+            d2 = 0
+            for x in range(end + 1, len(toks)):
+                t2 = toks[x]
+                if t2.text == "(":
+                    d2 += 1
+                elif t2.text == ")":
+                    d2 -= 1
+                    if d2 < 0:
+                        ins_at = x
+                        break
+                elif d2 == 0 and t2.kind == "word" and t2.upper in (
+                    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+                    "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+                ):
+                    ins_at = x
+                    break
             repl = tokenize(
                 f" LATERAL VIEW inline({expr}) __cji{q} "
             )
-            toks[i : end + 1] = repl
+            del toks[i : end + 1]
+            ins_at -= end + 1 - i
+            toks[ins_at:ins_at] = repl
             changed = True
-            i += len(repl)
+            # stay at i: the next FROM item (if any) now starts here and
+            # may itself be a relative path; the spliced LATERAL VIEW
+            # lies beyond ins_at and is skipped naturally
         return untokenize(toks) if changed else impala_sql
 
     def _resolve_subplan_target(self, toks, segs, candidates):
@@ -1355,20 +1384,77 @@ class Engine(AlterTableMixin):
             elif toks[a4].upper not in self._FROM_TAIL_WORDS:
                 valias, stop = toks[a4].text, a4 + 1
         del toks[p:stop]
-        self._substitute_output_name(toks, name, valias, agg)
+        self._substitute_output_name(toks, name, valias, agg, bind_i=p)
         return True
 
     @staticmethod
-    def _substitute_output_name(toks, name, valias, expr_sql):
+    def _query_block_bounds(toks, i):
+        """Token range ``[start, end)`` of the query block owning position
+        ``i``: backward to the SELECT at the same paren level, forward to
+        the unmatched close paren or a same-level set-op keyword."""
+        start = 0
+        bal = 0
+        for k in range(i - 1, -1, -1):
+            t = toks[k]
+            if t.text == ")":
+                bal += 1
+            elif t.text == "(":
+                if bal == 0:
+                    start = k + 1
+                    break
+                bal -= 1
+            elif (
+                bal == 0 and t.kind == "word" and t.upper == "SELECT"
+            ):
+                start = k
+                break
+        end = len(toks)
+        bal = 0
+        for k in range(i, len(toks)):
+            t = toks[k]
+            if t.text == "(":
+                bal += 1
+            elif t.text == ")":
+                if bal == 0:
+                    end = k
+                    break
+                bal -= 1
+            elif bal == 0 and t.kind == "word" and t.upper in (
+                "UNION", "INTERSECT", "EXCEPT", "MINUS",
+            ):
+                end = k
+                break
+        return start, end
+
+    @classmethod
+    def _substitute_output_name(cls, toks, name, valias, expr_sql,
+                                bind_i=None):
         """Replace refs to a removed derived table's single output column
         (bare ``name`` or ``valias.name``) with ``expr_sql``; whole select
-        items keep the name via AS."""
+        items keep the name via AS.  Substitution is scoped to the query
+        block that bound the derived table (``bind_i`` = its former FROM
+        position): bare names only at the block's own paren level (a
+        nested subquery may bind its own column of the same name),
+        qualified ``valias.name`` anywhere inside the block (correlated
+        inner refs are unambiguous)."""
         from hopspark.dialect.translate import (
             _next_code, _prev_code, _select_clause_here, tokenize,
         )
 
+        if bind_i is None:
+            blk_s, blk_e = 0, len(toks)
+        else:
+            blk_s, blk_e = cls._query_block_bounds(toks, bind_i)
+        depth = 0
         m = 0
         while m < len(toks):
+            if m < blk_s or m >= blk_e:
+                m += 1
+                continue
+            if toks[m].text == "(":
+                depth += 1
+            elif toks[m].text == ")":
+                depth -= 1
             t = toks[m]
             if t.kind != "word":
                 m += 1
@@ -1387,7 +1473,7 @@ class Engine(AlterTableMixin):
                         and toks[w].text.lower() == name.lower()
                     ):
                         end_s, matched = w, True
-            if not matched and lo == name.lower():
+            if not matched and depth == 0 and lo == name.lower():
                 pv = _prev_code(toks, m - 1)
                 if pv < 0 or toks[pv].text != ".":
                     matched = True
@@ -1411,6 +1497,8 @@ class Engine(AlterTableMixin):
                 else f"({expr_sql})"
             )
             toks[start : end_s + 1] = repl
+            blk_e += len(repl) - (end_s + 1 - start)
+            # the replacement's own parens net to zero; resume after it
             m = start + len(repl)
 
     def _agg_expr_from_code(

@@ -1015,3 +1015,69 @@ def test_unix_timestamp_truncation_counts_bytes(spark, sf_dir):
         "'yyyy年MM月dd日') as v"
     ).head().v
     assert v == 1705276800
+
+
+def test_in_from_clause_stops_at_clause_keywords():
+    """r11 advice (low): a depth-0 comma in GROUP BY / ORDER BY / WHERE
+    after a FROM is a list comma, not a FROM-item separator; a comma
+    after a JOIN ... ON condition IS one (ON is part of the FROM
+    clause)."""
+    from hopspark.dialect.translate import _in_from_clause, tokenize
+
+    def comma_positions(sql):
+        toks = tokenize(sql)
+        return toks, [i for i, t in enumerate(toks) if t.text == ","]
+
+    toks, cs = comma_positions("select a from t1, t2 where x = 1")
+    assert _in_from_clause(toks, cs[0])
+    toks, cs = comma_positions("select a from t group by a, b")
+    assert not _in_from_clause(toks, cs[0])
+    toks, cs = comma_positions("select a from t order by a, b")
+    assert not _in_from_clause(toks, cs[0])
+    toks, cs = comma_positions(
+        "select a from t1 join t2 on t1.x = t2.x, t3"
+    )
+    assert _in_from_clause(toks, cs[0])
+    toks, cs = comma_positions("select a, b from t")
+    assert not _in_from_clause(toks, cs[0])
+
+
+def test_group_by_dotted_path_not_a_table_path_scan(spark, sf_dir):
+    """r11 advice (low), end-to-end: `GROUP BY id, ctt.int_array` must not
+    rewrite the dotted GROUP BY item as a rootless collection scan."""
+    from hopspark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW gbp AS SELECT * FROM VALUES"
+        " (1, array(1,2)), (1, array(1,2)), (2, array(3))"
+        " AS t(id, int_array)"
+    )
+    rows = sorted(
+        tuple(r) for r in eng.sql(
+            "select gbp.id, count(*) c from gbp"
+            " group by gbp.id, gbp.int_array"
+        ).collect()
+    )
+    assert rows == [(1, 2), (2, 1)]
+
+
+def test_ns_fold_not_mid_expression():
+    """r11 advice (low): a sub-µs constant that STARTS a select item but
+    continues with an expression keyword (BETWEEN/IS/AND/...) must keep
+    TimestampType — no 9-digit string fold mid-expression."""
+    for sql in (
+        "SELECT cast(0.0000001 as timestamp) BETWEEN a AND b FROM t",
+        "SELECT cast(0.0000001 as timestamp) IS NULL FROM t",
+        "SELECT cast(0.0000001 as timestamp) IN (a, b) FROM t",
+    ):
+        out = translate(sql)
+        assert "000000100" not in out, (sql, out)
+        assert translate(out) == out
+    # the WHOLE-item display fold itself still fires (alias and FROM ends)
+    assert "000000100" in translate(
+        "SELECT cast(0.0000001 as timestamp) FROM t"
+    )
+    assert "000000100" in translate(
+        "SELECT cast(0.0000001 as timestamp) v FROM t"
+    )

@@ -65,3 +65,27 @@ def test_registry_is_unique_and_complete():
     flat = [n for names in by_module.values() for n in names]
     assert len(flat) == len(set(flat))
     assert set(flat) == set(registry)
+
+
+def test_readme_gate_history_matches_artifacts():
+    """The README's driver-gate history (unique-ever / first-time counts)
+    is generated from the CORRECTNESS_r*.json artifacts
+    (tools/gen_gate_history.py) — assert it hasn't drifted (r10 verdict
+    nit: the hand tally said 16/136 vs the artifact diff's 15/135)."""
+    import pathlib
+    import re
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "tools"))
+    from gen_gate_history import history
+
+    _ft, seen, total = history()
+    readme = (root / "README.md").read_text()
+    m = re.search(
+        r"unique queries ever checked \*\*(\d+) of (\d+)\*\*", readme
+    )
+    assert m, "README gate-history marker missing"
+    assert (int(m.group(1)), int(m.group(2))) == (len(seen), total), (
+        "README gate history stale — rerun tools/gen_gate_history.py"
+    )

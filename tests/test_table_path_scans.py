@@ -532,3 +532,44 @@ def test_implicit_collection_alias_binding(eng4):
         " (select count(*) cnt from d.item) v order by id, cnt"
     )
     assert [tuple(r) for r in df.collect()] == [(1, 1), (1, 2)]
+
+
+# ---- round-11 advice regressions -----------------------------------------
+
+
+def test_bare_star_multi_item_from_keeps_sibling_columns(eng):
+    # r11 advice (medium): a comma-triggered table-path rewrite must not
+    # treat the FROM as single-item — `SELECT *, pos FROM region,
+    # ctt.int_array` keeps region's columns in the bare `*`
+    df = eng.sql("select *, pos from region, ctt.int_array order by pos")
+    assert "r_regionkey" in df.columns and "r_name" in df.columns
+    assert df.count() == 15  # 5 regions x 3 elements
+
+
+def test_substitute_scoped_to_binding_block(eng4):
+    # r11 advice (low): a nested subquery binding its OWN column named
+    # like the removed lateral-agg output must not be rewritten
+    df = eng4.sql(
+        "select id, cnt from ct4 t, t.arr_arr a1,"
+        " (select count(a2.item) cnt from a1.item a2) v"
+        " where id in (select id from"
+        "   (select id, count(*) cnt from ct4 group by id) z"
+        "   where z.cnt >= 1)"
+        " order by id, cnt"
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        (1, 2), (1, 2), (2, 0), (2, 0), (2, 1),
+    ]
+
+
+def test_relative_struct_scan_not_last_from_item(eng4):
+    # r11 advice (low): `FROM t, t.ns.c.d.item, u` — the LATERAL VIEW
+    # must be spliced AFTER the final relation (Spark grammar), not in
+    # place of the comma item
+    df = eng4.sql(
+        "select id, e, f, x from ct4 t, t.ns.c.d.item, (select 1 x) u"
+        " order by id, e"
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        (1, -10, "bbb", 1), (1, 10, "aaa", 1), (1, 11, "c", 1),
+    ]
