@@ -132,6 +132,12 @@ HEADLINE = [
     # UDA-inside-CTE-body two-stage compilation
     "dialect_sql_subplan_agg",
     "dialect_sql_uda_in_cte",
+    # r11 additions: the nested TPC-H gate rows (multi-level rootless
+    # scan; lateral-aggregate HOF over the two-level nest) and the
+    # multi-aggregate lateral lowering
+    "tpch_nested_q1",
+    "tpch_nested_q18",
+    "dialect_sql_subplan_multi_agg",
 ]
 
 

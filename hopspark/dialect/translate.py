@@ -6234,10 +6234,148 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
     cj_elems: dict[str, str] = {}
     #: alias -> (key expr, value expr) for map collection aliases
     cj_maps: dict[str, tuple[str, str]] = {}
+
+    def _block_bounds(i: int) -> tuple[int, int]:
+        """Query-block token range [start, end) owning position i."""
+        start = 0
+        bal = 0
+        for k in range(i - 1, -1, -1):
+            tk = toks[k]
+            if tk.text == ")":
+                bal += 1
+            elif tk.text == "(":
+                if bal == 0:
+                    start = k + 1
+                    break
+                bal -= 1
+            elif bal == 0 and tk.kind == "word" and tk.upper == "SELECT":
+                start = k
+                break
+        end = len(toks)
+        bal = 0
+        for k in range(i, len(toks)):
+            tk = toks[k]
+            if tk.text == "(":
+                bal += 1
+            elif tk.text == ")":
+                if bal == 0:
+                    end = k
+                    break
+                bal -= 1
+        return start, end
+
+    def _alias_bindings() -> list[tuple[str, tuple[int, int]]]:
+        """(alias_lower, block) for every FROM-item alias in the current
+        toks — used to keep one item's reference rewrites out of inner
+        scopes that REBIND the same alias (nested TPC-H q2/q11: the
+        correlated min-cost subquery reuses s/ps)."""
+        out: list[tuple[str, tuple[int, int]]] = []
+        m2 = 0
+        while m2 < len(toks):
+            t2 = toks[m2]
+            trig = (
+                (t2.kind == "word" and t2.upper in ("FROM", "JOIN"))
+                or (t2.text == "," and _in_from_clause(toks, m2))
+            )
+            if not trig:
+                m2 += 1
+                continue
+            j2 = _next_code(toks, m2 + 1)
+            if j2 >= len(toks):
+                m2 += 1
+                continue
+            if toks[j2].text == "(":
+                d3 = 1
+                k2 = j2 + 1
+                while k2 < len(toks) and d3:
+                    if toks[k2].text == "(":
+                        d3 += 1
+                    elif toks[k2].text == ")":
+                        d3 -= 1
+                    k2 += 1
+                e2 = k2 - 1
+            elif toks[j2].kind == "word":
+                e2 = j2
+                k2 = _next_code(toks, j2 + 1)
+                while k2 < len(toks) and toks[k2].text == ".":
+                    nx2 = _next_code(toks, k2 + 1)
+                    if nx2 >= len(toks) or toks[nx2].kind not in (
+                        "word", "bquote",
+                    ):
+                        break
+                    e2 = nx2
+                    k2 = _next_code(toks, nx2 + 1)
+            else:
+                m2 += 1
+                continue
+            al = None
+            a2 = _next_code(toks, e2 + 1)
+            if a2 < len(toks) and toks[a2].kind == "word":
+                if toks[a2].upper == "AS":
+                    b2 = _next_code(toks, a2 + 1)
+                    if b2 < len(toks) and toks[b2].kind == "word":
+                        al, e2 = toks[b2].text, b2
+                elif (
+                    toks[a2].upper not in _FROM_ITEM_KEYWORDS
+                    and toks[a2].upper not in _CLAUSE_STOP
+                ):
+                    nxa = _next_code(toks, a2 + 1)
+                    if not (nxa < len(toks)
+                            and toks[nxa].text in (".", "(")):
+                        al, e2 = toks[a2].text, a2
+            if al is None and toks[j2].kind == "word":
+                al = toks[e2].text  # trailing path segment
+            if al:
+                out.append((al.lower(), _block_bounds(j2)))
+            m2 = e2 + 1
+        return out
+
+    def _owns(alias_low: str, blk: tuple[int, int], m2: int,
+              binds: list) -> bool:
+        """Token m2 belongs to the binding of alias_low at block blk —
+        inside blk and not inside an inner block that rebinds the name."""
+        if not (blk[0] <= m2 < blk[1]):
+            return False
+        for a2, b2 in binds:
+            if (
+                a2 == alias_low and b2 != blk
+                and b2[0] >= blk[0] and b2[1] <= blk[1]
+                and b2[0] <= m2 < b2[1]
+            ):
+                return False
+        return True
+
     i = 0
     while i < len(toks):
         t = toks[i]
-        if t.text != "," or not _in_from_clause(toks, i):
+        join_form = False
+        outer = False
+        if t.text == "," and _in_from_clause(toks, i):
+            pass
+        elif t.kind == "word" and t.upper == "JOIN":
+            # JOIN-form collection join, optionally LEFT OUTER and with
+            # an ON filter (tpch_nested-q13.test: `customer c left outer
+            # join c.c_orders on (o_comment not like ...)`) — lowers to
+            # explode[_outer](filter(coll, alias -> pred))
+            join_form = True
+            p0 = _prev_code(toks, i - 1)
+            mods: set[str] = set()
+            del_start = i
+            while (
+                p0 >= 0 and toks[p0].kind == "word"
+                and toks[p0].upper in (
+                    "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "OUTER",
+                    "SEMI", "ANTI",
+                )
+            ):
+                mods.add(toks[p0].upper)
+                del_start = p0
+                p0 = _prev_code(toks, p0 - 1)
+            if {"RIGHT", "FULL", "SEMI", "ANTI", "CROSS"} & mods:
+                i += 1
+                continue
+            outer = "LEFT" in mods
+        else:
             i += 1
             continue
         # earlier depth-0 words in this FROM clause = candidate aliases
@@ -6306,6 +6444,39 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                     end = a_i
         if alias is None:
             alias = path[-1]
+        on_pred = None
+        if join_form:
+            oi = _next_code(toks, end + 1)
+            if (
+                oi < len(toks) and toks[oi].kind == "word"
+                and toks[oi].upper == "ON"
+            ):
+                pe = len(toks)
+                d2 = 0
+                for x in range(oi + 1, len(toks)):
+                    t2 = toks[x]
+                    if t2.text == "(":
+                        d2 += 1
+                    elif t2.text == ")":
+                        d2 -= 1
+                        if d2 < 0:
+                            pe = x
+                            break
+                    elif d2 == 0:
+                        if t2.text == ",":
+                            pe = x
+                            break
+                        if t2.kind == "word" and t2.upper in (
+                            "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+                            "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+                            "MINUS", "JOIN", "LEFT", "RIGHT", "FULL",
+                            "INNER", "CROSS", "LATERAL",
+                        ):
+                            pe = x
+                            break
+                on_pred = untokenize(toks[oi + 1 : pe]).strip()
+                end = pe - 1
+            i = del_start  # the splice consumes the join modifiers too
         root_low = path[0].lower()
         # a path rooted at a COLLECTION alias resolves through its
         # element expression (chained refs); a map alias navigates
@@ -6356,12 +6527,22 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
             f" LATERAL VIEW explode({src}) _cjh_{alias}{n} AS {alias}__h{n} "
             for n, src in enumerate(hops, 1)
         )
+        if on_pred is not None:
+            # the ON filter applies per element BEFORE the explode; the
+            # lambda variable carries the collection alias so the pred's
+            # alias-qualified refs bind to it verbatim
+            dotted = f"filter({dotted}, {alias} -> ({on_pred}))"
+        gfn = "explode_outer" if outer else "explode"
+        pgfn = "posexplode_outer" if outer else "posexplode"
         # array vs map collection: the column's type is unknowable at
         # translate time, but the reference's resolution rules make the
         # REFERENCES unambiguous — a map join exposes exactly key/value
         # (MapType.java), an array join item/pos or struct fields.  Treat
         # the alias as a map iff the query touches alias.key/alias.value
         # and never alias.item/alias.pos.
+        item_blk = _block_bounds(i)
+        binds = _alias_bindings()
+        alias_low0 = alias.lower()
         suffixes = set()
         m = 0
         while m < len(toks) - 2:
@@ -6371,6 +6552,7 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                 a.kind == "word"
                 and a.text.lower() == alias.lower()
                 and (p < 0 or toks[p].text != ".")
+                and _owns(alias_low0, item_blk, m, binds)
             ):
                 d = _next_code(toks, m + 1)
                 if d < len(toks) and toks[d].text == ".":
@@ -6391,6 +6573,8 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
             for m in range(len(toks)):
                 tk = toks[m]
                 if tk.kind != "word" or tk.text.lower() not in names:
+                    continue
+                if not (item_blk[0] <= m < item_blk[1]):
                     continue
                 p = _prev_code(toks, m - 1)
                 if p >= 0 and toks[p].text == ".":
@@ -6416,6 +6600,7 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                     tk.kind != "word"
                     or tk.text.lower() != alias.lower()
                     or i <= m <= end
+                    or not _owns(alias_low0, item_blk, m, binds)
                 ):
                     continue
                 pb = _prev_code(toks, m - 1)
@@ -6444,15 +6629,15 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
             # count, so omit it — Spark's default generator output names
             # are never referenced, and explode() multiplies cardinality
             # identically for both types.
-            lateral = f" LATERAL VIEW explode({dotted}) _cj_{alias} "
+            lateral = f" LATERAL VIEW {gfn}({dotted}) _cj_{alias} "
         elif is_map:
             lateral = (
-                f" LATERAL VIEW explode({dotted}) _cj_{alias} "
+                f" LATERAL VIEW {gfn}({dotted}) _cj_{alias} "
                 f"AS {alias}__key, {alias}__value "
             )
         elif "pos" in suffixes:
             lateral = (
-                f" LATERAL VIEW posexplode({dotted}) _cj_{alias} "
+                f" LATERAL VIEW {pgfn}({dotted}) _cj_{alias} "
                 f"AS {alias}__pos, {alias} "
             )
         else:
@@ -6464,10 +6649,41 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
             # 100 TB that is the difference between scanning one field
             # and the whole struct.
             lateral = (
-                f" LATERAL VIEW explode({dotted}) _cj_{alias} "
+                f" LATERAL VIEW {gfn}({dotted}) _cj_{alias} "
                 f"AS {alias} "
             )
-        toks[i : end + 1] = [Tok("word", hop_sql + lateral)]
+        # Spark's grammar puts lateral views AFTER all join relations:
+        # splice at the clause end — identical to in-place when this is
+        # the last item, and loop order keeps chained LVs (an LV whose
+        # explode target references an earlier _cj_ column) correctly
+        # sequenced when relations follow.  An empty placeholder keeps
+        # the loop's i arithmetic identical to an in-place replacement.
+        # kind "synth": code for untokenize, but invisible to every
+        # word-shaped scan — the NEXT item's alias parse must not swallow
+        # the spliced LV text as its alias
+        lv_tok = Tok("synth", hop_sql + lateral)
+        toks[i : end + 1] = [Tok("synth", "")]
+        ins = len(toks)
+        d2 = 0
+        for x in range(i, len(toks)):
+            t2 = toks[x]
+            if t2.text == "(":
+                d2 += 1
+            elif t2.text == ")":
+                d2 -= 1
+                if d2 < 0:
+                    ins = x
+                    break
+            elif d2 == 0 and t2.kind == "word" and t2.upper in (
+                "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+                "OFFSET", "UNION", "INTERSECT", "EXCEPT", "MINUS",
+            ):
+                ins = x
+                break
+        toks[ins:ins] = [lv_tok]
+        # indices shifted: recompute scope info for the ref rewrites
+        item_blk = _block_bounds(i)
+        binds = _alias_bindings()
 
         def _starts_from_item(m: int) -> bool:
             """A ref that IS the root of a later FROM item must survive
@@ -6491,6 +6707,8 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                     and a.text.lower() == alias.lower()
                     and (p < 0 or toks[p].text != ".")
                     and not _starts_from_item(m)
+                and _owns(alias_low0, item_blk, m, binds)
+                    and _owns(alias_low0, item_blk, m, binds)
                 ):
                     d = _next_code(toks, m + 1)
                     if d < len(toks) and toks[d].text == ".":
@@ -6511,6 +6729,7 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                     if (
                         tk.kind == "word"
                         and tk.text.lower() in bare_map_refs
+                        and item_blk[0] <= m < item_blk[1]
                     ):
                         p = _prev_code(toks, m - 1)
                         d = _next_code(toks, m + 1)
@@ -6553,6 +6772,7 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                 if (
                     tk.kind == "word"
                     and tk.text.lower() in bare_refs
+                    and item_blk[0] <= m < item_blk[1]
                 ):
                     p = _prev_code(toks, m - 1)
                     d = _next_code(toks, m + 1)
@@ -6587,6 +6807,7 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                 and a.text.lower() == alias.lower()
                 and (p < 0 or toks[p].text != ".")
                 and not _starts_from_item(m)
+                and _owns(alias_low0, item_blk, m, binds)
             ):
                 d = _next_code(toks, m + 1)
                 if d < len(toks) and toks[d].text == ".":

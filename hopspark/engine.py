@@ -198,6 +198,7 @@ class Engine(AlterTableMixin):
                 # (fe CreateViewStmt analysis) — plain CREATE must not
                 # silently replace.
                 raise ValueError(f"view already exists: {name}")
+            body = self._qualify_collection_fields(body)
             body = self._rewrite_table_path_scans(body)
             body = self._rewrite_subplan_derived_tables(body)
             body = self._rewrite_relative_struct_scans(body)
@@ -296,6 +297,7 @@ class Engine(AlterTableMixin):
             return self.spark.createDataFrame(
                 [(ln,) for ln in lines], "`Explain String` string"
             )
+        impala_sql = self._qualify_collection_fields(impala_sql)
         impala_sql = self._rewrite_table_path_scans(impala_sql)
         impala_sql = self._rewrite_subplan_derived_tables(impala_sql)
         impala_sql = self._rewrite_relative_struct_scans(impala_sql)
@@ -331,6 +333,247 @@ class Engine(AlterTableMixin):
         "INNER", "CROSS", "OUTER", "LATERAL", "USING", "TABLESAMPLE",
         "WINDOW", "QUALIFY",
     })
+
+    #: words never treated as bare element-field references
+    _QCF_KEYWORDS = frozenset({
+        "SELECT", "FROM", "WHERE", "GROUP", "BY", "ORDER", "HAVING",
+        "LIMIT", "OFFSET", "AND", "OR", "NOT", "LIKE", "RLIKE", "ILIKE",
+        "BETWEEN", "IN", "EXISTS", "CASE", "WHEN", "THEN", "ELSE", "END",
+        "AS", "ON", "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER",
+        "CROSS", "SEMI", "ANTI", "UNION", "ALL", "DISTINCT", "ASC",
+        "DESC", "NULLS", "FIRST", "LAST", "IS", "NULL", "TRUE", "FALSE",
+        "INTERVAL", "WITH", "USING", "LATERAL", "VIEW", "OVER",
+        "PARTITION", "ROWS", "RANGE", "VALUES", "DIV",
+    })
+
+    def _qualify_collection_fields(self, impala_sql: str) -> str:
+        """Impala resolves a BARE column name against the struct element
+        of any collection join item in scope — ``FROM customer c,
+        c.c_orders o WHERE o_orderdate < ...`` binds ``o_orderdate`` to
+        ``o``'s element (fe Path resolution; the nested TPC-H queries'
+        pervasive idiom, tpch_nested-q3.test ff.).  The translate layer
+        is schema-blind, so qualify such refs here: a bare word that
+        matches exactly ONE same-block collection alias's element field
+        (and no flat table column in that block) becomes
+        ``alias.`field``."""
+        if "." not in impala_sql:
+            return impala_sql
+        from pyspark.sql import types as T
+
+        from hopspark.dialect.translate import (
+            _in_from_clause, _next_code, _prev_code, tokenize, untokenize,
+        )
+
+        toks = tokenize(impala_sql)
+        # ---- pass 1: FROM/JOIN/comma items -------------------------------
+        items = []  # (first_tok_i, segs, alias, last_item_tok_i)
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            trig = (
+                (t.kind == "word" and t.upper in ("FROM", "JOIN"))
+                or (t.text == "," and _in_from_clause(toks, i))
+            )
+            if not trig:
+                i += 1
+                continue
+            j = _next_code(toks, i + 1)
+            if j >= len(toks) or toks[j].kind != "word":
+                i += 1
+                continue
+            segs = [toks[j].text]
+            end = j
+            k = _next_code(toks, j + 1)
+            while k < len(toks) and toks[k].text == ".":
+                nx = _next_code(toks, k + 1)
+                if nx >= len(toks) or toks[nx].kind not in ("word", "bquote"):
+                    break
+                segs.append(toks[nx].text)
+                end = nx
+                k = _next_code(toks, nx + 1)
+            alias = None
+            aend = end
+            a = _next_code(toks, end + 1)
+            if a < len(toks) and toks[a].kind == "word":
+                if toks[a].upper == "AS":
+                    b = _next_code(toks, a + 1)
+                    if b < len(toks) and toks[b].kind == "word":
+                        alias, aend = toks[b].text, b
+                elif toks[a].upper not in self._FROM_TAIL_WORDS:
+                    nxt = _next_code(toks, a + 1)
+                    if not (nxt < len(toks)
+                            and toks[nxt].text in (".", "(")):
+                        alias, aend = toks[a].text, a
+            if alias is None:
+                alias = segs[-1]
+            items.append((j, segs, alias, aend))
+            i = aend + 1
+        # catalog lookups only pay off when a dotted FROM item exists —
+        # flat queries (the vast majority) exit with zero schema calls
+        if not any(len(segs) > 1 for _j, segs, _a, _e in items):
+            return impala_sql
+        # ---- pass 2: resolve aliases to element types --------------------
+        tables: set[str] | None = None
+        alias_dtype: dict[str, tuple[str, object, tuple]] = {}
+        bindings = []  # (alias_as_written, block, fields|None, kind)
+        for j, segs, alias, aend in items:
+            if tables is None:
+                tables = {
+                    tt.name.lower()
+                    for tt in self.spark.catalog.listTables()
+                }
+            root = segs[0].lower()
+            blk = self._query_block_bounds(toks, j)
+            if len(segs) == 1:
+                if root in tables:
+                    try:
+                        schema = self.spark.table(segs[0]).schema
+                    except Exception:  # noqa: BLE001
+                        continue
+                    alias_dtype[alias.lower()] = ("row", schema, blk)
+                    bindings.append((
+                        alias, blk,
+                        {f.name.lower(): f.name for f in schema.fields},
+                        "table",
+                    ))
+                continue
+            base = alias_dtype.get(root)
+            from_alias = base is not None
+            if base is None and root in tables:
+                try:
+                    base = ("row", self.spark.table(segs[0]).schema, blk)
+                except Exception:  # noqa: BLE001
+                    base = None
+            if base is None:
+                continue
+            if from_alias and base[2] != blk:
+                # a subquery FROM rooted at an OUTER alias (table OR
+                # collection) is a correlated SUBPLAN target — its own
+                # rewrite resolves bare element fields; qualifying them
+                # here would defeat the lambda substitution
+                continue
+            cur: object = base[1]
+            ok = True
+            for seg in segs[1:]:
+                sl = seg.lower()
+                if isinstance(cur, T.StructType):
+                    fld = next(
+                        (f for f in cur.fields
+                         if f.name.lower() == sl), None,
+                    )
+                    if fld is None:
+                        ok = False
+                        break
+                    cur = fld.dataType
+                elif isinstance(cur, T.ArrayType):
+                    el = cur.elementType
+                    if sl == "item":
+                        cur = el
+                    elif isinstance(el, T.StructType):
+                        fld = next(
+                            (f for f in el.fields
+                             if f.name.lower() == sl), None,
+                        )
+                        if fld is None:
+                            ok = False
+                            break
+                        cur = fld.dataType
+                    else:
+                        ok = False
+                        break
+                elif isinstance(cur, T.MapType):
+                    if sl == "value":
+                        cur = cur.valueType
+                    elif sl == "key":
+                        cur = cur.keyType
+                    else:
+                        ok = False
+                        break
+                else:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            if isinstance(cur, T.ArrayType):
+                el = cur.elementType
+                alias_dtype[alias.lower()] = ("elem", el, blk)
+                flds = (
+                    {f.name.lower(): f.name for f in el.fields}
+                    if isinstance(el, T.StructType) else None
+                )
+                bindings.append((alias, blk, flds, "elem"))
+            elif isinstance(cur, T.MapType):
+                alias_dtype[alias.lower()] = ("elem", cur.valueType, blk)
+        # ---- pass 3: qualify bare field refs -----------------------------
+        elem_binds = [
+            (alias, blk, flds) for alias, blk, flds, kind in bindings
+            if kind == "elem" and flds
+        ]
+        flat_binds = [
+            (blk, flds) for _a, blk, flds, kind in bindings
+            if kind == "table" and flds
+        ]
+        if not elem_binds:
+            return impala_sql
+        item_idx: set[int] = set()
+        for j, segs, alias, aend in items:
+            item_idx.update(range(j, aend + 1))
+        repls = []  # (tok index, alias, field)
+        for m, tk in enumerate(toks):
+            if m in item_idx or tk.kind != "word":
+                continue
+            if tk.upper in self._QCF_KEYWORDS:
+                continue
+            lo = tk.text.lower()
+            p = _prev_code(toks, m - 1)
+            if p >= 0 and toks[p].text == ".":
+                continue
+            # alias position, not a reference: the previous code token
+            # ENDS an expression (AS keyword, a close paren, a literal,
+            # or a non-keyword word — `CAST(x AS DOUBLE) o_totalprice`)
+            if p >= 0 and (
+                toks[p].text == ")"
+                or toks[p].kind == "num"
+                or (toks[p].kind == "word"
+                    and toks[p].upper == "AS")
+                or (toks[p].kind == "word"
+                    and toks[p].upper not in self._QCF_KEYWORDS
+                    and toks[p].upper not in ("BY",))
+            ):
+                continue
+            n = _next_code(toks, m + 1)
+            if n < len(toks) and toks[n].text in (".", "("):
+                continue
+            # visible candidates: binding block CONTAINS the token
+            # (correlated refs to outer collection aliases included);
+            # innermost block wins, ambiguity at that level -> skip
+            cands = [
+                (alias, blk, flds[lo])
+                for alias, blk, flds in elem_binds
+                if lo in flds and blk[0] <= m < blk[1]
+            ]
+            if not cands:
+                continue
+            best = max(blk[0] for _a, blk, _o in cands)
+            inner = [
+                (a, o) for a, blk, o in cands if blk[0] == best
+            ]
+            if len({a.lower() for a, _o in inner}) != 1:
+                continue
+            # a flat table column at the same or inner scope shadows
+            if any(
+                lo in flds and blk[0] <= m < blk[1] and blk[0] >= best
+                for blk, flds in flat_binds
+            ):
+                continue
+            repls.append((m, inner[0][0], inner[0][1]))
+        if not repls:
+            return impala_sql
+        # plain identifiers (no backticks): the translate layer's
+        # collection-join scans match word tokens only
+        for m, alias, orig in reversed(repls):
+            toks[m : m + 1] = tokenize(f"{alias}.{orig}")
+        return untokenize(toks)
 
     def _rewrite_table_path_scans(self, impala_sql: str) -> str:
         """Rootless collection scans — the reference idiom ``FROM
@@ -1292,10 +1535,13 @@ class Engine(AlterTableMixin):
     def _subplan_lateral_agg(
         self, toks, o, close, first, from_i, qpath, coll_dt
     ) -> bool:
-        """Lower ``, (SELECT <agg>(arg) [AS] name FROM c.path [x]
-        [WHERE pred]) v`` to an inline HOF expression, deleting the
-        derived table and substituting refs to its output name.  Returns
-        True when rewritten in place."""
+        """Lower ``, (SELECT <agg>(arg) [AS] name [, <agg>(arg) [AS]
+        name ...] FROM c.path [x] [WHERE pred]) v`` to inline HOF
+        expressions, deleting the derived table and substituting refs to
+        each output name (multi-item support: r10 verdict item 4 — for
+        struct-rooted paths Catalyst REJECTS the correlated fallback, so
+        these shapes have no other plan).  Returns True when rewritten
+        in place."""
         from pyspark.sql import types as T
 
         from hopspark.dialect.translate import (
@@ -1308,24 +1554,41 @@ class Engine(AlterTableMixin):
         p = _prev_code(toks, o - 1)
         if p < 0 or toks[p].text != "," or not _in_from_clause(toks, p):
             return False
-        # select list must be a single aggregate WITH an output name
-        code = [t for t in toks[first + 1 : from_i] if _is_code(t)]
-        if len(code) < 5 or code[-1].kind != "word":
-            return False
-        if code[-2].kind == "word" and code[-2].upper == "AS":
-            name, code = code[-1].text, code[:-2]
-        elif code[-2].text == ")":
-            name, code = code[-1].text, code[:-1]
-        else:
-            return False
-        if (
-            code[0].kind != "word"
-            or code[0].text.lower() not in ("count", "sum", "min",
-                                            "max", "avg")
-            or code[1].text != "("
-            or code[-1].text != ")"
-        ):
-            return False
+        # select list: one or more comma-separated aggregates, each WITH
+        # an output name
+        sel_code = [t for t in toks[first + 1 : from_i] if _is_code(t)]
+        item_codes: list[list] = [[]]
+        depth0 = 0
+        for t in sel_code:
+            if t.text == "(":
+                depth0 += 1
+            elif t.text == ")":
+                depth0 -= 1
+            if t.text == "," and depth0 == 0:
+                item_codes.append([])
+            else:
+                item_codes[-1].append(t)
+        named: list[tuple[str, list]] = []
+        for code in item_codes:
+            if len(code) < 5 or code[-1].kind != "word":
+                return False
+            if code[-2].kind == "word" and code[-2].upper == "AS":
+                name, code = code[-1].text, code[:-2]
+            elif code[-2].text == ")":
+                name, code = code[-1].text, code[:-1]
+            else:
+                return False
+            if (
+                code[0].kind != "word"
+                or code[0].text.lower() not in ("count", "sum", "min",
+                                                "max", "avg")
+                or code[1].text != "("
+                or code[-1].text != ")"
+            ):
+                return False
+            named.append((name, code))
+        if len({n.lower() for n, _c in named}) != len(named):
+            return False  # duplicate output names: ambiguous
         # target end: skip the segs tokens after FROM
         end = _next_code(toks, from_i + 1)
         while True:
@@ -1367,11 +1630,14 @@ class Engine(AlterTableMixin):
             )
             if pred_sql is None:
                 return False
-        agg = self._agg_expr_from_code(
-            code, elem, fields, salias, qpath, pred_sql,
-        )
-        if agg is None:
-            return False
+        aggs: list[tuple[str, str]] = []
+        for name, code in named:
+            agg = self._agg_expr_from_code(
+                code, elem, fields, salias, qpath, pred_sql,
+            )
+            if agg is None:
+                return False
+            aggs.append((name, agg))
         # [AS] v alias after the close
         stop = close + 1
         valias = None
@@ -1384,7 +1650,9 @@ class Engine(AlterTableMixin):
             elif toks[a4].upper not in self._FROM_TAIL_WORDS:
                 valias, stop = toks[a4].text, a4 + 1
         del toks[p:stop]
-        self._substitute_output_name(toks, name, valias, agg, bind_i=p)
+        self._substitute_output_names(
+            toks, {n.lower(): (n, a) for n, a in aggs}, valias, bind_i=p,
+        )
         return True
 
     @staticmethod
@@ -1429,14 +1697,25 @@ class Engine(AlterTableMixin):
     @classmethod
     def _substitute_output_name(cls, toks, name, valias, expr_sql,
                                 bind_i=None):
-        """Replace refs to a removed derived table's single output column
-        (bare ``name`` or ``valias.name``) with ``expr_sql``; whole select
-        items keep the name via AS.  Substitution is scoped to the query
-        block that bound the derived table (``bind_i`` = its former FROM
-        position): bare names only at the block's own paren level (a
-        nested subquery may bind its own column of the same name),
-        qualified ``valias.name`` anywhere inside the block (correlated
-        inner refs are unambiguous)."""
+        """Single-name convenience wrapper over
+        :meth:`_substitute_output_names`."""
+        cls._substitute_output_names(
+            toks, {name.lower(): (name, expr_sql)}, valias, bind_i=bind_i,
+        )
+
+    @classmethod
+    def _substitute_output_names(cls, toks, exprs, valias, bind_i=None):
+        """Replace refs to a removed derived table's output columns
+        (bare ``name`` or ``valias.name``; ``exprs`` maps lowercase name
+        -> (name, expr_sql)) with their expressions; whole select items
+        keep the name via AS.  One pass for ALL names — sequential
+        single-name passes would shift the block bounds under each
+        other.  Substitution is scoped to the query block that bound the
+        derived table (``bind_i`` = its former FROM position): bare names
+        only at the block's own paren level (a nested subquery may bind
+        its own column of the same name), qualified ``valias.name``
+        anywhere inside the block (correlated inner refs are
+        unambiguous)."""
         from hopspark.dialect.translate import (
             _next_code, _prev_code, _select_clause_here, tokenize,
         )
@@ -1445,23 +1724,34 @@ class Engine(AlterTableMixin):
             blk_s, blk_e = 0, len(toks)
         else:
             blk_s, blk_e = cls._query_block_bounds(toks, bind_i)
-        depth = 0
+        in_subq_until = -1  # bare names are blocked inside nested SELECTs
         m = 0
         while m < len(toks):
             if m < blk_s or m >= blk_e:
                 m += 1
                 continue
-            if toks[m].text == "(":
-                depth += 1
-            elif toks[m].text == ")":
-                depth -= 1
+            if toks[m].text == "(" and m >= in_subq_until:
+                n2 = _next_code(toks, m + 1)
+                if (
+                    n2 < len(toks) and toks[n2].kind == "word"
+                    and toks[n2].upper in ("SELECT", "WITH")
+                ):
+                    d2 = 1
+                    x = m + 1
+                    while x < len(toks) and d2:
+                        if toks[x].text == "(":
+                            d2 += 1
+                        elif toks[x].text == ")":
+                            d2 -= 1
+                        x += 1
+                    in_subq_until = x
             t = toks[m]
             if t.kind != "word":
                 m += 1
                 continue
             lo = t.text.lower()
             start = m
-            matched = False
+            matched = None  # (name, expr_sql)
             end_s = m
             if valias and lo == valias.lower():
                 d = _next_code(toks, m + 1)
@@ -1470,16 +1760,23 @@ class Engine(AlterTableMixin):
                     if (
                         w < len(toks)
                         and toks[w].kind == "word"
-                        and toks[w].text.lower() == name.lower()
+                        and toks[w].text.lower() in exprs
                     ):
-                        end_s, matched = w, True
-            if not matched and depth == 0 and lo == name.lower():
+                        end_s = w
+                        matched = exprs[toks[w].text.lower()]
+            if matched is None and m >= in_subq_until and lo in exprs:
                 pv = _prev_code(toks, m - 1)
-                if pv < 0 or toks[pv].text != ".":
-                    matched = True
-            if not matched:
+                if (pv < 0 or toks[pv].text != ".") and not (
+                    pv >= 0 and toks[pv].kind == "word"
+                    and toks[pv].upper == "AS"
+                ):
+                    # (an AS-preceded occurrence is an OUTPUT alias —
+                    # `CAST(x AS DOUBLE) AS sum_quantity` keeps its name)
+                    matched = exprs[lo]
+            if matched is None:
                 m += 1
                 continue
+            name, expr_sql = matched
             pv = _prev_code(toks, start - 1)
             nx = _next_code(toks, end_s + 1)
             whole_item = (
@@ -1497,7 +1794,10 @@ class Engine(AlterTableMixin):
                 else f"({expr_sql})"
             )
             toks[start : end_s + 1] = repl
-            blk_e += len(repl) - (end_s + 1 - start)
+            delta2 = len(repl) - (end_s + 1 - start)
+            blk_e += delta2
+            if start < in_subq_until:
+                in_subq_until += delta2
             # the replacement's own parens net to zero; resume after it
             m = start + len(repl)
 
@@ -1550,6 +1850,27 @@ class Engine(AlterTableMixin):
             return f"array_{fname}(transform({arr_f}, __sx -> ({e})))"
         if "other" in kinds:
             return None
+        dec = sorted(k for k in kinds if k.startswith("decimal:"))
+        if dec:
+            # decimal SUM only, and only over a single bare field —
+            # arithmetic would shift Spark's result scale away from the
+            # reference's DECIMAL(38,s) contract (sum over decimal is
+            # DECIMAL(38,s) in both Impala decimal_v2 and the accumulator
+            # below; tpch_nested-q18.test's sum(l_quantity))
+            if (
+                fname != "sum"
+                or len(dec) != 1
+                or kinds - set(dec)
+                or sum(1 for t2 in inner if t2.kind == "word") != 1
+            ):
+                return None
+            scale = dec[0].rsplit(":", 1)[1]
+            ty = f"DECIMAL(38,{scale})"
+            return (
+                f"aggregate({arr_f}, CAST(NULL AS {ty}),"
+                f" (__ac, __sx) -> CASE WHEN ({e}) IS NULL THEN __ac"
+                f" ELSE coalesce(__ac, CAST(0 AS {ty})) + ({e}) END)"
+            )
         if fname == "avg":
             return (
                 f"aggregate({arr_f},"
@@ -1618,6 +1939,8 @@ class Engine(AlterTableMixin):
                 return "int"
             if isinstance(dt, (T.FloatType, T.DoubleType)):
                 return "float"
+            if isinstance(dt, T.DecimalType):
+                return f"decimal:{dt.precision}:{dt.scale}"
             return "other"
 
         ftypes = (
@@ -1785,11 +2108,26 @@ class Engine(AlterTableMixin):
                 )
                 cur_dt = fld.dataType
             elif isinstance(cur_dt, T.ArrayType):
-                if sl != "item":
+                if sl == "item":
+                    steps.append(("arr", cur_expr or ""))
+                    cur_expr = f"__tpe{len(steps)}"
+                    cur_dt = cur_dt.elementType
+                    continue
+                # a FIELD of the struct element implicitly unnests the
+                # array first (Path.java: customer.c_orders.o_lineitems
+                # == customer.c_orders.item.o_lineitems — the reference's
+                # nested TPC-H idiom, tpch_nested-q1.test)
+                el = cur_dt.elementType
+                fld = (
+                    next((f for f in el.fields if f.name.lower() == sl),
+                         None)
+                    if isinstance(el, T.StructType) else None
+                )
+                if fld is None:
                     return None
                 steps.append(("arr", cur_expr or ""))
-                cur_expr = f"__tpe{len(steps)}"
-                cur_dt = cur_dt.elementType
+                cur_expr = f"__tpe{len(steps)}.`{fld.name}`"
+                cur_dt = fld.dataType
             elif isinstance(cur_dt, T.MapType):
                 # path THROUGH a map descends into its values (the
                 # reference's nested_struct.g.value.h.i shape,

@@ -46,6 +46,7 @@ _MODULES = (
     "mixture",
     "stream_queries",
     "format_queries",
+    "tpch_nested",
 )
 
 #: The driver's correctness gate checks only the FIRST 50 entries of
@@ -73,7 +74,11 @@ CURATED_FIRST = (
     "lateral_topk_per_group",
     "tpch_q21_suppliers_waiting",
     # Joins / set ops / sorts (§2.4, §2.7, §2.8).
-    "join_full_outer",
+    # r11 rotation: join_full_outer (driver-green r1-r10) hands its
+    # slot to the escaped-TEXT roundtrip — the ONE format codec never
+    # externally checked (Impala \\N sentinel + escape-state parser);
+    # the join family keeps null_aware_anti + the TPC-DS join shapes.
+    "text_escaped_roundtrip",
     "join_null_aware_anti_not_in",
     # r7 rotation: sort_nulls_ordering rotates out — the Impala NULL-ordering
     # default contract keeps a driver row via dialect_sql_null_ordering, and
@@ -82,7 +87,11 @@ CURATED_FIRST = (
     # r7 rotation: agg_rollup rotates out — rollup/grouping evidence keeps
     # THREE driver rows (tpcds_q36 rollup+rank, tpcds_q27a grouping sets,
     # tpcds_q18 grouping-sets channels); stays sim-checked.
-    "agg_multi_distinct",
+    # r11 rotation: agg_multi_distinct (driver-green r1-r10) hands its
+    # slot to q10a's UNION-EXISTS decorrelation composite (never
+    # driver-checked); aggregates keep group_concat/percentiles/
+    # stats_moments under the gate.
+    "tpcds_q10a_union_exists",
     # r5 rotation: explicit GROUPING SETS over a pre-aggregated partial
     # (tpcds_patterns10, q27a shape) replaces agg_pivot_status — §2.5
     # grouping-family evidence deepens (rollup + grouping sets + q18/q86
@@ -100,14 +109,16 @@ CURATED_FIRST = (
     # the scalar-aggregate subplan — the r10 HOF fast path
     # (size/aggregate/array_min lowering), never driver-checked; the
     # derived-table shape stays sim-checked + plan-locked.
-    "dialect_sql_subplan_agg",
     "agg_stats_moments",
     # Analytic / windows (§2.6).
     # r7 rotation: window_rank_topn rotates out — the partitioned-TopN
     # WindowGroupLimit family keeps driver rows via tpcds_q67_rollup_rank_topn,
     # lateral_topk_per_group, and curation_source_cap; stays sim-checked
     # with its plan assert.
-    "window_sessionize",
+    # r11 rotation: sessionize (driver-green r1-r10) hands its slot to
+    # the DAU/WAU stickiness rollup (never driver-checked; the O(7)
+    # per-user-day explode scale shape, plan-locked no-BNLJ).
+    "events_dau_wau_stickiness",
     # r5 rotation: cumulative-DISTINCT-over-window via the scalable
     # first-occurrence rewrite (tpcds_patterns9) — keeps the running-sum
     # window family covered (it IS a running SUM over the month dim) and
@@ -122,8 +133,14 @@ CURATED_FIRST = (
     # the implicit collection join through SQL (FROM t, t.arr — the
     # translate-layer rewrite, never driver-checked); nested_zip_unnest
     # returns per the r9 verdict's ask.
-    "dialect_sql_collection_join",
-    "nested_zip_unnest",
+    # r11 rotation: collection_join + subplan_agg + nested_zip_unnest
+    # (all driver-green r10) hand their slots to the nested TPC-H rows —
+    # the reference's flagship nested workload composing ALL their
+    # surfaces (multi-level rootless scans with implicit unnest, EXISTS
+    # subplans, lateral aggregate derived tables) against flat oracles.
+    "tpch_nested_q1",
+    "tpch_nested_q4",
+    "tpch_nested_q18",
     "nested_from_disk",
     # r9 rotation: subquery_scalar_threshold (driver-green since r1) hands
     # its slot to the recursive-CTE month spine — a plan shape (iterative
@@ -147,7 +164,13 @@ CURATED_FIRST = (
     # connected-component cluster-size distribution (never driver-checked;
     # exercises the large-star/small-star iteration's OUTPUT contract, not
     # just membership); the Jaccard screen stays sim-checked.
-    "dedup_cc_cluster_sizes",
+    # r11 rotation: cc_cluster_sizes (driver-green r10) rotates out —
+    # CC stays externally proven (r9 membership + r10 sizes); its slot
+    # funds the set-operation intake (INTERSECT/EXCEPT distinct
+    # semantics, never driver-checked; q87's chained EXCEPT also rotates
+    # out below in their favor).
+    "setop_intersect",
+    "setop_except",
     # r7 rotation: the incremental batch-vs-history anti-join dedup and the
     # capped-prefix Levenshtein verify stage (both new in r6, sim-only until
     # now) take their first driver rows; dedup_embedding_cosine stays
@@ -157,8 +180,13 @@ CURATED_FIRST = (
     # capped-prefix Levenshtein verify) hand their slots to first-time rows
     # below; the dedup family keeps dedup_exact_groups + dedup_cc_clusters
     # under the gate, and both rotated rows stay sim-checked.
-    "pipeline_leakage_safe_split",
-    "iceberg_describe_history",
+    # r11 rotation: leakage_safe_split (driver-green r8-r10) hands its
+    # slot to prefix-cluster dedup (never driver-checked; capped-prefix
+    # candidate generation distinct from the r7 Levenshtein row).
+    "dedup_prefix_clusters",
+    # r11 rotation: describe_history (driver-green r8-r10) hands its
+    # slot to snapshot time-travel diffing (never driver-checked).
+    "iceberg_time_travel_diff",
     # Format scan/sink roundtrips (§2.1): the Avro container codec is the
     # largest pure-Python reader surface — its oracle compares the
     # write→read roundtrip against the ORIGINAL parquet view, upgrading
@@ -171,9 +199,15 @@ CURATED_FIRST = (
     # LAST three never-driver-checked format codecs — CSV and JSON
     # roundtrips and the pure-Python SequenceFile reader; with these every
     # format family has had an external-oracle row.
-    "csv_roundtrip_scan",
-    "json_roundtrip_agg",
-    "seqfile_roundtrip_scan",
+    # r11 rotation: csv/json/seqfile (driver-green r10) hand their slots
+    # to the never-checked rows below — with them every format codec has
+    # had an external-oracle round; all three stay sim-checked.
+    # r11 intake (verdict item 2): GROUP_CONCAT's ordering contract
+    # (missed in two rotations), percentile family, and the IGNORE NULLS
+    # window value functions — all never driver-checked.
+    "agg_group_concat",
+    "agg_percentiles",
+    "window_value_fns_ignore_nulls",
     # Similarity graph / PageRank.
     # r10 rotation: cc_clusters (driver-green r9) rotates out — the same
     # large-star/small-star iteration is now externally checked through
@@ -185,7 +219,11 @@ CURATED_FIRST = (
     # exercises) replaces events_cohort_retention, which stays sim-checked;
     # the cohort family's user-level window semantics remain covered by
     # window_sessionize above.
-    "temporal_asof_attribution",
+    # r11 rotation: asof_attribution (driver-green r6-r10) hands its
+    # slot to the time-bounded range-join context assembly (never
+    # driver-checked; the reference's range-join shape, distinct failure
+    # modes from as-of picking).
+    "temporal_range_join_context",
     # r8 rotation: the daily-anomaly z-score screen (r7's new temporal
     # operator, sim-only until now) takes its first driver row;
     # events_session_funnel was driver-green in r7 and stays sim-checked.
@@ -196,9 +234,15 @@ CURATED_FIRST = (
     # (zero-shuffle scan-side array kernels, engine-stable rounding) takes
     # its first driver row.
     "sim_knn_bruteforce_cosine",
-    "emb_quantize_int8",
+    # r11 rotation: emb_quantize_int8 (driver-green r7-r10) hands its
+    # slot to gap-fill + downsample (never driver-checked; the
+    # time-spine generation shape).
+    "events_gapfill_downsample",
     # Sketches.
-    "sketch_theta_grouped",
+    # r11 rotation: theta_grouped (driver-green r1-r10) hands its slot
+    # to the theta set-algebra row (union/intersect/a-not-b estimator
+    # composition, never driver-checked).
+    "sketch_theta_set_algebra",
     # r6 session-2 rotation: per-source corpus capping (WindowGroupLimit
     # plan-asserted, kept_chars ranking-dependent) replaces
     # text_token_stats — text keeps the composed bigram-LM scorer row
@@ -213,29 +257,43 @@ CURATED_FIRST = (
     # r10 rotation: curriculum_order (driver-green r8/r9) hands its slot
     # to q87's chained EXCEPT (never driver-checked; the only chained
     # set-difference shape in the registry); pipeline keeps two rows.
-    "tpcds_q87_chained_except",
+    # r11 rotation: q87 (driver-green r10) rotates out — chained EXCEPT
+    # is now covered by setop_except above plus the sim; its slot keeps
+    # the list at 50.
     # r7 rotation: per-doc TF-IDF top terms (tf join df over two
     # pre-aggregated relations, WindowGroupLimit top-k) — first driver row.
     # r10 rotation: tfidf (driver-green r7-r9) hands its slot to the
     # n-gram language-ID heuristic — a core LLM-pipeline text operator
     # never externally checked; tfidf stays sim-checked + plan-asserted.
-    "text_langid_heuristic",
+    # r11 rotation: langid (driver-green r10) hands its slot to the
+    # vocab-coverage screen (never driver-checked); text keeps
+    # bigram_score below.
+    "text_vocab_coverage",
     # Multimodal.
     # r7 rotation: mm_decode_image hands its slot to the new rows below;
     # the PPM/BMP decode path stays sim-checked + unit-tested, and the
     # multimodal family keeps the payload-dedup row.
-    "mm_payload_dedup",
+    # r11 rotation: payload_dedup (driver-green r5-r10) hands its slot
+    # to the multimodal metadata-profile rollup (never driver-checked).
+    "mm_metadata_stats",
     # Impala dialect surface. scalar_parity pins the round-4 kernel fixes
     # (greatest/least NULL-poisoning, pmod sign rule, regexp backrefs,
     # extract BIGINT, dtrunc, RR round-year) under the driver gate; it
     # replaces setop_except (0 rows at gate SF — weak hash evidence; set
     # ops stay covered by sim + the curated union-composite TPC-DS rows).
-    "dialect_sql_filters",
+    # r11 rotation: dialect_sql_filters (driver-green r8-r10) hands its
+    # slot to the INTERVAL date-arithmetic surface (never
+    # driver-checked); the filter family stays golden-pinned (1292-case
+    # corpus) + sim-checked.
+    "dialect_sql_interval_dates",
     # r9 rotation: dialect_sql_null_ordering (driver-green r7/r8) hands its
     # slot to the DDL surface — CTAS + CREATE VIEW through the Impala SQL
     # translator, never driver-checked; the NULL-ordering default contract
     # stays golden-pinned + sim-checked.
-    "dialect_sql_ddl_ctas_view",
+    # r11 rotation: ddl_ctas_view (driver-green r9/r10) hands its slot
+    # to q48's triple-OR band-sum (never driver-checked; the disjunctive
+    # range-predicate pushdown shape); DDL stays sim-checked + unit.
+    "tpcds_q48_triple_or_sum",
     # r6 rotation: the char-argument mask family + byte-position
     # instr/locate windows under the driver gate (scalar_parity's
     # greatest/least/pmod/regexp/extract kernels stay sim-checked —
@@ -267,7 +325,10 @@ CURATED_FIRST = (
     # nullable-side predicate -> inner conversion, dual rank windows,
     # OR-filter, UNION DISTINCT of channel blocks) — the round-6 verdict's
     # least-mirrored reference idiom takes a driver row.
-    "tpcds_q49_dual_rank_union",
+    # r11 rotation: q49 (driver-green r7-r10) hands its slot to q38's
+    # three-way INTERSECT of channels (never driver-checked; composes
+    # with the setop_intersect re-entry above).
+    "tpcds_q38_intersect_channels",
     # r4 rotations: grouping-sets over a derived channel and correlated
     # EXISTS/NOT-EXISTS + rollup (tpcds_patterns6). They replace
     # agg_grouping_sets (subsumed by the richer q18 shape) and tpch_q22
@@ -278,7 +339,9 @@ CURATED_FIRST = (
     # deterministic) replaces q86; tpcds_patterns9 stays covered by
     # q51a, and the rollup+rank composition by q36/q67 above. q86 keeps
     # its sim check.
-    "text_bigram_score",
+    # r11 rotation: bigram_score (driver-green r6-r10) hands its slot
+    # to the rolling-hash document fingerprint (never driver-checked).
+    "text_fingerprint",
     # r10 rotation: q43 weekday pivot (driver-green since r4) hands its
     # slot to q89's deviation-from-monthly-average (same module, never
     # driver-checked); the pivot shape stays sim-checked.
@@ -301,13 +364,18 @@ CURATED_FIRST = (
     # r10 rotation: KS-bucketed (driver-green r8/r9) hands its slot to
     # the Benford first-digit screen (never driver-checked; distinct
     # failure mode: log-bucketing + expected-distribution compare).
-    "dq_benford_first_digit",
+    # r11 rotation: benford (driver-green r10) hands its slot to the
+    # referential-orphans audit (never driver-checked; anti-join audit
+    # shape); dq keeps null_profile.
+    "dq_referential_orphans",
     # r9 rotation: rebalance_uniform (driver-green r6-r8) hands its slot to
     # the temperature-weighted sampling allocator (never driver-checked);
     # uniform rebalance stays sim-checked.
     # r10 rotation: temperature weights (driver-green r9) hands its slot
     # to the deterministic hash-stratified sampler (never driver-checked).
-    "mixture_stratified_sample",
+    # r11 rotation: stratified_sample (driver-green r10) hands its slot
+    # to the quality-gate mixture screen (never driver-checked).
+    "mixture_quality_gate",
     # r9 rotation: hourly_rollup (driver-green r5-r8) hands its slot to the
     # streaming key-dedup shape (never driver-checked); the windowed rollup
     # stays sim-checked with its watermark unit tests.

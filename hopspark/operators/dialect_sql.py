@@ -557,6 +557,61 @@ QUERIES["dialect_sql_subplan_agg"] = (
     dialect_subplan_agg, DIALECT_SUBPLAN_AGG_SQL)
 
 
+def dialect_subplan_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate LATERAL derived table over a relative collection
+    (r11): ``, (SELECT COUNT(*) c, SUM(x) s, MAX(x) m FROM c.coll) v`` —
+    the reference's subplan derived-table idiom with several items
+    (nested-types-subplan.test).  Every item lowers to an inline HOF on
+    the parent scan in ONE pass (engine _subplan_lateral_agg); for
+    struct-rooted paths Catalyst REJECTS the correlated fallback
+    (UNSUPPORTED_CORRELATED_REFERENCE_DATA_TYPE), so this lowering is the
+    only plan, not merely the fast one."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    orders = eng.spark.table("orders")
+    nested = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("okey"),
+                    F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+                )
+            ).alias("orders")
+        )
+    )
+    nested.createOrReplaceTempView("cust_orders_sma")
+    return eng.sql(
+        """
+        SELECT c.o_custkey AS c_custkey,
+               CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(sum_okey AS BIGINT) AS sum_okey,
+               CAST(max_price AS DOUBLE) AS max_price
+        FROM cust_orders_sma c,
+             (SELECT COUNT(*) n_orders, SUM(okey) sum_okey,
+                     MAX(price) max_price FROM c.orders) v
+        ORDER BY c_custkey
+        """
+    )
+
+
+DIALECT_SUBPLAN_MULTI_AGG_SQL = """
+SELECT o_custkey AS c_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS max_price
+FROM orders
+GROUP BY o_custkey
+ORDER BY c_custkey
+"""
+
+
+QUERIES["dialect_sql_subplan_multi_agg"] = (
+    dialect_subplan_multi_agg, DIALECT_SUBPLAN_MULTI_AGG_SQL)
+
+
 def dialect_uda_in_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable UDA called INSIDE a CTE body (r10): ``WITH c AS (SELECT
     k, wavg(x,w) ... GROUP BY k) SELECT ... FROM c`` — the natural

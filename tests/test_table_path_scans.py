@@ -573,3 +573,127 @@ def test_relative_struct_scan_not_last_from_item(eng4):
     assert [tuple(r) for r in df.collect()] == [
         (1, -10, "bbb", 1), (1, 10, "aaa", 1), (1, 11, "c", 1),
     ]
+
+
+# ---- round-11 nested TPC-H surfaces ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def eng5(spark, sf_dir):
+    e = Engine(spark=spark, sf_dir=sf_dir)
+    spark.sql("""
+    CREATE OR REPLACE TEMP VIEW tnc AS
+    SELECT * FROM VALUES
+      (1, 'seg_a', array(
+         named_struct('okey', 10, 'price', 100.0,
+                      'items', array(named_struct('qty', 1, 'tag', 'x'),
+                                     named_struct('qty', 2, 'tag', 'y'))),
+         named_struct('okey', 11, 'price', 50.0,
+                      'items', array(named_struct('qty', 5, 'tag', 'x'))))),
+      (2, 'seg_b', array(
+         named_struct('okey', 20, 'price', 70.0,
+                      'items', CAST(NULL AS
+                        array<struct<qty:int,tag:string>>)))),
+      (3, 'seg_a', CAST(NULL AS array<struct<okey:int,price:double,
+         items:array<struct<qty:int,tag:string>>>>))
+    AS t(id, seg, ords)
+    """)
+    return e
+
+
+def test_table_path_implicit_unnest_field(eng5):
+    # Path.java: tnc.ords.items == tnc.ords.item.items — a FIELD of the
+    # struct element implicitly unnests the array (the nested TPC-H
+    # customer.c_orders.o_lineitems idiom, tpch_nested-q1.test)
+    df = eng5.sql("select qty, tag from tnc.ords.items order by qty")
+    assert [tuple(r) for r in df.collect()] == [
+        (1, "x"), (2, "y"), (5, "x"),
+    ]
+
+
+def test_bare_element_field_resolution(eng5):
+    # fe Path resolution: bare refs bind to the collection element's
+    # fields (tpch_nested-q3.test's pervasive idiom)
+    df = eng5.sql(
+        "select okey, price from tnc c, c.ords o"
+        " where price > 60 order by okey"
+    )
+    assert [tuple(r) for r in df.collect()] == [(10, 100.0), (20, 70.0)]
+    # two-level: fields of the inner collection's element
+    df = eng5.sql(
+        "select id, qty from tnc c, c.ords o, o.items i"
+        " where tag = 'x' order by qty"
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 1), (1, 5)]
+
+
+def test_bare_field_shadowed_by_inner_scope(eng5):
+    # a nested subquery that rebinds the alias must keep ITS refs local
+    # (nested TPC-H q2/q11: the min-cost subquery reuses s/ps)
+    df = eng5.sql(
+        "select c.id, o.okey from tnc c, c.ords o"
+        " where o.price = (select max(o.price) from tnc c2, c2.ords o)"
+        " order by okey"
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 10)]
+
+
+def test_left_outer_collection_join_with_on(eng5):
+    # tpch_nested-q13.test: LEFT OUTER collection join with an ON filter
+    # keeps parents whose collection has no qualifying element
+    df = eng5.sql(
+        "select id, count(okey) n from tnc c"
+        " left outer join c.ords on (price > 60)"
+        " group by id order by id"
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 1), (2, 1), (3, 0)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # explode_outer(filter(...)), not a join
+
+
+def test_inner_collection_join_with_on(eng5):
+    df = eng5.sql(
+        "select id, okey from tnc c join c.ords o on (o.price < 80)"
+        " order by okey"
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 11), (2, 20)]
+
+
+def test_multi_agg_lateral_derived_table(eng5):
+    # r10 verdict item 4: (SELECT COUNT(*) c, SUM(x) s FROM c.path) —
+    # multiple aggregate items lower to inline HOFs, zero joins
+    df = eng5.sql(
+        "select id, n_ords, sum_price from tnc c,"
+        " (select count(*) n_ords, sum(o.price) sum_price,"
+        "         max(o.okey) max_okey from c.ords o) v"
+        " where max_okey is not null or n_ords = 0 order by id"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Generate" not in plan
+    assert [tuple(r) for r in df.collect()] == [
+        (1, 2, 150.0), (2, 1, 70.0), (3, 0, None),
+    ]
+
+
+def test_lateral_agg_decimal_sum(eng5, spark):
+    # DECIMAL sum through the HOF path keeps the reference's
+    # DECIMAL(38,s) contract (tpch_nested-q18.test's sum(l_quantity))
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW tnd AS SELECT * FROM VALUES"
+        " (1, array(named_struct('q', CAST(1.50 AS DECIMAL(12,2))),"
+        "           named_struct('q', CAST(2.25 AS DECIMAL(12,2))))),"
+        " (2, CAST(NULL AS array<struct<q:decimal(12,2)>>))"
+        " AS t(id, arr)"
+    )
+    e = Engine(spark=spark, sf_dir="/root/testdata/sf0.001")
+    df = e.sql(
+        "select id, s from tnd t, (select sum(q) s from t.arr) v"
+        " order by id"
+    )
+    assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
+    import decimal
+    assert [tuple(r) for r in df.collect()] == [
+        (1, decimal.Decimal("3.75")), (2, None),
+    ]
+    fld = df.schema["s"].dataType
+    assert (fld.precision, fld.scale) == (38, 2)

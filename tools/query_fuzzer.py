@@ -1746,7 +1746,8 @@ class SubplanGen:
         kind = r.choice(
             ["exists", "not_exists", "scalar_count", "derived", "rootless",
              "scalar_sum", "scalar_minmax", "scalar_avg",
-             "lateral_agg_alias", "flatten_hop_count", "lateral_agg_where"]
+             "lateral_agg_alias", "flatten_hop_count", "lateral_agg_where",
+             "multi_agg"]
         )
         if kind in ("exists", "not_exists"):
             neg = "NOT " if kind == "not_exists" else ""
@@ -1836,6 +1837,25 @@ class SubplanGen:
                 f"{cte_d} SELECT k, CAST(list_sum(list_filter(u,"
                 f" e -> e % {mod} = 0)) AS BIGINT) AS s FROM"
                 f" (SELECT k, unnest(arr2) AS u FROM t) s2"
+            )
+        elif kind == "multi_agg":
+            # r11: MULTI-aggregate lateral derived table — every item
+            # lowers to an inline HOF in one substitution pass
+            imp = (
+                f"SELECT k, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT)"
+                f" AS s, m FROM {vname} c,"
+                f" (SELECT COUNT(*) n, SUM(x) s, MAX(y) m"
+                f"  FROM c.arr WHERE x % {mod} = 0) v ORDER BY k"
+            )
+            duck = (
+                f"{cte_d} SELECT k,"
+                f" CAST(len(list_filter(arr, e -> e.x % {mod} = 0))"
+                f" AS BIGINT) AS n,"
+                f" CAST(list_sum(list_transform(list_filter(arr,"
+                f" e -> e.x % {mod} = 0), e -> e.x)) AS BIGINT) AS s,"
+                f" list_max(list_transform(list_filter(arr,"
+                f" e -> e.x % {mod} = 0), e -> e.y)) AS m"
+                f" FROM t ORDER BY k"
             )
         elif kind == "derived":
             imp = (
