@@ -6350,6 +6350,7 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
         t = toks[i]
         join_form = False
         outer = False
+        join_mode = None
         if t.text == "," and _in_from_clause(toks, i):
             pass
         elif t.kind == "word" and t.upper == "JOIN":
@@ -6371,10 +6372,14 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                 mods.add(toks[p0].upper)
                 del_start = p0
                 p0 = _prev_code(toks, p0 - 1)
-            if {"RIGHT", "FULL", "SEMI", "ANTI", "CROSS"} & mods:
+            if {"RIGHT", "FULL", "CROSS"} & mods:
                 i += 1
                 continue
-            outer = "LEFT" in mods
+            outer = "LEFT" in mods and not ({"SEMI", "ANTI"} & mods)
+            join_mode = (
+                "semi" if "SEMI" in mods
+                else "anti" if "ANTI" in mods else None
+            )
         else:
             i += 1
             continue
@@ -6532,6 +6537,50 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
             # lambda variable carries the collection alias so the pred's
             # alias-qualified refs bind to it verbatim
             dotted = f"filter({dotted}, {alias} -> ({on_pred}))"
+        if join_mode is not None:
+            # LEFT SEMI/ANTI collection join = EXISTS / NOT EXISTS on the
+            # collection (nested-types-subplan.test): no element columns
+            # are exposed, so lower to a WHERE predicate on the parent —
+            # no explode, no join, per-row size() check
+            if hops:
+                i += 1
+                continue  # multi-hop semi/anti: general path
+            # size(NULL) is -1 under legacy sizeOfNull and NULL otherwise:
+            # `<= 0` treats both (and empty) as no-elements
+            cmp = "> 0" if join_mode == "semi" else "<= 0"
+            pred_txt = f" coalesce(size({dotted}), 0) {cmp} "
+            del toks[del_start : end + 1]
+            # AND into an existing WHERE, else synthesize one at the
+            # clause end
+            ins2 = len(toks)
+            d3 = 0
+            where_at = -1
+            for x in range(del_start, len(toks)):
+                t3 = toks[x]
+                if t3.text == "(":
+                    d3 += 1
+                elif t3.text == ")":
+                    d3 -= 1
+                    if d3 < 0:
+                        ins2 = x
+                        break
+                elif d3 == 0 and t3.kind == "word":
+                    u3 = t3.upper
+                    if u3 == "WHERE":
+                        where_at = x
+                        break
+                    if u3 in ("GROUP", "ORDER", "HAVING", "LIMIT",
+                              "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+                              "MINUS"):
+                        ins2 = x
+                        break
+            if where_at >= 0:
+                toks[where_at + 1 : where_at + 1] = [
+                    Tok("synth", f"{pred_txt} AND ")
+                ]
+            else:
+                toks[ins2:ins2] = [Tok("synth", f" WHERE {pred_txt} ")]
+            continue  # i stays: del_start <= i, rescan from here
         gfn = "explode_outer" if outer else "explode"
         pgfn = "posexplode_outer" if outer else "posexplode"
         # array vs map collection: the column's type is unknowable at

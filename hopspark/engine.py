@@ -918,11 +918,14 @@ class Engine(AlterTableMixin):
                     depth += 1
                 elif toks[k].text == ")":
                     depth -= 1
-                elif (
-                    depth == 1
-                    and toks[k].kind == "word"
-                    and toks[k].upper == "FROM"
+                elif depth == 1 and (
+                    (toks[k].kind == "word" and toks[k].upper == "FROM")
+                    or (toks[k].text == ","
+                        and _in_from_clause(toks, k))
                 ):
+                    # comma items too: a JOIN of two relative refs inside
+                    # one subplan (nested-types-subplan.test's hash-join
+                    # row) needs EVERY item rewritten
                     from_is.append(k)
             segs: list[str] = []
             from_i = end = -1
@@ -940,9 +943,37 @@ class Engine(AlterTableMixin):
                     cand_segs.append(toks[nx].text)
                     cand_end = nx
                     k = _next_code(toks, nx + 1)
-                if len(cand_segs) >= 2:
-                    from_i, end, segs = fi, cand_end, cand_segs
-                    break
+                if len(cand_segs) < 2:
+                    continue
+                if toks[fi].text == ",":
+                    # a comma item whose root is bound by an EARLIER
+                    # SIBLING of the same FROM clause is a plain
+                    # collection join (the translate layer's job), not a
+                    # correlated subplan target — only roots bound
+                    # OUTSIDE the subquery qualify (the hash-join-inside-
+                    # subplan row of nested-types-subplan.test)
+                    own_from = max(
+                        (f2 for f2 in from_is
+                         if f2 < fi and toks[f2].kind == "word"),
+                        default=-1,
+                    )
+                    bound_inside = False
+                    root_low = cand_segs[0].lower()
+                    for w2 in range(own_from + 1, fi):
+                        t2 = toks[w2]
+                        if (
+                            t2.kind == "word"
+                            and t2.text.lower() == root_low
+                        ):
+                            n2 = _next_code(toks, w2 + 1)
+                            if not (n2 < len(toks)
+                                    and toks[n2].text == "."):
+                                bound_inside = True
+                                break
+                    if bound_inside:
+                        continue
+                from_i, end, segs = fi, cand_end, cand_segs
+                break
             if from_i < 0:
                 i += 1
                 continue
@@ -1064,8 +1095,9 @@ class Engine(AlterTableMixin):
             sub_text = untokenize(toks[o + 1 : from_i])
             tail = untokenize(toks[tail_from:close])
             kw = " LATERAL " if lateral else " "
+            joiner = "," if toks[from_i].text == "," else "FROM"
             repl = tokenize(
-                f"{kw}({sub_text}FROM ({gen}) {sp_alias}{tail})"
+                f"{kw}({sub_text}{joiner} ({gen}) {sp_alias}{tail})"
             )
             toks[o : close + 1] = repl
             changed = True
@@ -1100,6 +1132,17 @@ class Engine(AlterTableMixin):
             _is_code, _next_code, untokenize,
         )
 
+        if isinstance(coll_dt, T.MapType):
+            # a MAP subplan target exposes key/value (MapType.java);
+            # lower onto map_entries() so the array machinery below
+            # applies unchanged — Catalyst REJECTS map-typed correlated
+            # refs outright, so this is the only plan for these shapes
+            # (r10 verdict item 6, nested-types-scanner-maps.test)
+            qpath = f"map_entries({qpath})"
+            coll_dt = T.ArrayType(T.StructType([
+                T.StructField("key", coll_dt.keyType),
+                T.StructField("value", coll_dt.valueType),
+            ]))
         if not isinstance(coll_dt, T.ArrayType):
             return None
         elem = coll_dt.elementType
@@ -1399,11 +1442,24 @@ class Engine(AlterTableMixin):
                     )
                     if fld is None:
                         return None
-                    cur_expr = (
-                        f"transform({cur_expr},"
-                        f" __tw -> __tw.`{fld.name}`)"
-                    )
-                    cur_dt = T.ArrayType(fld.dataType)
+                    if isinstance(fld.dataType, T.ArrayType):
+                        # a COLLECTION field reached through an array is
+                        # implicitly unnested (Path.java: the FROM target
+                        # c.c_orders.o_lineitems is the union of every
+                        # order's lineitems) — flatten, dropping NULL
+                        # inner collections like the reference's scan
+                        cur_expr = (
+                            f"flatten(filter(transform({cur_expr},"
+                            f" __tw -> __tw.`{fld.name}`),"
+                            " __tf -> __tf IS NOT NULL))"
+                        )
+                        cur_dt = fld.dataType
+                    else:
+                        cur_expr = (
+                            f"transform({cur_expr},"
+                            f" __tw -> __tw.`{fld.name}`)"
+                        )
+                        cur_dt = T.ArrayType(fld.dataType)
                 else:
                     return None
             elif isinstance(cur_dt, T.MapType):
@@ -1549,6 +1605,13 @@ class Engine(AlterTableMixin):
             tokenize, untokenize,
         )
 
+        if isinstance(coll_dt, T.MapType):
+            # key/value over map_entries(), like the expression path
+            qpath = f"map_entries({qpath})"
+            coll_dt = T.ArrayType(T.StructType([
+                T.StructField("key", coll_dt.keyType),
+                T.StructField("value", coll_dt.valueType),
+            ]))
         if not isinstance(coll_dt, T.ArrayType):
             return False
         p = _prev_code(toks, o - 1)
@@ -1757,6 +1820,18 @@ class Engine(AlterTableMixin):
                 d = _next_code(toks, m + 1)
                 if d < len(toks) and toks[d].text == ".":
                     w = _next_code(toks, d + 1)
+                    if w < len(toks) and toks[w].text == "*":
+                        # `v.*` = every output item, in declaration order
+                        repl = tokenize(", ".join(
+                            f"({x}) AS {n}" for n, x in exprs.values()
+                        ))
+                        toks[m : w + 1] = repl
+                        delta2 = len(repl) - (w + 1 - m)
+                        blk_e += delta2
+                        if m < in_subq_until:
+                            in_subq_until += delta2
+                        m += len(repl)
+                        continue
                     if (
                         w < len(toks)
                         and toks[w].kind == "word"
@@ -1766,12 +1841,26 @@ class Engine(AlterTableMixin):
                         matched = exprs[toks[w].text.lower()]
             if matched is None and m >= in_subq_until and lo in exprs:
                 pv = _prev_code(toks, m - 1)
-                if (pv < 0 or toks[pv].text != ".") and not (
-                    pv >= 0 and toks[pv].kind == "word"
-                    and toks[pv].upper == "AS"
+                nv = _next_code(toks, m + 1)
+                alias_pos = pv >= 0 and (
+                    toks[pv].text == ")"
+                    or toks[pv].kind == "num"
+                    or (toks[pv].kind == "word"
+                        and toks[pv].upper in ("AS",))
+                    or (toks[pv].kind == "word"
+                        and toks[pv].upper not in cls._QCF_KEYWORDS)
+                )
+                if (
+                    (pv < 0 or toks[pv].text != ".")
+                    and not alias_pos
+                    and not (nv < len(toks)
+                             and toks[nv].text in (".", "("))
                 ):
-                    # (an AS-preceded occurrence is an OUTPUT alias —
-                    # `CAST(x AS DOUBLE) AS sum_quantity` keeps its name)
+                    # (alias positions — AS-preceded output names, table
+                    # aliases after a relation word like `tn_customer c`
+                    # — and dot/paren-followed qualifiers/functions must
+                    # not be hijacked when an output name collides, like
+                    # `count(*) c` next to `FROM customer c`)
                     matched = exprs[lo]
             if matched is None:
                 m += 1
@@ -1852,24 +1941,35 @@ class Engine(AlterTableMixin):
             return None
         dec = sorted(k for k in kinds if k.startswith("decimal:"))
         if dec:
-            # decimal SUM only, and only over a single bare field —
+            # decimal SUM/AVG, and only over a single bare field —
             # arithmetic would shift Spark's result scale away from the
             # reference's DECIMAL(38,s) contract (sum over decimal is
             # DECIMAL(38,s) in both Impala decimal_v2 and the accumulator
-            # below; tpch_nested-q18.test's sum(l_quantity))
+            # below; tpch_nested-q18.test's sum(l_quantity); avg is
+            # DECIMAL(38,max(6,s)) — nested-types-subplan.test's
+            # per-customer avg(o_totalprice))
             if (
-                fname != "sum"
+                fname not in ("sum", "avg")
                 or len(dec) != 1
                 or kinds - set(dec)
                 or sum(1 for t2 in inner if t2.kind == "word") != 1
             ):
                 return None
-            scale = dec[0].rsplit(":", 1)[1]
+            scale = int(dec[0].rsplit(":", 1)[1])
             ty = f"DECIMAL(38,{scale})"
-            return (
+            sum_sql = (
                 f"aggregate({arr_f}, CAST(NULL AS {ty}),"
                 f" (__ac, __sx) -> CASE WHEN ({e}) IS NULL THEN __ac"
                 f" ELSE coalesce(__ac, CAST(0 AS {ty})) + ({e}) END)"
+            )
+            if fname == "sum":
+                return sum_sql
+            cnt_sql = (
+                f"size(filter({arr_f}, __sx -> ({e}) IS NOT NULL))"
+            )
+            return (
+                f"CAST(({sum_sql}) / nullif({cnt_sql}, 0)"
+                f" AS DECIMAL(38,{max(6, scale)}))"
             )
         if fname == "avg":
             return (

@@ -96,11 +96,15 @@ def _ensure_fixture(spark: SparkSession, sf_dir: str) -> Engine:
               "left")
         .drop("l_orderkey")
     )
+    # sort_array: Catalyst decorrelates general-path lateral subplans
+    # into a join keyed on the ARRAY ITSELF, re-executing this aggregate
+    # on both sides — a nondeterministic collect_list order would make
+    # the array keys differ and the join silently match nothing
     ords_nested = orders.groupBy("o_custkey").agg(
-        F.collect_list(F.struct(
+        F.sort_array(F.collect_list(F.struct(
             "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
             "o_orderpriority", "o_lineitems",
-        )).alias("c_orders")
+        ))).alias("c_orders")
     )
     cust = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")

@@ -697,3 +697,51 @@ def test_lateral_agg_decimal_sum(eng5, spark):
     ]
     fld = df.schema["s"].dataType
     assert (fld.precision, fld.scale) == (38, 2)
+
+
+@pytest.fixture(scope="module")
+def eng6(spark, sf_dir):
+    e = Engine(spark=spark, sf_dir=sf_dir)
+    spark.sql("""
+    CREATE OR REPLACE TEMP VIEW tmap AS
+    SELECT * FROM VALUES
+      (1, map('k1', 7, 'k2', 8)),
+      (2, map('k3', 9)),
+      (3, CAST(NULL AS map<string,int>)),
+      (4, map())
+    AS t(id, m)
+    """)
+    return e
+
+
+def test_map_subplan_scalar_aggs(eng6):
+    # r11 (r10 verdict item 6): scalar aggregates over a MAP subplan
+    # target — key/value via map_entries(); Catalyst rejects map-typed
+    # correlated refs, so the HOF lowering is the only plan
+    df = eng6.sql(
+        "select id, (select count(*) from t.m) n,"
+        " (select max(key) from t.m) mk,"
+        " (select sum(value) from t.m where key != 'k1') sv"
+        " from tmap t order by id"
+    )
+    assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
+    assert [tuple(r) for r in df.collect()] == [
+        (1, 2, "k2", 8), (2, 1, "k3", 9), (3, 0, None, None),
+        (4, 0, None, None),
+    ]
+
+
+def test_map_subplan_lateral_agg_and_exists(eng6):
+    df = eng6.sql(
+        "select id, n, s from tmap t,"
+        " (select count(*) n, sum(value) s from t.m) v order by id"
+    )
+    assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
+    assert [tuple(r) for r in df.collect()] == [
+        (1, 2, 15), (2, 1, 9), (3, 0, None), (4, 0, None),
+    ]
+    df = eng6.sql(
+        "select id from tmap t"
+        " where exists (select * from t.m where value > 8) order by id"
+    )
+    assert [tuple(r) for r in df.collect()] == [(2,)]

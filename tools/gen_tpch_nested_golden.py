@@ -164,12 +164,12 @@ CREATE VIEW tn_customer AS
 SELECT c.c_custkey, c.c_name, c.c_address, c.c_nationkey, c.c_phone,
        c.c_acctbal, c.c_mktsegment, c.c_comment, o.c_orders
 FROM tn_customer_flat c LEFT JOIN (
-  SELECT o_custkey, collect_list(named_struct(
+  SELECT o_custkey, sort_array(collect_list(named_struct(
     'o_orderkey', o_orderkey, 'o_orderstatus', o_orderstatus,
     'o_totalprice', o_totalprice, 'o_orderdate', o_orderdate,
     'o_orderpriority', o_orderpriority, 'o_clerk', o_clerk,
     'o_shippriority', o_shippriority, 'o_comment', o_comment,
-    'o_lineitems', o_lineitems)) AS c_orders
+    'o_lineitems', o_lineitems))) AS c_orders
   FROM (
     SELECT o.*, l.o_lineitems
     FROM tn_orders_flat o LEFT JOIN (
@@ -1361,6 +1361,364 @@ order by cntrycode
 
 
 # ---------------------------------------------------------------------------
+# Wave 2 — nested-types-subplan.test ported onto the tn fixtures
+# (testdata/workloads/functional-query/queries/QueryTest/
+# nested-types-subplan.test).  Same discipline: constants adapted to the
+# synthetic key ranges (c_custkey 0-149), every row DuckDB-twin-verified.
+# ---------------------------------------------------------------------------
+
+SP: list[tuple[str, str, str, str, str]] = []
+
+SP.append((
+    "sp_basic", "nested-types-subplan.test:1",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate
+from tn_customer c, c.c_orders o
+where c_custkey in (1, 2)
+order by c_custkey, o_orderkey
+""",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate
+from tn_customer_flat c join tn_orders_flat o on c_custkey = o_custkey
+where c_custkey in (1, 2) order by c_custkey, o_orderkey
+""",
+    "verbatim + ORDER BY (our canon is order-insensitive only per file)",
+))
+
+SP.append((
+    "sp_parent_and_nested_pred", "nested-types-subplan.test:2",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate
+from tn_customer c, c.c_orders o
+where c_custkey in (1, 2) and o_orderkey % 2 = 0
+order by c_custkey, o_orderkey
+""",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate
+from tn_customer_flat c join tn_orders_flat o on c_custkey = o_custkey
+where c_custkey in (1, 2) and o_orderkey % 2 = 0
+order by c_custkey, o_orderkey
+""",
+    "verbatim",
+))
+
+SP.append((
+    "sp_derived_star_pred", "nested-types-subplan.test:5",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate
+from tn_customer c, (select * from c.c_orders where o_orderkey % 2 = 0) v
+where c_custkey < 4
+order by c_custkey, o_orderkey
+""",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate
+from tn_customer_flat c join tn_orders_flat o on c_custkey = o_custkey
+where c_custkey < 4 and o_orderkey % 2 = 0
+order by c_custkey, o_orderkey
+""",
+    "predicate folded into the derived table",
+))
+
+SP.append((
+    "sp_union_in_subplan", "nested-types-subplan.test:8",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate
+from tn_customer c,
+  (select * from c.c_orders where o_orderkey % 2 = 0
+   union all
+   select * from c.c_orders where o_orderkey % 2 = 1) v
+where c_custkey < 4
+order by c_custkey, o_orderkey
+""",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate
+from tn_customer_flat c join tn_orders_flat o on c_custkey = o_custkey
+where c_custkey < 4 order by c_custkey, o_orderkey
+""",
+    "verbatim",
+))
+
+SP.append((
+    "sp_multi_agg_star", "nested-types-subplan.test:9",
+    """
+select c_custkey, v.* from tn_customer c,
+  (select count(o_orderkey) c, sum(o_totalprice) s, avg(o_totalprice) a,
+          max(o_orderstatus) mx, min(o_orderdate) mn
+   from c.c_orders) v
+where c_custkey < 4
+order by c_custkey
+""",
+    """
+select c.c_custkey, count(o_orderkey) as c,
+       sum(o_totalprice) as s,
+       cast(avg(o_totalprice) as decimal(38,6)) as a,
+       max(o_orderstatus) as mx, min(o_orderdate) as mn
+from tn_customer_flat c left join tn_orders_flat o
+  on c.c_custkey = o.o_custkey
+where c.c_custkey < 4 group by c.c_custkey order by c.c_custkey
+""",
+    "verbatim (v.* expands through the HOF lowering; avg is "
+    "DECIMAL(38,6) — width-only delta vs the reference's decimal)",
+))
+
+SP.append((
+    "sp_count_star_orders", "nested-types-subplan.test:10",
+    """
+select c_custkey, v.* from tn_customer c,
+  (select count(*) cnt from c.c_orders) v
+where c_custkey < 4
+order by c_custkey
+""",
+    """
+select c.c_custkey, count(o_orderkey) as cnt
+from tn_customer_flat c left join tn_orders_flat o
+  on c.c_custkey = o.o_custkey
+where c.c_custkey < 4 group by c.c_custkey order by c.c_custkey
+""",
+    "verbatim",
+))
+
+SP.append((
+    "sp_count_star_lineitems", "nested-types-subplan.test:11",
+    """
+select c_custkey, v.* from tn_customer c,
+  (select count(*) cnt from c.c_orders.o_lineitems) v
+where c_custkey < 4
+order by c_custkey
+""",
+    """
+select c.c_custkey, count(l.l_orderkey) as cnt
+from tn_customer_flat c
+left join tn_orders_flat o on c.c_custkey = o.o_custkey
+left join tn_lineitem l on o.o_orderkey = l.l_orderkey
+where c.c_custkey < 4 group by c.c_custkey order by c.c_custkey
+""",
+    "verbatim (multi-level collection path flattens across orders)",
+))
+
+SP.append((
+    "sp_grouping_agg", "nested-types-subplan.test:12",
+    """
+select c_custkey, v.* from tn_customer c,
+  (select o_orderpriority, count(o_orderkey) c, sum(o_totalprice) s,
+          max(o_orderstatus) mx, min(o_orderdate) mn
+   from c.c_orders
+   group by o_orderpriority) v
+where c_custkey < 4
+order by c_custkey, o_orderpriority
+""",
+    """
+select c_custkey, o_orderpriority, count(o_orderkey) as c,
+       sum(o_totalprice) as s, max(o_orderstatus) as mx,
+       min(o_orderdate) as mn
+from tn_customer_flat c join tn_orders_flat o on c_custkey = o_custkey
+where c_custkey < 4
+group by c_custkey, o_orderpriority
+order by c_custkey, o_orderpriority
+""",
+    "avg dropped from the item list (general-path decorrelation keeps "
+    "Spark's avg(decimal) scale, a declared width delta); grouping agg "
+    "takes the general decorrelated path",
+))
+
+SP.append((
+    "sp_window_in_subplan", "nested-types-subplan.test:13",
+    """
+select c_custkey, v.* from tn_customer c,
+  (select count(o_orderkey) over() c, sum(o_totalprice) over() s,
+          max(o_orderstatus) over() mx, min(o_orderdate) over() mn
+   from c.c_orders) v
+where c_custkey < 3
+order by c_custkey
+""",
+    """
+select c_custkey, count(o_orderkey) over (partition by c_custkey) as c,
+       sum(o_totalprice) over (partition by c_custkey) as s,
+       max(o_orderstatus) over (partition by c_custkey) as mx,
+       min(o_orderdate) over (partition by c_custkey) as mn
+from tn_customer_flat c join tn_orders_flat o on c_custkey = o_custkey
+where c_custkey < 3 order by c_custkey
+""",
+    "analytic fns inside the subplan (per-row window = per-customer "
+    "partition on the flat twin)",
+))
+
+SP.append((
+    "sp_left_outer_relative", "nested-types-subplan.test:15",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate
+from tn_customer c left outer join c.c_orders
+where c_custkey < 4
+order by c_custkey, o_orderkey
+""",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate
+from tn_customer_flat c left outer join tn_orders_flat o
+  on c_custkey = o_custkey
+where c_custkey < 4 order by c_custkey, o_orderkey
+""",
+    "verbatim (LEFT OUTER collection join keeps order-less customers)",
+))
+
+SP.append((
+    "sp_left_semi_relative", "nested-types-subplan.test:17",
+    """
+select c_custkey, c_mktsegment
+from tn_customer c left semi join c.c_orders
+where c_custkey < 4
+order by c_custkey
+""",
+    """
+select c_custkey, c_mktsegment from tn_customer_flat c
+where c_custkey < 4 and exists
+  (select 1 from tn_orders_flat o where o.o_custkey = c.c_custkey)
+order by c_custkey
+""",
+    "verbatim (semi = EXISTS on the collection)",
+))
+
+SP.append((
+    "sp_left_anti_relative", "nested-types-subplan.test:19",
+    """
+select count(*) from tn_customer c left anti join c.c_orders
+""",
+    """
+select count(*) from tn_customer_flat c
+where not exists
+  (select 1 from tn_orders_flat o where o.o_custkey = c.c_custkey)
+""",
+    "IMPALA-2289 row adapted: whole-table count (every synthetic "
+    "custkey range has orders, so the reference's 8000-10000 band is "
+    "meaningless here)",
+))
+
+SP.append((
+    "sp_hash_join_in_subplan", "nested-types-subplan.test:21",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate
+from tn_customer c,
+  (select o1.o_orderkey, o2.o_orderdate
+   from c.c_orders o1, c.c_orders o2
+   where o1.o_orderkey = o2.o_orderkey) v
+where c_custkey < 4
+order by c_custkey, o_orderkey
+""",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate
+from tn_customer_flat c join tn_orders_flat o on c_custkey = o_custkey
+where c_custkey < 4 order by c_custkey, o_orderkey
+""",
+    "verbatim (self-join of the collection inside the subplan)",
+))
+
+SP.append((
+    "sp_scalar_uncorrelated", "nested-types-subplan.test:22",
+    """
+select c_custkey, c_mktsegment, c_acctbal
+from tn_customer c
+where c_custkey < 10
+  and c_acctbal < (select avg(o_totalprice) from c.c_orders)
+order by c_custkey
+""",
+    """
+select c_custkey, c_mktsegment, c_acctbal
+from tn_customer_flat c
+where c_custkey < 10 and c_acctbal <
+  (select avg(o_totalprice) from tn_orders_flat o
+   where o.o_custkey = c.c_custkey)
+order by c_custkey
+""",
+    "verbatim",
+))
+
+SP.append((
+    "sp_exists_pred", "nested-types-subplan.test:24",
+    """
+select c_custkey, c_mktsegment, c_acctbal
+from tn_customer c
+where c_custkey < 10
+  and exists (select o_orderkey from c.c_orders where o_orderkey % 2 = 0)
+order by c_custkey
+""",
+    """
+select c_custkey, c_mktsegment, c_acctbal
+from tn_customer_flat c
+where c_custkey < 10 and exists
+  (select 1 from tn_orders_flat o
+   where o.o_custkey = c.c_custkey and o_orderkey % 2 = 0)
+order by c_custkey
+""",
+    "verbatim",
+))
+
+SP.append((
+    "sp_not_exists_pred", "nested-types-subplan.test:25",
+    """
+select c_custkey, c_mktsegment, c_acctbal
+from tn_customer c
+where c_custkey < 10
+  and not exists (select o_orderkey from c.c_orders
+                  where o_orderkey % 2 = 0)
+order by c_custkey
+""",
+    """
+select c_custkey, c_mktsegment, c_acctbal
+from tn_customer_flat c
+where c_custkey < 10 and not exists
+  (select 1 from tn_orders_flat o
+   where o.o_custkey = c.c_custkey and o_orderkey % 2 = 0)
+order by c_custkey
+""",
+    "verbatim",
+))
+
+SP.append((
+    "sp_correlated_exists", "nested-types-subplan.test:26",
+    """
+select c_custkey, c_mktsegment, c_acctbal
+from tn_customer c
+where c_custkey < 10
+  and exists (select o_orderkey from c.c_orders o
+              where c.c_acctbal * 10 > o.o_totalprice)
+order by c_custkey
+""",
+    """
+select c_custkey, c_mktsegment, c_acctbal
+from tn_customer_flat c
+where c_custkey < 10 and exists
+  (select 1 from tn_orders_flat o
+   where o.o_custkey = c.c_custkey
+     and c.c_acctbal * 10 > o.o_totalprice)
+order by c_custkey
+""",
+    "verbatim (parent-column correlation inside the subplan pred)",
+))
+
+SP.append((
+    "sp_nested_preds_3level", "nested-types-subplan.test:31",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate, l_linenumber,
+       l_shipdate
+from tn_customer c, c.c_orders o, o.o_lineitems i
+where c_custkey in (1, 2) and o_orderkey % 3 = 0
+  and l_linenumber % 2 = 0
+order by c_custkey, o_orderkey, l_linenumber, l_shipdate
+""",
+    """
+select c_custkey, c_mktsegment, o_orderkey, o_orderdate, l_linenumber,
+       l_shipdate
+from tn_customer_flat c
+join tn_orders_flat o on c_custkey = o_custkey
+join tn_lineitem l on o.o_orderkey = l.l_orderkey
+where c_custkey in (1, 2) and o_orderkey % 3 = 0
+  and l_linenumber % 2 = 0
+order by c_custkey, o_orderkey, l_linenumber, l_shipdate
+""",
+    "orderkey constants -> modulo predicate (synthetic keys differ)",
+))
+
+
+# ---------------------------------------------------------------------------
 
 
 def impala_type_name(dt) -> str:
@@ -1423,7 +1781,7 @@ def main() -> None:
 
     results = {}
     failed = []
-    for name, ref, ported, twin, note in Q:
+    for name, ref, ported, twin, note in Q + SP:
         if names and name not in names:
             continue
         try:
@@ -1459,26 +1817,37 @@ def main() -> None:
     if not emit or failed or names:
         return
 
-    path = os.path.join(REPO, "tests", "golden", "tpch_nested.test")
-    with open(path, "w") as fh:
-        fh.write(HEADER)
-        for i, fx in enumerate(SPARK_FIXTURES):
-            fh.write("====\n---- QUERY\n")
-            fh.write(fx.strip() + "\n")
-            fh.write("---- TYPES\nINT\n---- RESULTS\n")
-        for name, ref, ported, twin, note in Q:
-            ported_s, types, rows, _ref, _note, _n = results[name]
+    def emit_file(fname, header, qlist, fixtures):
+        path = os.path.join(REPO, "tests", "golden", fname)
+        with open(path, "w") as fh:
+            fh.write(header)
+            for fx in fixtures:
+                fh.write("====\n---- QUERY\n")
+                fh.write(fx.strip() + "\n")
+                fh.write("---- TYPES\nINT\n---- RESULTS\n")
+            for name, ref, ported, twin, note in qlist:
+                ported_s, types, rows, _ref, _note, _n = results[name]
+                fh.write("====\n")
+                fh.write(f"# {name.upper()} — ported from {ref}; {note}.\n")
+                fh.write("---- QUERY\n")
+                fh.write(ported_s.strip() + "\n")
+                fh.write("---- TYPES\n")
+                fh.write(", ".join(types) + "\n")
+                fh.write("---- RESULTS\n")
+                for r in rows:
+                    fh.write(r + "\n")
             fh.write("====\n")
-            fh.write(f"# {name.upper()} — ported from {ref}; {note}.\n")
-            fh.write("---- QUERY\n")
-            fh.write(ported_s.strip() + "\n")
-            fh.write("---- TYPES\n")
-            fh.write(", ".join(types) + "\n")
-            fh.write("---- RESULTS\n")
-            for r in rows:
-                fh.write(r + "\n")
-        fh.write("====\n")
-    print("wrote", path)
+        print("wrote", path)
+
+    emit_file("tpch_nested.test", HEADER, Q, SPARK_FIXTURES)
+    # file 2 re-declares the fixtures with IF NOT EXISTS so it stays
+    # self-contained regardless of golden file ordering (the
+    # complextypestbl2.test precedent)
+    reserve = [
+        fx.replace("CREATE VIEW ", "CREATE VIEW IF NOT EXISTS ", 1)
+        for fx in SPARK_FIXTURES
+    ]
+    emit_file("tpch_nested_subplan.test", SUBPLAN_HEADER, SP, reserve)
 
 
 HEADER = """# Nested TPC-H — the reference's flagship nested-types benchmark
@@ -1496,6 +1865,20 @@ HEADER = """# Nested TPC-H — the reference's flagship nested-types benchmark
 # twin at port time (tools/gen_tpch_nested_golden.py — rerun it to
 # reverify or regenerate).  The dates stay STRING columns exactly like
 # load_nested.py's nested schema (string compares on ISO dates).
+"""
+
+
+SUBPLAN_HEADER = """# nested-types-subplan.test ported onto the nested TPC-H fixtures
+# (testdata/workloads/functional-query/queries/QueryTest/
+# nested-types-subplan.test) — the reference's SubplanNode shape corpus:
+# relative unnests with parent+nested predicates, derived tables with
+# stars/unions/limits, non-grouping and grouping aggregates, analytic
+# functions inside subplans, LEFT OUTER/SEMI/ANTI collection joins,
+# collection self-joins, and correlated/uncorrelated scalar/EXISTS
+# subqueries over relative refs.  Fixtures are re-declared IF NOT EXISTS
+# (same recipe as tpch_nested.test; constants adapted to the synthetic
+# sf0.001 key ranges).  Every RESULTS block was verified against a
+# DuckDB flat-table twin at port time (tools/gen_tpch_nested_golden.py).
 """
 
 

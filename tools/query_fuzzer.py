@@ -1731,7 +1731,9 @@ class SubplanGen:
         spark.sql(
             f"CREATE OR REPLACE TEMP VIEW {vname} AS "
             f"SELECT k, arr, transform(arr, __e -> array(__e.x, __e.y))"
-            f" AS arr2 FROM (SELECT {key} % 50 AS k,"
+            f" AS arr2, map_from_entries(transform("
+            f"sequence(1, size(arr)), __i -> struct(__i, arr[__i-1].y)))"
+            f" AS mp FROM (SELECT {key} % 50 AS k,"
             f" collect_list({elem}) AS arr "
             f"FROM {tbl} GROUP BY {key} % 50)"
         )
@@ -1747,7 +1749,7 @@ class SubplanGen:
             ["exists", "not_exists", "scalar_count", "derived", "rootless",
              "scalar_sum", "scalar_minmax", "scalar_avg",
              "lateral_agg_alias", "flatten_hop_count", "lateral_agg_where",
-             "multi_agg"]
+             "multi_agg", "map_agg"]
         )
         if kind in ("exists", "not_exists"):
             neg = "NOT " if kind == "not_exists" else ""
@@ -1855,6 +1857,22 @@ class SubplanGen:
                 f" e -> e.x % {mod} = 0), e -> e.x)) AS BIGINT) AS s,"
                 f" list_max(list_transform(list_filter(arr,"
                 f" e -> e.x % {mod} = 0), e -> e.y)) AS m"
+                f" FROM t ORDER BY k"
+            )
+        elif kind == "map_agg":
+            # r11: scalar aggregates over a MAP subplan target — lowered
+            # onto map_entries(); map-typed correlated refs are
+            # unplannable in Catalyst, so the HOF is the only plan
+            imp = (
+                f"SELECT k, CAST((SELECT COUNT(*) FROM c.mp) AS BIGINT)"
+                f" AS n, CAST((SELECT SUM(value) FROM c.mp"
+                f" WHERE value % {mod} = 0) AS BIGINT) AS s"
+                f" FROM {vname} c ORDER BY k"
+            )
+            duck = (
+                f"{cte_d} SELECT k, CAST(len(arr) AS BIGINT) AS n,"
+                f" CAST(list_sum(list_filter(list_transform(arr,"
+                f" e -> e.y), v -> v % {mod} = 0)) AS BIGINT) AS s"
                 f" FROM t ORDER BY k"
             )
         elif kind == "derived":
