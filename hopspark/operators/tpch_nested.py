@@ -117,6 +117,10 @@ def _ensure_fixture(spark: SparkSession, sf_dir: str) -> Engine:
               "left")
         .drop("o_custkey")
     )
+    # persist: the nest (two collect_list groupBys) is the expensive part
+    # and every query over the lazy view would recompute it; the fixture
+    # is bounded (one row per customer) so caching is safe at gate SFs
+    cust = cust.persist()
     cust.createOrReplaceTempView(_VIEW)
     spark.sql(f"CREATE OR REPLACE TEMP VIEW {marker} AS SELECT 1 AS ok")
     return eng
