@@ -887,8 +887,8 @@ class Engine(AlterTableMixin):
         from pyspark.sql import types as T
 
         from hopspark.dialect.translate import (
-            _in_from_clause, _matching_paren, _next_code, _prev_code,
-            tokenize, untokenize,
+            Tok, _in_from_clause, _matching_paren, _next_code,
+            _prev_code, tokenize, untokenize,
         )
 
         toks = tokenize(impala_sql)
@@ -910,7 +910,12 @@ class Engine(AlterTableMixin):
             # depth-1 FROMs inside the subquery: more than one when the
             # body is a UNION of legs — take the FIRST whose target is a
             # rewritable dotted path (an already-rewritten leg's target
-            # is a paren and parses as nothing)
+            # is a paren and parses as nothing).  A correlated relative
+            # ref inside a WITH body (IMPALA-2414,
+            # nested-types-with-clause.test) is reached naturally: the
+            # CTE body is itself a `( SELECT` block and rewrites in
+            # place — only the ENCLOSING derived table then needs the
+            # LATERAL keyword (added below).
             depth = 0
             from_is: list[int] = []
             for k in range(o, close):
@@ -1049,8 +1054,12 @@ class Engine(AlterTableMixin):
             # the derived table would take Catalyst's array-keyed
             # decorrelated join, which Spark REJECTS for correlated
             # array-typed refs in several shapes).
-            if from_i == from_is[0] and self._subplan_lateral_agg(
-                toks, o, close, first, from_i, qpath, coll_dt
+            if (
+                from_i == from_is[0]
+                and toks[first].upper != "WITH"
+                and self._subplan_lateral_agg(
+                    toks, o, close, first, from_i, qpath, coll_dt
+                )
             ):
                 changed = True
                 i = 0  # spans shifted: rescan
@@ -1058,11 +1067,50 @@ class Engine(AlterTableMixin):
             # a derived table (comma FROM item) needs the LATERAL keyword;
             # expression subqueries (EXISTS/IN/scalar) must NOT get it
             p = _prev_code(toks, o - 1)
-            lateral = (
-                p >= 0
-                and toks[p].text == ","
-                and _in_from_clause(toks, p)
+            lateral = p >= 0 and (
+                (toks[p].text == "," and _in_from_clause(toks, p))
+                or (toks[p].kind == "word" and toks[p].upper == "JOIN")
             )
+            # a CTE body (`WITH w AS (<this block>)`) correlates through
+            # its ENCLOSING derived table — that is where Spark wants
+            # the LATERAL keyword
+            enclose_lateral = None
+            if (
+                p >= 0 and toks[p].kind == "word"
+                and toks[p].upper == "AS"
+            ):
+                # walk OUTWARD through nested CTE-body parens (`WITH w1
+                # AS (WITH w2 AS (<block>) ...)`) to the derived table
+                start_x = o
+                while True:
+                    bal2 = 0
+                    open_x = -1
+                    for x in range(start_x - 1, -1, -1):
+                        if toks[x].text == ")":
+                            bal2 += 1
+                        elif toks[x].text == "(":
+                            if bal2 == 0:
+                                open_x = x
+                                break
+                            bal2 -= 1
+                    if open_x < 0:
+                        break
+                    pe2 = _prev_code(toks, open_x - 1)
+                    if pe2 >= 0 and (
+                        (toks[pe2].text == ","
+                         and _in_from_clause(toks, pe2))
+                        or (toks[pe2].kind == "word"
+                            and toks[pe2].upper == "JOIN")
+                    ):
+                        enclose_lateral = open_x
+                        break
+                    if (
+                        pe2 >= 0 and toks[pe2].kind == "word"
+                        and toks[pe2].upper == "AS"
+                    ):
+                        start_x = open_x
+                        continue
+                    break
             # a collection alias after the path (FROM c.c_orders o)
             # becomes the exploded subquery's alias
             sp_alias = "__sp"
@@ -1080,7 +1128,9 @@ class Engine(AlterTableMixin):
                 ):
                     sp_alias = toks[a2].text
                     tail_from = a2 + 1
-            t1 = None if from_i != from_is[0] else self._subplan_fast_path(
+            t1 = None if (
+                from_i != from_is[0] or toks[first].upper == "WITH"
+            ) else self._subplan_fast_path(
                 toks, o, close, first, from_i, tail_from,
                 None if sp_alias == "__sp" else sp_alias,
                 qpath, coll_dt, p, lateral,
@@ -1100,6 +1150,10 @@ class Engine(AlterTableMixin):
                 f"{kw}({sub_text}{joiner} ({gen}) {sp_alias}{tail})"
             )
             toks[o : close + 1] = repl
+            if enclose_lateral is not None:
+                toks[enclose_lateral:enclose_lateral] = [
+                    Tok("synth", " LATERAL ")
+                ]
             changed = True
             # re-scan from the replacement start: sibling subqueries
             # inside the rewritten block may also need the rewrite; the

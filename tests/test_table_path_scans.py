@@ -745,3 +745,30 @@ def test_map_subplan_lateral_agg_and_exists(eng6):
         " where exists (select * from t.m where value > 8) order by id"
     )
     assert [tuple(r) for r in df.collect()] == [(2,)]
+
+
+def test_correlated_with_clause_views(eng5):
+    # IMPALA-2414 (nested-types-with-clause.test): a correlated relative
+    # ref inside a WITH body of a joined derived table — the CTE body
+    # rewrites in place and the ENCLOSING derived table gets LATERAL
+    df = eng5.sql(
+        "select id, okey from tnc c join"
+        " (with w2 as (select okey from c.ords) select * from w2) v"
+        " where id = 1 order by okey"
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 10), (1, 11)]
+    # doubly-nested WITH
+    df = eng5.sql(
+        "select id, okey from tnc c join"
+        " (with w1 as (with w2 as (select okey from c.ords)"
+        "  select * from w2) select okey from w1) v"
+        " where id = 1 order by okey"
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 10), (1, 11)]
+    # under an outer WITH
+    df = eng5.sql(
+        "with w1 as (select id, okey from tnc c join"
+        " (with w2 as (select okey from c.ords) select * from w2) v)"
+        " select * from w1 where id = 2"
+    )
+    assert [tuple(r) for r in df.collect()] == [(2, 20)]

@@ -1695,6 +1695,41 @@ order by c_custkey
 ))
 
 SP.append((
+    "sp_with_clause_view", "nested-types-with-clause.test:2 (IMPALA-2414)",
+    """
+select c_custkey, o_orderkey from tn_customer c join
+  (with w1 as (with w2 as (select o_orderkey from c.c_orders) select * from w2)
+   select o_orderkey from w1) v
+where c_custkey = 4
+order by o_orderkey
+""",
+    """
+select c_custkey, o_orderkey
+from tn_customer_flat c join tn_orders_flat o on c_custkey = o_custkey
+where c_custkey = 4 order by o_orderkey
+""",
+    "correlated WITH view nested in another WITH, inside a joined "
+    "derived table (the enclosing join gets LATERAL)",
+))
+
+SP.append((
+    "sp_with_clause_outer", "nested-types-with-clause.test:3 (IMPALA-2414)",
+    """
+with w1 as (select c_custkey, o_orderkey from tn_customer c join
+  (with w2 as (select o_orderkey from c.c_orders) select * from w2) v)
+select * from w1
+where c_custkey = 4
+order by o_orderkey
+""",
+    """
+select c_custkey, o_orderkey
+from tn_customer_flat c join tn_orders_flat o on c_custkey = o_custkey
+where c_custkey = 4 order by o_orderkey
+""",
+    "correlated WITH view under an outer WITH",
+))
+
+SP.append((
     "sp_nested_preds_3level", "nested-types-subplan.test:31",
     """
 select c_custkey, c_mktsegment, o_orderkey, o_orderdate, l_linenumber,
