@@ -6756,7 +6756,6 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                     and a.text.lower() == alias.lower()
                     and (p < 0 or toks[p].text != ".")
                     and not _starts_from_item(m)
-                and _owns(alias_low0, item_blk, m, binds)
                     and _owns(alias_low0, item_blk, m, binds)
                 ):
                     d = _next_code(toks, m + 1)

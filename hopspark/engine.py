@@ -519,6 +519,7 @@ class Engine(AlterTableMixin):
         for j, segs, alias, aend in items:
             item_idx.update(range(j, aend + 1))
         repls = []  # (tok index, alias, field)
+        oh_cache: dict = {}  # block -> (order/having spans, out aliases)
         for m, tk in enumerate(toks):
             if m in item_idx or tk.kind != "word":
                 continue
@@ -529,11 +530,12 @@ class Engine(AlterTableMixin):
             if p >= 0 and toks[p].text == ".":
                 continue
             # alias position, not a reference: the previous code token
-            # ENDS an expression (AS keyword, a close paren, a literal,
-            # or a non-keyword word — `CAST(x AS DOUBLE) o_totalprice`)
+            # ENDS an expression (AS keyword, a close paren, a literal —
+            # including string/backtick literals: `SELECT 'x' o_comment`
+            # — or a non-keyword word, `CAST(x AS DOUBLE) o_totalprice`)
             if p >= 0 and (
                 toks[p].text == ")"
-                or toks[p].kind == "num"
+                or toks[p].kind in ("num", "str", "bquote")
                 or (toks[p].kind == "word"
                     and toks[p].upper == "AS")
                 or (toks[p].kind == "word"
@@ -564,6 +566,21 @@ class Engine(AlterTableMixin):
             if any(
                 lo in flds and blk[0] <= m < blk[1] and blk[0] >= best
                 for blk, flds in flat_binds
+            ):
+                continue
+            # a select-list OUTPUT alias shadows the element field in
+            # ORDER BY / HAVING (Impala analyzer: output names take
+            # precedence there — `SELECT o_orderkey AS o_comment ...
+            # ORDER BY o_comment` sorts by the alias, not the field)
+            mblk = self._query_block_bounds(toks, m)
+            if mblk not in oh_cache:
+                oh_cache[mblk] = (
+                    self._order_having_spans(toks, mblk),
+                    self._select_output_aliases(toks, mblk),
+                )
+            oh_spans, out_aliases = oh_cache[mblk]
+            if lo in out_aliases and any(
+                a <= m < b for a, b in oh_spans
             ):
                 continue
             repls.append((m, inner[0][0], inner[0][1]))
@@ -893,6 +910,9 @@ class Engine(AlterTableMixin):
 
         toks = tokenize(impala_sql)
         changed = False
+        # (alias, root) pairs already checked by the decorrelation-
+        # landmine guard this statement — checked-safe or normalized
+        guarded: set = set()
         i = 0
         while i < len(toks):
             if toks[i].text != "(":
@@ -1023,7 +1043,7 @@ class Engine(AlterTableMixin):
             if res is None:
                 i += 1
                 continue
-            qpath, coll_dt = res
+            qpath, coll_dt, root_info = res
             gen = None
             if isinstance(coll_dt, T.ArrayType):
                 if isinstance(coll_dt.elementType, T.StructType):
@@ -1141,6 +1161,23 @@ class Engine(AlterTableMixin):
                 toks[start:stop] = repl
                 changed = True
                 i = start
+                continue
+            # GENERAL path: Catalyst decorrelates this subquery into a
+            # join KEYED ON the collection, re-executing the outer plan
+            # on both sides (SCALE.md round-11 session 2).  If the
+            # collection's order is not deterministic (collect_list /
+            # collect_set upstream), the two sides disagree and the join
+            # silently matches NOTHING — normalize the OUTER relation's
+            # collection column (deep sort_array) before rewriting, or
+            # raise when normalization is impossible.
+            g_spans = self._nondet_guard_spans(
+                toks, segs, root_info, guarded
+            )
+            if g_spans:
+                for g0, g1, g_txt in sorted(g_spans, reverse=True):
+                    toks[g0:g1] = tokenize(g_txt)
+                changed = True
+                i = 0  # spans shifted: rescan from the top
                 continue
             sub_text = untokenize(toks[o + 1 : from_i])
             tail = untokenize(toks[tail_from:close])
@@ -1426,14 +1463,17 @@ class Engine(AlterTableMixin):
 
     def _resolve_subplan_target(self, toks, segs, candidates):
         """Resolve a subquery FROM target path to ``(collection_expr_sql,
-        collection_dtype)`` or None.  Roots, in order: a candidate TABLE
-        (or temp view); a COLLECTION ALIAS bound by an earlier dotted FROM
-        item (``t.int_array_array a1`` then ``FROM a1.item``); a DERIVED-
-        TABLE alias (schema probed with an analysis-only query).  Interior
-        segments: struct fields navigate; ``item`` on a nested array
-        flattens one level (NULL inner arrays dropped, like the
-        reference's scan); a field name on an array<struct> maps to a
-        per-element transform; ``value`` on a map takes map_values."""
+        collection_dtype, root_info)`` or None.  Roots, in order: a
+        candidate TABLE (or temp view); a COLLECTION ALIAS bound by an
+        earlier dotted FROM item (``t.int_array_array a1`` then ``FROM
+        a1.item``); a DERIVED-TABLE alias (schema probed with an
+        analysis-only query).  Interior segments: struct fields navigate;
+        ``item`` on a nested array flattens one level (NULL inner arrays
+        dropped, like the reference's scan); a field name on an
+        array<struct> maps to a per-element transform; ``value`` on a map
+        takes map_values.  ``root_info`` is ``("table", <name>)`` /
+        ``("collection", None)`` / ``("derived", None)`` — the
+        decorrelation-landmine guard needs the provenance."""
         for table in candidates:
             try:
                 schema = self.spark.table(table).schema
@@ -1441,13 +1481,15 @@ class Engine(AlterTableMixin):
                 continue
             r = self._walk_collection_path(segs[0], schema, segs[1:])
             if r is not None:
-                return r
+                return (*r, ("table", table))
         r = self._from_collection_alias_target(toks, segs)
         if r is not None:
-            return r
+            return (*r, ("collection", None))
         schema = self._derived_alias_schema(toks, segs[0])
         if schema is not None:
-            return self._walk_collection_path(segs[0], schema, segs[1:])
+            r = self._walk_collection_path(segs[0], schema, segs[1:])
+            if r is not None:
+                return (*r, ("derived", None))
         return None
 
     @staticmethod
@@ -1584,7 +1626,21 @@ class Engine(AlterTableMixin):
                 if r is None or not hasattr(r[1], "elementType"):
                     continue
                 elem = r[1].elementType
+                # stash the root binding for the decorrelation-landmine
+                # guard: (root word, resolved table, top-level column)
+                self._last_collection_root = (path[0], table, path[1])
                 return self._walk_collection_path(segs[0], elem, segs[1:])
+            # root bound to a DERIVED table (e.g. the landmine guard's
+            # own normalization wrapper): probe its schema
+            d_schema = self._derived_alias_schema(toks, path[0])
+            if d_schema is not None:
+                r = self._walk_collection_path(path[0], d_schema, path[1:])
+                if r is not None and hasattr(r[1], "elementType"):
+                    elem = r[1].elementType
+                    self._last_collection_root = (path[0], None, path[1])
+                    return self._walk_collection_path(
+                        segs[0], elem, segs[1:]
+                    )
         return None
 
     def _alias_table_name(self, toks, alias):
@@ -1640,6 +1696,305 @@ class Engine(AlterTableMixin):
                 return self.spark.sql(body).schema
             except Exception:  # noqa: BLE001 - not standalone SQL
                 return None
+        return None
+
+    # --- nondeterministic-decorrelation landmine guard (round 12) -----
+    #
+    # Catalyst lowers a general-path lateral/expression subplan (the
+    # grouping/analytic bodies the HOF fast paths don't absorb) into a
+    # join keyed on the CORRELATED COLLECTION ITSELF, re-executing the
+    # outer plan on both sides.  collect_list's element order follows
+    # shuffle FETCH order — racy on a cluster — so the two sides can
+    # produce unequal arrays and the join silently matches nothing
+    # (SCALE.md round-11 session 2: zero rows, no error).  The guard
+    # normalizes the outer relation's collection column with a deep
+    # sort_array whenever the source plan contains an order-
+    # nondeterministic constructor, making the duplicated join keys
+    # value-equal; unorderable (map-bearing) collections raise instead.
+
+    _NONDET_FN_RE = re.compile(
+        r"\b(collect_list|collect_set|shuffle|rand|randn|uuid|"
+        r"monotonically_increasing_id)\("
+    )
+
+    def _plan_is_order_nondet(self, df) -> bool:
+        """True when ``df``'s analyzed plan contains a constructor whose
+        output value/order can differ between two executions of the same
+        plan (collect_list/collect_set are shuffle-fetch-order-dependent;
+        the rest are explicitly nondeterministic)."""
+        try:
+            s = df._jdf.queryExecution().analyzed().toString()
+        except Exception:  # noqa: BLE001 - cannot prove safe
+            return True
+        return bool(self._NONDET_FN_RE.search(s))
+
+    @classmethod
+    def _dtype_has_array(cls, dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.ArrayType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(cls._dtype_has_array(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.MapType):
+            return (cls._dtype_has_array(dt.keyType)
+                    or cls._dtype_has_array(dt.valueType))
+        return False
+
+    @classmethod
+    def _dtype_sort_unorderable(cls, dt, under_array: bool = False):
+        """A MapType reachable under an ArrayType element makes the array
+        unsortable (Spark ordering is undefined for maps) — returns the
+        offending type string, or None when deep sort_array is legal."""
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            if under_array:
+                return dt.simpleString()
+            return (cls._dtype_sort_unorderable(dt.keyType, under_array)
+                    or cls._dtype_sort_unorderable(dt.valueType,
+                                                   under_array))
+        if isinstance(dt, T.ArrayType):
+            return cls._dtype_sort_unorderable(dt.elementType, True)
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                r = cls._dtype_sort_unorderable(f.dataType, under_array)
+                if r:
+                    return r
+        return None
+
+    @classmethod
+    def _deep_sort_sql(cls, expr: str, dt, depth: int = 0) -> str:
+        """SQL normalizing ``expr`` of type ``dt`` so equal multisets
+        render byte-equal values: every array level is sort_array()ed
+        innermost-first.  Returns ``expr`` unchanged when the type holds
+        no arrays."""
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.ArrayType):
+            var = f"__ds{depth}"
+            inner = cls._deep_sort_sql(var, dt.elementType, depth + 1)
+            if inner != var:
+                expr = f"transform({expr}, {var} -> {inner})"
+            return f"sort_array({expr})"
+        if isinstance(dt, T.StructType):
+            if not cls._dtype_has_array(dt):
+                return expr
+            parts = []
+            for f in dt.fields:
+                fe = cls._deep_sort_sql(
+                    f"{expr}.`{f.name}`", f.dataType, depth
+                )
+                parts.append(f"'{f.name}', {fe}")
+            # a NULL struct must stay NULL (named_struct would rebuild
+            # it as a struct of NULLs)
+            return (f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
+                    f"named_struct({', '.join(parts)}) END")
+        return expr
+
+    @staticmethod
+    def _table_binding_spans(toks, table, alias):
+        """Token spans of every FROM/JOIN item binding ``alias`` to
+        ``table`` (``FROM table [AS] alias`` / unaliased ``FROM table``
+        when alias == table) — the spans the landmine guard wraps."""
+        from hopspark.dialect.translate import (
+            _in_from_clause, _next_code, _prev_code,
+        )
+
+        spans = []
+        tl, al = table.lower(), alias.lower()
+        for w_i, tw in enumerate(toks):
+            if tw.kind != "word" or tw.text.lower() != tl:
+                continue
+            p = _prev_code(toks, w_i - 1)
+            in_from = p >= 0 and (
+                (toks[p].kind == "word"
+                 and toks[p].upper in ("FROM", "JOIN"))
+                or (toks[p].text == "," and _in_from_clause(toks, p))
+            )
+            if not in_from:
+                continue
+            n1 = _next_code(toks, w_i + 1)
+            if tl == al:
+                # unaliased: the item must end here (a trailing alias
+                # word or dotted path binds something else)
+                if n1 < len(toks):
+                    nt = toks[n1]
+                    if nt.text == "." or (
+                        nt.kind == "word"
+                        and (nt.upper == "AS"
+                             or nt.upper not in Engine._FROM_TAIL_WORDS)
+                    ):
+                        continue
+                spans.append((w_i, w_i + 1))
+                continue
+            if (n1 < len(toks) and toks[n1].kind == "word"
+                    and toks[n1].upper == "AS"):
+                n1 = _next_code(toks, n1 + 1)
+            if (n1 < len(toks) and toks[n1].kind == "word"
+                    and toks[n1].text.lower() == al):
+                spans.append((w_i, n1 + 1))
+        return spans
+
+    def _normalize_wrap_sql(self, schema, top_col, source_sql):
+        """``(SELECT ..cols.., <deep sort> AS top_col FROM source)`` —
+        the landmine guard's normalization wrapper."""
+        fld = next(
+            (f for f in schema.fields
+             if f.name.lower() == top_col.lower()), None,
+        )
+        if fld is None or not self._dtype_has_array(fld.dataType):
+            return None
+        bad = self._dtype_sort_unorderable(fld.dataType)
+        if bad:
+            raise ValueError(
+                f"correlated subplan over column {top_col!r}: the source "
+                "plan builds it with an order-nondeterministic aggregate "
+                "(collect_list/collect_set), and Catalyst's decorrelated "
+                "join would key on the collection itself — but the "
+                f"element type contains unorderable {bad}, so the engine "
+                "cannot normalize it.  sort_array the collection when "
+                "building the view, or restructure the query onto a "
+                "single-aggregate/EXISTS subplan shape."
+            )
+        cols = []
+        for f in schema.fields:
+            if f.name.lower() == top_col.lower():
+                cols.append(
+                    self._deep_sort_sql(f"`{f.name}`", f.dataType)
+                    + f" AS `{f.name}`"
+                )
+            else:
+                cols.append(f"`{f.name}`")
+        return f"(SELECT {', '.join(cols)} FROM {source_sql})"
+
+    def _nondet_guard_spans(self, toks, segs, root_info, guarded):
+        """Replacement spans that deep-sort the outer relation's
+        collection column before a general-path subplan rewrite.
+        Returns [] when provably safe or already guarded; raises
+        ValueError when a hazard is detected but not normalizable."""
+        from hopspark.dialect.translate import untokenize
+
+        kind, table = root_info
+        alias = segs[0]
+        key = (alias.lower(), (table or kind).lower())
+        if key in guarded:
+            return []
+        guarded.add(key)
+        if kind == "table":
+            df = self.spark.table(table)
+            if not self._plan_is_order_nondet(df):
+                return []
+            inner = self._normalize_wrap_sql(
+                df.schema, segs[1], f"{table} __ndg"
+            )
+            if inner is None:
+                return []
+            # after wrapping, the alias re-resolves as a derived root —
+            # pre-mark it so the rescan doesn't wrap a second time
+            guarded.add((alias.lower(), "derived"))
+            spans = self._table_binding_spans(toks, table, alias)
+            if not spans:
+                raise ValueError(
+                    f"correlated subplan over {alias}.{segs[1]}: the "
+                    "source builds the collection with an order-"
+                    "nondeterministic aggregate and the engine could not "
+                    "locate the binding FROM item to normalize it — "
+                    "sort_array the collection when building the view"
+                )
+            return [
+                (s0, s1, f" {inner} {alias} ") for s0, s1 in spans
+            ]
+        if kind == "derived":
+            span = self._derived_item_span(toks, alias)
+            if span is None:
+                return []
+            open_i, close_i, item_end = span
+            body = untokenize(toks[open_i + 1 : close_i])
+            if "__ndg" in body:
+                return []  # already a guard-emitted wrapper
+            try:
+                bdf = self.spark.sql(body)
+            except Exception:  # noqa: BLE001 - correlated body: the
+                return []  # enclosing scope's guard covers its sources
+            if not self._plan_is_order_nondet(bdf):
+                return []
+            inner = self._normalize_wrap_sql(
+                bdf.schema, segs[1], f"({body}) __ndg"
+            )
+            if inner is None:
+                return []
+            return [(open_i, item_end, f" {inner} {alias} ")]
+        # collection-alias root: normalize the ROOT table binding the
+        # dotted FROM item (deep sort covers the inner collections too)
+        root = getattr(self, "_last_collection_root", None)
+        if root is None:
+            return []
+        root_word, root_table, top_col = root
+        if root_table is None:
+            # derived-table root — wrap the derived item itself
+            span = self._derived_item_span(toks, root_word)
+            if span is None:
+                return []
+            open_i, close_i, item_end = span
+            body = untokenize(toks[open_i + 1 : close_i])
+            if "__ndg" in body:
+                return []
+            try:
+                bdf = self.spark.sql(body)
+            except Exception:  # noqa: BLE001 - correlated body
+                return []
+            if not self._plan_is_order_nondet(bdf):
+                return []
+            inner = self._normalize_wrap_sql(
+                bdf.schema, top_col, f"({body}) __ndg"
+            )
+            if inner is None:
+                return []
+            return [(open_i, item_end, f" {inner} {root_word} ")]
+        df = self.spark.table(root_table)
+        if not self._plan_is_order_nondet(df):
+            return []
+        inner = self._normalize_wrap_sql(
+            df.schema, top_col, f"{root_table} __ndg"
+        )
+        if inner is None:
+            return []
+        guarded.add((root_word.lower(), "derived"))
+        spans = self._table_binding_spans(toks, root_table, root_word)
+        if not spans:
+            raise ValueError(
+                f"correlated subplan over collection alias {alias!r}: "
+                f"the root table {root_table!r} builds the collection "
+                "with an order-nondeterministic aggregate and the engine "
+                "could not normalize the dotted FROM item — sort_array "
+                "the collection when building the view"
+            )
+        return [(s0, s1, f" {inner} {root_word} ") for s0, s1 in spans]
+
+    @staticmethod
+    def _derived_item_span(toks, alias):
+        """``(open_i, close_i, item_end)`` of the derived-table FROM item
+        ``( body ) [AS] alias`` — item_end is one past the alias word."""
+        from hopspark.dialect.translate import _prev_code
+
+        for w_i, tw in enumerate(toks):
+            if tw.kind != "word" or tw.text.lower() != alias.lower():
+                continue
+            p = _prev_code(toks, w_i - 1)
+            if p >= 0 and toks[p].kind == "word" and toks[p].upper == "AS":
+                p = _prev_code(toks, p - 1)
+            if p < 0 or toks[p].text != ")":
+                continue
+            depth = 0
+            for k in range(p, -1, -1):
+                if toks[k].text == ")":
+                    depth += 1
+                elif toks[k].text == "(":
+                    depth -= 1
+                    if depth == 0:
+                        return (k, p, w_i + 1)
+            return None
         return None
 
     def _subplan_lateral_agg(
@@ -1811,6 +2166,93 @@ class Engine(AlterTableMixin):
                 break
         return start, end
 
+    @staticmethod
+    def _order_having_spans(toks, blk):
+        """Token ranges of ``blk``'s own ORDER BY and HAVING clauses
+        (depth 0 within the block) — where select-list output names
+        take precedence over collection element fields."""
+        s, e = blk
+        spans = []
+        depth = 0
+        cur = None
+        for k in range(s, e):
+            t = toks[k]
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+            elif depth == 0 and t.kind == "word":
+                u = t.upper
+                if u in ("ORDER", "HAVING"):
+                    if cur is not None:
+                        spans.append((cur, k))
+                    cur = k
+                elif cur is not None and u in (
+                    "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+                    "MINUS", "WINDOW", "QUALIFY",
+                ):
+                    spans.append((cur, k))
+                    cur = None
+        if cur is not None:
+            spans.append((cur, e))
+        return spans
+
+    @staticmethod
+    def _select_output_aliases(toks, blk):
+        """Lowercased select-list OUTPUT aliases of query block ``blk``:
+        explicit ``AS name`` plus trailing alias words of multi-token
+        select items (``count(*) c``, ``'x' o_comment``).  Bare
+        single-column items are excluded — their output name IS the
+        column, so qualification stays correct for them."""
+        from hopspark.dialect.translate import _next_code, _prev_code
+
+        s, e = blk
+        aliases: set = set()
+        sel_i = -1
+        from_i = e
+        depth = 0
+        for k in range(s, e):
+            t = toks[k]
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+            elif depth == 0 and t.kind == "word":
+                if t.upper == "SELECT" and sel_i < 0:
+                    sel_i = k
+                elif t.upper == "FROM" and sel_i >= 0:
+                    from_i = k
+                    break
+        if sel_i < 0:
+            return aliases
+        depth = 0
+        for k in range(sel_i + 1, from_i):
+            t = toks[k]
+            if t.text == "(":
+                depth += 1
+                continue
+            if t.text == ")":
+                depth -= 1
+                continue
+            if depth or t.kind != "word":
+                continue
+            nx = _next_code(toks, k + 1)
+            if not (nx >= from_i or toks[nx].text == ","):
+                continue  # not item-final
+            pv = _prev_code(toks, k - 1)
+            if pv < sel_i:
+                continue
+            pt = toks[pv]
+            if (
+                pt.text == ")"
+                or pt.kind in ("num", "str", "bquote")
+                or (pt.kind == "word" and pt.upper == "AS")
+                or (pt.kind == "word"
+                    and pt.upper not in ("SELECT", "DISTINCT", "ALL"))
+            ):
+                aliases.add(t.text.lower())
+        return aliases
+
     @classmethod
     def _substitute_output_name(cls, toks, name, valias, expr_sql,
                                 bind_i=None):
@@ -1898,7 +2340,7 @@ class Engine(AlterTableMixin):
                 nv = _next_code(toks, m + 1)
                 alias_pos = pv >= 0 and (
                     toks[pv].text == ")"
-                    or toks[pv].kind == "num"
+                    or toks[pv].kind in ("num", "str", "bquote")
                     or (toks[pv].kind == "word"
                         and toks[pv].upper in ("AS",))
                     or (toks[pv].kind == "word"
@@ -1999,9 +2441,11 @@ class Engine(AlterTableMixin):
             # arithmetic would shift Spark's result scale away from the
             # reference's DECIMAL(38,s) contract (sum over decimal is
             # DECIMAL(38,s) in both Impala decimal_v2 and the accumulator
-            # below; tpch_nested-q18.test's sum(l_quantity); avg is
-            # DECIMAL(38,max(6,s)) — nested-types-subplan.test's
-            # per-customer avg(o_totalprice))
+            # below; tpch_nested-q18.test's sum(l_quantity); avg's
+            # decimal_v2 rule is ScalarType.createAdjustedDecimalType:
+            # scale' = max(6,s), precision' = (p-s) + scale', capped at
+            # 38 — nested-types-subplan.test's per-customer
+            # avg(o_totalprice))
             if (
                 fname not in ("sum", "avg")
                 or len(dec) != 1
@@ -2009,7 +2453,8 @@ class Engine(AlterTableMixin):
                 or sum(1 for t2 in inner if t2.kind == "word") != 1
             ):
                 return None
-            scale = int(dec[0].rsplit(":", 1)[1])
+            _, p_s, s_s = dec[0].split(":")
+            prec, scale = int(p_s), int(s_s)
             ty = f"DECIMAL(38,{scale})"
             sum_sql = (
                 f"aggregate({arr_f}, CAST(NULL AS {ty}),"
@@ -2021,9 +2466,11 @@ class Engine(AlterTableMixin):
             cnt_sql = (
                 f"size(filter({arr_f}, __sx -> ({e}) IS NOT NULL))"
             )
+            avg_scale = max(6, scale)
+            avg_prec = min(38, (prec - scale) + avg_scale)
             return (
                 f"CAST(({sum_sql}) / nullif({cnt_sql}, 0)"
-                f" AS DECIMAL(38,{max(6, scale)}))"
+                f" AS DECIMAL({avg_prec},{avg_scale}))"
             )
         if fname == "avg":
             return (

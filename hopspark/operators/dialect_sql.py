@@ -362,12 +362,14 @@ def dialect_collection_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = (
         orders.groupBy("o_custkey")
         .agg(
-            F.collect_list(
+            # sort_array: landmine discipline — a collect_list array
+            # must never reach a decorrelated join key unsorted
+            F.sort_array(F.collect_list(
                 F.struct(
                     F.col("o_orderkey").alias("okey"),
                     F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
                 )
-            ).alias("orders")
+            )).alias("orders")
         )
     )
     nested.createOrReplaceTempView("cust_orders")
@@ -413,12 +415,14 @@ def dialect_table_path_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = (
         orders.groupBy("o_custkey")
         .agg(
-            F.collect_list(
+            # sort_array: landmine discipline — a collect_list array
+            # must never reach a decorrelated join key unsorted
+            F.sort_array(F.collect_list(
                 F.struct(
                     F.col("o_orderkey").alias("okey"),
                     F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
                 )
-            ).alias("orders")
+            )).alias("orders")
         )
     )
     nested.createOrReplaceTempView("cust_orders_tp")
@@ -460,12 +464,14 @@ def dialect_subplan_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = (
         orders.groupBy("o_custkey")
         .agg(
-            F.collect_list(
+            # sort_array: landmine discipline — a collect_list array
+            # must never reach a decorrelated join key unsorted
+            F.sort_array(F.collect_list(
                 F.struct(
                     F.col("o_orderkey").alias("okey"),
                     F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
                 )
-            ).alias("orders")
+            )).alias("orders")
         )
     )
     nested.createOrReplaceTempView("cust_orders_sp")
@@ -515,12 +521,14 @@ def dialect_subplan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = (
         orders.groupBy("o_custkey")
         .agg(
-            F.collect_list(
+            # sort_array: landmine discipline — a collect_list array
+            # must never reach a decorrelated join key unsorted
+            F.sort_array(F.collect_list(
                 F.struct(
                     F.col("o_orderkey").alias("okey"),
                     F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
                 )
-            ).alias("orders")
+            )).alias("orders")
         )
     )
     nested.createOrReplaceTempView("cust_orders_spa")
@@ -573,12 +581,14 @@ def dialect_subplan_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = (
         orders.groupBy("o_custkey")
         .agg(
-            F.collect_list(
+            # sort_array: landmine discipline — a collect_list array
+            # must never reach a decorrelated join key unsorted
+            F.sort_array(F.collect_list(
                 F.struct(
                     F.col("o_orderkey").alias("okey"),
                     F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
                 )
-            ).alias("orders")
+            )).alias("orders")
         )
     )
     nested.createOrReplaceTempView("cust_orders_sma")

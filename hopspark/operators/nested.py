@@ -266,7 +266,7 @@ def nested_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("o"),
         )
         .groupBy("o_custkey")
-        .agg(F.collect_list("o").alias("orders"))
+        .agg(F.sort_array(F.collect_list("o")).alias("orders"))
     )
     joined = cust.join(nested, cust.c_custkey == nested.o_custkey, "left_outer")
     n_orders = F.coalesce(F.size("orders"), F.lit(0))

@@ -71,21 +71,33 @@ def test_readme_gate_history_matches_artifacts():
     """The README's driver-gate history (unique-ever / first-time counts)
     is generated from the CORRECTNESS_r*.json artifacts
     (tools/gen_gate_history.py) — assert it hasn't drifted (r10 verdict
-    nit: the hand tally said 16/136 vs the artifact diff's 15/135)."""
+    nit: the hand tally said 16/136 vs the artifact diff's 15/135).
+
+    Round-boundary semantics (r11 verdict item 2): the driver writes
+    CORRECTNESS_rN.json AFTER the builder's final commit, so the check is
+    scoped to the rounds the stamp itself declares it covers — a newer
+    artifact extends history without failing the guard."""
     import pathlib
     import re
     import sys
 
     root = pathlib.Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(root / "tools"))
-    from gen_gate_history import history
+    from gen_gate_history import history, stamped_rounds
 
-    _ft, seen, total = history()
     readme = (root / "README.md").read_text()
+    rounds = stamped_rounds(readme)
+    assert rounds, "README gate-history covered-rounds stamp missing"
+    for r in rounds:
+        assert (root / f"CORRECTNESS_{r}.json").exists(), (
+            f"stamped round {r} has no artifact"
+        )
+    _ft, seen, total = history(rounds)
     m = re.search(
         r"unique queries ever checked \*\*(\d+) of (\d+)\*\*", readme
     )
     assert m, "README gate-history marker missing"
     assert (int(m.group(1)), int(m.group(2))) == (len(seen), total), (
-        "README gate history stale — rerun tools/gen_gate_history.py"
+        "README gate history stale for its own covered rounds — rerun "
+        "tools/gen_gate_history.py"
     )

@@ -1749,7 +1749,7 @@ class SubplanGen:
             ["exists", "not_exists", "scalar_count", "derived", "rootless",
              "scalar_sum", "scalar_minmax", "scalar_avg",
              "lateral_agg_alias", "flatten_hop_count", "lateral_agg_where",
-             "multi_agg", "map_agg"]
+             "multi_agg", "map_agg", "grouping_body"]
         )
         if kind in ("exists", "not_exists"):
             neg = "NOT " if kind == "not_exists" else ""
@@ -1874,6 +1874,27 @@ class SubplanGen:
                 f" CAST(list_sum(list_filter(list_transform(arr,"
                 f" e -> e.y), v -> v % {mod} = 0)) AS BIGINT) AS s"
                 f" FROM t ORDER BY k"
+            )
+        elif kind == "grouping_body":
+            # r12: GENERAL-path lateral (grouping body — the shape the
+            # HOF fast paths don't absorb).  Catalyst decorrelates it
+            # into a join KEYED ON THE ARRAY; the view's collect_list is
+            # unsorted, so this exercises the decorrelation-landmine
+            # guard end-to-end (engine._nondet_guard_spans must deep-
+            # sort the outer collection or the join matches nothing).
+            imp = (
+                f"SELECT k, v.g AS g, CAST(v.n AS BIGINT) AS n"
+                f" FROM {vname} c,"
+                f" (SELECT x % {mod} AS g, COUNT(*) AS n FROM c.arr"
+                f"  WHERE y > {thr} GROUP BY x % {mod}) v"
+                f" ORDER BY k, g"
+            )
+            duck = (
+                f"{cte_d} SELECT k, u.x % {mod} AS g,"
+                f" CAST(COUNT(*) AS BIGINT) AS n FROM"
+                f" (SELECT k, unnest(arr) AS u FROM t) s"
+                f" WHERE u.y > {thr} GROUP BY k, u.x % {mod}"
+                f" ORDER BY k, g"
             )
         elif kind == "derived":
             imp = (
