@@ -60,7 +60,9 @@ _MODULES = (
 CURATED_FIRST = (
     # TPC-H spine — richest plans (multi-join, agg, subquery shapes).
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
+    # r12 rotation: q3 + q21 (driver-green r1-r11) hand their slots to
+    # the r12 never-checked intake — the TPC-H spine keeps q1 plus the
+    # three nested TPC-H rows; both stay sim-checked and golden-pinned.
     # r9 rotation: q5 (driver-green r1-r8) hands its slot to the format-
     # codec rows below; the TPC-H spine keeps q1/q3/q21 + lateral_topk,
     # and q5 stays sim-checked.
@@ -71,15 +73,19 @@ CURATED_FIRST = (
     # r5 rotation: LATERAL per-group top-k (advanced_sql) replaces
     # tpch_q18 — TPC-H spine keeps q1/q3/q5/q8/q21, and the group-
     # having shape q18 exercises stays via tpcds_q94's HAVING composite.
-    "lateral_topk_per_group",
-    "tpch_q21_suppliers_waiting",
+    # r12 rotation: lateral_topk_per_group (driver-green r5-r11) hands
+    # its slot to the recursive region-closure CTE — advanced_sql's
+    # never-checked iterative-expansion shape; topk stays plan-asserted.
+    "recursive_region_closure",
     # Joins / set ops / sorts (§2.4, §2.7, §2.8).
     # r11 rotation: join_full_outer (driver-green r1-r10) hands its
     # slot to the escaped-TEXT roundtrip — the ONE format codec never
     # externally checked (Impala \\N sentinel + escape-state parser);
     # the join family keeps null_aware_anti + the TPC-DS join shapes.
     "text_escaped_roundtrip",
-    "join_null_aware_anti_not_in",
+    # r12 rotation: join_null_aware_anti_not_in (driver-green r8-r11)
+    # rotates out — the null-aware anti contract stays golden-pinned +
+    # sim-checked; its slot funds the window-frame intake below.
     # r7 rotation: sort_nulls_ordering rotates out — the Impala NULL-ordering
     # default contract keeps a driver row via dialect_sql_null_ordering, and
     # the sorts/limits golden corpus pins the rest; stays sim-checked.
@@ -118,7 +124,17 @@ CURATED_FIRST = (
     # r11 rotation: sessionize (driver-green r1-r10) hands its slot to
     # the DAU/WAU stickiness rollup (never driver-checked; the O(7)
     # per-user-day explode scale shape, plan-locked no-BNLJ).
-    "events_dau_wau_stickiness",
+    # r12 rotation: events_dau_wau_stickiness (driver-green r11) hands
+    # its slot to the ordered session funnel — analytic's sort_array
+    # fold with a chained-min oracle, never driver-checked (the r7
+    # events_session_funnel row was the temporal variant).
+    "events_funnel",
+    # r12 intake (verdict item 3): the three window-frame rows no gate
+    # round has ever touched — RANGE frames, sliding ROWS frames, and
+    # the distribution functions (cume_dist/percent_rank/ntile).
+    "window_range_frame",
+    "window_sliding_frame",
+    "window_distribution",
     # r5 rotation: cumulative-DISTINCT-over-window via the scalable
     # first-occurrence rewrite (tpcds_patterns9) — keeps the running-sum
     # window family covered (it IS a running SUM over the month dim) and
@@ -141,7 +157,12 @@ CURATED_FIRST = (
     "tpch_nested_q1",
     "tpch_nested_q4",
     "tpch_nested_q18",
-    "nested_from_disk",
+    # r12 rotation: nested_from_disk (driver-green r1-r11) and
+    # subquery_scalar_threshold (driver-green r1-r8, r10, r11) hand
+    # their slots to the never-checked customer-orders nesting rollup;
+    # both stay sim-checked (scalar-subquery CardinalityCheck stays
+    # plan-locked at tests/test_plans.py:121).
+    "nested_customer_orders",
     # r9 rotation: subquery_scalar_threshold (driver-green since r1) hands
     # its slot to the recursive-CTE month spine — a plan shape (iterative
     # UNION ALL expansion) no gate row has ever exercised; the scalar-
@@ -151,7 +172,6 @@ CURATED_FIRST = (
     # subquery_scalar_threshold per the r9 verdict's ask (CardinalityCheck
     # returns to the external oracle); the recursive-CTE shape stays
     # sim-checked.
-    "subquery_scalar_threshold",
     # Deduplication. r5 rotation: avro_roundtrip_agg (below) displaces
     # dedup_ngram_jaccard — the near-dup family keeps embedding_cosine
     # plus the cc_clusters Jaccard-join row, and ngram-Jaccard stays
@@ -233,7 +253,11 @@ CURATED_FIRST = (
     # Similarity search. r7 rotation: int8 embedding quantization
     # (zero-shuffle scan-side array kernels, engine-stable rounding) takes
     # its first driver row.
-    "sim_knn_bruteforce_cosine",
+    # r12 rotation: sim_knn_bruteforce_cosine (driver-green r1-r11)
+    # hands its slot to the embedding-norm profile (never driver-checked;
+    # the zero-shuffle scan-side array-kernel shape); kNN stays
+    # sim-checked with its broadcast plan assert.
+    "sim_embedding_norms",
     # r11 rotation: emb_quantize_int8 (driver-green r7-r10) hands its
     # slot to gap-fill + downsample (never driver-checked; the
     # time-spine generation shape).
@@ -247,9 +271,12 @@ CURATED_FIRST = (
     # plan-asserted, kept_chars ranking-dependent) replaces
     # text_token_stats — text keeps the composed bigram-LM scorer row
     # below; token_stats stays sim-checked and unit-tested.
-    "curation_source_cap",
-    # Curation.
-    "pack_sequences",
+    # r12 rotation: curation_source_cap (driver-green r6-r11) and
+    # pack_sequences (driver-green r1-r11) hand their slots to the PII
+    # redaction screen — curation's never-checked regex-normalization
+    # shape; both stay sim-checked (source_cap keeps its
+    # WindowGroupLimit plan assert, packing its state-bound units).
+    "text_pii_redact",
     # r8 rotation: the keyed-hash curriculum ordering (r7 operator, sim-only
     # until now) takes text_contamination's slot — contamination was
     # driver-green in r7 and stays sim-checked; the text family keeps
@@ -308,19 +335,28 @@ CURATED_FIRST = (
     # recursive CTE-body rewrite and the outer filter-over-results shape.
     "dialect_sql_uda_in_cte",
     # TPC-DS patterns.
-    "tpcds_q36_margin_rollup_rank",
+    # r12 rotation: q36 (driver-green r1-r11) hands its slot to q88's
+    # time-band multi-count row (never driver-checked; the
+    # single-scan conditional-count shape).
+    "tpcds_q88_band_counts",
     # r10 rotation: q33 (driver-green since r1) hands its slot to
     # keep-first exact dedup (never driver-checked; pins the DETERMINISTIC
     # row-ordering contract of the keep rule, not just group membership) —
     # restoring the dedup module's gate row after ngram_jaccard rotated
     # out; q33's union composite stays sim-checked.
     "dedup_exact_keep_first",
-    "tpcds_q67_rollup_rank_topn",
+    # r12 rotation: q67 (driver-green r4-r11) hands its slot to q5's
+    # channel-profit rollup (patterns3, never driver-checked); the
+    # rollup+rank+WindowGroupLimit composition stays plan-asserted.
+    "tpcds_q5_channel_profit_rollup",
     # r10 rotation: q19 (driver-green since r4) hands its slot to the
     # q47 windowed deviation-from-mean (lag/lead + avg-over-partition
     # composition, never driver-checked).
-    "tpcds_q47_window_deviation",
-    "tpcds_q57_rolling_window",
+    # r12 rotation: q47 (driver-green r10/r11) and q57 (driver-green
+    # r4-r11) hand their slots to q98's ratio-to-class share (patterns5,
+    # never driver-checked) and the patterns6/patterns8 intake below;
+    # the lag/lead deviation family keeps q89.
+    "tpcds_q98_ratio_to_class",
     # r7 rotation: the full q49 structure (sales LEFT JOIN returns with a
     # nullable-side predicate -> inner conversion, dual rank windows,
     # OR-filter, UNION DISTINCT of channel blocks) — the round-6 verdict's
@@ -333,7 +369,10 @@ CURATED_FIRST = (
     # EXISTS/NOT-EXISTS + rollup (tpcds_patterns6). They replace
     # agg_grouping_sets (subsumed by the richer q18 shape) and tpch_q22
     # (0-row result at gate SF — weak hash evidence).
-    "tpcds_q18_grouping_sets_channels",
+    # r12 rotation: q18 grouping-sets channels (driver-green r4-r11)
+    # hands its slot to q70's rank-within-rollup (patterns6, never
+    # driver-checked; grouping-sets evidence stays golden + sim).
+    "tpcds_q70_rank_within_rollup",
     # r6 rotation: the composed bigram-LM document scorer (train the LM
     # on the corpus, broadcast it, score every doc — integer-PPM
     # deterministic) replaces q86; tpcds_patterns9 stays covered by
@@ -348,15 +387,31 @@ CURATED_FIRST = (
     "tpcds_q89_monthly_avg_deviation",
     # r4: multi-supplier/no-returns HAVING composite (tpcds_patterns8);
     # replaces text_quality_score (text family keeps token_stats).
-    "tpcds_q94_multi_supplier_clean_orders",
-    # Iceberg table format (v2 merge-on-read).
-    "iceberg_v2_mor_read",
+    # r12 rotation: q94 (driver-green r4-r11) hands its slot to q79's
+    # per-customer argmax row (patterns8, never driver-checked).
+    "tpcds_q79_top_order_per_customer",
+    # Iceberg table format. r12 rotation: v2_mor_read (driver-green
+    # r10/r11) hands its slot to the three never-checked iceberg rows —
+    # partition-prune aggregation, the expire/compact maintenance
+    # roundtrip, and hidden-partition (bucket/truncate transform)
+    # pruning; MOR stays sim-checked with its delete-apply units.
+    "iceberg_partition_prune_agg",
+    "iceberg_maintenance_roundtrip",
+    "iceberg_hidden_partition_prune",
+    # Impala dialect: the r11 multi-aggregate lateral HOF surface and
+    # the SQL-declared UDAF both take their first driver rows (verdict
+    # item 3's top asks).
+    "dialect_sql_subplan_multi_agg",
+    "dialect_sql_udaf_weighted_avg",
     # Pipeline / quality / mixture / streaming extensions. r6 session-3
     # rotation: the full corpus-to-training-mix composition (dedup gate →
     # temperature allocation → ranked take) replaces the corpus-stats
     # report, which it subsumes; corpus_stats stays sim-checked.
-    "pipeline_training_mix",
-    "dq_null_profile",
+    # r12 rotation: pipeline_training_mix (driver-green r6-r11) hands
+    # its slot to the composed clean-corpus pipeline (never
+    # driver-checked); dq_null_profile (driver-green r1-r11) rotates
+    # out — quality keeps referential_orphans below.
+    "pipeline_clean_corpus",
     # r8 rotation: the width_bucket-binned KS drift screen (the FIXED
     # 512-bin scale path promised in r6) takes its first driver row; the
     # exact two-sample variant dq_ks_distribution_drift was driver-green in
