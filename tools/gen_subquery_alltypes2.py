@@ -143,6 +143,19 @@ FROM VALUES
   AS t(id_col, date_part, date_col)
 """
 
+DIMTBL_SQL = """
+CREATE VIEW dimtbl AS
+SELECT CAST(id AS BIGINT) AS id, CAST(name AS STRING) AS name,
+       CAST(zip AS INT) AS zip
+FROM VALUES
+  (1001, 'Name1', 94611), (1002, 'Name2', 94611),
+  (1003, 'Name3', 94612), (1004, 'Name4', 94612),
+  (1005, 'Name5', 94613), (1006, 'Name6', 94613),
+  (1007, 'Name7', 94614), (1008, 'Name8', 94614),
+  (1009, 'Name9', 94615), (1010, 'Name10', 94615)
+  AS t(id, name, zip)
+"""
+
 ALLTYPES_VIEW_SQL = """
 CREATE VIEW alltypes_view AS SELECT * FROM alltypes
 """
@@ -177,7 +190,8 @@ def main() -> None:
     assert len(sibling_fixtures) == 3, "sibling fixtures moved"
     fixtures = sibling_fixtures + [
         ALLTYPES_SQL.strip(), DECIMAL_TBL_SQL.strip(),
-        DATE_TBL_SQL.strip(), ALLTYPES_VIEW_SQL.strip(),
+        DATE_TBL_SQL.strip(), DIMTBL_SQL.strip(),
+        ALLTYPES_VIEW_SQL.strip(),
     ]
     for fx in fixtures:
         eng.sql("CREATE VIEW IF NOT EXISTS" + fx.strip()[len("CREATE VIEW"):])
@@ -237,6 +251,7 @@ def main() -> None:
     con.execute(DECIMAL_TBL_SQL.replace("CREATE VIEW", "CREATE VIEW", 1)
                 .replace("explode", "unnest"))
     con.execute(DATE_TBL_SQL)
+    con.execute(DIMTBL_SQL.replace(" AS STRING)", " AS VARCHAR)"))
 
     from queries_subquery2 import Q  # noqa: E402 - sibling module
 

@@ -1,8 +1,8 @@
 """Query list for gen_subquery_alltypes2.py — the subquery.test remainder
 (reference row numbers in each ref tag).  Ported text is the reference's
 verbatim minus the ``functional.`` db prefix; twins adjust only for
-DuckDB dialect.  #77 (needs the dimtbl fixture) is the one row left
-unported."""
+DuckDB dialect.  r12: #77 landed with the dimtbl fixture
+(testdata/DimTbl/data.csv) — the file is now 41/41."""
 
 Q: list[tuple[str, str, str, str, str]] = []
 
@@ -311,6 +311,21 @@ select id, (select count(id) from alltypessmall where id=t.id) as c
   from alltypestiny t
 order by id
 """, note="correlated scalar COUNT in the select list")
+
+_add(77, """
+select count(id) from
+  (select id,
+    (select count(*) as cnt from alltypestiny where int_col
+    <= (select max(int_col) from alltypes_view)) as c from dimtbl) T
+  where t.c <10
+""", """
+select count(id) from
+  (select id,
+    (select count(*) as cnt from alltypestiny where int_col
+    <= (select max(int_col) from alltypes_view)) as c from dimtbl) T
+  where t.c <10
+""", note="verbatim minus the functional. prefix; needs the dimtbl "
+          "fixture (testdata/DimTbl/data.csv, 10 rows)")
 
 _add(89, """
 select id, timestamp_col from alltypes
