@@ -5094,6 +5094,133 @@ def _rewrite_byte_semantics(toks: list[Tok]) -> list[Tok]:
 
 
 # ---------------------------------------------------------------------------
+# Rewrite: RIGHT SEMI / RIGHT ANTI JOIN → operand-swapped LEFT form
+# ---------------------------------------------------------------------------
+#
+# The reference's planner supports all TJoinOp modes including
+# RIGHT_SEMI_JOIN / RIGHT_ANTI_JOIN (fe HashJoinNode; exercised by
+# QueryTest/semi-joins.test rows 17-21); Spark SQL parses only the LEFT
+# forms.  `A right semi join B ON c` returns B's rows with a match in A,
+# so the rewrite swaps the operands: `B LEFT SEMI JOIN A ON c`.  When the
+# left operand is itself a join tree (everything since FROM / the last
+# top-level comma), it is wrapped in parentheses — Spark accepts a
+# parenthesized joined relation and alias qualifiers survive.
+
+_JOIN_TREE_STARTERS = {
+    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ANTI", "SEMI",
+}
+_CLAUSE_ENDERS = {
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "UNION",
+    "INTERSECT", "EXCEPT", "MINUS", "WINDOW", "QUALIFY", "LATERAL",
+}
+
+
+def _rewrite_right_semi_anti(toks: list[Tok]) -> list[Tok]:
+    changed = True
+    while changed:
+        changed = False
+        depth = 0
+        for i, t in enumerate(toks):
+            if t.text == "(":
+                depth += 1
+                continue
+            if t.text == ")":
+                depth -= 1
+                continue
+            if t.kind != "word" or t.upper != "RIGHT":
+                continue
+            j = _next_code(toks, i + 1)
+            if j >= len(toks) or toks[j].upper not in ("SEMI", "ANTI"):
+                continue
+            kind = toks[j].upper
+            k = _next_code(toks, j + 1)
+            if k >= len(toks) or toks[k].upper != "JOIN":
+                continue
+            # ---- left operand: back to FROM / ',' at this depth ------
+            d = 0
+            ls = None
+            for b in range(i - 1, -1, -1):
+                tb = toks[b]
+                if tb.text == ")":
+                    d += 1
+                elif tb.text == "(":
+                    if d == 0:
+                        ls = b + 1  # depth opened here: operand starts
+                        break
+                    d -= 1
+                elif d == 0 and (
+                    (tb.kind == "word" and tb.upper == "FROM")
+                    or tb.text == ","
+                ):
+                    ls = b + 1
+                    break
+            if ls is None:
+                continue
+            # ---- right operand: one FROM item ------------------------
+            r0 = _next_code(toks, k + 1)
+            if r0 >= len(toks):
+                continue
+            if toks[r0].text == "(":
+                re_ = _matching_paren(toks, r0) + 1
+            else:
+                re_ = r0 + 1
+                while re_ < len(toks) and toks[re_].text == ".":
+                    re_ = _next_code(toks, re_ + 1) + 1
+            nx = _next_code(toks, re_)
+            if nx < len(toks) and toks[nx].kind == "word":
+                if toks[nx].upper == "AS":
+                    nx2 = _next_code(toks, nx + 1)
+                    re_ = nx2 + 1
+                elif toks[nx].upper not in _JOIN_TREE_STARTERS and (
+                    toks[nx].upper not in _CLAUSE_ENDERS
+                ) and toks[nx].upper != "ON":
+                    re_ = nx + 1
+            # ---- ON condition ----------------------------------------
+            on_i = _next_code(toks, re_)
+            if on_i >= len(toks) or toks[on_i].upper != "ON":
+                continue
+            d = 0
+            ce = len(toks)
+            for e in range(on_i + 1, len(toks)):
+                te = toks[e]
+                if te.text == "(":
+                    d += 1
+                elif te.text == ")":
+                    if d == 0:
+                        ce = e
+                        break
+                    d -= 1
+                elif d == 0 and (
+                    te.text == ","
+                    or (te.kind == "word"
+                        and (te.upper in _JOIN_TREE_STARTERS
+                             or te.upper in _CLAUSE_ENDERS))
+                ):
+                    ce = e
+                    break
+            left = toks[ls:i]
+            right = toks[r0:re_]
+            cond = toks[on_i:ce]
+            has_join = any(
+                tt.kind == "word" and tt.upper == "JOIN" for tt in left
+            )
+            wrap_l = ([Tok("op", "(")] + left + [Tok("op", ")")]
+                      if has_join else left)
+            new = (
+                [Tok("ws", " ")]
+                + right + [Tok("ws", " "), Tok("word", "LEFT"),
+                         Tok("ws", " "), Tok("word", kind),
+                         Tok("ws", " "), Tok("word", "JOIN"),
+                         Tok("ws", " ")]
+                + wrap_l + [Tok("ws", " ")] + cond + [Tok("ws", " ")]
+            )
+            toks = toks[:ls] + new + toks[ce:]
+            changed = True
+            break
+    return toks
+
+
+# ---------------------------------------------------------------------------
 # Rewrite 4: Impala plan hints → Spark hints
 # ---------------------------------------------------------------------------
 
@@ -5135,8 +5262,61 @@ def _rewrite_hints(toks: list[Tok]) -> list[Tok]:
         if k >= len(toks) or toks[k].text != "]":
             i += 1
             continue
-        repl = [Tok("comment", "/*+ BROADCAST */")] if toks[j].text.lower() == "broadcast" else []
-        toks[i : k + 1] = repl
+        is_bcast = toks[j].text.lower() == "broadcast"
+        toks[i : k + 1] = []
+        if not is_bcast:
+            i += 1
+            continue
+        # Spark only parses /*+ ... */ directly after SELECT — find the
+        # joined operand's alias and hang BROADCAST(alias) off the
+        # owning block's SELECT (a bare comment after JOIN is a parse
+        # error: joins.test#23).
+        r0 = _next_code(toks, i)
+        alias = None
+        if r0 < len(toks):
+            if toks[r0].text == "(":
+                re_ = _matching_paren(toks, r0)
+                a_i = _next_code(toks, re_ + 1)
+            else:
+                a_i = r0
+                nx = _next_code(toks, a_i + 1)
+                while nx < len(toks) and toks[nx].text == ".":
+                    a_i = _next_code(toks, nx + 1)
+                    nx = _next_code(toks, a_i + 1)
+                # `tbl alias` — the trailing word is the alias
+                if (nx < len(toks) and toks[nx].kind == "word"
+                        and toks[nx].upper not in ("ON", "JOIN", "INNER",
+                                                   "LEFT", "RIGHT", "FULL",
+                                                   "CROSS", "WHERE", "AS")):
+                    a_i = nx
+            if a_i < len(toks) and toks[a_i].kind == "word":
+                if toks[a_i].upper == "AS":
+                    a_i = _next_code(toks, a_i + 1)
+                if (a_i < len(toks) and toks[a_i].kind == "word"
+                        and toks[a_i].upper not in ("ON", "JOIN", "INNER",
+                                                    "LEFT", "RIGHT", "FULL",
+                                                    "CROSS", "WHERE")):
+                    alias = toks[a_i].text
+        # owning SELECT: first SELECT at depth 0 scanning backward
+        sel = None
+        d = 0
+        for b in range(i - 1, -1, -1):
+            tb = toks[b]
+            if tb.text == ")":
+                d += 1
+            elif tb.text == "(":
+                if d == 0:
+                    break
+                d -= 1
+            elif (d == 0 and tb.kind == "word"
+                  and tb.upper == "SELECT"):
+                sel = b
+                break
+        if alias and sel is not None:
+            toks.insert(
+                sel + 1, Tok("comment", f" /*+ BROADCAST({alias}) */")
+            )
+            i += 1
         i += 1
     return toks
 
@@ -5299,6 +5479,7 @@ def translate(
     toks = _rewrite_double_ceil_floor(toks, double_columns)
     toks = _rewrite_char_casts(toks)
     toks = _rewrite_tablesample(toks)
+    toks = _rewrite_right_semi_anti(toks)
     toks = _rewrite_hints(toks)
     toks = _rewrite_cast_format(toks)
     toks = _rewrite_unnest(toks)
@@ -6350,6 +6531,7 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
         t = toks[i]
         join_form = False
         outer = False
+        full = False
         join_mode = None
         if t.text == "," and _in_from_clause(toks, i):
             pass
@@ -6372,10 +6554,19 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
                 mods.add(toks[p0].upper)
                 del_start = p0
                 p0 = _prev_code(toks, p0 - 1)
-            if {"RIGHT", "FULL", "CROSS"} & mods:
+            if {"RIGHT", "CROSS"} & mods:
                 i += 1
                 continue
-            outer = "LEFT" in mods and not ({"SEMI", "ANTI"} & mods)
+            # FULL OUTER against one's own collection
+            # (outer-to-inner-joins.test#19-20): with no ON every item
+            # matches its parent, so it degenerates to LEFT OUTER
+            # (explode_outer); with an ON it needs the match-tagged
+            # lowering below (unmatched items surface with NULLed
+            # parent slots).
+            full = "FULL" in mods
+            outer = ("LEFT" in mods or full) and not (
+                {"SEMI", "ANTI"} & mods
+            )
             join_mode = (
                 "semi" if "SEMI" in mods
                 else "anti" if "ANTI" in mods else None
@@ -6532,6 +6723,125 @@ def _rewrite_collection_join(toks: list[Tok]) -> list[Tok]:
             f" LATERAL VIEW explode({src}) _cjh_{alias}{n} AS {alias}__h{n} "
             for n, src in enumerate(hops, 1)
         )
+        if join_form and full and on_pred is not None and not hops:
+            # FULL OUTER collection join WITH an ON filter
+            # (outer-to-inner-joins.test#20): per parent row, matched
+            # items pair with the parent; UNMATCHED items still surface
+            # with the parent's slots NULLed; a parent with no matching
+            # item surfaces once with a NULL item (reference
+            # SubplanNode/UnnestNode full-outer contract).  Lowered to
+            # one explode over a match-tagged pair array; parent refs in
+            # the block are guarded with IF(tag, ref, NULL).
+            blk0, blk1 = _block_bounds(del_start)
+            root_al = path[0].lower()
+            ec = f"__cjf_{alias}"
+            # alias.pos needs a tagged posexplode — not supported
+            pos_used = False
+            for m2 in range(blk0, blk1):
+                if (toks[m2].kind == "word"
+                        and toks[m2].text.lower() == alias.lower()):
+                    d2 = _next_code(toks, m2 + 1)
+                    if d2 < len(toks) and toks[d2].text == ".":
+                        w2 = _next_code(toks, d2 + 1)
+                        if (w2 < len(toks)
+                                and toks[w2].text.lower() == "pos"):
+                            pos_used = True
+            if pos_used:
+                i += 1
+                continue
+            arr = dotted
+            # inside the lambda, `alias.item` denotes the element value
+            # itself (reference path semantics) — the lambda var
+            on_lam = re.sub(
+                rf"\b{re.escape(alias)}\s*\.\s*item\b", alias,
+                on_pred, flags=re.I,
+            )
+            tagged = (
+                f"transform({arr}, {alias} -> named_struct("
+                f"'__m', coalesce(({on_lam}), false), '__v', {alias}))"
+            )
+            matched = f"filter({tagged}, __x -> __x.__m)"
+            unmatched = f"filter({tagged}, __x -> NOT __x.__m)"
+            rows_sql = (
+                f"IF({arr} IS NULL OR size({arr}) = 0, "
+                f"array(named_struct('__m', true, '__v', {arr}[0])), "
+                f"concat(IF(size({matched}) = 0, "
+                f"array(named_struct('__m', true, '__v', "
+                f"{arr}[cardinality({arr}) + 1])), {matched}), "
+                f"{unmatched}))"
+            )
+            n_del = end + 1 - del_start
+            toks[del_start:end + 1] = [Tok(
+                "synth",
+                f" LATERAL VIEW explode({rows_sql}) _cjf_{alias} "
+                f"AS {ec} ",
+            )]
+            blk1 += 1 - n_del
+            # rewrite refs: alias[.item|.f] -> tagged element; parent
+            # root.y -> NULL-guarded
+            m2 = blk0
+            while m2 < min(blk1, len(toks)):
+                tk = toks[m2]
+                if tk.kind not in ("word",):
+                    m2 += 1
+                    continue
+                p2 = _prev_code(toks, m2 - 1)
+                if p2 >= 0 and toks[p2].text == ".":
+                    m2 += 1
+                    continue
+                low2 = tk.text.lower()
+                d2 = _next_code(toks, m2 + 1)
+                has_dot = d2 < len(toks) and toks[d2].text == "."
+                if low2 == alias.lower():
+                    if has_dot:
+                        w2 = _next_code(toks, d2 + 1)
+                        if w2 < len(toks) and toks[w2].kind in (
+                            "word", "bquote",
+                        ):
+                            f2 = toks[w2].text
+                            repl = (
+                                f"{ec}.__v" if f2.lower() == "item"
+                                else f"{ec}.__v.{f2}"
+                            )
+                            toks[m2:w2 + 1] = [Tok("synth", repl)]
+                            blk1 += 1 - (w2 + 1 - m2)
+                            m2 += 1
+                            continue
+                    else:
+                        nxt2 = d2
+                        if not (nxt2 < len(toks)
+                                and toks[nxt2].text == "("):
+                            toks[m2] = Tok("synth", f"{ec}.__v")
+                            m2 += 1
+                            continue
+                elif low2 == root_al and has_dot:
+                    w2 = _next_code(toks, d2 + 1)
+                    if w2 < len(toks) and toks[w2].kind in (
+                        "word", "bquote",
+                    ):
+                        y2 = toks[w2].text
+                        # a bare select-list item keeps its output name
+                        nn = _next_code(toks, w2 + 1)
+                        bare_item = (
+                            (nn >= len(toks)
+                             or toks[nn].text == ","
+                             or (toks[nn].kind == "word"
+                                 and toks[nn].upper == "FROM"))
+                            and p2 >= 0
+                            and (toks[p2].text == ","
+                                 or (toks[p2].kind == "word"
+                                     and toks[p2].upper == "SELECT"))
+                        )
+                        repl2 = f"IF({ec}.__m, {path[0]}.{y2}, NULL)"
+                        if bare_item:
+                            repl2 += f" AS {y2}"
+                        toks[m2:w2 + 1] = [Tok("synth", repl2)]
+                        blk1 += 1 - (w2 + 1 - m2)
+                        m2 += 1
+                        continue
+                m2 += 1
+            i = del_start
+            continue
         if on_pred is not None:
             # the ON filter applies per element BEFORE the explode; the
             # lambda variable carries the collection alias so the pred's

@@ -1721,12 +1721,22 @@ class Engine(AlterTableMixin):
         """True when ``df``'s analyzed plan contains a constructor whose
         output value/order can differ between two executions of the same
         plan (collect_list/collect_set are shuffle-fetch-order-dependent;
-        the rest are explicitly nondeterministic)."""
+        the rest are explicitly nondeterministic).  A collect_list/
+        collect_set whose result feeds DIRECTLY into sort_array/array_sort
+        (the r11 fixture discipline) is already order-normalized and does
+        not count — otherwise the guard would re-wrap every engine-owned
+        nested fixture."""
         try:
             s = df._jdf.queryExecution().analyzed().toString()
         except Exception:  # noqa: BLE001 - cannot prove safe
             return True
-        return bool(self._NONDET_FN_RE.search(s))
+        for m in self._NONDET_FN_RE.finditer(s):
+            if m.group(1) in ("collect_list", "collect_set"):
+                pre = s[max(0, m.start() - 12):m.start()]
+                if pre.endswith(("sort_array(", "array_sort(")):
+                    continue
+            return True
+        return False
 
     @classmethod
     def _dtype_has_array(cls, dt) -> bool:

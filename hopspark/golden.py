@@ -52,6 +52,9 @@ _TYPE_MAP: dict[str, tuple] = {
     "DATE": (T.DateType,),
     "TIMESTAMP": (T.TimestampType, T.TimestampNTZType),
     "BINARY": (T.BinaryType,),
+    # a bare NULL literal column types as `null` in the reference
+    # (joins.test's VALUES(NULL c, ...) rows)
+    "NULL": (T.NullType,),
 }
 
 

@@ -91,9 +91,11 @@ def test_string_literals_protected():
 
 
 def test_broadcast_hint():
+    # r12: the hint moves to the SELECT clause — a /*+ */ comment after
+    # JOIN is a Spark parse error (joins.test#23)
     out = translate("SELECT * FROM a JOIN [broadcast] b ON a.k = b.k")
     assert "[broadcast]" not in out
-    assert "/*+ BROADCAST */" in out
+    assert "/*+ BROADCAST(b) */" in out
 
 
 def test_hint_in_string_literal_untouched():
@@ -1081,3 +1083,95 @@ def test_ns_fold_not_mid_expression():
     assert "000000100" in translate(
         "SELECT cast(0.0000001 as timestamp) v FROM t"
     )
+
+
+# --- round-12 join-corpus surfaces (QueryTest joins/semi-joins ports) ----
+
+
+def test_right_semi_anti_join_swaps_operands(spark):
+    """Impala RIGHT SEMI/ANTI JOIN (TJoinOp; semi-joins.test#17-21) has no
+    Spark SQL spelling — the dialect swaps operands into the LEFT form."""
+    from hopspark.dialect.translate import translate
+
+    out = translate(
+        "select b.x FROM ta a right semi join tb b on a.k = b.k"
+    ).upper()
+    assert "RIGHT" not in out and "LEFT SEMI JOIN" in out
+    assert out.index("TB B") < out.index("TA A")
+    out = translate(
+        "select b.x FROM ta a right anti join tb b on a.k = b.k"
+    ).upper()
+    assert "LEFT ANTI JOIN" in out
+    # left side that is itself a join tree gets parenthesized
+    out = translate(
+        "select x from t1 join t2 on t1.a = t2.a "
+        "right semi join t3 on t3.b = t1.b where t3.c > 1"
+    ).upper()
+    assert "T3 LEFT SEMI JOIN ( T1 JOIN T2" in " ".join(out.split())
+    spark.createDataFrame([(1,), (2,)], "k int").createOrReplaceTempView(
+        "rsj_a"
+    )
+    spark.createDataFrame([(2, "x"), (3, "y")], "k int, v string") \
+        .createOrReplaceTempView("rsj_b")
+    from hopspark.engine import Engine
+
+    eng = Engine(spark)
+    rows = eng.sql(
+        "select b.v from rsj_a a right semi join rsj_b b on a.k = b.k"
+    ).collect()
+    assert [r.v for r in rows] == ["x"]
+    rows = eng.sql(
+        "select b.v from rsj_a a right anti join rsj_b b on a.k = b.k"
+    ).collect()
+    assert [r.v for r in rows] == ["y"]
+
+
+def test_broadcast_hint_moves_to_select(spark):
+    """`JOIN [broadcast] t` must become a SELECT-clause /*+ BROADCAST(t) */
+    — a hint comment after JOIN is a Spark parse error (joins.test#23)."""
+    from hopspark.dialect.translate import translate
+
+    out = translate(
+        "select a.x from t1 a join [broadcast] t2 b on a.k = b.k"
+    )
+    flat = " ".join(out.split())
+    assert flat.startswith("select /*+ BROADCAST(b) */")
+    assert "[broadcast]" not in flat
+    # derived-table operand: alias after the closing paren
+    out = translate(
+        "select count(*) from t1 a inner join [broadcast] "
+        "(select k from t2) b on a.k = b.k"
+    )
+    assert "/*+ BROADCAST(b) */" in out
+
+
+def test_full_outer_collection_join(spark):
+    """FULL OUTER JOIN against one's own collection
+    (outer-to-inner-joins.test#19-20): no ON degenerates to
+    explode_outer; with ON, unmatched items surface with NULLed parent
+    slots and unmatched parents with a NULL item."""
+    from hopspark.engine import Engine
+
+    spark.createDataFrame(
+        [(1, [2, 5]), (7, [1, 2]), (9, None)],
+        "id int, arr array<int>",
+    ).createOrReplaceTempView("foc_t")
+    eng = Engine(spark)
+    rows = eng.sql(
+        "select a.id, b.item from foc_t a full outer join a.arr b "
+        "where b.item % 2 = 0"
+    ).collect()
+    assert sorted((r[0], r[1]) for r in rows) == [(1, 2), (7, 2)]
+    rows = eng.sql(
+        "select a.id, b.item from foc_t a "
+        "full outer join a.arr b on (a.id < b.item)"
+    ).collect()
+    got = sorted(
+        ((-1 if r[0] is None else r[0]), (-1 if r[1] is None else r[1]))
+        for r in rows
+    )
+    # id=1: 2,5 both match; id=7: none match -> (7, NULL) + both items
+    # with NULL parent; id=9: NULL collection -> (9, NULL)
+    assert got == [
+        (-1, 1), (-1, 2), (1, 2), (1, 5), (7, -1), (9, -1),
+    ]

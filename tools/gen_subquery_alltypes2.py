@@ -48,6 +48,21 @@ def gen_alltypes_rows():
             for i in range(10):
                 if count >= 310:
                     break
+                # the generator formats the Calendar with
+                # SimpleDateFormat "HH:mm:ss.S": the MILLISECOND field
+                # prints as a bare digit string (10 ms -> ".10") and
+                # reloads as fraction digits(ms)/10^len — reproduce
+                # that reinterpretation for the stored timestamp
+                ms = date.microsecond // 1000
+                if ms == 0:
+                    frac_us = 0
+                elif ms < 10:
+                    frac_us = ms * 100_000
+                elif ms < 100:
+                    frac_us = ms * 10_000
+                else:
+                    frac_us = ms * 1_000
+                stored_ts = date.replace(microsecond=frac_us)
                 rows.append((
                     rid,
                     rid % 2 == 0,
@@ -59,7 +74,7 @@ def gen_alltypes_rows():
                     10.1 * i,
                     date.strftime("%m/%d/%y"),
                     str(i),
-                    date,        # timestamp_col
+                    stored_ts,   # timestamp_col (".S" reinterpreted)
                     year,
                     mon,
                 ))
@@ -84,7 +99,8 @@ WITH g AS (
   LATERAL VIEW explode(sequence(0, 9)) AS i
 ),
 f AS (
-  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY m, d, i) - 1 AS INT) AS id
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY m, d, i) - 1 AS INT) AS id,
+         (d - 1) * 450 + 5 * i * (i - 1) AS dms
   FROM g WHERE d <= day(last_day(month_start))
 )
 SELECT id, id % 2 = 0 AS bool_col,
@@ -97,9 +113,13 @@ SELECT id, id % 2 = 0 AS bool_col,
        date_format(month_start + make_dt_interval(d - 1), 'MM/dd/yy')
          AS date_string_col,
        CAST(i AS STRING) AS string_col,
-       CAST(month_start AS TIMESTAMP) + make_dt_interval(d - 1)
-         + make_dt_interval(0, 0, 0,
-             ((d - 1) * 600.450) + (i * 60) + (0.005 * i * (i - 1)))
+       CAST(month_start AS TIMESTAMP)
+         + make_dt_interval(d - 1, 0, (d - 1) * 10 + i,
+             FLOOR(dms / 1000)
+             + CASE WHEN dms % 1000 = 0 THEN 0
+                    WHEN dms % 1000 < 10 THEN (dms % 1000) / 10
+                    WHEN dms % 1000 < 100 THEN (dms % 1000) / 100
+                    ELSE (dms % 1000) / 1000 END)
          AS timestamp_col,
        year(month_start) AS year, month(month_start) AS month
 FROM f
@@ -193,8 +213,13 @@ def main() -> None:
         DATE_TBL_SQL.strip(), DIMTBL_SQL.strip(),
         ALLTYPES_VIEW_SQL.strip(),
     ]
+    import re as _re
+
     for fx in fixtures:
-        eng.sql("CREATE VIEW IF NOT EXISTS" + fx.strip()[len("CREATE VIEW"):])
+        eng.sql(_re.sub(
+            r"^CREATE VIEW (IF NOT EXISTS )?", "CREATE VIEW IF NOT EXISTS ",
+            fx.strip(), count=1,
+        ))
 
     # ---- fixture exactness: SQL vs the Java-twin Python rows ----------
     py_rows = gen_alltypes_rows()
@@ -312,8 +337,10 @@ def main() -> None:
         fh.write(HEADER)
         for fx in fixtures:
             fh.write("====\n---- QUERY\n")
-            fh.write(fx.replace("CREATE VIEW",
-                                "CREATE VIEW IF NOT EXISTS", 1) + "\n")
+            fh.write(_re.sub(
+                r"^CREATE VIEW (IF NOT EXISTS )?",
+                "CREATE VIEW IF NOT EXISTS ", fx.strip(), count=1,
+            ) + "\n")
             fh.write("---- TYPES\nINT\n---- RESULTS\n")
         for name, ref, ported, twin, note in Q:
             ported_s, types, rows = results[name]
