@@ -1044,9 +1044,38 @@ class Engine(AlterTableMixin):
                 i += 1
                 continue
             qpath, coll_dt, root_info = res
+            # Catalyst REJECTS map-typed correlated column references
+            # outright ("Correlated column reference ... cannot be map
+            # type").  When the subplan path roots at a top-level MAP
+            # column (t.map_map_col.value — with-clause.test#4), wrap
+            # the binding FROM item so the correlated ref is the
+            # pre-computed map_entries ARRAY instead, then re-resolve.
+            mw = self._map_root_wrap(toks, segs, root_info, qpath)
+            if mw is not None:
+                if mw[0] == "respan":
+                    for s0, s1, w_txt in sorted(mw[1], reverse=True):
+                        toks[s0:s1] = tokenize(w_txt)
+                    changed = True
+                    i = 0
+                    continue
+                qpath = mw[1]
             gen = None
             if isinstance(coll_dt, T.ArrayType):
-                if isinstance(coll_dt.elementType, T.StructType):
+                if isinstance(coll_dt.elementType, T.MapType) and re.search(
+                    r"\bkey\b|\bvalue\b",
+                    untokenize(toks[o:close]).lower(),
+                ) and not re.search(
+                    r"\bitem\b|\bpos\b", untokenize(toks[o:close]).lower()
+                ):
+                    # a COLLECTION OF MAPS (`t.map_map_col.value` — the
+                    # outer map's values are maps) scans every inner
+                    # map's ENTRIES (nested-types-with-clause.test#4);
+                    # flatten one entries level so key/value resolve
+                    gen = (
+                        "SELECT inline(flatten(transform("
+                        f"{qpath}, __mm -> map_entries(__mm))))"
+                    )
+                elif isinstance(coll_dt.elementType, T.StructType):
                     gen = f"SELECT inline({qpath})"
                 else:
                     body = untokenize(toks[o:close]).lower()
@@ -1234,6 +1263,31 @@ class Engine(AlterTableMixin):
                 T.StructField("key", coll_dt.keyType),
                 T.StructField("value", coll_dt.valueType),
             ]))
+        if (
+            isinstance(coll_dt, T.ArrayType)
+            and isinstance(coll_dt.elementType, T.MapType)
+        ):
+            # a path landing on a COLLECTION OF MAPS (`t.map_map_col
+            # .value` — the outer map's values are maps) scans every
+            # inner map's ENTRIES, parent-correlated
+            # (nested-types-with-clause.test#4's correlated WITH view);
+            # flatten one entries level so key/value resolve.  Bare
+            # item/pos refs keep the element-as-map reading — but maps
+            # are not materializable columns, so key/value is the only
+            # shape the reference accepts here.
+            body_txt = untokenize(toks[o + 1 : close])
+            if re.search(r"\b(key|value)\b", body_txt, re.I) and not (
+                re.search(r"\b(item|pos)\b", body_txt, re.I)
+            ):
+                mt = coll_dt.elementType
+                qpath = (
+                    f"flatten(transform({qpath},"
+                    f" __mm -> map_entries(__mm)))"
+                )
+                coll_dt = T.ArrayType(T.StructType([
+                    T.StructField("key", mt.keyType),
+                    T.StructField("value", mt.valueType),
+                ]))
         if not isinstance(coll_dt, T.ArrayType):
             return None
         elem = coll_dt.elementType
@@ -1981,6 +2035,63 @@ class Engine(AlterTableMixin):
                 "the collection when building the view"
             )
         return [(s0, s1, f" {inner} {root_word} ") for s0, s1 in spans]
+
+    def _map_root_wrap(self, toks, segs, root_info, qpath):
+        """Handle a subplan path rooted at a top-level MAP column, whose
+        correlated reference Catalyst rejects.  Returns ``("respan",
+        spans)`` to wrap the binding FROM item with a map_entries
+        pre-computation (caller splices + rescans), ``("patch",
+        new_qpath)`` once the wrapper is in place (the correlated ref
+        rides the entries ARRAY), or None when not applicable."""
+        from pyspark.sql import types as T
+
+        from hopspark.dialect.translate import untokenize
+
+        if len(segs) < 2:
+            return None
+        col = segs[1]
+        pat = next(
+            (p for p in (
+                f"map_values({segs[0]}.`{col}`)",
+                f"map_values({segs[0]}.{col})",
+            ) if p in qpath),
+            None,
+        )
+        if pat is None:
+            return None
+        kind, table = root_info
+        if kind == "table":
+            try:
+                dt = {
+                    f.name.lower(): f.dataType
+                    for f in self.spark.table(table).schema.fields
+                }.get(col.lower())
+            except Exception:  # noqa: BLE001
+                return None
+            if not isinstance(dt, T.MapType):
+                return None
+            spans = self._table_binding_spans(toks, table, segs[0])
+            if not spans:
+                return None
+            wrapped = (
+                f"(SELECT *, map_entries(`{col}`) AS __me_{col}"
+                f" FROM {table})"
+            )
+            return ("respan", [
+                (s0, s1, f" {wrapped} {segs[0]} ") for s0, s1 in spans
+            ])
+        if kind == "derived":
+            span = self._derived_item_span(toks, segs[0])
+            if span is None:
+                return None
+            body = untokenize(toks[span[0] + 1 : span[1]])
+            if f"__me_{col}" not in body:
+                return None
+            return ("patch", qpath.replace(
+                pat,
+                f"transform({segs[0]}.__me_{col}, __mv -> __mv.value)",
+            ))
+        return None
 
     @staticmethod
     def _derived_item_span(toks, alias):

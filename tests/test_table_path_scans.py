@@ -772,3 +772,45 @@ def test_correlated_with_clause_views(eng5):
         " select * from w1 where id = 2"
     )
     assert [tuple(r) for r in df.collect()] == [(2, 20)]
+
+
+# --- round-12: map-of-map value hops (nested-types-with-clause.test) ----
+
+
+def test_map_of_map_value_hop_exposes_entries(spark):
+    """`t.map_map_col.value` scans every INNER map's entries,
+    parent-correlated — key/value must resolve (with-clause.test#4's w2
+    view body; the engine flattens one map_entries level)."""
+    from hopspark.engine import Engine
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW mm_t AS SELECT CAST(1 AS INT) AS id,"
+        " map('a', map('x', 1, 'y', 2), 'b', map('z', 3)) AS map_map_col"
+    )
+    eng = Engine(spark)
+    rows = eng.sql(
+        "select t.id, v.key AS k, v.value AS vv from mm_t t,"
+        " (select key, value from t.map_map_col.value) v order by k"
+    ).collect()
+    assert [(r.id, r.k, r.vv) for r in rows] == [
+        (1, "x", 1), (1, "y", 2), (1, "z", 3),
+    ]
+
+
+def test_map_root_correlated_ref_wrapped(spark):
+    """Catalyst rejects map-typed correlated column refs; the engine
+    wraps the binding FROM item with a map_entries pre-computation so
+    the correlated ref rides an ARRAY instead (plan contains no
+    map-typed outer() ref and the query runs)."""
+    from hopspark.engine import Engine
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW mm_t2 AS SELECT CAST(7 AS INT) AS id,"
+        " map('k1', map('a', 10), 'k2', map('b', 20)) AS m"
+    )
+    eng = Engine(spark)
+    rows = eng.sql(
+        "select t.id, v.value AS vv from mm_t2 t,"
+        " (select key, value from t.m.value) v order by vv"
+    ).collect()
+    assert [(r.id, r.vv) for r in rows] == [(7, 10), (7, 20)]
