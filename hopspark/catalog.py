@@ -187,7 +187,30 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.schema(schema).parquet(path)
 
 
+def _register_key(sf_dir: str) -> tuple:
+    """Cache key for a registration: the sf_dir plus the events file's
+    mtime — the one table the test driver is known to regenerate in-place
+    with a different physical encoding while a session is alive (see
+    _events_ts_is_int64); an mtime change forces re-registration so the
+    view picks up the new read schema."""
+    try:
+        return (sf_dir, os.path.getmtime(table_path(sf_dir, "events")))
+    except OSError:
+        return (sf_dir, None)
+
+
 def register(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
-    """Register every engine table as a temp view (idempotent)."""
+    """Register every engine table as a temp view (idempotent).
+
+    Skipped when this session already registered the same sf_dir (r12):
+    callers re-register defensively on every query, and the 10 lazy
+    spark.read + createOrReplaceTempView round trips are pure per-query
+    overhead when the views are already in place.  The marker is an
+    attribute on the session object (dies with it); registering a
+    DIFFERENT sf_dir, or a regenerated events file, re-registers."""
+    key = _register_key(sf_dir)
+    if getattr(spark, "_hopspark_tables_registered", None) == key:
+        return
     for name in TABLES:
         read_table(spark, name, sf_dir).createOrReplaceTempView(name)
+    spark._hopspark_tables_registered = key

@@ -3123,7 +3123,9 @@ class Engine(AlterTableMixin):
 
             def fn(*cols: pd.Series):  # noqa: ANN202 — dynamic return type
                 acc = init() if init is not None else None
-                for vals in zip(*cols):
+                # iterate plain lists, not Series: Series iteration boxes
+                # every element into a numpy scalar (~5x slower row loop)
+                for vals in zip(*(c.to_list() for c in cols)):
                     acc = update(acc, *vals)
                 return finalize(acc) if finalize is not None else acc
 
@@ -3131,7 +3133,7 @@ class Engine(AlterTableMixin):
 
                 def partial_fn(*cols: pd.Series) -> bytes:
                     acc = init() if init is not None else None
-                    for vals in zip(*cols):
+                    for vals in zip(*(c.to_list() for c in cols)):
                         acc = update(acc, *vals)
                     return pickle.dumps(acc)
 

@@ -1440,8 +1440,17 @@ def _register_utility_misc(spark: SparkSession) -> None:
     spark.udf.register("ds_format_value", _ds_format_value_udf)
 
 
-def register_all(spark: SparkSession) -> None:
-    """Register the Impala-only function residue on this session (idempotent)."""
+def register_all(spark: SparkSession, force: bool = False) -> None:
+    """Register the Impala-only function residue on this session (idempotent).
+
+    Registration is ~150 CREATE TEMPORARY FUNCTION statements (each a py4j
+    round trip + parse); callers invoke it defensively on every query, so a
+    repeat call on the same live session is skipped (r12, guide §1.2 —
+    fixed per-query overhead).  The marker is an attribute on the session
+    object itself: it dies with the session, so a fresh session always
+    registers.  Pass ``force=True`` to re-register regardless."""
+    if not force and getattr(spark, "_hopspark_fns_registered", False):
+        return
     spark.udf.register("fnv_hash", _fnv_hash_udf)
     spark.udf.register("murmur_hash", _murmur_hash_udf)
     _register_utility_misc(spark)
@@ -1468,3 +1477,4 @@ def register_all(spark: SparkSession) -> None:
             # Name already provided natively by this Spark version with the
             # same semantics — the builtin wins.
             pass
+    spark._hopspark_fns_registered = True

@@ -289,12 +289,20 @@ def _minhash_pipeline(
     """Full near-dup pipeline over a (doc_id, sh: array<long>) frame:
     exact-dup collapse → banding over representatives → shuffle-join verify
     → expansion back to all doc pairs (output identical to banding the full
-    corpus, minus >cap bucket tails). The fingerprint rides the shingle
-    projection, and representatives carry their shingles through the
-    collapse groupBy — the document scan materializes twice (reps +
-    members), not once per downstream consumer."""
-    base = sh.withColumn("fp", F.xxhash64("sh"))
+    corpus, minus >cap bucket tails).
+
+    The shared frames are localCheckpoint()ed (r12, guide §2.4/§5): `base`
+    feeds the collapse groupBy AND the members join; `rep_sh` feeds the
+    signature stage AND both exact-Jaccard verify sides; `members` feeds
+    four expansion joins. Without the checkpoints Catalyst re-expands the
+    document scan + shingle construction once per consumer (measured: 11
+    parquet scans and 4 SortAggregate collapse passes in the r12 before-
+    plan); with them each stage computes exactly once per run — the same
+    reuse discipline similarity_join_edges already applies."""
+    base = sh.withColumn("fp", F.xxhash64("sh")).localCheckpoint(eager=True)
     rep_sh, members = _exact_groups(base, "sh")
+    rep_sh = rep_sh.localCheckpoint(eager=True)
+    members = members.localCheckpoint(eager=True)
     rep_pairs = _minhash_rep_pairs(rep_sh, jaccard_threshold, bucket_cap)
     return _expand_exact_dups(rep_pairs, members, "jaccard", F.lit(1.0))
 
@@ -512,8 +520,16 @@ def _simhash_pipeline(th: DataFrame, max_hamming: int, bucket_cap: int) -> DataF
     token sequences ⇒ identical simhash) → band buckets over
     representatives, capped like the MinHash path → Hamming verify inside
     the bucket combinatorics → expansion back to all doc pairs (within an
-    exact-dup group, hamming = 0)."""
-    rep_th, members = _exact_groups(th.withColumn("fp", F.xxhash64("th")), "th")
+    exact-dup group, hamming = 0).
+
+    Shared frames are localCheckpoint()ed like the MinHash pipeline (r12):
+    `base` feeds collapse + members, `rep_th` feeds the SimHash signature
+    fold, `members` feeds four expansion joins — one computation per stage
+    per run instead of one per consumer."""
+    base = th.withColumn("fp", F.xxhash64("th")).localCheckpoint(eager=True)
+    rep_th, members = _exact_groups(base, "th")
+    rep_th = rep_th.localCheckpoint(eager=True)
+    members = members.localCheckpoint(eager=True)
     sigs = _simhash_from_tokens(rep_th)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     banded = sigs.select(

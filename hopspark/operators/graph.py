@@ -217,10 +217,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     def _large_star(e: DataFrame) -> DataFrame:
         # For each node n: m = min(neighbors ∪ {n}); connect every
-        # strictly-larger neighbor to m.
+        # strictly-larger neighbor to m.  The output needs NO _canon pass
+        # (r12, guide §2.4 — one exchange per round removed): every row is
+        # (v, m) with v > u >= m, so it is already oriented big->small and
+        # never self-looping, and the row count is exactly |e| (one per
+        # surviving direction of sym).  Duplicate (v, m) rows are possible
+        # but harmless: _small_star's min-aggregate is duplicate-insensitive
+        # and its own _canon dedups the round's output.
         sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        return _canon(
+        return (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -258,8 +264,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             break
         fp = nfp
     # Converged star edges point (member -> root); roots label themselves.
+    # No distinct on roots (r12): the groupBy-min downstream is duplicate-
+    # insensitive, so the dedup exchange was pure overhead.
     members = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    roots = cur.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    roots = cur.select(F.col("v").alias("node"), F.col("v").alias("component"))
     return members.union(roots).groupBy("node").agg(F.min("component").alias("component"))
 
 
