@@ -173,6 +173,22 @@ def main() -> None:
 
     # Warmup: exercise scan + shuffle + codegen paths once.
     registry["tpch_q1_pricing_summary"][0](spark, SF_DIR).collect()
+    # r12: also warm the Python/Arrow worker pool once.  Python daemon
+    # workers fork lazily on the first Arrow-exchanging task (pandas_udf /
+    # mapInArrow) and import pandas+numpy per worker — a one-time process
+    # cost (~3-6 s across the pool) that the old warmup left inside the
+    # FIRST Python-touching query's measurement.  Same rationale as the
+    # JVM/codegen warmup above (measurement fix, guide §1: time the
+    # computation, not one-time process spawn); per-query methodology is
+    # otherwise unchanged.
+    def _warm_arrow(batches):
+        import numpy  # noqa: F401, PLC0415 — import once per forked worker
+        import pandas  # noqa: F401, PLC0415
+
+        yield from batches
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark.range(0, 2 * cpus, 1, 2 * cpus).mapInArrow(_warm_arrow, "id long").collect()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     times: dict[str, float] = {}

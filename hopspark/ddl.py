@@ -150,6 +150,16 @@ class AlterTableMixin:
     def _replace_view(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
         self._schema_cols_cache = None
+        # Replacing a CATALOG table's view invalidates the session's
+        # registration marker (hopspark.catalog.register), so the next
+        # Engine construction re-registers the pristine catalog views —
+        # the exact pre-r12 behavior (every Engine() re-registered).
+        from hopspark import catalog as _catalog
+
+        if name.lower() in _catalog.SCHEMAS and hasattr(
+            self.spark, "_hopspark_tables_registered"
+        ):
+            self.spark._hopspark_tables_registered = None
 
     # -- dispatch ---------------------------------------------------------
 
