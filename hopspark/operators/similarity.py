@@ -235,7 +235,14 @@ def _centroids(
         lost = seeds.join(
             means.select("centroid_id"), "centroid_id", "left_anti"
         )
-        cents = means.unionByName(lost)
+        # localCheckpoint per Lloyd iteration (r12, guide §5 / §3.3 "very
+        # large plans"): `means` is referenced twice per round (union +
+        # lost's anti-join), so a lazy loop DOUBLES the plan each
+        # iteration and the final centroids' lineage re-executes once per
+        # downstream consumer (ann_ivf_topk scores corpus AND queries
+        # against them). Same bounded-lineage discipline as the CC and
+        # PageRank loops in graph.py.
+        cents = means.unionByName(lost).localCheckpoint(eager=True)
     return cents
 
 

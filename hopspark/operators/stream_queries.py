@@ -38,19 +38,17 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_sum"),
         )
     )
-    qname = "hopspark_stream_hourly_rollup"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .start()
+    from hopspark.streaming.windows import (
+        run_stream_to_completion,
+        stream_state_partitions,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+
+    snap = run_stream_to_completion(
+        spark, counts, "hopspark_stream_hourly_rollup", "complete",
+        stream_state_partitions(sf_dir),
+    )
     return (
-        spark.table(qname)
+        snap
         .select(
             F.col("w.start").alias("hour"),
             "event_type",
@@ -98,18 +96,15 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    qname = "hopspark_stream_sessionize"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .start()
+    from hopspark.streaming.windows import (
+        run_stream_to_completion,
+        stream_state_partitions,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    snap = spark.table(qname)
+
+    snap = run_stream_to_completion(
+        spark, sessions, "hopspark_stream_sessionize", "complete",
+        stream_state_partitions(sf_dir),
+    )
     order = W.partitionBy("user_id").orderBy("session_start")
     return (
         snap.select(
@@ -179,18 +174,16 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.dropDuplicates(["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
-    qname = "hopspark_stream_dedup_keys"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .start()
+    from hopspark.streaming.windows import (
+        run_stream_to_completion,
+        stream_state_partitions,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(qname).orderBy("user_id", "event_type")
+
+    snap = run_stream_to_completion(
+        spark, deduped, "hopspark_stream_dedup_keys", "append",
+        stream_state_partitions(sf_dir),
+    )
+    return snap.orderBy("user_id", "event_type")
 
 
 STREAMING_DEDUP_SQL = """
@@ -227,18 +220,16 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "buy_ts >= view_ts AND buy_ts <= view_ts + INTERVAL 1 HOUR"
         ),
     ).select("user_id", "view_ts", "buy_ts")
-    qname = "hopspark_stream_vp_join"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .start()
+    from hopspark.streaming.windows import (
+        run_stream_to_completion,
+        stream_state_partitions,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(qname).orderBy("user_id", "view_ts", "buy_ts")
+
+    snap = run_stream_to_completion(
+        spark, joined, "hopspark_stream_vp_join", "append",
+        stream_state_partitions(sf_dir),
+    )
+    return snap.orderBy("user_id", "view_ts", "buy_ts")
 
 
 STREAMING_VP_JOIN_SQL = """

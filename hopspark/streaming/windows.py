@@ -42,6 +42,71 @@ def _as_stream_dir(path: str) -> str:
     return stage
 
 
+def stream_state_partitions(sf_dir: str) -> int:
+    """Scale-adaptive state-store partition count for the bounded
+    file-backed gate streams (r12, guide §2.2/§1.2).
+
+    Structured Streaming fixes the number of state-store partitions to
+    ``spark.sql.shuffle.partitions`` at query start, and every micro-batch
+    commits EVERY store (a stream-stream join holds four per partition) —
+    a snapshot/delta file write each.  With the session's batch-oriented
+    partition count the gate streams spent nearly all their wall time
+    committing near-empty stores: measured 136 s of summed commit time
+    (32 partitions x 4 join stores x 2 batches) for a 20k-row interval
+    join, 8.6 s wall.  Deriving the count from the INPUT SIZE (~one
+    partition per 32 MB, >= 1, capped by the session's default
+    parallelism) keeps tiny backfills cheap and lets a 100 TB feed scale
+    to the full cluster; ``HOPSPARK_STREAM_STATE_PARTITIONS`` overrides
+    for deployments that size state by key cardinality instead.
+    Partition count never changes results — only where state rows live."""
+    override = os.environ.get("HOPSPARK_STREAM_STATE_PARTITIONS")
+    if override:
+        return max(1, int(override))
+    from hopspark.session import default_parallelism
+
+    path = table_path(sf_dir, "events")
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        nbytes = 0
+    return max(1, min(default_parallelism(), nbytes // (32 << 20) + 1))
+
+
+def run_stream_to_completion(
+    spark: SparkSession,
+    df: DataFrame,
+    qname: str,
+    output_mode: str,
+    n_partitions: int,
+) -> DataFrame:
+    """Run a memory-sink streaming query to completion with the given
+    state-partition count (set for the stream's lifetime, restored after —
+    the conf is only read when micro-batches plan, so the surrounding
+    batch session is unaffected) and return the sink table."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(qname)
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file-source stream with the catalog schema; like the
     batch reader, a legacy int64-nanos `ts` encoding is sniffed from the
