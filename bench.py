@@ -141,6 +141,100 @@ HEADLINE = [
 ]
 
 
+# Short stable keys for the PRINTED per-query map (r13).  The driver keeps
+# only a 2000-char stdout tail; the full-name map is 2.6 KB and physically
+# cannot survive it (PERF_r12 ran blind: n_common=0), while this map is
+# ~1.4 KB.  The mapping is FROZEN as an explicit literal so keys never change
+# round-over-round (entries may be ADDED for new headline queries, never
+# renamed); BENCH_LOCAL.json retains the full-name map plus this key map.
+# Scheme: family prefix (H=tpch, N=tpch_nested, D=tpcds, S=dialect_sql,
+# I=iceberg, E=events, T=text, X=dedup, W=window, M=mixture, P=pipeline,
+# K=sketch, R=temporal, J=nested, A=agg, Q=dq, V=mm, C=sim, B=emb) + the
+# shortest unique token prefix of the remainder.
+KEY_MAP = {
+    "tpch_q1_pricing_summary": "H.q1",
+    "tpch_q3_shipping_priority": "H.q3",
+    "tpch_q5_local_supplier_volume": "H.q5",
+    "tpch_q6_forecast_revenue": "H.q6",
+    "tpch_q10_returned_items": "H.q10",
+    "agg_rollup": "A.rollup",
+    "agg_multi_distinct": "A.multi",
+    "window_rank_topn": "W.rank",
+    "window_running_sum": "W.running",
+    "window_sliding_frame": "W.sliding",
+    "dedup_exact_groups": "X.exact",
+    "dedup_minhash_candidates": "X.minhash",
+    "dedup_simhash": "X.simhash",
+    "dedup_cc_clusters": "X.cc",
+    "text_token_stats": "T.token",
+    "sim_knn_bruteforce_cosine": "C.knn",
+    "nested_customer_orders": "J.customer",
+    "sketch_theta_grouped": "K.theta",
+    "tpcds_q3_brand_year_topn": "D.q3",
+    "tpcds_q36_margin_rollup_rank": "D.q36",
+    "tpcds_q51_cumulative_channels": "D.q51",
+    "temporal_asof_attribution": "R.asof",
+    "text_pii_redact": "T.pii",
+    "text_contamination": "T.contamination",
+    "pack_sequences": "pack",
+    "events_gapfill_downsample": "E.gapfill",
+    "dq_null_profile": "Q.null",
+    "agg_pivot_status": "A.pivot",
+    "mm_payload_dedup": "V.payload",
+    "tpcds_q95_multi_exists": "D.q95",
+    "mixture_rebalance_uniform": "M.rebalance",
+    "mixture_epoch_upsample": "M.epoch",
+    "text_vocab_coverage": "T.vocab",
+    "text_bigram_lm": "T.bigram_lm",
+    "tpcds_q14_common_parts_revenue": "D.q14",
+    "tpcds_q31_quarterly_growth": "D.q31",
+    "iceberg_v2_mor_read": "I.v2",
+    "mm_decode_audio": "V.decode",
+    "tpcds_q67_rollup_rank_topn": "D.q67",
+    "tpcds_q97_channel_overlap": "D.q97",
+    "tpcds_q18_grouping_sets_channels": "D.q18",
+    "tpcds_q16_exists_not_exists_rollup": "D.q16",
+    "tpcds_q43_weekday_pivot": "D.q43",
+    "tpcds_q92_above_1_3x_part_avg": "D.q92",
+    "tpcds_q94_multi_supplier_clean_orders": "D.q94",
+    "tpcds_q91_loss_ratio_matrix": "D.q91",
+    "tpcds_q86_rollup_rank_within_parent": "D.q86",
+    "tpcds_q51a_cumulative_distinct": "D.q51a",
+    "tpcds_q63_monthly_deviation": "D.q63",
+    "tpcds_q67a_union_grain_topn": "D.q67a",
+    "avro_roundtrip_agg": "avro",
+    "dialect_sql_udaf_weighted_avg": "S.udaf",
+    "dedup_levenshtein_verify": "X.levenshtein",
+    "text_tfidf_top_terms": "T.tfidf",
+    "events_session_funnel": "E.session",
+    "events_markov_transitions": "E.markov",
+    "emb_quantize_int8": "B.quantize",
+    "pipeline_training_mix": "P.training",
+    "dq_benford_first_digit": "Q.benford",
+    "dq_ks_distribution_drift": "Q.ks_distribution",
+    "events_dau_wau_stickiness": "E.dau",
+    "iceberg_maintenance_roundtrip": "I.maintenance",
+    "dedup_incremental_batch": "X.incremental",
+    "text_dup_ngram_fraction": "T.dup",
+    "text_bigram_score": "T.bigram_score",
+    "dialect_sql_uda_mergeable_weighted_avg": "S.uda_mergeable",
+    "tpcds_q49_dual_rank_union": "D.q49",
+    "dq_ks_drift_bucketed": "Q.ks_drift",
+    "pipeline_leakage_safe_split": "P.leakage",
+    "pipeline_curriculum_order": "P.curriculum",
+    "events_daily_anomaly": "E.daily",
+    "iceberg_describe_history": "I.describe",
+    "tpcds_q49a_decile_buckets": "D.q49a",
+    "dialect_sql_table_path_scan": "S.table",
+    "dialect_sql_subplan_derived": "S.subplan_derived",
+    "dialect_sql_subplan_agg": "S.subplan_agg",
+    "dialect_sql_uda_in_cte": "S.uda_in",
+    "tpch_nested_q1": "N.q1",
+    "tpch_nested_q18": "N.q18",
+    "dialect_sql_subplan_multi_agg": "S.subplan_multi",
+}
+
+
 def main() -> None:
     sf = None
     base = os.path.basename(SF_DIR.rstrip("/"))
@@ -219,21 +313,36 @@ def main() -> None:
         "load_wait_sec": waited,
         "runs_per_query": n_runs,
     }
+    payload["key_map"] = KEY_MAP
     line = json.dumps(payload)
-    # The driver captures only a ~2.2 KB tail of stdout; the full payload
-    # (73 per-query entries, ~2.9 KB) physically cannot survive that buffer
-    # (BENCH_r06..r08 parsed: null).  So: persist the FULL payload to
-    # BENCH_LOCAL.json, and print a COMPACT metric line (~80 bytes, no
-    # queries map) as the absolute last stdout bytes.  Stop Spark before
-    # printing so JVM/Py4J shutdown chatter lands ahead of the line, and
-    # hard-exit so no atexit hook writes past it.
+    # The driver captures only a 2000-char tail of stdout; the full-name
+    # per-query map (~2.6 KB) physically cannot survive that buffer
+    # (BENCH_r06..r08 parsed: null; PERF_r12 n_common: 0).  So: persist the
+    # FULL payload (full names) to BENCH_LOCAL.json, and print a final line
+    # that carries the per-query map under the FROZEN short keys (~1.5 KB,
+    # measured) so the driver's per-query comparison is no longer blind
+    # (r12 VERDICT item 2).  Stop Spark before printing so JVM/Py4J
+    # shutdown chatter lands ahead of the line, and hard-exit so no atexit
+    # hook writes past it.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
+    short_queries = {
+        KEY_MAP.get(name, name): round(secs, 2)
+        for name, secs in times.items()
+    }
     compact = json.dumps(
         {"metric": payload["metric"], "value": total, "unit": "sec",
-         "sf": sf, "loadavg_start": load_start, "loadavg_end": load_end}
+         "queries": short_queries, "sf": sf,
+         "loadavg_start": load_start, "loadavg_end": load_end},
+        separators=(",", ":"),
     )
+    if len(compact) > 1900:  # defensive: never risk tail truncation
+        compact = json.dumps(
+            {"metric": payload["metric"], "value": total, "unit": "sec",
+             "sf": sf, "loadavg_start": load_start,
+             "loadavg_end": load_end}
+        )
     try:
         spark.stop()
     except Exception:

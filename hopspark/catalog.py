@@ -188,28 +188,67 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
 
 def _register_key(sf_dir: str) -> tuple:
-    """Cache key for a registration: the sf_dir plus the events file's
-    mtime — the one table the test driver is known to regenerate in-place
-    with a different physical encoding while a session is alive (see
-    _events_ts_is_int64); an mtime change forces re-registration so the
-    view picks up the new read schema."""
+    """Cache key for a registration: the sf_dir plus (mtime, size) of every
+    table file — the test driver is known to regenerate tables in-place with
+    a different physical encoding while a session is alive (see
+    _events_ts_is_int64); any change forces re-registration so the views
+    pick up the new read schema.  10 os.stat calls, microseconds."""
+    stats = []
+    for name in TABLES:
+        try:
+            st = os.stat(table_path(sf_dir, name))
+            stats.append((st.st_mtime, st.st_size))
+        except OSError:
+            stats.append(None)
+    return (sf_dir, tuple(stats))
+
+
+def _views_verified(spark: SparkSession) -> bool:
+    """One-round-trip structural check that the catalog temp views are
+    still the ones register() created: analyze a 10-way cross join of all
+    views (never executed — .schema only triggers analysis) and compare the
+    concatenated (name, dataType) list against the declared schemas.
+
+    This is the guard against OUT-OF-BAND view replacement that the session
+    marker cannot see — e.g. tools/query_fuzzer.register_views clobbering
+    `events` with a raw parquet read whose `ts` is physical int64 nanos,
+    which silently changes the translator's type dispatch
+    (avg(TIMESTAMP)→TIMESTAMP rewrite, bool `||`, cast guards).  One py4j
+    analysis call ≪ the 10 read+createOrReplaceTempView round trips it
+    replaces (nullability is ignored: reads through withColumn may relax
+    it without changing any type dispatch)."""
     try:
-        return (sf_dir, os.path.getmtime(table_path(sf_dir, "events")))
-    except OSError:
-        return (sf_dir, None)
+        probe = spark.sql(
+            "SELECT * FROM " + ", ".join(TABLES) + " LIMIT 0"
+        ).schema
+    except Exception:
+        return False  # a view was dropped or is unreadable
+    declared = [
+        (f.name, f.dataType) for name in TABLES for f in SCHEMAS[name].fields
+    ]
+    return [(f.name, f.dataType) for f in probe.fields] == declared
 
 
-def register(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+def register(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, force: bool = False
+) -> None:
     """Register every engine table as a temp view (idempotent).
 
-    Skipped when this session already registered the same sf_dir (r12):
-    callers re-register defensively on every query, and the 10 lazy
-    spark.read + createOrReplaceTempView round trips are pure per-query
-    overhead when the views are already in place.  The marker is an
-    attribute on the session object (dies with it); registering a
-    DIFFERENT sf_dir, or a regenerated events file, re-registers."""
+    Skipped when this session already registered the same sf_dir (r12) AND
+    the views still verify structurally (_views_verified, r13): callers
+    re-register defensively on every query, and the 10 lazy spark.read +
+    createOrReplaceTempView round trips are pure per-query overhead when
+    the views are already in place.  The marker is an attribute on the
+    session object (dies with it); registering a DIFFERENT sf_dir, a
+    regenerated table file, or finding a view clobbered out-of-band
+    re-registers.  force=True re-registers unconditionally (the
+    INVALIDATE METADATA path — Engine.refresh())."""
     key = _register_key(sf_dir)
-    if getattr(spark, "_hopspark_tables_registered", None) == key:
+    if (
+        not force
+        and getattr(spark, "_hopspark_tables_registered", None) == key
+        and _views_verified(spark)
+    ):
         return
     for name in TABLES:
         read_table(spark, name, sf_dir).createOrReplaceTempView(name)

@@ -450,6 +450,16 @@ class AlterTableMixin:
         view_def = self._view_defs.pop(old.lower(), None)
         self._replace_view(new, df)
         self.spark.catalog.dropTempView(old)
+        # Renaming a CATALOG table AWAY drops its view while _replace_view
+        # only invalidates the marker when the NEW name is a catalog table;
+        # invalidate for the OLD name too so the next Engine() restores the
+        # pristine catalog view (pre-r12 behavior) — r12 ADVICE.
+        from hopspark import catalog as _catalog
+
+        if old.lower() in _catalog.SCHEMAS and hasattr(
+            self.spark, "_hopspark_tables_registered"
+        ):
+            self.spark._hopspark_tables_registered = None
         if view_def is not None:
             self._view_defs[new.lower()] = view_def
         for attr in ("_tbl_props", "_col_comments", "_stats", "_inc_stats"):

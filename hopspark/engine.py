@@ -237,6 +237,14 @@ class Engine(AlterTableMixin):
             dropped = self.spark.catalog.dropTempView(name)
             self._view_defs.pop(name.lower(), None)
             self._schema_cols_cache = None
+            # Dropping a CATALOG table's view invalidates the session's
+            # registration marker, mirroring _replace_view: the next
+            # Engine() restores the pristine catalog view (pre-r12
+            # behavior) instead of skipping on a stale marker.
+            if name.lower() in catalog.SCHEMAS and hasattr(
+                self.spark, "_hopspark_tables_registered"
+            ):
+                self.spark._hopspark_tables_registered = None
             if not dropped and not if_exists:
                 raise ValueError(f"view does not exist: {name}")
             return self.spark.sql("SELECT 1 AS ok WHERE false")
@@ -3593,7 +3601,10 @@ class Engine(AlterTableMixin):
             self.spark.catalog.refreshTable(table)
         else:
             self.spark.catalog.clearCache()
-            catalog.register(self.spark, self.sf_dir)
+            # force: the registration marker must not short-circuit an
+            # explicit INVALIDATE METADATA — stale InMemoryFileIndex
+            # listings are exactly what the user is flushing (r12 ADVICE).
+            catalog.register(self.spark, self.sf_dir, force=True)
 
     def describe(self, table: str) -> list[tuple[str, str]]:
         """DESCRIBE <table> → [(col_name, data_type)]."""
