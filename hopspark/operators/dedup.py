@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hopspark.catalog import read_table
+from hopspark.ckpt import materialize
 
 # --- exact dedup -----------------------------------------------------------
 
@@ -299,10 +300,10 @@ def _minhash_pipeline(
     parquet scans and 4 SortAggregate collapse passes in the r12 before-
     plan); with them each stage computes exactly once per run — the same
     reuse discipline similarity_join_edges already applies."""
-    base = sh.withColumn("fp", F.xxhash64("sh")).localCheckpoint(eager=True)
+    base = materialize(sh.withColumn("fp", F.xxhash64("sh")))
     rep_sh, members = _exact_groups(base, "sh")
-    rep_sh = rep_sh.localCheckpoint(eager=True)
-    members = members.localCheckpoint(eager=True)
+    rep_sh = materialize(rep_sh)
+    members = materialize(members)
     rep_pairs = _minhash_rep_pairs(rep_sh, jaccard_threshold, bucket_cap)
     return _expand_exact_dups(rep_pairs, members, "jaccard", F.lit(1.0))
 
@@ -477,12 +478,16 @@ def _token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_from_tokens(th: DataFrame) -> DataFrame:
-    """(doc_id, simhash) over a (doc_id, th: array<long>) frame: 64-bit
-    SimHash, computed entirely scan-side with an array fold — the bit-vote
-    accumulator never leaves the row, so signatures cost ZERO shuffle
-    (measured 4× faster than the explode + 64-sum groupBy alternative at
-    sf0.1, and at 100 TB it removes an exchange of one row per token)."""
+def _simhash_fold(th: DataFrame) -> DataFrame:
+    """Catalyst-fold reference for the SimHash bit-vote (kept for the
+    kernel parity test): computed scan-side with an array fold — the
+    bit-vote accumulator never leaves the row, so signatures cost ZERO
+    shuffle (measured 4× faster than the explode + 64-sum groupBy
+    alternative at sf0.1).  Superseded as the execution path by the
+    vectorized Arrow kernel in _simhash_from_tokens (r13): Spark executes
+    higher-order array functions WITHOUT codegen, and this nested
+    zip_with-inside-aggregate fold was the single biggest interpreted-
+    expression hotspot in the bench."""
 
     def _shr(h: "F.Column", j: "F.Column") -> "F.Column":
         return F.call_function("shiftrightunsigned", h, j)
@@ -510,6 +515,70 @@ def _simhash_from_tokens(th: DataFrame) -> DataFrame:
     return th.select("doc_id", sim.alias("simhash"))
 
 
+def _simhash_from_tokens(th: DataFrame) -> DataFrame:
+    """(doc_id, simhash) over a (doc_id, th: array<long>) frame: 64-bit
+    SimHash via a vectorized numpy kernel in mapInArrow (guide §4.2 — hand
+    whole Arrow batches to native code instead of interpreted expressions;
+    Spark runs higher-order array functions without codegen, and the fold
+    in _simhash_fold was the biggest interpreted hotspot in the bench).
+
+    BIT-EQUAL to the fold by construction — pure integer arithmetic:
+    votes[j] = Σ_tokens ((h >>> j) & 1) * 2 - 1 = 2*ones[j] - n_tokens,
+    bit j set iff votes[j] > 0 — asserted by
+    tests/test_dedup.py::test_simhash_kernel_matches_fold at two SFs.
+    Only (doc_id, th) cross the Python boundary (~8·n_tokens bytes/row);
+    per-batch scratch is bounded by the 2048-doc sub-chunking
+    (~2048 docs × tokens × 64 × 4 B ≈ 30 MB at this corpus's ~54
+    tokens/doc), independent of arrow.maxRecordsPerBatch."""
+
+    def _kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        J = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        CHUNK = 2048
+        for batch in batches:
+            doc = batch.column(0)
+            lst = batch.column(1)
+            lens_arr = pc.list_value_length(lst)
+            null_mask = np.asarray(lens_arr.is_null())
+            lens = (
+                np.asarray(lens_arr.fill_null(0)).astype(np.int64)
+                if len(lens_arr)
+                else np.zeros(0, dtype=np.int64)
+            )
+            # list_flatten skips null entries, matching the fill_null(0)
+            # lengths above, so offsets stay aligned.
+            flat = np.asarray(pc.list_flatten(lst)).view(np.uint64)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            sim = np.zeros(len(lens), dtype=np.int64)
+            for lo in range(0, len(lens), CHUNK):
+                hi = min(lo + CHUNK, len(lens))
+                v = flat[starts[lo] : ends[hi - 1]] if hi > lo and ends[hi - 1] > starts[lo] else flat[:0]
+                # n_tok × 64 bit matrix; bit j of token = (h >> j) & 1
+                # (little bitorder over the little-endian byte view).
+                bits = np.unpackbits(
+                    v.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                )
+                c = np.zeros((len(v) + 1, SIMHASH_BITS), dtype=np.int32)
+                np.cumsum(bits, axis=0, out=c[1:])
+                base0 = starts[lo]
+                ones = c[ends[lo:hi] - base0] - c[starts[lo:hi] - base0]
+                votes = 2 * ones.astype(np.int64) - lens[lo:hi, None]
+                simbits = (votes > 0).astype(np.uint64)
+                sim[lo:hi] = (simbits << J).sum(axis=1, dtype=np.uint64).view(
+                    np.int64
+                )
+            out = pa.array(sim, mask=null_mask if null_mask.any() else None)
+            yield pa.record_batch([doc, out], names=["doc_id", "simhash"])
+
+    return th.select("doc_id", "th").mapInArrow(
+        _kernel, "doc_id long, simhash long"
+    )
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) for every document (see _simhash_from_tokens)."""
     return _simhash_from_tokens(_token_hashes(spark, sf_dir))
@@ -526,10 +595,10 @@ def _simhash_pipeline(th: DataFrame, max_hamming: int, bucket_cap: int) -> DataF
     `base` feeds collapse + members, `rep_th` feeds the SimHash signature
     fold, `members` feeds four expansion joins — one computation per stage
     per run instead of one per consumer."""
-    base = th.withColumn("fp", F.xxhash64("th")).localCheckpoint(eager=True)
+    base = materialize(th.withColumn("fp", F.xxhash64("th")))
     rep_th, members = _exact_groups(base, "th")
-    rep_th = rep_th.localCheckpoint(eager=True)
-    members = members.localCheckpoint(eager=True)
+    rep_th = materialize(rep_th)
+    members = materialize(members)
     sigs = _simhash_from_tokens(rep_th)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     banded = sigs.select(

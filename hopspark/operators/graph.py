@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hopspark.catalog import read_table
+from hopspark.ckpt import materialize
 from hopspark.operators.dedup import _hashed_shingles_of
 
 SIM_THRESHOLD = 0.8
@@ -74,7 +75,7 @@ def similarity_join_edges(
     # The shingle frame feeds three subtrees (df counts, prefix build, and
     # both verify sides); checkpoint it so the document scan + shingle
     # construction runs once instead of once per consumer.
-    sh = sh.localCheckpoint(eager=True)
+    sh = materialize(sh)
 
     # Global document frequency per shingle: the ordering key that makes
     # prefixes rare.  One explode + groupBy over (hash-sized) tokens.
@@ -98,24 +99,51 @@ def similarity_join_edges(
         tok.join(df_counts.filter(F.col("df") <= POSTING_CAP), "g")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= prefix_len)
-        .select("g", "doc_id", "sz")
+        .select("g", "doc_id", "sz", "rk")
     )
 
     # Candidate pairs: prefix-index self-join on the shingle, then distinct.
     # Size filter t*|a| <= |b| <= |a|/t prunes length-incompatible pairs
     # before the distinct (PPJoin length filter).
     a = prefix.select(
-        F.col("g"), F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
+        F.col("g"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("rk").alias("rk_a"),
     )
     b = prefix.select(
-        F.col("g"), F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
+        F.col("g"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("rk").alias("rk_b"),
     )
+    # PPJoin POSITIONAL filter (r13, Xiao et al. WWW'08 §3.2; guide §3 —
+    # prune the candidate set before the expensive array-bearing verify
+    # join).  For a pair with Jaccard >= t the required overlap is
+    # alpha = ceil(t/(1+t) * (|a|+|b|)), and for the FIRST common shingle
+    # (in global df order, provably inside both prefixes for any pair at
+    # threshold) the overlap is bounded by
+    # ubound = 1 + min(|a| - rk_a, |b| - rk_b).  A surviving pair keeps at
+    # least its first-common-shingle row, so filtering per match row
+    # BEFORE the distinct is lossless.  rk is the position in the CAPPED
+    # df order, which under-counts the true position — that only weakens
+    # the bound (never prunes a true pair).  The 1e-9 epsilon keeps a
+    # float rounding error at the alpha boundary from pruning an exact-
+    # threshold pair (the verify join cannot resurrect one).
+    ubound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("rk_a"), F.col("sz_b") - F.col("rk_b")
+    )
+    alpha = (
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("sz_a") + F.col("sz_b"))
+    ) - F.lit(1e-9)
     cand = (
         a.join(b, "g")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("sz_b") * F.lit(threshold) <= F.col("sz_a"))
             & (F.col("sz_a") * F.lit(threshold) <= F.col("sz_b"))
+            & (ubound >= alpha)
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -224,10 +252,26 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # surviving direction of sym).  Duplicate (v, m) rows are possible
         # but harmless: _small_star's min-aggregate is duplicate-insensitive
         # and its own _canon dedups the round's output.
-        sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # r13 (guide §2.4 "window functions partitioned by the same key as
+        # a preceding aggregation do not need a second shuffle"): m is a
+        # whole-partition min — attach it with a window over the SAME
+        # hash(u) partitioning instead of groupBy + join.  Each star round
+        # drops from two data paths (agg exchange + broadcast-build job +
+        # join) to ONE exchange and zero broadcast builds; at scale this
+        # also removes the driver collect of the per-node minima that the
+        # broadcast join implied (m has one row per node — unboundable).
+        # Hot-node caveat: the window buffers one node's neighbor rows per
+        # key (spilling via ExternalAppendOnlyUnsafeRowArray past the
+        # in-memory threshold) — the same per-key row set the join's probe
+        # side materialized in its output, so no new asymptotic state.
+        from pyspark.sql import Window as W
+
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
         return (
-            sym.join(m, "u")
+            sym.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
@@ -235,13 +279,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     def _small_star(e: DataFrame) -> DataFrame:
         # Orient edges big->small; for each node n: m = min(smaller
         # neighbors ∪ {n}); connect n and its smaller neighbors to m.
+        # Same window-over-the-same-key discipline as _large_star (r13);
+        # the two linked projections are emitted in ONE pass with an
+        # explode instead of a union of two reads of the windowed subtree.
+        from pyspark.sql import Window as W
+
         o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        m = o.groupBy("u").agg(F.min("v").alias("m"))
-        linked = o.join(m, "u")
+        linked = o.withColumn("m", F.min("v").over(W.partitionBy("u")))
         return _canon(
-            linked.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
-                linked.select("u", F.col("m").alias("v"))
-            )
+            linked.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("p")
+            ).select("p.u", "p.v")
         )
 
     def _fingerprint(e: DataFrame):
@@ -254,10 +307,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         ).first()
         return (row["n"], row["h"])
 
-    cur = _canon(edges).localCheckpoint(eager=True)
+    cur = materialize(_canon(edges))
     fp = _fingerprint(cur)
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = materialize(_small_star(_large_star(cur)))
         nfp = _fingerprint(nxt)
         cur = nxt
         if nfp == fp:
@@ -394,7 +447,7 @@ def graph_pagerank_bipartite(
     # Eager checkpoint (like connected_components): lazy local checkpoints
     # materialize at first action and interacted badly with AQE/block-manager
     # state in the r3 driver environment (the one nonreproducible red row).
-    src = edges.join(deg, "u").localCheckpoint(eager=True)
+    src = materialize(edges.join(deg, "u"))
     ncnt = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = deg.crossJoin(ncnt).select(
         "u", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r")

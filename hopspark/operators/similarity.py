@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hopspark.catalog import read_table
+from hopspark.ckpt import materialize
 
 N_QUERIES = 3  # vec_id < 3 are the query vectors in the demo queries
 TOP_K = 5
@@ -242,7 +243,7 @@ def _centroids(
         # downstream consumer (ann_ivf_topk scores corpus AND queries
         # against them). Same bounded-lineage discipline as the CC and
         # PageRank loops in graph.py.
-        cents = means.unionByName(lost).localCheckpoint(eager=True)
+        cents = materialize(means.unionByName(lost))
     return cents
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hopspark.catalog import read_table
+from hopspark.ckpt import materialize
 from hopspark.operators._util import REVENUE_TERM, dec
 from hopspark.operators.tpcds_patterns2 import _li_orders, _rev
 
@@ -925,10 +926,9 @@ def tpcds_q86a_union_grain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
     )
-    fine = (
+    fine = materialize(
         base.groupBy("r_name", "n_name")
         .agg(F.sum(_rev()).cast("decimal(38,4)").alias("rev0"))
-        .localCheckpoint(eager=True)
     )
     b0 = fine.select(
         F.col("rev0").alias("total"),
@@ -1011,10 +1011,9 @@ def tpcds_q70a_union_top_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
     )
-    fine = (
+    fine = materialize(
         base.groupBy("r_name", "n_name")
         .agg(F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("pt"))
-        .localCheckpoint(eager=True)
     )
     # q70's restriction subquery: keep only the top-3 regions by their own
     # total, computed from the same partial (rank over a 5-row aggregate —
@@ -1111,11 +1110,10 @@ def tpcds_q67a_union_grain_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("l_shipdate") == 1996
     )
     part = read_table(spark, "part", sf_dir)
-    fine = (
+    fine = materialize(
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_type", "p_brand", F.month("l_shipdate").alias("mo"))
         .agg(F.sum(_rev()).cast("decimal(38,4)").alias("rev0"))
-        .localCheckpoint(eager=True)
     )
     b0 = fine.select(
         F.col("rev0").alias("total"), "p_type", "p_brand", "mo",

@@ -85,25 +85,64 @@ def run_stream_to_completion(
     output_mode: str,
     n_partitions: int,
 ) -> DataFrame:
-    """Run a memory-sink streaming query to completion with the given
-    state-partition count (set for the stream's lifetime, restored after —
-    the conf is only read when micro-batches plan, so the surrounding
-    batch session is unaffected) and return the sink table."""
+    """Run a streaming query to completion with the given state-partition
+    count and return its output as a DataFrame.
+
+    Sink choice (r13, guide §5 — the driver should do almost no data
+    work): APPEND-mode streams (dedup keys, stream-stream join) emit one
+    row per surviving input row — unbounded at 100 TB/day — so they go to
+    a per-run PARQUET file sink in a fresh temp dir and are read back
+    (executor-side IO, nothing accumulates on the driver).  The temp sink
+    is recreated on every call: it is a within-run intermediate like a
+    localCheckpoint, never a cross-run cache.  COMPLETE-mode streams are
+    aggregate snapshots — cardinality is the aggregate's group count
+    (windows × event_types; sessions per user-horizon), which is the same
+    driver-size class as the query's own collect() — and stay on the
+    memory sink.
+
+    Conf-override concurrency (r12 ADVICE): ``spark.sql.shuffle.partitions``
+    pins the stream's STATE partition count, but Structured Streaming
+    snapshots the session conf by CLONING the session inside ``start()``
+    (StreamExecution.sparkSessionForStream), so the override is restored
+    immediately after ``start()`` returns — a concurrent batch query can
+    only observe the tiny value during the start() call itself, not for
+    the stream's lifetime.  The gate runs streams single-threaded; the
+    residual start()-window race is documented here rather than padded
+    with a lock because the session conf API has no per-query scope."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
     try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode(output_mode)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        if output_mode == "append":
+            import tempfile
+
+            out_dir = tempfile.mkdtemp(prefix=f"hopspark_{qname}_")
+            data_dir = os.path.join(out_dir, "data")
+            os.makedirs(data_dir, exist_ok=True)
+            q = (
+                df.writeStream.format("parquet")
+                .option("path", data_dir)
+                .option(
+                    "checkpointLocation", os.path.join(out_dir, "_ckpt")
+                )
+                .queryName(qname)
+                .outputMode("append")
+                .start()
+            )
+        else:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode(output_mode)
+                .start()
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if output_mode == "append":
+        return spark.read.schema(df.schema).parquet(data_dir)
     return spark.table(qname)
 
 
