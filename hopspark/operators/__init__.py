@@ -115,7 +115,8 @@ CURATED_FIRST = (
     # the scalar-aggregate subplan — the r10 HOF fast path
     # (size/aggregate/array_min lowering), never driver-checked; the
     # derived-table shape stays sim-checked + plan-locked.
-    "agg_stats_moments",
+    # r13 rotation: agg_stats_moments (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # Analytic / windows (§2.6).
     # r7 rotation: window_rank_topn rotates out — the partitioned-TopN
     # WindowGroupLimit family keeps driver rows via tpcds_q67_rollup_rank_topn,
@@ -155,14 +156,17 @@ CURATED_FIRST = (
     # surfaces (multi-level rootless scans with implicit unnest, EXISTS
     # subplans, lateral aggregate derived tables) against flat oracles.
     "tpch_nested_q1",
-    "tpch_nested_q4",
-    "tpch_nested_q18",
+    # r13 rotation: tpch_nested_q4 (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
+    # r13 rotation: tpch_nested_q18 (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # r12 rotation: nested_from_disk (driver-green r1-r11) and
     # subquery_scalar_threshold (driver-green r1-r8, r10, r11) hand
     # their slots to the never-checked customer-orders nesting rollup;
     # both stay sim-checked (scalar-subquery CardinalityCheck stays
     # plan-locked at tests/test_plans.py:121).
-    "nested_customer_orders",
+    # r13 rotation: nested_customer_orders (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # r9 rotation: subquery_scalar_threshold (driver-green since r1) hands
     # its slot to the recursive-CTE month spine — a plan shape (iterative
     # UNION ALL expansion) no gate row has ever exercised; the scalar-
@@ -189,7 +193,8 @@ CURATED_FIRST = (
     # funds the set-operation intake (INTERSECT/EXCEPT distinct
     # semantics, never driver-checked; q87's chained EXCEPT also rotates
     # out below in their favor).
-    "setop_intersect",
+    # r13 rotation: setop_intersect (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     "setop_except",
     # r7 rotation: the incremental batch-vs-history anti-join dedup and the
     # capped-prefix Levenshtein verify stage (both new in r6, sim-only until
@@ -206,7 +211,8 @@ CURATED_FIRST = (
     "dedup_prefix_clusters",
     # r11 rotation: describe_history (driver-green r8-r10) hands its
     # slot to snapshot time-travel diffing (never driver-checked).
-    "iceberg_time_travel_diff",
+    # r13 rotation: iceberg_time_travel_diff (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # Format scan/sink roundtrips (§2.1): the Avro container codec is the
     # largest pure-Python reader surface — its oracle compares the
     # write→read roundtrip against the ORIGINAL parquet view, upgrading
@@ -225,9 +231,11 @@ CURATED_FIRST = (
     # r11 intake (verdict item 2): GROUP_CONCAT's ordering contract
     # (missed in two rotations), percentile family, and the IGNORE NULLS
     # window value functions — all never driver-checked.
-    "agg_group_concat",
+    # r13 rotation: agg_group_concat (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     "agg_percentiles",
-    "window_value_fns_ignore_nulls",
+    # r13 rotation: window_value_fns_ignore_nulls (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # Similarity graph / PageRank.
     # r10 rotation: cc_clusters (driver-green r9) rotates out — the same
     # large-star/small-star iteration is now externally checked through
@@ -243,7 +251,8 @@ CURATED_FIRST = (
     # slot to the time-bounded range-join context assembly (never
     # driver-checked; the reference's range-join shape, distinct failure
     # modes from as-of picking).
-    "temporal_range_join_context",
+    # r13 rotation: temporal_range_join_context (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # r8 rotation: the daily-anomaly z-score screen (r7's new temporal
     # operator, sim-only until now) takes its first driver row;
     # events_session_funnel was driver-green in r7 and stays sim-checked.
@@ -261,7 +270,8 @@ CURATED_FIRST = (
     # r11 rotation: emb_quantize_int8 (driver-green r7-r10) hands its
     # slot to gap-fill + downsample (never driver-checked; the
     # time-spine generation shape).
-    "events_gapfill_downsample",
+    # r13 rotation: events_gapfill_downsample (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # Sketches.
     # r11 rotation: theta_grouped (driver-green r1-r10) hands its slot
     # to the theta set-algebra row (union/intersect/a-not-b estimator
@@ -295,14 +305,16 @@ CURATED_FIRST = (
     # r11 rotation: langid (driver-green r10) hands its slot to the
     # vocab-coverage screen (never driver-checked); text keeps
     # bigram_score below.
-    "text_vocab_coverage",
+    # r13 rotation: text_vocab_coverage (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # Multimodal.
     # r7 rotation: mm_decode_image hands its slot to the new rows below;
     # the PPM/BMP decode path stays sim-checked + unit-tested, and the
     # multimodal family keeps the payload-dedup row.
     # r11 rotation: payload_dedup (driver-green r5-r10) hands its slot
     # to the multimodal metadata-profile rollup (never driver-checked).
-    "mm_metadata_stats",
+    # r13 rotation: mm_metadata_stats (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # Impala dialect surface. scalar_parity pins the round-4 kernel fixes
     # (greatest/least NULL-poisoning, pmod sign rule, regexp backrefs,
     # extract BIGINT, dtrunc, RR round-year) under the driver gate; it
@@ -312,7 +324,8 @@ CURATED_FIRST = (
     # slot to the INTERVAL date-arithmetic surface (never
     # driver-checked); the filter family stays golden-pinned (1292-case
     # corpus) + sim-checked.
-    "dialect_sql_interval_dates",
+    # r13 rotation: dialect_sql_interval_dates (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # r9 rotation: dialect_sql_null_ordering (driver-green r7/r8) hands its
     # slot to the DDL surface — CTAS + CREATE VIEW through the Impala SQL
     # translator, never driver-checked; the NULL-ordering default contract
@@ -333,7 +346,8 @@ CURATED_FIRST = (
     # hands its slot to the UDA-inside-CTE-body variant (r9 verdict item
     # 6, never driver-checked) — same salted two-stage machinery PLUS the
     # recursive CTE-body rewrite and the outer filter-over-results shape.
-    "dialect_sql_uda_in_cte",
+    # r13 rotation: dialect_sql_uda_in_cte (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # TPC-DS patterns.
     # r12 rotation: q36 (driver-green r1-r11) hands its slot to q88's
     # time-band multi-count row (never driver-checked; the
@@ -344,7 +358,8 @@ CURATED_FIRST = (
     # row-ordering contract of the keep rule, not just group membership) —
     # restoring the dedup module's gate row after ngram_jaccard rotated
     # out; q33's union composite stays sim-checked.
-    "dedup_exact_keep_first",
+    # r13 rotation: dedup_exact_keep_first (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # r12 rotation: q67 (driver-green r4-r11) hands its slot to q5's
     # channel-profit rollup (patterns3, never driver-checked); the
     # rollup+rank+WindowGroupLimit composition stays plan-asserted.
@@ -364,7 +379,8 @@ CURATED_FIRST = (
     # r11 rotation: q49 (driver-green r7-r10) hands its slot to q38's
     # three-way INTERSECT of channels (never driver-checked; composes
     # with the setop_intersect re-entry above).
-    "tpcds_q38_intersect_channels",
+    # r13 rotation: tpcds_q38_intersect_channels (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # r4 rotations: grouping-sets over a derived channel and correlated
     # EXISTS/NOT-EXISTS + rollup (tpcds_patterns6). They replace
     # agg_grouping_sets (subsumed by the richer q18 shape) and tpch_q22
@@ -380,7 +396,8 @@ CURATED_FIRST = (
     # its sim check.
     # r11 rotation: bigram_score (driver-green r6-r10) hands its slot
     # to the rolling-hash document fingerprint (never driver-checked).
-    "text_fingerprint",
+    # r13 rotation: text_fingerprint (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # r10 rotation: q43 weekday pivot (driver-green since r4) hands its
     # slot to q89's deviation-from-monthly-average (same module, never
     # driver-checked); the pivot shape stays sim-checked.
@@ -422,7 +439,8 @@ CURATED_FIRST = (
     # r11 rotation: benford (driver-green r10) hands its slot to the
     # referential-orphans audit (never driver-checked; anti-join audit
     # shape); dq keeps null_profile.
-    "dq_referential_orphans",
+    # r13 rotation: dq_referential_orphans (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # r9 rotation: rebalance_uniform (driver-green r6-r8) hands its slot to
     # the temperature-weighted sampling allocator (never driver-checked);
     # uniform rebalance stays sim-checked.
@@ -430,13 +448,41 @@ CURATED_FIRST = (
     # to the deterministic hash-stratified sampler (never driver-checked).
     # r11 rotation: stratified_sample (driver-green r10) hands its slot
     # to the quality-gate mixture screen (never driver-checked).
-    "mixture_quality_gate",
+    # r13 rotation: mixture_quality_gate (driver-green) hands its slot to the r13
+    # never-checked intake below; stays sim-checked + oracle-parity-tested.
     # r9 rotation: hourly_rollup (driver-green r5-r8) hands its slot to the
     # streaming key-dedup shape (never driver-checked); the windowed rollup
     # stays sim-checked with its watermark unit tests.
     # r10 rotation: dedup_keys (driver-green r9) hands its slot to the
     # stream-stream view→purchase interval join (never driver-checked —
     # the watermarked two-stream state shape).
+    # --- r13 rotation intake: 19 never-driver-checked rows (the r12
+    # verdict's "keep rotating" item). Chosen to maximize family spread:
+    # streaming (sessionize state machine), multimodal decode paths, text
+    # tails (BPE, rolling hash, dup-ngram), curation split/chunk, nested
+    # JSON/array ops + hourly rollup, temporal markov/anomaly, advanced
+    # UNPIVOT, quality bounds/duplicate-rate, mixture upsample, and two
+    # TPC-DS tails. All oracle-SQL-backed (value-hash compare); the 19
+    # rotated-out rows above stay sim-checked via tests/test_oracle_parity.
+    "streaming_sessionize",
+    "mm_decode_audio",
+    "mm_frame_sample",
+    "text_bpe_token_count",
+    "text_rolling_hash",
+    "text_dup_ngram_fraction",
+    "text_train_split",
+    "text_chunk_overlap",
+    "nested_json_extract",
+    "nested_array_ops",
+    "events_hourly_rollup",
+    "events_markov_transitions",
+    "events_hourly_anomalies",
+    "unpivot_status_long",
+    "dq_value_bounds",
+    "dq_duplicate_rate",
+    "mixture_epoch_upsample",
+    "tpcds_q1_returns_above_avg",
+    "tpcds_q2_weekly_channel_ratio",
     "streaming_view_purchase_join",
 )
 
